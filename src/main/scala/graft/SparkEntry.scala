@@ -1,13 +1,528 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract (SURVEY.md §7): every operator of the engine exposed
+  * as a named query over the driver's test tables, with a DuckDB oracle.
+  *
+  * Query groups:
+  *  - q01–q10: the reference's operator inventory (SURVEY.md §2.1 rows
+  *    A–J) in its declared tabular SQL shape — grouped count, grouped /
+  *    ungrouped average with the NODATA→0-but-counted rule
+  *    (reference Geoprocessing.scala:266-270), distinct-pixels lines
+  *    join (Geoprocessing.scala:225-227), min/avg/max summary
+  *    (Geoprocessing.scala:380-431), multi-op batch (:21-89), NODATA
+  *    full-outer layer join (Utils.scala:221-232), pruned scan
+  *    (Utils.scala:241-248).
+  *  - q11–q19: training-data pipeline — dedup (exact / n-gram Jaccard /
+  *    MinHash LSH / SimHash), text analysis (fingerprint, token stats,
+  *    quality, language ID).
+  *  - q20–q21: embedding similarity (brute-force top-k, near-dup pairs).
+  *  - q22–q25: temporal — tumbling-window agg, sessionization, as-of
+  *    join, grouped top-k.
+  *
+  * Every aggregate/computed column is aliased identically in the Spark
+  * plan and the oracle SQL (driver hash-compares after sorting columns
+  * by name), doubles are rounded at the same precision on both sides,
+  * and each query has a deterministic ORDER BY on its natural key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * The /multi-style batch plan (SURVEY §3.2): one shared scan,
+    * several ops in a single grouped union.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qMulti(spark, "/root/testdata/sf0.001")
+
+  // ---- q01–q10: reference operator inventory (SQL shapes) ----
+
+  private def qGroupedCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("r1"), col("l_linestatus").as("r2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("r1", "r2")
+
+  private def qGroupedCountMany(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("shape_id"), col("l_returnflag").as("r1"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("shape_id", "r1")
+
+  /** NODATA (here: 0-discount) contributes 0.0 but still counts —
+    * reference Geoprocessing.scala:266-270. */
+  private def qAverage(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(round(avg(coalesce(expr("nullif(l_discount, 0.0)"), lit(0.0))), 4).as("avg_v"))
+
+  private def qGroupedAverage(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("r1"))
+      .agg(round(avg(coalesce(expr("nullif(l_tax, 0.0)"), lit(0.0))), 4).as("avg_v"))
+      .orderBy("r1")
+
+  /** CHANGELOG-era RasterGroupedSum (reference CHANGELOG.md:151-153). */
+  private def qGroupedSum(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("r1"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy("r1")
+
+  /** Distinct "pixels" then grouped count — reference
+    * Geoprocessing.scala:225-227 dedups (values, TilePixel). */
+  private def qLinesJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("r1"), col("l_orderkey"), col("l_linenumber"))
+      .distinct()
+      .groupBy(col("r1"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("r1")
+
+  /** min/avg/max per "raster", input order preserved; avg counts every
+    * masked pixel (reference Geoprocessing.scala:380-431). */
+  private def qSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def one(cn: String): DataFrame =
+      li.agg(
+        round(min(col(cn)), 4).as("min_v"),
+        round(max(col(cn)), 4).as("max_v"),
+        round(sum(col(cn)) / count(lit(1)), 4).as("avg_v"))
+        .select(lit(cn).as("raster"), col("min_v"), col("max_v"), col("avg_v"))
+    one("l_quantity").unionByName(one("l_extendedprice")).unionByName(one("l_discount"))
+      .orderBy("raster")
+  }
+
+  /** /multi batch: one shared (broadcast-joined) scan feeding several
+    * ops, single union plan grouped by (shape, op) — SURVEY §3.2. */
+  private def qMulti(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val j = li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    val grouped = j.groupBy(col("o_orderpriority").as("shape_id"), col("l_returnflag").as("grp"))
+    val cnt = grouped.agg(count(lit(1)).cast("double").as("op_val"))
+      .withColumn("op_label", lit("grouped_count"))
+    val av = grouped.agg(round(avg(col("l_discount")), 4).as("op_val"))
+      .withColumn("op_label", lit("grouped_average"))
+    cnt.unionByName(av)
+      .select(col("shape_id"), col("op_label"), col("grp"), col("op_val"))
+      .orderBy("shape_id", "op_label", "grp")
+  }
+
+  /** N-way full-outer align join with NODATA fill — reference
+    * Utils.scala:221-232, sentinel Int.MinValue (CHANGELOG.md:52-63). */
+  private def qJoinNodataFill(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").as("nation_key")).agg(count(lit(1)).as("cust_cnt"))
+    val p = t(s, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nation_key")).agg(count(lit(1)).as("supp_cnt"))
+    c.join(p, Seq("nation_key"), "full_outer")
+      .select(col("nation_key"),
+        coalesce(col("cust_cnt"), lit(-2147483648L)).as("cust_cnt"),
+        coalesce(col("supp_cnt"), lit(-2147483648L)).as("supp_cnt"))
+      .orderBy("nation_key")
+  }
+
+  /** Key-range pruned scan + agg — reference Utils.scala:241-248
+    * (`Intersects` pushdown ⇒ parquet min/max skipping here). */
+  private def qPrunedScan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey").between(1000, 8000))
+      .groupBy(col("l_returnflag").as("r1"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("r1")
+
+  // ---- q11–q19: dedup + text analysis ----
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text").orderBy("h")
+
+  private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, minJaccard = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, numHashes = 12, bands = 4)
+      .orderBy("doc_a", "doc_b")
+
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc")
+
+  private def qSimhashNeardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"), maxHamming = 8)
+      .orderBy("doc_a", "doc_b")
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("ws_tokens"),
+      TextAnalysis.regexTokenCount(col("text")).as("re_tokens"))
+      .orderBy("doc_id")
+
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMetrics(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+  private def qLangid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.languageId("text").as("lang_pred"))
+      .orderBy("doc_id")
+
+  // ---- q20–q21: embedding similarity ----
+
+  private def qEmbedTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private def qEmbedNeardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+      .orderBy("id_a", "id_b")
+
+  // ---- q22–q25: temporal operators ----
+
+  private def qWindowAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val marked = e.withColumn("ns",
+      when(lag(col("sec"), 1).over(w).isNull ||
+        col("sec") - lag(col("sec"), 1).over(w) > 3600, 1).otherwise(0))
+    val sess = marked.withColumn("session_id",
+      sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("sec")).as("start_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val r = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    AsOfJoin.asof(e, r, "ts", "o_orderdate", Seq("user_id"), Seq("o_orderkey"))
+      .filter(col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_order"))
+      .orderBy("event_id")
+  }
+
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderpriority").as("priority"), col("rank"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy("priority", "rank")
+  }
+
+  /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_grouped_count" -> (qGroupedCount(_, _)),
+    "q02_grouped_count_many" -> (qGroupedCountMany(_, _)),
+    "q03_average" -> (qAverage(_, _)),
+    "q04_grouped_average" -> (qGroupedAverage(_, _)),
+    "q05_grouped_sum" -> (qGroupedSum(_, _)),
+    "q06_lines_join" -> (qLinesJoin(_, _)),
+    "q07_summary" -> (qSummary(_, _)),
+    "q08_multi" -> (qMulti(_, _)),
+    "q09_join_nodata_fill" -> (qJoinNodataFill(_, _)),
+    "q10_pruned_scan" -> (qPrunedScan(_, _)),
+    "q11_dedup_exact" -> (qDedupExact(_, _)),
+    "q12_dedup_ngram" -> (qDedupNgram(_, _)),
+    "q13_minhash_lsh" -> (qMinhashLsh(_, _)),
+    "q14_simhash" -> (qSimhash(_, _)),
+    "q15_simhash_neardup" -> (qSimhashNeardup(_, _)),
+    "q16_fingerprint" -> (qFingerprint(_, _)),
+    "q17_token_count" -> (qTokenCount(_, _)),
+    "q18_text_quality" -> (qTextQuality(_, _)),
+    "q19_langid" -> (qLangid(_, _)),
+    "q20_embed_topk" -> (qEmbedTopk(_, _)),
+    "q21_embed_neardup" -> (qEmbedNeardup(_, _)),
+    "q22_window_agg" -> (qWindowAgg(_, _)),
+    "q23_sessionize" -> (qSessionize(_, _)),
+    "q24_asof_join" -> (qAsofJoin(_, _)),
+    "q25_topk_per_group" -> (qTopkPerGroup(_, _)),
+  )
+
+  /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_grouped_count" ->
+      """SELECT l_returnflag AS r1, l_linestatus AS r2, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY r1, r2""".stripMargin,
+
+    "q02_grouped_count_many" ->
+      """SELECT l_suppkey AS shape_id, l_returnflag AS r1, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY shape_id, r1""".stripMargin,
+
+    "q03_average" ->
+      """SELECT ROUND(AVG(COALESCE(NULLIF(l_discount, 0.0), 0.0)), 4) AS avg_v
+        |FROM lineitem""".stripMargin,
+
+    "q04_grouped_average" ->
+      """SELECT l_returnflag AS r1,
+        |       ROUND(AVG(COALESCE(NULLIF(l_tax, 0.0), 0.0)), 4) AS avg_v
+        |FROM lineitem GROUP BY 1 ORDER BY r1""".stripMargin,
+
+    "q05_grouped_sum" ->
+      """SELECT l_returnflag AS r1, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY r1""".stripMargin,
+
+    "q06_lines_join" ->
+      """SELECT r1, COUNT(*) AS cnt FROM (
+        |  SELECT DISTINCT l_returnflag AS r1, l_orderkey, l_linenumber FROM lineitem
+        |) GROUP BY 1 ORDER BY r1""".stripMargin,
+
+    "q07_summary" ->
+      """SELECT 'l_quantity' AS raster, ROUND(MIN(l_quantity), 4) AS min_v,
+        |       ROUND(MAX(l_quantity), 4) AS max_v,
+        |       ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_v FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', ROUND(MIN(l_extendedprice), 4),
+        |       ROUND(MAX(l_extendedprice), 4),
+        |       ROUND(SUM(l_extendedprice) / COUNT(*), 4) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4),
+        |       ROUND(SUM(l_discount) / COUNT(*), 4) FROM lineitem
+        |ORDER BY raster""".stripMargin,
+
+    "q08_multi" ->
+      """SELECT o_orderpriority AS shape_id, 'grouped_count' AS op_label,
+        |       l_returnflag AS grp, CAST(COUNT(*) AS DOUBLE) AS op_val
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 3
+        |UNION ALL
+        |SELECT o_orderpriority, 'grouped_average', l_returnflag,
+        |       ROUND(AVG(l_discount), 4)
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 3
+        |ORDER BY shape_id, op_label, grp""".stripMargin,
+
+    "q09_join_nodata_fill" ->
+      """SELECT nation_key, COALESCE(cust_cnt, -2147483648) AS cust_cnt,
+        |       COALESCE(supp_cnt, -2147483648) AS supp_cnt
+        |FROM (SELECT c_nationkey AS nation_key, COUNT(*) AS cust_cnt
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nation_key, COUNT(*) AS supp_cnt
+        |                 FROM supplier GROUP BY 1) s USING (nation_key)
+        |ORDER BY nation_key""".stripMargin,
+
+    "q10_pruned_scan" ->
+      """SELECT l_returnflag AS r1, COUNT(*) AS cnt,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 8000
+        |GROUP BY 1 ORDER BY r1""".stripMargin,
+
+    "q11_dedup_exact" ->
+      """SELECT md5(text) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "q12_dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS doc, array_to_string(tok[i:i+4], ' ') AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |       generate_series(1, 100000) t(i)
+        |  WHERE i + 4 <= len(tok)
+        |), sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |         ROUND(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q13_minhash_lsh" -> {
+      val sigCols = (0 until 12)
+        .map(i => s"MIN(('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT) AS h$i")
+        .mkString(",\n        ")
+      val bandSelects = (0 until 4).map { b =>
+        val parts = (0 until 3).map(i => s"h${b * 3 + i}::VARCHAR").mkString(" || ',' || ")
+        s"SELECT doc, $b AS band, md5($parts) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id AS doc, array_to_string(tok[i:i+2], ' ') AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |       generate_series(1, 100000) t(i)
+         |  WHERE i + 2 <= len(tok)
+         |), sig AS (
+         |  SELECT doc, $sigCols
+         |  FROM sh GROUP BY doc
+         |), buckets AS (
+         |  $bandSelects
+         |)
+         |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q14_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS doc, t, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2
+        |), h AS (
+        |  SELECT doc, ('0x' || substr(md5('7:' || t), 1, 15))::BIGINT AS h, c FROM tok
+        |), bits AS (
+        |  SELECT doc, j,
+        |         SUM(CASE WHEN (h >> j) & 1 = 1 THEN c ELSE -c END) AS bsum
+        |  FROM h, generate_series(0, 59) t(j) GROUP BY 1, 2)
+        |SELECT doc, SUM(CASE WHEN bsum > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc ORDER BY doc""".stripMargin,
+
+    "q15_simhash_neardup" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS doc, t, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2
+        |), h AS (
+        |  SELECT doc, ('0x' || substr(md5('7:' || t), 1, 15))::BIGINT AS h, c FROM tok
+        |), bits AS (
+        |  SELECT doc, j,
+        |         SUM(CASE WHEN (h >> j) & 1 = 1 THEN c ELSE -c END) AS bsum
+        |  FROM h, generate_series(0, 59) t(j) GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT doc, SUM(CASE WHEN bsum > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+        |  FROM bits GROUP BY doc)
+        |SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |FROM sims a JOIN sims b ON a.doc < b.doc
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q16_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '  +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_token_count" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q18_text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  length(text)::BIGINT AS n_chars_calc,
+        |  ROUND(length(text)::DOUBLE / len(string_split(text, ' ')), 4) AS mean_token_len,
+        |  ROUND(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'data', 'key', 'order')))::DOUBLE
+        |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |  ROUND((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+        |        / greatest(length(text), 1), 4) AS punct_ratio,
+        |  (len(string_split(text, ' ')) BETWEEN 10 AND 100000
+        |   AND len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'data', 'key', 'order')))::DOUBLE
+        |        / len(string_split(text, ' ')) >= 0.01)::INT AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q19_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+        |       WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+        |       WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+        |       WHEN s_de > s_en THEN 'de'
+        |       ELSE 'en' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'order', 'table', 'key'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('window', 'group', 'batch', 'stream'))) AS s_de,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('query', 'merge', 'vector', 'part'))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('data', 'row', 'scan', 'filter'))) AS s_es
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q20_embed_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         ROUND(list_dot_product(q.v, e.v)
+        |               / (sqrt(list_dot_product(q.v, q.v))
+        |                  * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q21_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT id_a, id_b, sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         ROUND(list_dot_product(a.v, b.v)
+        |               / (sqrt(list_dot_product(a.v, a.v))
+        |                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "q22_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q23_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, sec,
+        |         CASE WHEN lag(sec) OVER w IS NULL
+        |              OR sec - lag(sec) OVER w > 3600 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        |), s AS (
+        |  SELECT user_id, sec,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(sec) AS start_sec
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    "q24_asof_join" ->
+      """WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+        |                  MAX(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2),
+        |     e AS (SELECT event_id, user_id, ts FROM events)
+        |SELECT e.event_id, e.user_id, r.o_orderkey AS last_order
+        |FROM e ASOF JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    "q25_topk_per_group" ->
+      """SELECT priority, rank, o_orderkey, price FROM (
+        |  SELECT o_orderpriority AS priority,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+        |         o_orderkey, ROUND(o_totalprice, 2) AS price
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY priority, rank""".stripMargin,
+  )
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * All readers go through `spark.read.parquet` so Catalyst handles
+  * column pruning and filter pushdown; no custom DataSource is needed
+  * at this shape (cf. SURVEY.md §7 step 3).
+  */
+object Tables {
+
+  /** Plain parquet table under `dir`. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` is written with parquet TIMESTAMP(NANOS) which Spark's
+    * vectorized reader rejects outright. We read nanos as a raw long
+    * (legacy conf, set in [[GraftSession]]) and truncate to
+    * microsecond precision — exactly what DuckDB does when it loads
+    * the same file, so oracle comparisons stay bit-identical.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+}
+
+/** One SparkSession configuration for every graft entrypoint. */
+object GraftSession {
+  def builder(master: String = "local[*]", cpus: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Apply graft-required runtime confs to an externally-built session
+    * (e.g. the driver's). Only confs that are settable at runtime.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

