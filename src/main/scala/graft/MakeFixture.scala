@@ -1,0 +1,22 @@
+package graft
+import graft.sources.TileCatalog
+import graft.sources.TileCatalog.RasterMeta
+object MakeFixture {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args(0)
+    def m(id: String, ct: String) = RasterMeta(id, 0, "ConusAlbers", ct, 0, 0, 8, 8, 4, 4, 2, 2)
+    def tiles(f: (Int, Int) => Int) =
+      for (kc <- 0 to 1; kr <- 0 to 1)
+        yield (kc, kr, Array.tabulate(16)(i => f(kc * 4 + i % 4, kr * 4 + i / 4)))
+    def dtiles(f: (Int, Int) => Double) =
+      for (kc <- 0 to 1; kr <- 0 to 1)
+        yield (kc, kr, Array.tabulate(16)(i => f(kc * 4 + i % 4, kr * 4 + i / 4)))
+    TileCatalog.writeIntLayer(spark, dir, m("nlcd", "int"), tiles((gc, _) => gc / 2))
+    TileCatalog.writeIntLayer(spark, dir, m("soil", "int"), tiles((_, gr) => gr / 4))
+    TileCatalog.writeDoubleLayer(spark, dir, m("slope", "double"), dtiles((gc, _) => gc * 1.0))
+    TileCatalog.writeMeta(dir, Seq(m("nlcd", "int"), m("soil", "int"), m("slope", "double")))
+    spark.stop()
+  }
+}

@@ -1,0 +1,189 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+import org.locationtech.jts.geom.{MultiLineString, MultiPolygon}
+
+import graft.geom.{GeomOps, Projections}
+import graft.operators.{Render, Zonal}
+import graft.raster.Rasterizer
+import graft.sources.TileCatalog
+
+/** The reference's HTTP surface as a library service: same request /
+  * response JSON schema, dispatch rules, and error messages as
+  * WebServer.scala:11-62,75-101 + ErrorHandler.scala:8-46 — minus the
+  * HTTP transport (a main that maps request JSON to response JSON is
+  * the parity boundary; any server can wrap [[run]]/[[runMulti]]).
+  */
+object Service {
+
+  // -- request schema (reference WebServer.scala:11-22,45-49) --
+
+  final case class InputData(
+      operationType: String,
+      rasters: List[String],
+      targetRaster: Option[String],
+      pixelIsArea: Option[Boolean],
+      zoom: Option[Int],
+      polygonCRS: Option[String],
+      rasterCRS: Option[String],
+      polygon: Option[List[String]],
+      vectorCRS: Option[String],
+      vector: Option[List[String]])
+
+  final case class PostRequest(input: InputData)
+
+  final case class HucShape(id: String, shape: String)
+  final case class MultiOperation(
+      name: String, label: String, rasters: List[String],
+      targetRaster: Option[String], pixelIsArea: Option[Boolean])
+  /** `crs` is a graft extension (absent ⇒ LatLng, matching the
+    * reference's hardcoded assumption, Utils.scala:93-97).
+    */
+  final case class MultiInput(
+      shapes: List[HucShape], streamLines: List[String],
+      operations: List[MultiOperation], crs: Option[String])
+
+  class MissingTargetRasterException extends Exception
+  class MissingVectorException extends Exception
+  class MissingVectorCRSException extends Exception
+  class InvalidOperationException(op: String)
+    extends Exception(s"Invalid operationType: $op")
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  /** A catalog handle: where the tiles table lives. */
+  final case class Catalog(spark: SparkSession, path: String) {
+    lazy val metas: Map[String, TileCatalog.RasterMeta] = TileCatalog.readMeta(path)
+
+    def layers(ids: Seq[String], aoi: org.locationtech.jts.geom.Geometry): Seq[Zonal.Layer] =
+      ids.map { id =>
+        val m = metas.getOrElse(id, throw new IllegalArgumentException(s"Unknown raster: $id"))
+        Zonal.Layer(m, TileCatalog.readLayer(spark, path, m, aoi))
+      }
+
+    def layout(ids: Seq[String]): graft.raster.Layout =
+      metas(ids.head).layout
+  }
+
+  private def crs(name: Option[String], default: Projections.Crs): Projections.Crs =
+    name.map(Projections.byName).getOrElse(default)
+
+  private def aoiOf(in: InputData): MultiPolygon = {
+    val from = crs(in.polygonCRS, Projections.LatLng)
+    val to = crs(in.rasterCRS, Projections.ConusAlbers)
+    GeomOps.unionAll(in.polygon.getOrElse(Nil).map(GeomOps.toAoi(_, from, to)))
+  }
+
+  private def aoisOf(in: InputData): Seq[MultiPolygon] = {
+    val from = crs(in.polygonCRS, Projections.LatLng)
+    val to = crs(in.rasterCRS, Projections.ConusAlbers)
+    in.polygon.getOrElse(Nil).map(GeomOps.toAoi(_, from, to))
+  }
+
+  private def linesOf(in: InputData, aoi: MultiPolygon): Seq[MultiLineString] = {
+    val vs = in.vector.getOrElse(throw new MissingVectorException)
+    val from = crs(Some(in.vectorCRS.getOrElse(throw new MissingVectorCRSException)),
+      Projections.LatLng)
+    val to = crs(in.rasterCRS, Projections.ConusAlbers)
+    GeomOps.clipLines(vs.map(GeomOps.toLines(_, from, to)), aoi)
+  }
+
+  private def opts(pixelIsArea: Option[Boolean]): Rasterizer.Options =
+    pixelIsArea.map(p => Rasterizer.Options(includePartial = true, pixelIsArea = p))
+      .getOrElse(Rasterizer.DEFAULT)
+
+  /** `POST /run` — dispatch on operationType (WebServer.scala:75-93). */
+  def run(cat: Catalog, requestJson: String): String = {
+    val req = JsonMethods.parse(requestJson).extract[PostRequest]
+    val in = req.input
+    val o = opts(in.pixelIsArea)
+    val result: JValue = in.operationType match {
+      case "RasterGroupedCount" =>
+        val aoi = aoiOf(in)
+        val layers = cat.layers(in.rasters, aoi)
+        toJ(Render.toResultInt(Zonal.groupedCount(cat.spark, cat.layout(in.rasters), layers, aoi, o)))
+      case "RasterGroupedCountMany" =>
+        val aois = aoisOf(in)
+        val union = GeomOps.unionAll(aois)
+        val layers = cat.layers(in.rasters, union)
+        val df = Zonal.groupedCountMany(cat.spark, cat.layout(in.rasters), layers, aois, o)
+        JArray(Render.toResultManyInt(df, aois.size).map(toJ).toList)
+      case "RasterGroupedAverage" =>
+        val target = in.targetRaster.getOrElse(throw new MissingTargetRasterException)
+        val aoi = aoiOf(in)
+        val groups = cat.layers(in.rasters, aoi)
+        val t = cat.layers(Seq(target), aoi).head
+        toJD(Render.toResultDouble(
+          Zonal.groupedAverage(cat.spark, cat.layout(Seq(target)), groups, t, aoi, o)))
+      case "RasterSummary" =>
+        val aoi = aoiOf(in)
+        val layers = cat.layers(in.rasters, aoi)
+        val rows = Render.toResultSummary(
+          Zonal.summary(cat.spark, cat.layout(in.rasters), layers, aoi, o))
+        JArray(rows.map(m => JObject(m.map { case (k, v) => k -> (JDouble(v): JValue) }.toList)).toList)
+      case "RasterLinesJoin" =>
+        val aoi = aoiOf(in)
+        val lines = linesOf(in, aoi)
+        val layers = cat.layers(in.rasters, aoi)
+        toJ(Render.toResultInt(Zonal.linesJoin(cat.spark, cat.layout(in.rasters), layers, lines)))
+      case other => throw new InvalidOperationException(other)
+    }
+    JsonMethods.compact(JsonMethods.render(JObject("result" -> result)))
+  }
+
+  private def toJ(m: Map[String, Int]): JValue =
+    JObject(m.toList.sortBy(_._1).map { case (k, v) => k -> (JInt(v): JValue) })
+  private def toJD(m: Map[String, Double]): JValue =
+    JObject(m.toList.sortBy(_._1).map { case (k, v) => k -> (JDouble(v): JValue) })
+
+  /** `POST /multi` — the batch orchestrator (Geoprocessing.scala:21-89):
+    * layers fetched ONCE for the union of all shapes and cached; each
+    * (shape, operation) pair computes over the shared scan; results
+    * nest as HucID → label → key → Double (Ints widened,
+    * Geoprocessing.scala:56).
+    */
+  def runMulti(cat: Catalog, requestJson: String): String = {
+    val req = JsonMethods.parse(requestJson).extract[MultiInput]
+    val from = crs(req.crs, Projections.LatLng)
+    val shapes = req.shapes.map(s =>
+      s.id -> GeomOps.toAoi(s.shape, from, Projections.ConusAlbers))
+    val unionAoi = GeomOps.unionAll(shapes.map(_._2))
+    val rasterIds = req.operations.flatMap(op => op.rasters ++ op.targetRaster).distinct
+    // shared scan: one cached cropped DataFrame per raster id
+    val shared: Map[String, Zonal.Layer] = rasterIds.map { id =>
+      val l = cat.layers(Seq(id), unionAoi).head
+      id -> l.copy(df = l.df.persist())
+    }.toMap
+    val streamLines = req.streamLines.map(
+      GeomOps.toLines(_, from, Projections.ConusAlbers))
+    val layout = cat.layout(rasterIds)
+
+    val results: Seq[(String, String, Map[String, Double])] =
+      for ((hucId, shape) <- shapes; op <- req.operations) yield {
+        val o = opts(op.pixelIsArea)
+        val value: Map[String, Double] = op.name match {
+          case "RasterGroupedCount" =>
+            Render.toResultInt(Zonal.groupedCount(cat.spark, layout,
+              op.rasters.map(shared), shape, o)).map { case (k, v) => k -> v.toDouble }
+          case "RasterGroupedAverage" =>
+            val target = shared(op.targetRaster.getOrElse(throw new MissingTargetRasterException))
+            Render.toResultDouble(Zonal.groupedAverage(cat.spark, layout,
+              op.rasters.map(shared), target, shape, o))
+          case "RasterLinesJoin" =>
+            val clipped = GeomOps.clipLines(streamLines, shape)
+            Render.toResultInt(Zonal.linesJoin(cat.spark, layout,
+              op.rasters.map(shared), clipped)).map { case (k, v) => k -> v.toDouble }
+          case other => throw new InvalidOperationException(other)
+        }
+        (hucId, op.label, value)
+      }
+    val nested: Map[String, Map[String, Map[String, Double]]] =
+      results.groupBy(_._1).map { case (huc, rs) =>
+        huc -> rs.map(r => r._2 -> r._3).toMap
+      }
+    shared.values.foreach(_.df.unpersist())
+    Serialization.write(nested)
+  }
+}

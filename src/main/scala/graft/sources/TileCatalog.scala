@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+import org.locationtech.jts.geom.Geometry
+
+import graft.raster.{Extent, Layout}
+
+/** The engine's raster store: a partitioned Parquet "tiles" table plus
+  * a JSON metadata sidecar — the Spark-native analog of the
+  * reference's GeoTrellis S3 catalog (SURVEY §1.4).
+  *
+  * Layout on disk:
+  * {{{
+  *   <path>/tiles/raster_id=<id>/zoom=<z>/part-*.parquet
+  *     key_col INT, key_row INT, tile_i ARRAY<INT>, tile_d ARRAY<DOUBLE>
+  *   <path>/meta.json        — Map[raster_id, RasterMeta]
+  * }}}
+  *
+  * Exactly one of tile_i / tile_d is set per row (int vs float cell
+  * type). Missing tiles are simply absent rows: readers NODATA-fill
+  * after the align join (reference Utils.scala:221-232).
+  *
+  * Scale design: `raster_id`/`zoom` are partition columns (partition
+  * pruning eliminates whole rasters); the AOI bbox becomes a
+  * `key_col BETWEEN … AND key_row BETWEEN …` predicate that reaches
+  * parquet row-group min/max stats — the same two-level pruning the
+  * reference gets from `reader.query(...).where(Intersects(shape))`
+  * (Utils.scala:241-248), but entirely via Catalyst.
+  */
+object TileCatalog {
+
+  final case class RasterMeta(
+      rasterId: String, zoom: Int, crs: String, cellType: String,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+      tileCols: Int, tileRows: Int, layoutCols: Int, layoutRows: Int) {
+    def layout: Layout =
+      Layout(Extent(xmin, ymin, xmax, ymax), tileCols, tileRows, layoutCols, layoutRows)
+    def isInt: Boolean = cellType == "int"
+  }
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  def writeMeta(path: String, metas: Seq[RasterMeta]): Unit = {
+    val f = new java.io.File(path)
+    f.mkdirs()
+    val json = Serialization.writePretty(metas.map(m => m.rasterId -> m).toMap)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/meta.json"), json)
+  }
+
+  def readMeta(path: String): Map[String, RasterMeta] = {
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/meta.json"))
+    JsonMethods.parse(json).extract[Map[String, RasterMeta]]
+  }
+
+  /** Ingest one int-typed raster layer (tests / fixtures). */
+  def writeIntLayer(spark: SparkSession, path: String, meta: RasterMeta,
+                    tiles: Seq[(Int, Int, Array[Int])]): Unit = {
+    import spark.implicits._
+    tiles.toDF("key_col", "key_row", "tile_i")
+      .withColumn("tile_d", lit(null).cast("array<double>"))
+      .withColumn("raster_id", lit(meta.rasterId))
+      .withColumn("zoom", lit(meta.zoom))
+      .write.mode("append").partitionBy("raster_id", "zoom")
+      .parquet(s"$path/tiles")
+  }
+
+  /** Ingest one double-typed raster layer. */
+  def writeDoubleLayer(spark: SparkSession, path: String, meta: RasterMeta,
+                       tiles: Seq[(Int, Int, Array[Double])]): Unit = {
+    import spark.implicits._
+    tiles.toDF("key_col", "key_row", "tile_d")
+      .withColumn("tile_i", lit(null).cast("array<int>"))
+      .withColumn("raster_id", lit(meta.rasterId))
+      .withColumn("zoom", lit(meta.zoom))
+      .select("key_col", "key_row", "tile_i", "tile_d", "raster_id", "zoom")
+      .write.mode("append").partitionBy("raster_id", "zoom")
+      .parquet(s"$path/tiles")
+  }
+
+  /** Spatially-pruned layer scan (reference `fetchCroppedLayer`,
+    * Utils.scala:241-248): partition-prunes on raster_id/zoom and
+    * range-filters the key bbox derived from the AOI envelope — both
+    * predicates show up as `PushedFilters`/partition filters in the
+    * physical plan.
+    */
+  def readLayer(spark: SparkSession, path: String, meta: RasterMeta,
+                aoi: Geometry): DataFrame = {
+    val (c0, c1, r0, r1) = meta.layout.keyRange(aoi)
+    spark.read.parquet(s"$path/tiles")
+      .filter(col("raster_id") === meta.rasterId && col("zoom") === meta.zoom)
+      .filter(col("key_col").between(c0, c1) && col("key_row").between(r0, r1))
+      .select(col("key_col"), col("key_row"), col("tile_i"), col("tile_d"))
+  }
+}
