@@ -239,6 +239,34 @@ object SparkEntry {
       .orderBy("priority", "rank")
   }
 
+  /** Multimodal metadata path: documents' text as opaque utf-8 binary
+    * content — byte length, digest, magic-byte format sniff (decode
+    * itself is the stubbed [[graft.pipeline.Multimodal]] stage).
+    */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val assets = t(s, dir, "documents")
+      .select(col("doc_id").as("asset_id"), encode(col("text"), "utf-8").as("content"))
+    graft.pipeline.Multimodal.contentMeta(assets, "asset_id", "content")
+      .orderBy("asset_id")
+  }
+
+  private def qIvfAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfAssignDf(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
+  private def qIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val assigned = Similarity.ivfAssignDf(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+    Similarity.ivfTopK(assigned, col("id") < 10, k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -266,6 +294,9 @@ object SparkEntry {
     "q23_sessionize" -> (qSessionize(_, _)),
     "q24_asof_join" -> (qAsofJoin(_, _)),
     "q25_topk_per_group" -> (qTopkPerGroup(_, _)),
+    "q26_multimodal_meta" -> (qMultimodalMeta(_, _)),
+    "q27_ivf_assign" -> (qIvfAssign(_, _)),
+    "q28_ivf_topk" -> (qIvfTopk(_, _)),
   )
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
@@ -524,5 +555,60 @@ object SparkEntry {
         |         o_orderkey, ROUND(o_totalprice, 2) AS price
         |  FROM orders)
         |WHERE rank <= 3 ORDER BY priority, rank""".stripMargin,
+
+    // documents are ASCII, so text-level md5/length in DuckDB equal the
+    // utf-8 binary md5/byte-length Spark computes
+    "q26_multimodal_meta" ->
+      """SELECT doc_id AS asset_id,
+        |       octet_length(encode(text))::BIGINT AS byte_len,
+        |       md5(text) AS content_md5,
+        |       CASE WHEN left(upper(hex(encode(substr(text, 1, 4)))), 8) = '89504E47' THEN 'png'
+        |            ELSE 'unknown' END AS format
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q27_ivf_assign" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |         list_dot_product(e.v, c.cv)
+        |         / (sqrt(list_dot_product(e.v, e.v))
+        |            * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+        |  FROM e CROSS JOIN c),
+        |ranked AS (
+        |  SELECT vec_id, cid,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |  FROM scored)
+        |SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q28_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |         list_dot_product(e.v, c.cv)
+        |         / (sqrt(list_dot_product(e.v, e.v))
+        |            * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+        |  FROM e CROSS JOIN c),
+        |assigned AS (
+        |  SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT vec_id, v, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |         ROUND(list_dot_product(q.v, n.v)
+        |               / (sqrt(list_dot_product(q.v, q.v))
+        |                  * sqrt(list_dot_product(n.v, n.v))), 6) AS sim
+        |  FROM assigned q JOIN assigned n ON q.cell = n.cell
+        |    AND q.vec_id <> n.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
   )
 }

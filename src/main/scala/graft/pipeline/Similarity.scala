@@ -98,4 +98,41 @@ object Similarity {
     df.select(col(idCol).as("id"), v.as("v"),
       least(dists: _*).getField("cid").as("cell"))
   }
+
+  /** IVF assignment with a DataFrame of centroids (broadcast join +
+    * per-vector argmax window): ties break to the lowest centroid id.
+    * Scales to any centroid count without literal-plan blowup.
+    */
+  def ivfAssignDf(df: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val cents = centroids.select(col(cidCol).as("cid"), toDouble(col(cvecCol)).as("cv"))
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("cell"))
+  }
+
+  /** IVF search: exact top-k but only among candidates sharing the
+    * query's cell — the candidate set shrinks by ~#cells, which is the
+    * whole scale story (the same equi-join-on-bucket plan as LSH).
+    */
+  def ivfTopK(assigned: DataFrame, queryIds: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = assigned.filter(queryIds)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cell"))
+    val cands = assigned
+      .select(col("id").as("neighbor_id"), col("v").as("cv"), col("cell"))
+    val scored = q.join(cands, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"), col("cell"))
+  }
 }

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` schema
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch request/response only (SURVEY §2.4
+  * "Streaming: none") — this module is beyond-parity surface for the
+  * continuous-ingest half of a training-data pipeline. All transforms
+  * are expressed on an unbounded DataFrame: the SAME code runs in batch
+  * mode (tests feed a MemoryStream and a static frame interchangeably).
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond 10 min is dropped, state evicted); sessionization
+  * state is per-user and evicted on timeout, so state size tracks
+  * active users, not history.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event_type with a 10-minute
+    * watermark — the canonical `readStream → window agg → sink` shape.
+    */
+  def windowedTypeCounts(events: DataFrame,
+                         window: String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+                              n_events: Long)
+
+  /** Gap-based sessionization with explicit state
+    * (`flatMapGroupsWithState`): a session closes when a user's next
+    * event arrives more than `gapSeconds` later. The custom-state
+    * analog of the batch window-function sessionizer in SparkEntry.q23.
+    *
+    * `evictAfterSeconds = Some(n)` additionally closes + evicts idle
+    * users via processing-time timeout — required for unbounded
+    * key-spaces in production. The default (None) keeps open sessions
+    * in state until their closing event arrives; note that the
+    * timeout-enabled mode makes Spark's no-data trigger cycle
+    * continuously (by design: timeouts need checking), so tests use
+    * None.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 3600,
+                 evictAfterSeconds: Option[Long] = None): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (evictAfterSeconds.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](OutputMode.Append, timeoutConf) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (evictAfterSeconds.isDefined && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.sessionStart, s.lastSeen, s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.lastSeen <= gapSeconds =>
+                  cur = Some(s.copy(lastSeen = sec, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessionStart, s.lastSeen, s.nEvents)
+                  cur = Some(SessionState(sec, sec, 1))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1))
+              }
+            }
+            cur.foreach(state.update)
+            evictAfterSeconds.foreach(t => state.setTimeoutDuration(t * 1000))
+            closed.iterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup on a fingerprint column: `dropDuplicates`
+    * bounded by watermark — at scale the state store holds only keys
+    * inside the watermark horizon.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+
+  test("windowedTypeCounts aggregates a real stream incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedTypeCounts(df, window = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(11), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSet == Set((0L, "click", 2L, 3.0), (10L, "view", 1L, 5.0)))
+      // late-but-inside-watermark data still lands in its window
+      mem.addData((ts(8), "click", 4.0))
+      q.processAllAvailable()
+      val rows2 = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
+      assert(rows2.contains((0L, "click", 3L)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session on gap and keeps the open one in state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then 20 min gap
+      mem.addData(
+        EventStreams.Event(1, ts(0), 1, "a", 0),
+        EventStreams.Event(2, ts(5), 1, "a", 0),
+        EventStreams.Event(3, ts(30), 1, "a", 0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[EventStreams.SessionOut].collect()
+      assert(closed.length == 1)
+      assert(closed.head.n_events == 2 && closed.head.session_start == 0)
+      assert(closed.head.session_end == 300)
+    } finally q.stop()
+  }
+
+  test("dedupStream drops exact duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "fp")
+    val q = EventStreams.dedupStream(df, Seq("fp"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), "k1"), (ts(1), "k1"), (ts(2), "k2"))
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 2)
+    } finally q.stop()
+  }
+
+  test("the same transform runs in batch mode (unified API)") {
+    import spark.implicits._
+    val batch = Seq((ts(1), "click", 1.0), (ts(2), "click", 2.0))
+      .toDF("ts", "event_type", "value")
+    val out = EventStreams.windowedTypeCounts(batch, "10 minutes").collect()
+    assert(out.length == 1 && out.head.getLong(2) == 2)
+  }
+}
