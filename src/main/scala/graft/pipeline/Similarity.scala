@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Vector-similarity search over an embedding column (`array<float>`).
   *
-  * The arithmetic is pure `functions._` higher-order expressions
-  * (`zip_with` + `aggregate`) — codegen'd, no UDF, and a strictly
-  * sequential left-fold sum so results are bit-reproducible across
-  * engines and partitionings (a parallel-reduce dot product would not
-  * be).
+  * The dot-product kernel is a native codegen'd Catalyst expression
+  * ([[org.apache.spark.sql.graft.DotProduct]]) — no UDF, no
+  * interpreted higher-order lambdas — with a strictly sequential
+  * left-to-right sum so results are bit-reproducible across engines
+  * and partitionings (a parallel-reduce dot product would not be).
   *
   * Scale design: brute-force top-k is the exact baseline (one broadcast
   * of the query set, map-side partial top-k via per-partition
@@ -24,9 +24,14 @@ object Similarity {
   /** Cast a float embedding to double exactly (widening is lossless). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two equal-length double arrays. */
+  /** Sequential left-to-right dot product of two double arrays —
+    * a native codegen'd Catalyst expression
+    * ([[org.apache.spark.sql.graft.DotProduct]]), bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaces (interpreted lambdas
+    * were the hot-path bottleneck on O(n²) pair joins).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.VectorFunctions.dotNative(a, b)
 
   /** Cosine similarity, computed as dot/(||a||·||b||) in double. */
   def cosine(a: Column, b: Column): Column =
@@ -35,16 +40,21 @@ object Similarity {
   /** Exact top-k neighbors for each row of `queries` against `corpus`
     * by cosine, excluding self-matches on id. Ranking uses the cosine
     * rounded to 6 decimals with the neighbor id as tie-break, so the
-    * ordering is stable under floating-point jitter.
+    * ordering is stable under floating-point jitter. Norms are
+    * precomputed once per vector (`sqrt(dot(v,v))` is identical to the
+    * per-pair computation, just not repeated |Q| times).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -54,13 +64,16 @@ object Similarity {
 
   /** All pairs (a < b) with cosine ≥ threshold — embedding-space
     * near-duplicate detection. Exact at test scale; at corpus scale
-    * feed it bucket-joined candidates from [[lshBuckets]].
+    * feed it bucket-joined candidates from [[lshBuckets]]. Per-vector
+    * norms are computed once before the pair join.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .withColumn("sim", round(cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("sim",
+        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
