@@ -371,14 +371,15 @@ object SparkEntry {
 
     "q12_dedup_ngram" ->
       """WITH sh AS (
-        |  SELECT DISTINCT doc_id AS doc, array_to_string(tok[i:i+4], ' ') AS s
+        |  SELECT DISTINCT doc_id AS doc,
+        |         ('0x' || substr(md5('0:' || array_to_string(tok[i:i+4], ' ')), 1, 15))::BIGINT AS h
         |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |       generate_series(1, 100000) t(i)
         |  WHERE i + 4 <= len(tok)
         |), sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2)
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc < b.doc GROUP BY 1, 2)
         |SELECT doc_a, doc_b, jaccard FROM (
         |  SELECT doc_a, doc_b,
         |         ROUND(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
@@ -386,8 +387,9 @@ object SparkEntry {
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q13_minhash_lsh" -> {
+      // double hashing h_i = h1 + i*(h2>>4), mirroring Dedup.minhashSignatures
       val sigCols = (0 until 12)
-        .map(i => s"MIN(('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT) AS h$i")
+        .map(i => s"MIN(h1 + $i * h2) AS h$i")
         .mkString(",\n        ")
       val bandSelects = (0 until 4).map { b =>
         val parts = (0 until 3).map(i => s"h${b * 3 + i}::VARCHAR").mkString(" || ',' || ")
@@ -398,9 +400,13 @@ object SparkEntry {
          |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
          |       generate_series(1, 100000) t(i)
          |  WHERE i + 2 <= len(tok)
+         |), hs AS (
+         |  SELECT doc, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+         |         (('0x' || substr(md5(s), 17, 15))::BIGINT >> 4) AS h2
+         |  FROM sh
          |), sig AS (
          |  SELECT doc, $sigCols
-         |  FROM sh GROUP BY doc
+         |  FROM hs GROUP BY doc
          |), buckets AS (
          |  $bandSelects
          |)

@@ -58,6 +58,17 @@ object Dedup {
   private def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc"), explode(wordShingles(textCol, n)).as("s"))
 
+  /** Exploded (id, 60-bit shingle hash) table: joins and minhash run
+    * on fixed-width BIGINTs instead of long shingle strings — smaller
+    * shuffle, cheaper comparisons. Collision probability over a corpus
+    * pair is ~|sh|²/2⁶⁰ — negligible, and identical on any engine
+    * computing the same md5-derived hash.
+    */
+  private def hashedShingleTable(df: DataFrame, idCol: String, textCol: String,
+                                 n: Int): DataFrame =
+    shingleTable(df, idCol, textCol, n)
+      .select(col("doc"), hash60("s", 0).as("h"))
+
   /** All pairs with shingle-set Jaccard ≥ minJaccard.
     *
     * Exact (quadratic in co-shingled docs) — the verification kernel.
@@ -67,9 +78,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, minJaccard: Double = 0.8): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n)
+    val sh = hashedShingleTable(df, idCol, textCol, n)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -80,14 +91,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signature columns h0..h{k-1}: per doc, min over shingles of
-    * k independent 60-bit hashes. One explode + one groupBy (single
-    * shuffle); the k mins are k codegen'd agg columns, no UDAF.
+  /** MinHash signature columns h0..h{k-1}: per doc, min over shingles
+    * of k hash functions derived by double hashing
+    * hᵢ = h1 + i·(h2 >> 4) from ONE md5 per shingle (Kirsch &
+    * Mitzenmacher 2006) — k independent md5s per shingle would
+    * dominate the stage. The >>4 keeps i·h2 < 2⁶⁰ so the sum never
+    * overflows a signed 64-bit value on any engine. One explode + one
+    * groupBy (single shuffle); the k mins are codegen'd agg columns.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 12): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n)
-    val aggs = (0 until numHashes).map(i => min(hash60("s", i)).as(s"h$i"))
+    val sh = shingleTable(df, idCol, textCol, n).select(
+      col("doc"),
+      expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h1"),
+      expr("shiftright(CAST(conv(substr(md5(s), 17, 15), 16, 10) AS BIGINT), 4)").as("h2"))
+    val aggs = (0 until numHashes).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
     sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -125,12 +143,15 @@ object Dedup {
     val tok = df.select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("t"))
       .groupBy(col("doc"), col("t")).agg(count(lit(1)).as("c"))
       .withColumn("h", hash60("t", 7))
-    val bits = tok.select(col("doc"), col("h"), col("c"), explode(expr("sequence(0, 59)")).as("j"))
-      .groupBy(col("doc"), col("j"))
-      .agg(sum(expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN c ELSE -c END")).as("bsum"))
-    bits.groupBy(col("doc"))
-      .agg(sum(expr("CASE WHEN bsum > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash"))
+    // 60 wide agg columns instead of a 60× bit-explode: one shuffle on
+    // doc, all bit-sums partial-aggregated map-side in codegen
+    val bitAggs = (0 until 60).map(j =>
+      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN c ELSE -c END")).as(s"b$j"))
+    val packed = (0 until 60)
+      .map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    tok.groupBy(col("doc")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc"), expr(packed).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming over a
