@@ -267,6 +267,41 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def qLshNeardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, threshold = 0.4, tables = 8, planesPerTable = 8, seed = 42)
+      .orderBy("id_a", "id_b")
+
+  /** DuckDB oracle for q29: the SAME seeded hyperplanes as literals,
+    * the same banded bucket keys, the same verification — generated
+    * programmatically so both engines share plane values exactly
+    * (a double's shortest decimal representation round-trips).
+    */
+  private def lshOracleSql: String = {
+    val planes = Similarity.lshPlanes(dim = 64, tables = 8, planesPerTable = 8, seed = 42)
+    val bucketSelects = planes.zipWithIndex.map { case (ps, tb) =>
+      val key = ps.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, n, $tb AS t, $key AS bkey FROM e"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+       |  FROM embeddings),
+       |buckets AS (
+       |$bucketSelects
+       |),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS sim
+       |  FROM buckets a JOIN buckets b
+       |    ON a.t = b.t AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, sim FROM cands WHERE sim >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -297,6 +332,7 @@ object SparkEntry {
     "q26_multimodal_meta" -> (qMultimodalMeta(_, _)),
     "q27_ivf_assign" -> (qIvfAssign(_, _)),
     "q28_ivf_topk" -> (qIvfTopk(_, _)),
+    "q29_lsh_neardup" -> (qLshNeardup(_, _)),
   )
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
@@ -616,5 +652,7 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q29_lsh_neardup" -> lshOracleSql,
   )
 }

@@ -95,6 +95,54 @@ object Similarity {
       planeCols.reduce(_ + _).as("bucket"))
   }
 
+  /** Deterministic gaussian hyperplanes for banded LSH: `tables`
+    * tables × `planesPerTable` planes, from a seeded RNG so any engine
+    * (or the DuckDB oracle) can reproduce them as literals.
+    */
+  def lshPlanes(dim: Int, tables: Int, planesPerTable: Int, seed: Int): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(planesPerTable)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Banded random-hyperplane LSH near-dup pairs: vectors sharing a
+    * sign-pattern bucket in ANY of `tables` tables become candidates;
+    * candidates are verified with the exact cosine ≥ threshold.
+    *
+    * This is the scale path next to [[nearDupPairs]]: the pair space
+    * is generated by `tables` equi-joins on small integer bucket keys
+    * instead of an O(n²) cross join, with recall
+    * 1-(1-p^r)^L for per-plane agreement p = 1-θ/π (Charikar 2002).
+    * Deterministic: same seed → same planes → same buckets on any
+    * engine.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                      threshold: Double, tables: Int = 8, planesPerTable: Int = 8,
+                      seed: Int = 42): DataFrame = {
+    val planes = lshPlanes(dim, tables, planesPerTable, seed)
+    val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val tableKeys = planes.zipWithIndex.map { case (ps, t) =>
+      val key = ps.zipWithIndex.map { case (p, i) =>
+        val plane = array(p.map(lit(_)): _*)
+        when(dot(col("v"), plane) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), key.as("bkey"))
+    }
+    val buckets = v.select(col("id"), col("v"), col("n"),
+      explode(array(tableKeys: _*)).as("tb"))
+      .select(col("id"), col("v"), col("n"),
+        col("tb.t").as("t"), col("tb.bkey").as("bkey"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      // sim per bucket-collision, then distinct on the small
+      // (id_a, id_b, sim) key — dedup never carries vector payloads
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+  }
+
   /** IVF coarse assignment: nearest of `centroids` (collected small
     * list, broadcast as literals upstream) per vector; search then
     * probes only matching cells. Centroids are picked as the first k
