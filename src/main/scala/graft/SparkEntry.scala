@@ -302,6 +302,79 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- q30–q34: the raster engine itself (SURVEY §2.1 operators) over
+  // the deterministic synthetic catalog. Not SQL-expressible in DuckDB
+  // (no oracleSql ⇒ driver rows-only check); correctness is pinned by
+  // the hand-computed goldens in ZonalSpec/ServiceSpec, and these
+  // entries put real zonal throughput into BENCH at HUC-8 pixel scale.
+
+  private def zonalCtx(s: SparkSession, dir: String) = {
+    val path = graft.sources.ZonalFixture.ensure(s, dir)
+    val spec = graft.sources.ZonalFixture.specFor(dir)
+    val metas = graft.sources.TileCatalog.readMeta(path)
+    (path, spec, metas)
+  }
+
+  private def zonalLayers(s: SparkSession, path: String,
+                          metas: Map[String, graft.sources.TileCatalog.RasterMeta],
+                          ids: Seq[String], geom: org.locationtech.jts.geom.Geometry) =
+    ids.map(id => graft.operators.Zonal.Layer(metas(id),
+      graft.sources.TileCatalog.readLayer(s, path, metas(id), geom)))
+
+  private def qZonalGroupedCount(s: SparkSession, dir: String): DataFrame = {
+    val (path, spec, metas) = zonalCtx(s, dir)
+    val aoi = graft.sources.ZonalFixture.aoi(spec)
+    graft.operators.Zonal.groupedCount(s, metas("nlcd").layout,
+      zonalLayers(s, path, metas, Seq("nlcd", "soil"), aoi), aoi)
+      .orderBy("vals")
+  }
+
+  private def qZonalAverage(s: SparkSession, dir: String): DataFrame = {
+    val (path, spec, metas) = zonalCtx(s, dir)
+    val aoi = graft.sources.ZonalFixture.aoi(spec)
+    graft.operators.Zonal.groupedAverage(s, metas("slope").layout,
+      zonalLayers(s, path, metas, Seq("soil"), aoi),
+      zonalLayers(s, path, metas, Seq("slope"), aoi).head, aoi)
+      .orderBy("vals")
+  }
+
+  private def qZonalSummary(s: SparkSession, dir: String): DataFrame = {
+    val (path, spec, metas) = zonalCtx(s, dir)
+    val aoi = graft.sources.ZonalFixture.aoi(spec)
+    graft.operators.Zonal.summary(s, metas("slope").layout,
+      zonalLayers(s, path, metas, Seq("slope"), aoi), aoi)
+  }
+
+  private def qZonalLinesJoin(s: SparkSession, dir: String): DataFrame = {
+    val (path, spec, metas) = zonalCtx(s, dir)
+    val aoi = graft.sources.ZonalFixture.aoi(spec)
+    val lines = graft.geom.GeomOps.clipLines(
+      graft.sources.ZonalFixture.streamLines(spec), aoi)
+    graft.operators.Zonal.linesJoin(s, metas("nlcd").layout,
+      zonalLayers(s, path, metas, Seq("nlcd", "soil"), aoi), lines)
+      .orderBy("vals")
+  }
+
+  /** The /multi batch (reference flagship: 61 HUC-12s × 7 ops in one
+    * call with a shared scan — CHANGELOG.md:82-91 "almost an order of
+    * magnitude" over per-shape runs). 32 shapes × 3 ops, one plan.
+    */
+  private def qZonalMulti(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Zonal
+    val (path, spec, metas) = zonalCtx(s, dir)
+    val shapes = graft.sources.ZonalFixture.subShapes(spec)
+    val union = graft.geom.GeomOps.unionAll(shapes)
+    val shared = Seq("nlcd", "soil", "slope").map(id =>
+      id -> zonalLayers(s, path, metas, Seq(id), union).head).toMap
+    Zonal.multiBatch(s, metas("nlcd").layout, shared, shapes,
+      graft.sources.ZonalFixture.streamLines(spec),
+      Seq(
+        Zonal.BatchCount("nlcd_soil", Seq("nlcd", "soil")),
+        Zonal.BatchAverage("avg_slope", Seq("soil"), "slope"),
+        Zonal.BatchLines("nlcd_streams", Seq("nlcd"))))
+      .orderBy("shape_id", "op_label", "k")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -333,6 +406,11 @@ object SparkEntry {
     "q27_ivf_assign" -> (qIvfAssign(_, _)),
     "q28_ivf_topk" -> (qIvfTopk(_, _)),
     "q29_lsh_neardup" -> (qLshNeardup(_, _)),
+    "q30_zonal_grouped_count" -> (qZonalGroupedCount(_, _)),
+    "q31_zonal_average" -> (qZonalAverage(_, _)),
+    "q32_zonal_summary" -> (qZonalSummary(_, _)),
+    "q33_zonal_lines_join" -> (qZonalLinesJoin(_, _)),
+    "q34_zonal_multi" -> (qZonalMulti(_, _)),
   )
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */

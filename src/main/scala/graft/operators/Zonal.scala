@@ -134,25 +134,26 @@ object Zonal {
     pixelPlane(spark, layout, layers, None, aoi, opts)
       .groupBy(col("vals")).agg(count(lit(1)).as("cnt"))
 
-  /** Row F — `getRasterGroupedCountMany` (Geoprocessing.scala:114-126):
-    * grouped count per input polygon, one pass, `shape_id` column
-    * instead of a per-shape rescan.
+  /** Multi-shape masked pixel plane: every shape rasterizes against
+    * each tile in ONE flatMap pass (`shape_id` column instead of
+    * per-shape rescans — the reference fetches layers once for the
+    * union AOI, Geoprocessing.scala:116-120). Columns:
+    * `shape_id INT, vals ARRAY<INT>[, target DOUBLE]`.
     */
-  def groupedCountMany(spark: SparkSession, layout: Layout, layers: Seq[Layer],
-                       aois: Seq[MultiPolygon],
-                       opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame = {
-    // One pass: the union AOI prunes the scan, every shape rasterizes
-    // against each tile in the same flatMap (`shape_id` column instead
-    // of per-shape rescans — reference fetches layers once for the
-    // union AOI, Geoprocessing.scala:116-120).
-    val joined = joinLayers(layers)
-    val n = layers.size
+  private def multiShapePlane(spark: SparkSession, layout: Layout,
+                              groupLayers: Seq[Layer], target: Option[Layer],
+                              aois: Seq[MultiPolygon],
+                              opts: Rasterizer.Options): DataFrame = {
+    val joined = joinLayers(groupLayers ++ target.toSeq)
+    val n = groupLayers.size
+    val hasTarget = target.isDefined
     val shapes = aois.map(bgeom)
     val lay = layout
     val o = opts
     val tileCols = layout.tileCols
-    val schema = StructType(Seq(
-      StructField("shape_id", IntegerType, nullable = false), valsField))
+    val schema = StructType(
+      StructField("shape_id", IntegerType, nullable = false) +: valsField +:
+        (if (hasTarget) Seq(StructField("target", DoubleType, nullable = true)) else Nil))
     joined.flatMap { row =>
       val keyCol = row.getInt(0)
       val keyRow = row.getInt(1)
@@ -160,6 +161,11 @@ object Zonal {
       val groups: Array[Array[Int]] = Array.tabulate(n) { i =>
         if (row.isNullAt(2 + i)) null else row.getSeq[Int](2 + i).toArray
       }
+      val tgt: Array[Double] =
+        if (hasTarget && !row.isNullAt(2 + n)) {
+          val s = row.getSeq[Any](2 + n)
+          s.map { case d: Double => d; case null => Double.NaN }.toArray
+        } else null
       val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
       shapes.zipWithIndex.foreach { case (bg, si) =>
         val clipped =
@@ -168,11 +174,115 @@ object Zonal {
           val vals = Array.tabulate(n) { i =>
             if (groups(i) == null) NoData.INT else groups(i)(r * tileCols + c)
           }
-          buf += Row(si, vals.toSeq)
+          if (hasTarget) {
+            val tv = if (tgt == null) Double.NaN else tgt(r * tileCols + c)
+            buf += Row(si, vals.toSeq, if (tv.isNaN) null else tv)
+          } else buf += Row(si, vals.toSeq)
         }
       }
       buf
     }(Encoders.row(schema)).toDF()
+  }
+
+  /** Row F — `getRasterGroupedCountMany` (Geoprocessing.scala:114-126):
+    * grouped count per input polygon, one pass.
+    */
+  def groupedCountMany(spark: SparkSession, layout: Layout, layers: Seq[Layer],
+                       aois: Seq[MultiPolygon],
+                       opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame =
+    multiShapePlane(spark, layout, layers, None, aois, opts)
+      .groupBy(col("shape_id"), col("vals")).agg(count(lit(1)).as("cnt"))
+
+  /** Grouped average per shape in one pass (the /multi batch kernel). */
+  def groupedAverageMany(spark: SparkSession, layout: Layout, groupLayers: Seq[Layer],
+                         target: Layer, aois: Seq[MultiPolygon],
+                         opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame = {
+    val plane = multiShapePlane(spark, layout, groupLayers, Some(target), aois, opts)
+    val keyed = if (groupLayers.nonEmpty) plane else plane.withColumn("vals", array(lit(0)))
+    keyed.groupBy(col("shape_id"), col("vals"))
+      .agg(avg(coalesce(col("target"), lit(0.0))).as("avg_v"))
+  }
+
+  /** Batch op spec for [[multiBatch]]. */
+  sealed trait BatchOp { def label: String }
+  final case class BatchCount(label: String, rasters: Seq[String],
+                              opts: Rasterizer.Options = Rasterizer.DEFAULT) extends BatchOp
+  final case class BatchAverage(label: String, rasters: Seq[String], target: String,
+                                opts: Rasterizer.Options = Rasterizer.DEFAULT) extends BatchOp
+  final case class BatchLines(label: String, rasters: Seq[String]) extends BatchOp
+
+  /** The /multi batch as ONE unioned DataFrame plan (SURVEY §3.2's
+    * "idiomatic-Spark win"): shared cached scans feed a single-pass
+    * multi-shape plane per op; output is
+    * `(shape_id, op_label, k, v)` with Ints widened to Double
+    * (reference Geoprocessing.scala:56).
+    */
+  def multiBatch(spark: SparkSession, layout: Layout, shared: Map[String, Layer],
+                 aois: Seq[MultiPolygon],
+                 lines: Seq[org.locationtech.jts.geom.MultiLineString],
+                 ops: Seq[BatchOp]): DataFrame = {
+    val keyExpr = expr("concat('List(', array_join(transform(vals, v -> cast(v as string)), ', '), ')')")
+    val frames = ops.map {
+      case BatchCount(label, rasters, o) =>
+        groupedCountMany(spark, layout, rasters.map(shared), aois, o)
+          .select(col("shape_id"), lit(label).as("op_label"), keyExpr.as("k"),
+            col("cnt").cast("double").as("v"))
+      case BatchAverage(label, rasters, target, o) =>
+        groupedAverageMany(spark, layout, rasters.map(shared), shared(target), aois, o)
+          .select(col("shape_id"), lit(label).as("op_label"), keyExpr.as("k"),
+            col("avg_v").as("v"))
+      case BatchLines(label, rasters) =>
+        val clippedPerShape = aois.map(shape => GeomOps.clipLines(lines, shape))
+        linesJoinMany(spark, layout, rasters.map(shared), clippedPerShape)
+          .select(col("shape_id"), lit(label).as("op_label"), keyExpr.as("k"),
+            col("cnt").cast("double").as("v"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
+  /** Lines join for many shapes in ONE pass: each shape's (pre-clipped)
+    * lines are broadcast together; the flatMap emits
+    * (shape_id, vals, pixel) and one distinct+groupBy dedups per shape.
+    * Turns the 61-shape reference batch from 61 scans into one.
+    */
+  def linesJoinMany(spark: SparkSession, layout: Layout, layers: Seq[Layer],
+                    linesPerShape: Seq[Seq[org.locationtech.jts.geom.MultiLineString]]): DataFrame = {
+    val joined = joinLayers(layers)
+    val n = layers.size
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val perShape: Seq[BGeom] = linesPerShape.map { ls =>
+      val all = ls.flatMap(ml => (0 until ml.getNumGeometries).map(ml.getGeometryN(_)
+        .asInstanceOf[org.locationtech.jts.geom.LineString]))
+      bgeom(gf.createMultiLineString(all.toArray))
+    }
+    val lay = layout
+    val tileCols = layout.tileCols
+    val schema = StructType(Seq(
+      StructField("shape_id", IntegerType, nullable = false),
+      valsField,
+      StructField("key_col", IntegerType, nullable = false),
+      StructField("key_row", IntegerType, nullable = false),
+      StructField("px", IntegerType, nullable = false),
+      StructField("py", IntegerType, nullable = false)))
+    joined.flatMap { row =>
+      val keyCol = row.getInt(0)
+      val keyRow = row.getInt(1)
+      val re = lay.rasterExtent(keyCol, keyRow)
+      val groups: Array[Array[Int]] = Array.tabulate(n) { i =>
+        if (row.isNullAt(2 + i)) null else row.getSeq[Int](2 + i).toArray
+      }
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      perShape.zipWithIndex.foreach { case (bg, si) =>
+        Rasterizer.foreachCellByLines(bg.geom, re) { (c, r) =>
+          val vals = Array.tabulate(n) { i =>
+            if (groups(i) == null) NoData.INT else groups(i)(r * tileCols + c)
+          }
+          buf += Row(si, vals.toSeq, keyCol, keyRow, c, r)
+        }
+      }
+      buf
+    }(Encoders.row(schema)).toDF()
+      .distinct()
       .groupBy(col("shape_id"), col("vals")).agg(count(lit(1)).as("cnt"))
   }
 

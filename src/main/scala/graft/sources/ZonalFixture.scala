@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory, MultiPolygon}
+
+import graft.raster.NoData
+import graft.sources.TileCatalog.RasterMeta
+
+/** Deterministic synthetic raster catalog at reference workload scale
+  * (BASELINE.md: HUC-8 ≈ 5.5M masked pixels per raster, ≤112 group
+  * tuples, 512² tiles). Values are pure integer formulas of the global
+  * cell — no RNG — so any run regenerates identical data.
+  *
+  * Scale by test-table sf: sf0.1 → 6×4 tiles of 512² ≈ 6.3M cells
+  * (HUC-8 class), sf0.01 → 2×2 of 256², sf0.001 → 2×2 of 64².
+  */
+object ZonalFixture {
+
+  final case class Spec(layoutCols: Int, layoutRows: Int, tileSize: Int)
+
+  def specFor(sfDir: String): Spec =
+    if (sfDir.endsWith("0.1")) Spec(6, 4, 512)
+    else if (sfDir.endsWith("0.01")) Spec(2, 2, 256)
+    else Spec(2, 2, 64)
+
+  def metas(spec: Spec): Seq[RasterMeta] = {
+    val w = spec.layoutCols * spec.tileSize
+    val h = spec.layoutRows * spec.tileSize
+    def m(id: String, ct: String) = RasterMeta(id, 0, "ConusAlbers", ct,
+      0, 0, w, h, spec.tileSize, spec.tileSize, spec.layoutCols, spec.layoutRows)
+    Seq(m("nlcd", "int"), m("soil", "int"), m("slope", "double"))
+  }
+
+  /** nlcd: 14 classes banded by position hash; NODATA never. */
+  def nlcdValue(gc: Int, gr: Int): Int = ((gc * 7 + gr * 13) / 64) % 14
+  /** soil: 8 classes; a diagonal NODATA stripe exercises sentinel keys. */
+  def soilValue(gc: Int, gr: Int): Int =
+    if (((gc + gr) / 96) % 11 == 7) NoData.INT else ((gc * 3 + gr * 5) / 128) % 8
+  /** slope: smooth double surface with a NaN pocket. */
+  def slopeValue(gc: Int, gr: Int): Double =
+    if (gc % 997 == 3 && gr % 991 == 5) Double.NaN
+    else (gc % 100) * 0.31 + (gr % 100) * 0.17
+
+  /** Generate (idempotent per JVM tmpdir): distributed tile build via
+    * spark.range over tile keys, formulas evaluated per cell.
+    */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val spec = specFor(sfDir)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zonal_${spec.layoutCols}x${spec.layoutRows}x${spec.tileSize}"
+    if (new java.io.File(s"$dir/meta.json").exists()) return dir
+    import spark.implicits._
+    val ts = spec.tileSize
+    val keys = for (kc <- 0 until spec.layoutCols; kr <- 0 until spec.layoutRows) yield (kc, kr)
+    def gen(f: (Int, Int) => Int) =
+      keys.toDS().map { case (kc, kr) =>
+        (kc, kr, Array.tabulate(ts * ts)(i => f(kc * ts + i % ts, kr * ts + i / ts)))
+      }.collect().toSeq
+    def genD(f: (Int, Int) => Double) =
+      keys.toDS().map { case (kc, kr) =>
+        (kc, kr, Array.tabulate(ts * ts)(i => f(kc * ts + i % ts, kr * ts + i / ts)))
+      }.collect().toSeq
+    val Seq(mNlcd, mSoil, mSlope) = metas(spec)
+    TileCatalog.writeIntLayer(spark, dir, mNlcd, gen(nlcdValue))
+    TileCatalog.writeIntLayer(spark, dir, mSoil, gen(soilValue))
+    TileCatalog.writeDoubleLayer(spark, dir, mSlope, genD(slopeValue))
+    TileCatalog.writeMeta(dir, metas(spec))
+    dir
+  }
+
+  private val gf = new GeometryFactory()
+
+  /** AOI: a big octagon covering ~80% of the grid (masked-pixel count
+    * at sf0.1 ≈ the reference's HUC-8 5.5M).
+    */
+  def aoi(spec: Spec): MultiPolygon = {
+    val w = spec.layoutCols * spec.tileSize.toDouble
+    val h = spec.layoutRows * spec.tileSize.toDouble
+    val (cx, cy) = (w / 2, h / 2)
+    val (rx, ry) = (w * 0.48, h * 0.48)
+    val pts = (0 until 8).map { i =>
+      val a = i * math.Pi / 4
+      new Coordinate(cx + rx * math.cos(a), cy + ry * math.sin(a))
+    } :+ new Coordinate(cx + rx, cy)
+    gf.createMultiPolygon(Array(gf.createPolygon(pts.toArray)))
+  }
+
+  /** A grid of sub-shapes (the /multi subbasin analog: reference runs
+    * 61 HUC-12s per batch).
+    */
+  def subShapes(spec: Spec, nx: Int = 8, ny: Int = 4): Seq[MultiPolygon] = {
+    val w = spec.layoutCols * spec.tileSize.toDouble / nx
+    val h = spec.layoutRows * spec.tileSize.toDouble / ny
+    for (i <- 0 until nx; j <- 0 until ny) yield {
+      val (x0, y0) = (i * w, j * h)
+      gf.createMultiPolygon(Array(gf.createPolygon(Array(
+        new Coordinate(x0 + 2, y0 + 2), new Coordinate(x0 + w - 2, y0 + 2),
+        new Coordinate(x0 + w - 2, y0 + h - 2), new Coordinate(x0 + 2, y0 + h - 2),
+        new Coordinate(x0 + 2, y0 + 2)))))
+    }
+  }
+
+  /** A zig-zag "stream" polyline across the whole grid. */
+  def streamLines(spec: Spec): Seq[org.locationtech.jts.geom.MultiLineString] = {
+    val w = spec.layoutCols * spec.tileSize.toDouble
+    val h = spec.layoutRows * spec.tileSize.toDouble
+    val pts = (0 to 40).map { i =>
+      new Coordinate(w * i / 40.0,
+        h * (0.5 + 0.4 * math.sin(i * 0.7)))
+    }
+    Seq(gf.createMultiLineString(Array(gf.createLineString(pts.toArray))))
+  }
+}
