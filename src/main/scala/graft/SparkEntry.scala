@@ -302,6 +302,19 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Semi-structured JSON column: extract + typed aggregate, the
+    * standard props-payload shape (Spark `get_json_object` vs DuckDB
+    * `json_extract`).
+    */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   // ---- q30–q34: the raster engine itself (SURVEY §2.1 operators) over
   // the deterministic synthetic catalog. Not SQL-expressible in DuckDB
   // (no oracleSql ⇒ driver rows-only check); correctness is pinned by
@@ -411,6 +424,7 @@ object SparkEntry {
     "q32_zonal_summary" -> (qZonalSummary(_, _)),
     "q33_zonal_lines_join" -> (qZonalLinesJoin(_, _)),
     "q34_zonal_multi" -> (qZonalMulti(_, _)),
+    "q35_json_extract" -> (qJsonExtract(_, _)),
   )
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
@@ -732,5 +746,12 @@ object SparkEntry {
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q29_lsh_neardup" -> lshOracleSql,
+
+    "q35_json_extract" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+        |       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 }

@@ -46,4 +46,17 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
+
+  /** Startup configuration echo (reference `printConfiguration`,
+    * Utils.scala:250-264 / CHANGELOG.md:20-22).
+    */
+  def printConfiguration(spark: SparkSession): Unit = {
+    val keys = Seq("spark.master", "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled", "spark.sql.session.timeZone",
+      "spark.sql.legacy.parquet.nanosAsLong")
+    val lines = keys.map(k => s"  $k = ${spark.conf.getOption(k).getOrElse("<unset>")}")
+    // log4j is Spark's logger; println keeps the banner visible in any
+    // driver harness
+    println(("graft configuration:" +: lines).mkString("\n"))
+  }
 }

@@ -163,6 +163,50 @@ class ZonalSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() == 0)
   }
 
+  test("linesJoinMany: per-shape dedup in one pass") {
+    val mkLine = (y: Double) => gf.createMultiLineString(Array(
+      gf.createLineString(Array(new Coordinate(0.5, y), new Coordinate(7.5, y)))))
+    // shape 0 gets the row-6 line (y=1.5), shape 1 the row-1 line (y=6.5)
+    val df = Zonal.linesJoinMany(spark, layout, Seq(layer("ca")),
+      Seq(Seq(mkLine(1.5), mkLine(1.5)), Seq(mkLine(6.5))))
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getSeq[Int](1).head) -> r.getLong(2)).toMap
+    // duplicate line in shape 0 still counts each pixel once
+    assert((0 to 7).forall(c => got((0, c)) == 1))
+    assert((0 to 7).forall(c => got((1, c)) == 1))
+    assert(got.size == 16)
+  }
+
+  test("multiBatch unions count+average+lines into one (shape, op, k, v) frame") {
+    val shapes = Seq(square(1, 5, 4, 7), square(4, 1, 7, 4))
+    val shared = Map("ca" -> layer("ca"), "cb" -> layer("cb"), "cd" -> layer("cd"))
+    val line = gf.createMultiLineString(Array(
+      gf.createLineString(Array(new Coordinate(0.5, 6.2), new Coordinate(7.5, 6.2)))))
+    val df = Zonal.multiBatch(spark, layout, shared, shapes, Seq(line), Seq(
+      Zonal.BatchCount("cnt_cb", Seq("cb")),
+      Zonal.BatchAverage("avg_cd", Seq(), "cd"),
+      Zonal.BatchLines("lines_cb", Seq("cb"))))
+    val rows = df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    // shape 0 [1,4]×[5,7]: gr 1..2 → cb=1, 6 px, Ints widened to Double
+    assert(rows((0, "cnt_cb", "List(1)")) == 6.0)
+    // shape 0 avg of cd over its 6 px: gc 1..3 × gr 1..2
+    val exp0 = (for (gc <- 1 to 3; gr <- 1 to 2) yield (gc + gr).toDouble).sum / 6
+    assert(math.abs(rows((0, "avg_cd", "List(0)")) - exp0) < 1e-12)
+    // line y=6.2 → gr 1: inside shape 0's clip x∈[1,4] only → cb=1
+    assert(rows.contains((0, "lines_cb", "List(1)")))
+    // shape 1 [4,7]×[1,4] lies in cb's missing tile: with cb the ONLY
+    // layer there is no join key at all → no pixels (reference
+    // join-keys semantics; NODATA fill needs ≥1 present layer)
+    assert(!rows.keys.exists(k => k._1 == 1 && k._2 == "cnt_cb"))
+    // avg_cd still covers shape 1 (cd has all tiles)
+    val exp1 = (for (gc <- 4 to 6; gr <- 4 to 6)
+      yield if (gc == 5 && gr == 5) 0.0 else (gc + gr).toDouble).sum / 9
+    assert(math.abs(rows((1, "avg_cd", "List(0)")) - exp1) < 1e-12)
+    // line does not cross shape 1 (y=6.2 not in [1,4]) → no lines rows
+    assert(!rows.keys.exists(k => k._1 == 1 && k._2 == "lines_cb"))
+  }
+
   test("pixelIsArea widens the mask (reference pixelIsArea=true rasters)") {
     val tiny = square(2.6, 2.6, 2.9, 2.9)
     val point = Zonal.groupedCount(spark, layout, Seq(layer("ca")), tiny)
