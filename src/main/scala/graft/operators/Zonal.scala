@@ -14,17 +14,16 @@ import graft.sources.TileCatalog.RasterMeta
   *
   * Shape of every plan:
   *   pruned scan(s) → full-outer align join on SpatialKey (NODATA
-  *   fill) → masked-pixel flatMap (rasterizer kernel, the only
-  *   imperative stage) → native Catalyst aggregation.
+  *   fill) → rasterize + TILE-LEVEL PARTIAL AGGREGATION in one flatMap
+  *   → tiny final Catalyst aggregation.
   *
-  * The pixel plane stays an internal detail: only (value-tuple, agg)
-  * rows of tiny cardinality (≤ ~500 groups, SURVEY §6) ever reach the
-  * driver. The flatMap emits no pixel unless masked, so the plane is
-  * never a full cartesian explode. Aggregations are plain
-  * `groupBy().agg()` — partial map-side combine + one shuffle of a
-  * few hundred rows, which is why this design holds at 1000 executors:
-  * everything between scan and final agg is embarrassingly parallel
-  * per tile.
+  * The flatMap emits one row per (tile, shape, value-tuple) — never
+  * per pixel — so shuffle volume is O(tiles × groups), not O(pixels):
+  * a 100 TB catalog shuffles a few hundred rows per tile regardless of
+  * tile size (group cardinality is ≤ ~500 in the reference workload,
+  * SURVEY §6). This is the reference's lock-free TrieMap partial
+  * aggregation (Geoprocessing.scala:215,302,348,405) relocated into
+  * the task, with Spark's hash aggregation finishing the job.
   *
   * NODATA semantics (SURVEY §2.3):
   *  - group values: NODATA (Int.MinValue) groups as itself;
@@ -32,7 +31,9 @@ import graft.sources.TileCatalog.RasterMeta
   *    (reference Geoprocessing.scala:266-270, 313-319);
   *  - summary min/max skip NODATA (as NULL — documented divergence
   *    from the reference's inert NaN guard, Utils.scala:266-284);
-  *    summary avg counts every masked pixel with NODATA as 0.0.
+  *    summary avg counts every masked pixel with NODATA as 0.0;
+  *  - a tile missing from EVERY layer has no join key → contributes
+  *    no pixels (reference join-keys semantics, Utils.scala:221-232).
   */
 object Zonal {
 
@@ -49,8 +50,32 @@ object Zonal {
 
   private def bgeom(g: Geometry): BGeom = new BGeom(GeomOps.toWkb(g))
 
-  /** Full-outer align join of N layers on SpatialKey; each layer's
-    * tile array surfaces as g0..g{n-1} / d0.. (reference
+  /** Hash-map key wrapping a primitive int array. */
+  private final class ValsKey(val a: Array[Int]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(a)
+    override def equals(o: Any): Boolean = o match {
+      case k: ValsKey => java.util.Arrays.equals(a, k.a)
+      case _ => false
+    }
+  }
+
+  /** Per-group accumulator for one (tile, shape). */
+  private final class Agg {
+    var cnt: Long = 0L
+    var sum: Double = 0.0
+    var mn: Double = Double.NaN
+    var mx: Double = Double.NaN
+    def add(tv: Double): Unit = {
+      cnt += 1
+      if (!tv.isNaN) {
+        sum += tv
+        if (mn.isNaN || tv < mn) mn = tv
+        if (mx.isNaN || tv > mx) mx = tv
+      }
+    }
+  }
+
+  /** Full-outer align join of N layers on SpatialKey (reference
     * `joinCollectionLayers`, Utils.scala:221-232 — missing tiles stay
     * null here and NODATA-fill inside the flatMap).
     */
@@ -63,56 +88,13 @@ object Zonal {
     renamed.reduce((a, b) => a.join(b, Seq("key_col", "key_row"), "full_outer"))
   }
 
-  private val valsField = StructField("vals", ArrayType(IntegerType, containsNull = false))
-
-  /** Masked pixel plane for int grouping layers (+ optional double
-    * target): one row per masked pixel, columns
-    * `vals ARRAY<INT>` [, `target DOUBLE` nullable=NODATA].
-    */
-  private def pixelPlane(spark: SparkSession, layout: Layout, groupLayers: Seq[Layer],
-                         target: Option[Layer], aoi: MultiPolygon,
-                         opts: Rasterizer.Options): DataFrame = {
-    val joined = joinLayers(groupLayers ++ target.toSeq)
-    val n = groupLayers.size
-    val hasTarget = target.isDefined
-    val schema = StructType(
-      valsField +: (if (hasTarget) Seq(StructField("target", DoubleType, nullable = true)) else Nil))
-    val b = bgeom(aoi)
-    val tileCols = layout.tileCols
-    val o = opts
-    val lay = layout
-    val out = joined.flatMap { row =>
-      val keyCol = row.getInt(0)
-      val keyRow = row.getInt(1)
-      val re = lay.rasterExtent(keyCol, keyRow)
-      val groups: Array[Array[Int]] = Array.tabulate(n) { i =>
-        if (row.isNullAt(2 + i)) null else row.getSeq[Int](2 + i).toArray
-      }
-      val tgt: Array[Double] =
-        if (hasTarget && !row.isNullAt(2 + n)) {
-          val s = row.getSeq[Any](2 + n)
-          s.map { case d: Double => d; case null => Double.NaN }.toArray
-        } else null
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-      // clip is invalid for fully-inside mode (artificial tile-edge
-      // boundary would erode interior cells)
-      val clipped =
-        if (o.pixelIsArea && !o.includePartial) b.geom else clipToTile(b.geom, re)
-      Rasterizer.foreachCellByPolygon(clipped, re, o) { (c, r) =>
-        val vals = Array.tabulate(n) { i =>
-          if (groups(i) == null) NoData.INT else groups(i)(r * tileCols + c)
-        }
-        if (hasTarget) {
-          val tv = if (tgt == null) Double.NaN else tgt(r * tileCols + c)
-          buf += Row(vals.toSeq, if (tv.isNaN) null else tv)
-        } else {
-          buf += Row(vals.toSeq)
-        }
-      }
-      buf
-    }(Encoders.row(schema))
-    out.toDF()
-  }
+  private val planeSchema = StructType(Seq(
+    StructField("shape_id", IntegerType, nullable = false),
+    StructField("vals", ArrayType(IntegerType, containsNull = false)),
+    StructField("cnt", LongType, nullable = false),
+    StructField("sum", DoubleType, nullable = false),
+    StructField("mn", DoubleType, nullable = true),
+    StructField("mx", DoubleType, nullable = true)))
 
   /** Pre-clip the AOI to the tile extent: bounds the scanline to the
     * tile and keeps per-tile cost proportional to local geometry
@@ -126,24 +108,12 @@ object Zonal {
       try g.intersection(env) catch { case _: Exception => g }
     } else g
 
-  /** Row A — `rasterGroupedCount` (Geoprocessing.scala:338-368):
-    * COUNT(*) of masked pixels per distinct value tuple.
+  /** The partially-aggregated masked plane: per (tile, shape,
+    * value-tuple) one row `(shape_id, vals, cnt, sum, mn, mx)` where
+    * sum/mn/mx aggregate the (optional) target under the NODATA rules.
     */
-  def groupedCount(spark: SparkSession, layout: Layout, layers: Seq[Layer],
-                   aoi: MultiPolygon, opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame =
-    pixelPlane(spark, layout, layers, None, aoi, opts)
-      .groupBy(col("vals")).agg(count(lit(1)).as("cnt"))
-
-  /** Multi-shape masked pixel plane: every shape rasterizes against
-    * each tile in ONE flatMap pass (`shape_id` column instead of
-    * per-shape rescans — the reference fetches layers once for the
-    * union AOI, Geoprocessing.scala:116-120). Columns:
-    * `shape_id INT, vals ARRAY<INT>[, target DOUBLE]`.
-    */
-  private def multiShapePlane(spark: SparkSession, layout: Layout,
-                              groupLayers: Seq[Layer], target: Option[Layer],
-                              aois: Seq[MultiPolygon],
-                              opts: Rasterizer.Options): DataFrame = {
+  private def aggPlane(layout: Layout, groupLayers: Seq[Layer], target: Option[Layer],
+                       aois: Seq[MultiPolygon], opts: Rasterizer.Options): DataFrame = {
     val joined = joinLayers(groupLayers ++ target.toSeq)
     val n = groupLayers.size
     val hasTarget = target.isDefined
@@ -151,9 +121,6 @@ object Zonal {
     val lay = layout
     val o = opts
     val tileCols = layout.tileCols
-    val schema = StructType(
-      StructField("shape_id", IntegerType, nullable = false) +: valsField +:
-        (if (hasTarget) Seq(StructField("target", DoubleType, nullable = true)) else Nil))
     joined.flatMap { row =>
       val keyCol = row.getInt(0)
       val keyRow = row.getInt(1)
@@ -166,41 +133,152 @@ object Zonal {
           val s = row.getSeq[Any](2 + n)
           s.map { case d: Double => d; case null => Double.NaN }.toArray
         } else null
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
       shapes.zipWithIndex.foreach { case (bg, si) =>
+        val accum = scala.collection.mutable.HashMap.empty[ValsKey, Agg]
         val clipped =
           if (o.pixelIsArea && !o.includePartial) bg.geom else clipToTile(bg.geom, re)
         Rasterizer.foreachCellByPolygon(clipped, re, o) { (c, r) =>
-          val vals = Array.tabulate(n) { i =>
-            if (groups(i) == null) NoData.INT else groups(i)(r * tileCols + c)
+          val vals = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            vals(i) = if (groups(i) == null) NoData.INT else groups(i)(r * tileCols + c)
+            i += 1
           }
-          if (hasTarget) {
-            val tv = if (tgt == null) Double.NaN else tgt(r * tileCols + c)
-            buf += Row(si, vals.toSeq, if (tv.isNaN) null else tv)
-          } else buf += Row(si, vals.toSeq)
+          val tv =
+            if (!hasTarget) 0.0
+            else if (tgt == null) Double.NaN
+            else tgt(r * tileCols + c)
+          accum.getOrElseUpdate(new ValsKey(vals), new Agg).add(tv)
+        }
+        accum.foreach { case (k, a) =>
+          out += Row(si, k.a.toSeq, a.cnt, a.sum,
+            if (a.mn.isNaN) null else a.mn, if (a.mx.isNaN) null else a.mx)
         }
       }
-      buf
-    }(Encoders.row(schema)).toDF()
+      out
+    }(Encoders.row(planeSchema)).toDF()
   }
 
+  /** Row A — `rasterGroupedCount` (Geoprocessing.scala:338-368):
+    * COUNT(*) of masked pixels per distinct value tuple.
+    */
+  def groupedCount(spark: SparkSession, layout: Layout, layers: Seq[Layer],
+                   aoi: MultiPolygon, opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame =
+    aggPlane(layout, layers, None, Seq(aoi), opts)
+      .groupBy(col("vals")).agg(sum(col("cnt")).as("cnt"))
+
   /** Row F — `getRasterGroupedCountMany` (Geoprocessing.scala:114-126):
-    * grouped count per input polygon, one pass.
+    * grouped count per input polygon; every shape rasterizes against
+    * each tile in ONE flatMap pass (shape_id column instead of
+    * per-shape rescans — the reference fetches layers once for the
+    * union AOI, Geoprocessing.scala:116-120).
     */
   def groupedCountMany(spark: SparkSession, layout: Layout, layers: Seq[Layer],
                        aois: Seq[MultiPolygon],
                        opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame =
-    multiShapePlane(spark, layout, layers, None, aois, opts)
-      .groupBy(col("shape_id"), col("vals")).agg(count(lit(1)).as("cnt"))
+    aggPlane(layout, layers, None, aois, opts)
+      .groupBy(col("shape_id"), col("vals")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Rows B/C — `rasterAverage` / `rasterGroupedAverage`
+    * (Geoprocessing.scala:245-277, 288-329): mean of target per value
+    * tuple; NODATA target → 0.0 but counted. Ungrouped = constant
+    * key `List(0)` (reference :275).
+    */
+  def groupedAverage(spark: SparkSession, layout: Layout, groupLayers: Seq[Layer],
+                     target: Layer, aoi: MultiPolygon,
+                     opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame =
+    keyed(aggPlane(layout, groupLayers, Some(target), Seq(aoi), opts), groupLayers)
+      .groupBy(col("vals"))
+      .agg((sum(col("sum")) / sum(col("cnt"))).as("avg_v"))
 
   /** Grouped average per shape in one pass (the /multi batch kernel). */
   def groupedAverageMany(spark: SparkSession, layout: Layout, groupLayers: Seq[Layer],
                          target: Layer, aois: Seq[MultiPolygon],
-                         opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame = {
-    val plane = multiShapePlane(spark, layout, groupLayers, Some(target), aois, opts)
-    val keyed = if (groupLayers.nonEmpty) plane else plane.withColumn("vals", array(lit(0)))
-    keyed.groupBy(col("shape_id"), col("vals"))
-      .agg(avg(coalesce(col("target"), lit(0.0))).as("avg_v"))
+                         opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame =
+    keyed(aggPlane(layout, groupLayers, Some(target), aois, opts), groupLayers)
+      .groupBy(col("shape_id"), col("vals"))
+      .agg((sum(col("sum")) / sum(col("cnt"))).as("avg_v"))
+
+  /** CHANGELOG-era `RasterGroupedSum` (reference CHANGELOG.md:151-153). */
+  def groupedSum(spark: SparkSession, layout: Layout, groupLayers: Seq[Layer],
+                 target: Layer, aoi: MultiPolygon,
+                 opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame =
+    keyed(aggPlane(layout, groupLayers, Some(target), Seq(aoi), opts), groupLayers)
+      .groupBy(col("vals")).agg(sum(col("sum")).as("sum_v"))
+
+  /** Ungrouped ops key on `List(0)` (reference Geoprocessing.scala:275). */
+  private def keyed(plane: DataFrame, groupLayers: Seq[Layer]): DataFrame =
+    if (groupLayers.nonEmpty) plane else plane.withColumn("vals", array(lit(0)))
+
+  /** Row E — `rasterSummary` (Geoprocessing.scala:380-431): per input
+    * raster (order preserved), min/avg/max over masked pixels; min/max
+    * skip NODATA, avg counts every masked pixel.
+    */
+  def summary(spark: SparkSession, layout: Layout, layers: Seq[Layer],
+              aoi: MultiPolygon,
+              opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame =
+    layers.zipWithIndex.map { case (l, i) =>
+      aggPlane(layout, Nil, Some(l), Seq(aoi), opts)
+        .agg(
+          min(col("mn")).as("min_v"),
+          max(col("mx")).as("max_v"),
+          (sum(col("sum")) / sum(col("cnt"))).as("avg_v"))
+        .select(lit(i).as("idx"), lit(l.meta.rasterId).as("raster_id"),
+          col("min_v"), col("avg_v"), col("max_v"))
+    }.reduce(_.unionByName(_)).orderBy("idx")
+
+  /** Row D — `rasterLinesJoin` (Geoprocessing.scala:210-235): count
+    * DISTINCT pixels touched by ≥1 line, grouped by value tuple.
+    * The rasterizer's per-(tile,shape) BitSet already dedups pixels
+    * and pixels belong to exactly one tile, so counts partial-aggregate
+    * per tile with no global distinct (the reference used a concurrent
+    * TrieMap set for the same dedup).
+    */
+  def linesJoin(spark: SparkSession, layout: Layout, layers: Seq[Layer],
+                lines: Seq[MultiLineString]): DataFrame =
+    linesJoinMany(spark, layout, layers, Seq(lines))
+      .select(col("vals"), col("cnt"))
+
+  /** Lines join for many shapes in ONE pass (the 61-shape reference
+    * batch becomes one scan).
+    */
+  def linesJoinMany(spark: SparkSession, layout: Layout, layers: Seq[Layer],
+                    linesPerShape: Seq[Seq[MultiLineString]]): DataFrame = {
+    val joined = joinLayers(layers)
+    val n = layers.size
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val perShape: Seq[BGeom] = linesPerShape.map { ls =>
+      val all = ls.flatMap(ml => (0 until ml.getNumGeometries).map(ml.getGeometryN(_)
+        .asInstanceOf[org.locationtech.jts.geom.LineString]))
+      bgeom(gf.createMultiLineString(all.toArray))
+    }
+    val lay = layout
+    val tileCols = layout.tileCols
+    joined.flatMap { row =>
+      val keyCol = row.getInt(0)
+      val keyRow = row.getInt(1)
+      val re = lay.rasterExtent(keyCol, keyRow)
+      val groups: Array[Array[Int]] = Array.tabulate(n) { i =>
+        if (row.isNullAt(2 + i)) null else row.getSeq[Int](2 + i).toArray
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      perShape.zipWithIndex.foreach { case (bg, si) =>
+        val accum = scala.collection.mutable.HashMap.empty[ValsKey, Agg]
+        Rasterizer.foreachCellByLines(bg.geom, re) { (c, r) =>
+          val vals = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            vals(i) = if (groups(i) == null) NoData.INT else groups(i)(r * tileCols + c)
+            i += 1
+          }
+          accum.getOrElseUpdate(new ValsKey(vals), new Agg).add(0.0)
+        }
+        accum.foreach { case (k, a) => out += Row(si, k.a.toSeq, a.cnt, 0.0, null, null) }
+      }
+      out
+    }(Encoders.row(planeSchema)).toDF()
+      .groupBy(col("shape_id"), col("vals")).agg(sum(col("cnt")).as("cnt"))
   }
 
   /** Batch op spec for [[multiBatch]]. */
@@ -219,7 +297,7 @@ object Zonal {
     */
   def multiBatch(spark: SparkSession, layout: Layout, shared: Map[String, Layer],
                  aois: Seq[MultiPolygon],
-                 lines: Seq[org.locationtech.jts.geom.MultiLineString],
+                 lines: Seq[MultiLineString],
                  ops: Seq[BatchOp]): DataFrame = {
     val keyExpr = expr("concat('List(', array_join(transform(vals, v -> cast(v as string)), ', '), ')')")
     val frames = ops.map {
@@ -238,149 +316,6 @@ object Zonal {
             col("cnt").cast("double").as("v"))
     }
     frames.reduce(_.unionByName(_))
-  }
-
-  /** Lines join for many shapes in ONE pass: each shape's (pre-clipped)
-    * lines are broadcast together; the flatMap emits
-    * (shape_id, vals, pixel) and one distinct+groupBy dedups per shape.
-    * Turns the 61-shape reference batch from 61 scans into one.
-    */
-  def linesJoinMany(spark: SparkSession, layout: Layout, layers: Seq[Layer],
-                    linesPerShape: Seq[Seq[org.locationtech.jts.geom.MultiLineString]]): DataFrame = {
-    val joined = joinLayers(layers)
-    val n = layers.size
-    val gf = new org.locationtech.jts.geom.GeometryFactory()
-    val perShape: Seq[BGeom] = linesPerShape.map { ls =>
-      val all = ls.flatMap(ml => (0 until ml.getNumGeometries).map(ml.getGeometryN(_)
-        .asInstanceOf[org.locationtech.jts.geom.LineString]))
-      bgeom(gf.createMultiLineString(all.toArray))
-    }
-    val lay = layout
-    val tileCols = layout.tileCols
-    val schema = StructType(Seq(
-      StructField("shape_id", IntegerType, nullable = false),
-      valsField,
-      StructField("key_col", IntegerType, nullable = false),
-      StructField("key_row", IntegerType, nullable = false),
-      StructField("px", IntegerType, nullable = false),
-      StructField("py", IntegerType, nullable = false)))
-    joined.flatMap { row =>
-      val keyCol = row.getInt(0)
-      val keyRow = row.getInt(1)
-      val re = lay.rasterExtent(keyCol, keyRow)
-      val groups: Array[Array[Int]] = Array.tabulate(n) { i =>
-        if (row.isNullAt(2 + i)) null else row.getSeq[Int](2 + i).toArray
-      }
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-      perShape.zipWithIndex.foreach { case (bg, si) =>
-        Rasterizer.foreachCellByLines(bg.geom, re) { (c, r) =>
-          val vals = Array.tabulate(n) { i =>
-            if (groups(i) == null) NoData.INT else groups(i)(r * tileCols + c)
-          }
-          buf += Row(si, vals.toSeq, keyCol, keyRow, c, r)
-        }
-      }
-      buf
-    }(Encoders.row(schema)).toDF()
-      .distinct()
-      .groupBy(col("shape_id"), col("vals")).agg(count(lit(1)).as("cnt"))
-  }
-
-  /** Rows B/C — `rasterAverage` / `rasterGroupedAverage`
-    * (Geoprocessing.scala:245-277, 288-329): mean of target per value
-    * tuple; NODATA target → 0.0 but counted. Ungrouped = constant
-    * key `List(0)` (reference :275).
-    */
-  def groupedAverage(spark: SparkSession, layout: Layout, groupLayers: Seq[Layer],
-                     target: Layer, aoi: MultiPolygon,
-                     opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame = {
-    val plane = pixelPlane(spark, layout, groupLayers, Some(target), aoi, opts)
-    val keyed =
-      if (groupLayers.nonEmpty) plane
-      else plane.withColumn("vals", array(lit(0)))
-    keyed.groupBy(col("vals"))
-      .agg(avg(coalesce(col("target"), lit(0.0))).as("avg_v"))
-  }
-
-  /** CHANGELOG-era `RasterGroupedSum` (reference CHANGELOG.md:151-153):
-    * same plane, SUM with NODATA→0.
-    */
-  def groupedSum(spark: SparkSession, layout: Layout, groupLayers: Seq[Layer],
-                 target: Layer, aoi: MultiPolygon,
-                 opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame = {
-    val plane = pixelPlane(spark, layout, groupLayers, Some(target), aoi, opts)
-    val keyed =
-      if (groupLayers.nonEmpty) plane
-      else plane.withColumn("vals", array(lit(0)))
-    keyed.groupBy(col("vals"))
-      .agg(sum(coalesce(col("target"), lit(0.0))).as("sum_v"))
-  }
-
-  /** Row E — `rasterSummary` (Geoprocessing.scala:380-431): per input
-    * raster (order preserved), min/avg/max over masked pixels; min/max
-    * skip NODATA, avg counts every masked pixel.
-    */
-  def summary(spark: SparkSession, layout: Layout, layers: Seq[Layer],
-              aoi: MultiPolygon,
-              opts: Rasterizer.Options = Rasterizer.DEFAULT): DataFrame =
-    layers.zipWithIndex.map { case (l, i) =>
-      pixelPlane(spark, layout, Nil, Some(l), aoi, opts)
-        .agg(
-          min(col("target")).as("min_v"),
-          max(col("target")).as("max_v"),
-          (sum(coalesce(col("target"), lit(0.0))) / count(lit(1))).as("avg_v"))
-        .select(lit(i).as("idx"), lit(l.meta.rasterId).as("raster_id"),
-          col("min_v"), col("avg_v"), col("max_v"))
-    }.reduce(_.unionByName(_)).orderBy("idx")
-
-  /** Row D — `rasterLinesJoin` (Geoprocessing.scala:210-235): count
-    * DISTINCT pixels touched by ≥1 line, grouped by value tuple.
-    * Lines are broadcast; the flatMap emits (vals, pixel-identity)
-    * and Catalyst's distinct + count does the dedup (reference used a
-    * concurrent TrieMap set).
-    */
-  def linesJoin(spark: SparkSession, layout: Layout, layers: Seq[Layer],
-                lines: Seq[MultiLineString]): DataFrame = {
-    val joined = joinLayers(layers)
-    val n = layers.size
-    val gf = new org.locationtech.jts.geom.GeometryFactory()
-    // flatten to one MultiLineString (JTS intersection does not
-    // support GeometryCollection operands in clipToTile)
-    val allLines = lines.flatMap(ml =>
-      (0 until ml.getNumGeometries).map(ml.getGeometryN(_)
-        .asInstanceOf[org.locationtech.jts.geom.LineString]))
-    val merged: Geometry = gf.createMultiLineString(allLines.toArray)
-    val b = bgeom(merged)
-    val lay = layout
-    val tileCols = layout.tileCols
-    val schema = StructType(Seq(
-      valsField,
-      StructField("key_col", IntegerType, nullable = false),
-      StructField("key_row", IntegerType, nullable = false),
-      StructField("px", IntegerType, nullable = false),
-      StructField("py", IntegerType, nullable = false)))
-    val cells = joined.flatMap { row =>
-      val keyCol = row.getInt(0)
-      val keyRow = row.getInt(1)
-      val re = lay.rasterExtent(keyCol, keyRow)
-      val groups: Array[Array[Int]] = Array.tabulate(n) { i =>
-        if (row.isNullAt(2 + i)) null else row.getSeq[Int](2 + i).toArray
-      }
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-      // no JTS clip for lines: the rasterizer bbox-prefilters segments
-      // per tile, and clipping would drop cells where a segment ends
-      // exactly on a tile border
-      Rasterizer.foreachCellByLines(b.geom, re) { (c, r) =>
-        val vals = Array.tabulate(n) { i =>
-          if (groups(i) == null) NoData.INT else groups(i)(r * tileCols + c)
-        }
-        buf += Row(vals.toSeq, keyCol, keyRow, c, r)
-      }
-      buf
-    }(Encoders.row(schema))
-    cells.toDF()
-      .distinct()
-      .groupBy(col("vals")).agg(count(lit(1)).as("cnt"))
   }
 }
 
