@@ -302,6 +302,43 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Exact distinct aggregation (expand + two-phase in Spark). */
+  private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** Set operators: INTERSECT / EXCEPT between key sets. */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey").as("k"))
+    val ord = t(s, dir, "orders").select(col("o_custkey").as("k"))
+    val both = cust.intersect(ord).withColumn("tag", lit("with_orders"))
+    val none = cust.except(ord).withColumn("tag", lit("without_orders"))
+    both.unionByName(none).orderBy("tag", "k")
+  }
+
+  /** ROLLUP hierarchy totals with GROUPING markers. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("r1"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("r2"),
+        col("cnt"), col("sum_qty"), col("gid"))
+      .orderBy("gid", "r1", "r2")
+
+  /** Pivot (conditional aggregation) of quantity by return flag. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus").as("status"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+      .orderBy("status")
+
   /** Semi-structured JSON column: extract + typed aggregate, the
     * standard props-payload shape (Spark `get_json_object` vs DuckDB
     * `json_extract`).
@@ -425,6 +462,10 @@ object SparkEntry {
     "q33_zonal_lines_join" -> (qZonalLinesJoin(_, _)),
     "q34_zonal_multi" -> (qZonalMulti(_, _)),
     "q35_json_extract" -> (qJsonExtract(_, _)),
+    "q36_distinct_agg" -> (qDistinctAgg(_, _)),
+    "q37_set_ops" -> (qSetOps(_, _)),
+    "q38_rollup" -> (qRollup(_, _)),
+    "q39_pivot" -> (qPivot(_, _)),
   )
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
@@ -753,5 +794,34 @@ object SparkEntry {
         |       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q36_distinct_agg" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q37_set_ops" ->
+      """SELECT k, 'with_orders' AS tag FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT k, 'without_orders' FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY tag, k""".stripMargin,
+
+    "q38_rollup" ->
+      """SELECT COALESCE(l_returnflag, '<all>') AS r1,
+        |       COALESCE(l_linestatus, '<all>') AS r2,
+        |       COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, r1, r2""".stripMargin,
+
+    "q39_pivot" ->
+      """SELECT l_linestatus AS status,
+        |       ROUND(SUM(l_quantity) FILTER (l_returnflag = 'A'), 2) AS qty_a,
+        |       ROUND(SUM(l_quantity) FILTER (l_returnflag = 'N'), 2) AS qty_n,
+        |       ROUND(SUM(l_quantity) FILTER (l_returnflag = 'R'), 2) AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY status""".stripMargin,
   )
 }

@@ -160,30 +160,39 @@ object Service {
       GeomOps.toLines(_, from, Projections.ConusAlbers))
     val layout = cat.layout(rasterIds)
 
-    val results: Seq[(String, String, Map[String, Double])] =
-      for ((hucId, shape) <- shapes; op <- req.operations) yield {
-        val o = opts(op.pixelIsArea)
-        val value: Map[String, Double] = op.name match {
-          case "RasterGroupedCount" =>
-            Render.toResultInt(Zonal.groupedCount(cat.spark, layout,
-              op.rasters.map(shared), shape, o)).map { case (k, v) => k -> v.toDouble }
-          case "RasterGroupedAverage" =>
-            val target = shared(op.targetRaster.getOrElse(throw new MissingTargetRasterException))
-            Render.toResultDouble(Zonal.groupedAverage(cat.spark, layout,
-              op.rasters.map(shared), target, shape, o))
-          case "RasterLinesJoin" =>
-            val clipped = GeomOps.clipLines(streamLines, shape)
-            Render.toResultInt(Zonal.linesJoin(cat.spark, layout,
-              op.rasters.map(shared), clipped)).map { case (k, v) => k -> v.toDouble }
-          case other => throw new InvalidOperationException(other)
-        }
-        (hucId, op.label, value)
+    // one unioned plan: every operation becomes a multi-shape batch op
+    // over the shared cached scans (SURVEY §3.2) — a single Spark job
+    // instead of |shapes| × |operations| jobs
+    val batchOps: Seq[Zonal.BatchOp] = req.operations.map { op =>
+      op.name match {
+        case "RasterGroupedCount" =>
+          Zonal.BatchCount(op.label, op.rasters, opts(op.pixelIsArea))
+        case "RasterGroupedAverage" =>
+          Zonal.BatchAverage(op.label, op.rasters,
+            op.targetRaster.getOrElse(throw new MissingTargetRasterException),
+            opts(op.pixelIsArea))
+        case "RasterLinesJoin" =>
+          Zonal.BatchLines(op.label, op.rasters)
+        case other => throw new InvalidOperationException(other)
       }
+    }
+    val rows = Zonal.multiBatch(cat.spark, layout, shared, shapes.map(_._2),
+      streamLines, batchOps).collect()
+    val hucIds = shapes.map(_._1)
     val nested: Map[String, Map[String, Map[String, Double]]] =
-      results.groupBy(_._1).map { case (huc, rs) =>
-        huc -> rs.map(r => r._2 -> r._3).toMap
+      rows.groupBy(r => hucIds(r.getInt(0))).map { case (huc, rs) =>
+        huc -> rs.groupBy(_.getString(1)).map { case (label, ls) =>
+          label -> ls.map(r => r.getString(2) -> r.getDouble(3)).toMap
+        }
       }
+    // operations yielding no rows for a shape still appear as {} —
+    // reference tolerance for non-intersecting shapes (CHANGELOG:71-79)
+    val complete = hucIds.map { huc =>
+      val labels = req.operations.map(_.label)
+      val present = nested.getOrElse(huc, Map.empty)
+      huc -> labels.map(l => l -> present.getOrElse(l, Map.empty[String, Double])).toMap
+    }.toMap
     shared.values.foreach(_.df.unpersist())
-    Serialization.write(nested)
+    Serialization.write(complete)
   }
 }
