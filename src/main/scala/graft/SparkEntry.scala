@@ -302,6 +302,11 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id")
+
   /** Exact distinct aggregation (expand + two-phase in Spark). */
   private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -466,6 +471,7 @@ object SparkEntry {
     "q37_set_ops" -> (qSetOps(_, _)),
     "q38_rollup" -> (qRollup(_, _)),
     "q39_pivot" -> (qPivot(_, _)),
+    "q40_lm_score" -> (qLmScore(_, _)),
   )
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
@@ -823,5 +829,17 @@ object SparkEntry {
         |       ROUND(SUM(l_quantity) FILTER (l_returnflag = 'N'), 2) AS qty_n,
         |       ROUND(SUM(l_quantity) FILTER (l_returnflag = 'R'), 2) AS qty_r
         |FROM lineitem GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q40_lm_score" ->
+      """WITH bi AS (
+        |  SELECT doc_id, substr(text, i, 2) AS bg
+        |  FROM documents, generate_series(1, 100000) t(i)
+        |  WHERE i + 1 <= length(text)
+        |), prof AS (SELECT bg, COUNT(*) AS cb FROM bi GROUP BY 1),
+        |prof1 AS (SELECT substr(bg, 1, 1) AS c1, COUNT(*) AS c1n FROM bi GROUP BY 1)
+        |SELECT doc_id, ROUND(-AVG(LN(cb::DOUBLE / c1n)), 4) AS lm_score
+        |FROM bi JOIN prof USING (bg)
+        |JOIN prof1 ON substr(bi.bg, 1, 1) = prof1.c1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -177,6 +177,47 @@ object Similarity {
       .select(col("id"), col("v"), col("cid").as("cell"))
   }
 
+  /** Deterministic spherical k-means (Lloyd's) for IVF centroid
+    * training: vectors are L2-normalized, assignment is argmax cosine
+    * (ties → lowest centroid id), new centroids are the normalized
+    * element-wise means of their members. Init = the k lowest-id
+    * vectors (deterministic; swap for k-means|| behind the same API).
+    *
+    * Each iteration is one assignment join + one (cell, dim) shuffle of
+    * n·d rows; centroids (k·d doubles) collect to the driver and
+    * re-broadcast — the classic iterate-with-small-state Spark loop.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("v", transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))))
+      .persist()
+    var cents = vecs.orderBy("id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }
+    for (_ <- 0 until iters) {
+      val centDf = cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+      val assigned = ivfAssignDf(vecs, "id", "v", centDf, "cid", "cv")
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cell"), expr("transform(ps, p -> p.m)").as("cv"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      cents = cents.map { case (cid, old) =>
+        val m = means.getOrElse(cid, old)
+        val norm = math.sqrt(m.map(x => x * x).sum)
+        (cid, if (norm == 0) old else m.map(_ / norm))
+      }
+    }
+    vecs.unpersist()
+    cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+  }
+
   /** IVF search: exact top-k but only among candidates sharing the
     * query's cell — the candidate set shrinks by ~#cells, which is the
     * whole scale story (the same equi-join-on-bucket plan as LSH).

@@ -66,6 +66,28 @@ object TextAnalysis {
     when(total === 0, lit("und")).otherwise(bestLang)
   }
 
+  /** Corpus-trained character-bigram language-model score: the
+    * negative mean log of p(c₂|c₁) estimated from the corpus itself —
+    * a perplexity-style fluency signal with no external model. High
+    * score = improbable character sequences (boilerplate, garbage,
+    * wrong-language text stand out).
+    *
+    * Two aggregations over the exploded bigram table (bigram counts,
+    * first-char counts — both tiny: |alphabet|² rows) broadcast-join
+    * back onto the bigrams; everything else is map-only.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = df.select(col(idCol).as("doc"),
+      explode(expr(s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))"))
+        .as("bg"))
+    val prof = bi.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val prof1 = bi.groupBy(substring(col("bg"), 1, 1).as("c1")).agg(count(lit(1)).as("c1n"))
+    bi.join(broadcast(prof), "bg")
+      .join(broadcast(prof1), substring(col("bg"), 1, 1) === col("c1"))
+      .groupBy(col("doc"))
+      .agg(round(-avg(log(col("cb").cast("double") / col("c1n"))), 4).as("lm_score"))
+  }
+
   /** Quality metrics per document: token count, mean token length,
     * stopword ratio, punctuation ratio, and a boolean-ish keep flag —
     * the standard cheap pre-filters of web-scale corpus cleaning.
