@@ -307,6 +307,44 @@ object SparkEntry {
       .withColumnRenamed("doc", "doc_id")
       .orderBy("doc_id")
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS shapes). */
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders").select(col("o_custkey"))
+    val withO = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      .withColumn("tag", lit("has_orders"))
+    val without = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      .withColumn("tag", lit("no_orders"))
+    withO.unionByName(without).orderBy("tag", "k")
+  }
+
+  /** Array-function suite over the embedding vectors. */
+  private def qArrayOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        size(col("v")).cast("long").as("dim"),
+        round(array_min(col("v")), 4).as("min_x"),
+        round(array_max(col("v")), 4).as("max_x"),
+        round(expr("aggregate(v, 0.0D, (a, x) -> a + x)") / size(col("v")), 4).as("mean_x"),
+        round(sqrt(Similarity.dot(col("v"), col("v"))), 4).as("l2"))
+      .orderBy("vec_id")
+
+  /** String-function suite (incl. edit distance — identical DP results
+    * across engines).
+    */
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("head10"),
+        reverse(substring(col("text"), 1, 10)).as("rev10"),
+        levenshtein(substring(col("text"), 1, 20), col("lang")).cast("long").as("lev"),
+        length(replace(col("text"), lit(" "), lit(""))).cast("long").as("n_nonspace"),
+        substring_index(col("text"), " ", 3).as("first3"))
+      .orderBy("doc_id")
+
   /** Exact distinct aggregation (expand + two-phase in Spark). */
   private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -472,6 +510,9 @@ object SparkEntry {
     "q38_rollup" -> (qRollup(_, _)),
     "q39_pivot" -> (qPivot(_, _)),
     "q40_lm_score" -> (qLmScore(_, _)),
+    "q41_semi_anti" -> (qSemiAnti(_, _)),
+    "q42_array_ops" -> (qArrayOps(_, _)),
+    "q43_string_funcs" -> (qStringFuncs(_, _)),
   )
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
@@ -841,5 +882,34 @@ object SparkEntry {
         |FROM bi JOIN prof USING (bg)
         |JOIN prof1 ON substr(bi.bg, 1, 1) = prof1.c1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q41_semi_anti" ->
+      """SELECT c_custkey AS k, c_mktsegment AS seg, 'has_orders' AS tag
+        |FROM customer WHERE EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, 'no_orders'
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY tag, k""".stripMargin,
+
+    "q42_array_ops" ->
+      """SELECT vec_id,
+        |       len(v)::BIGINT AS dim,
+        |       ROUND(list_min(v), 4) AS min_x,
+        |       ROUND(list_max(v), 4) AS max_x,
+        |       ROUND(list_reduce(v, (a, x) -> a + x) / len(v), 4) AS mean_x,
+        |       ROUND(sqrt(list_dot_product(v, v)), 4) AS l2
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q43_string_funcs" ->
+      """SELECT doc_id,
+        |       upper(substr(text, 1, 10)) AS head10,
+        |       reverse(substr(text, 1, 10)) AS rev10,
+        |       levenshtein(substr(text, 1, 20), lang)::BIGINT AS lev,
+        |       length(replace(text, ' ', ''))::BIGINT AS n_nonspace,
+        |       array_to_string((string_split(text, ' '))[1:3], ' ') AS first3
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

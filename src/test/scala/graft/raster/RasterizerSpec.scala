@@ -131,4 +131,56 @@ class RasterizerSpec extends AnyFunSuite {
     assert(cells(gf.createPolygon()) == Set.empty)
     assert(lineCells(gf.createLineString()) == Set.empty)
   }
+
+  test("property: center scanline equals JTS point-in-polygon on random convex polygons") {
+    // independent per-cell oracle: PreparedGeometry.contains(center).
+    // Random doubles never place a center exactly on an edge, so the
+    // half-open tie rule can't fire and the two definitions coincide.
+    val re16 = RasterExtent(Extent(0, 0, 16, 16), 16, 16)
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 25) {
+      val pts = Array.fill(3 + rnd.nextInt(8))(
+        new Coordinate(rnd.nextDouble() * 16, rnd.nextDouble() * 16))
+      val hull = new org.locationtech.jts.algorithm.ConvexHull(pts, gf).getConvexHull
+      if (hull.getDimension == 2) {
+        val got = {
+          val b = scala.collection.mutable.Set.empty[(Int, Int)]
+          Rasterizer.foreachCellByPolygon(hull, re16)((c, r) => b += ((c, r)))
+          b.toSet
+        }
+        val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(hull)
+        val want = (for {
+          c <- 0 until 16; r <- 0 until 16
+          p = gf.createPoint(new Coordinate(re16.colCenter(c), re16.rowCenter(r)))
+          if prep.contains(p)
+        } yield (c, r)).toSet
+        assert(got == want, s"trial $trial hull=$hull")
+      }
+    }
+  }
+
+  test("property: PixelIsArea+includePartial equals JTS cell-intersects on random polygons") {
+    val re16 = RasterExtent(Extent(0, 0, 16, 16), 16, 16)
+    val rnd = new scala.util.Random(777)
+    for (trial <- 0 until 15) {
+      val pts = Array.fill(3 + rnd.nextInt(6))(
+        new Coordinate(rnd.nextDouble() * 16, rnd.nextDouble() * 16))
+      val hull = new org.locationtech.jts.algorithm.ConvexHull(pts, gf).getConvexHull
+      if (hull.getDimension == 2) {
+        val got = {
+          val b = scala.collection.mutable.Set.empty[(Int, Int)]
+          Rasterizer.foreachCellByPolygon(hull, re16,
+            Options(includePartial = true, pixelIsArea = true))((c, r) => b += ((c, r)))
+          b.toSet
+        }
+        val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(hull)
+        val want = (for {
+          c <- 0 until 16; r <- 0 until 16
+          cell = re16.cellExtent(c, r)
+          if prep.intersects(gf.toGeometry(cell.toEnvelope))
+        } yield (c, r)).toSet
+        assert(got == want, s"trial $trial hull=$hull")
+      }
+    }
+  }
 }
