@@ -872,15 +872,18 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY status""".stripMargin,
 
     "q40_lm_score" ->
-      """WITH bi AS (
-        |  SELECT doc_id, substr(text, i, 2) AS bg
-        |  FROM documents, generate_series(1, 100000) t(i)
-        |  WHERE i + 1 <= length(text)
-        |), prof AS (SELECT bg, COUNT(*) AS cb FROM bi GROUP BY 1),
-        |prof1 AS (SELECT substr(bg, 1, 1) AS c1, COUNT(*) AS c1n FROM bi GROUP BY 1)
-        |SELECT doc_id, ROUND(-AVG(LN(cb::DOUBLE / c1n)), 4) AS lm_score
-        |FROM bi JOIN prof USING (bg)
-        |JOIN prof1 ON substr(bi.bg, 1, 1) = prof1.c1
+      """WITH docbi AS (
+        |  SELECT doc_id, bg, COUNT(*) AS c FROM (
+        |    SELECT doc_id, substr(text, i, 2) AS bg
+        |    FROM documents, generate_series(1, 100000) t(i)
+        |    WHERE i + 1 <= length(text))
+        |  GROUP BY 1, 2
+        |), prof AS (SELECT bg, SUM(c)::BIGINT AS cb FROM docbi GROUP BY 1),
+        |prof1 AS (SELECT substr(bg, 1, 1) AS c1, SUM(c)::BIGINT AS c1n FROM docbi GROUP BY 1)
+        |SELECT doc_id,
+        |       ROUND(-(SUM(c * LN(cb::DOUBLE / c1n)) / SUM(c)), 4) AS lm_score
+        |FROM docbi JOIN prof USING (bg)
+        |JOIN prof1 ON substr(docbi.bg, 1, 1) = prof1.c1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q41_semi_anti" ->

@@ -4,49 +4,88 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (point-in-time) join: for each left row, attach the latest
-  * right row with `rightTime <= leftTime` within the same key group.
+/** As-of (point-in-time) join: for each left row, attach the right row
+  * nearest in time within the same key group, by direction:
+  *
+  *  - `backward` (default): latest right with rightTime <= leftTime
+  *    (DuckDB/pandas ASOF semantics, inclusive)
+  *  - `forward`: earliest right with rightTime >= leftTime (inclusive)
+  *  - `nearest`: whichever of the two is closer; ties go backward
   *
   * Implementation is the union-sort technique, not a range join: tag
-  * both sides, union, and take `last(right, ignoreNulls)` over a window
-  * ordered by (time, side) per key. Cost is ONE shuffle of L+R rows on
-  * the key — at 100 TB this beats any O(L×R-per-key) range-condition
-  * join and never materializes candidate pairs. Right rows sort before
-  * left rows at equal timestamps, so the match is inclusive
-  * (`rightTime <= leftTime`), matching DuckDB/pandas `ASOF JOIN`
-  * semantics.
+  * both sides, union, and resolve matches with one window over
+  * (time, side) per key. Cost is ONE shuffle of L+R rows on the key —
+  * at 100 TB this beats any O(L×R-per-key) range-condition join and
+  * never materializes candidate pairs. Side ordering makes both
+  * directions inclusive at equal timestamps.
   *
   * Right side must be unique per (keys, rightTime); pre-aggregate it
   * otherwise (ambiguous matches have no deterministic answer).
-  *
   * Left rows with no match keep null right values (left-join
-  * semantics); filter them out for DuckDB-style inner `ASOF JOIN`.
+  * semantics); filter them out for inner `ASOF JOIN` behavior.
   */
 object AsOfJoin {
 
   def asof(left: DataFrame, right: DataFrame,
            leftTime: String, rightTime: String,
            keys: Seq[String],
-           rightValueCols: Seq[String]): DataFrame = {
+           rightValueCols: Seq[String],
+           direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown direction: $direction")
     val leftCols = left.columns.toSeq
+    val rStruct = struct((rightValueCols.map(col) :+
+      col(rightTime).cast("timestamp").as("__rt")): _*)
+    val rSchema = right
+      .select((rightValueCols.map(col) :+ col(rightTime).cast("timestamp").as("__rt")): _*)
+      .schema
+    // side 0 sorts before side 1 at equal __t: backward windows end at
+    // the current row, so rights (side 0) at the same instant are
+    // visible to lefts (side 1); forward windows start at the current
+    // row, so rights must sort AFTER lefts (side 2)
     val l = left
-      .withColumn("__t", col(leftTime))
+      .withColumn("__t", col(leftTime).cast("timestamp"))
       .withColumn("__side", lit(1))
-      .withColumn("__r", lit(null).cast(
-        right.select(rightValueCols.map(col): _*).schema
-          .foldLeft(new org.apache.spark.sql.types.StructType)((s, f) => s.add(f))))
-    val r = right
-      .select((keys.map(col) :+ col(rightTime).as("__t")) ++
-        Seq(lit(0).as("__side"), struct(rightValueCols.map(col): _*).as("__r")): _*)
-    // align schemas: right side gets nulls for left-only columns
-    val rAligned = leftCols.filterNot(keys.contains)
-      .foldLeft(r)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select(l.columns.map(col): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .withColumn("__r", lit(null).cast(rSchema
+        .foldLeft(new org.apache.spark.sql.types.StructType)((s, f) => s.add(f))))
+    val rBase = right.select((keys.map(col) :+ col(rightTime).cast("timestamp").as("__t")) ++
+      Seq(rStruct.as("__r")): _*)
+    def align(r: DataFrame, side: Int): DataFrame = {
+      val withSide = r.withColumn("__side", lit(side))
+      leftCols.filterNot(keys.contains)
+        .foldLeft(withSide)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+        .select(l.columns.map(col): _*)
+    }
+    val ord = Seq(col("__t"), col("__side"))
+    val wBack = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(rAligned)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    val wFwd = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val unioned = direction match {
+      case "backward" => l.unionByName(align(rBase, 0))
+        .withColumn("__m", last(col("__r"), ignoreNulls = true).over(wBack))
+      case "forward" => l.unionByName(align(rBase, 2))
+        .withColumn("__m", first(col("__r"), ignoreNulls = true).over(wFwd))
+      case "nearest" =>
+        // rights appear once; both windows see them (side 0 = before
+        // lefts for backward; forward first() from a left row still
+        // reaches later rights because side 0 rows sort earlier only
+        // at EQUAL times, where both directions match anyway)
+        l.unionByName(align(rBase, 0))
+          .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wBack))
+          .withColumn("__f", first(col("__r"), ignoreNulls = true)
+            .over(wFwd))
+          // at equal times __f may be the row itself for rights; for
+          // left rows both candidates are real right rows
+          .withColumn("__m",
+            when(col("__f").isNull, col("__b"))
+              .when(col("__b").isNull, col("__f"))
+              .when(abs(col("__f.__rt").cast("long") - col("__t").cast("long")) <
+                abs(col("__t").cast("long") - col("__b.__rt").cast("long")), col("__f"))
+              .otherwise(col("__b")))
+    }
+    unioned
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         rightValueCols.map(c => col(s"__m.$c").as(c)): _*)

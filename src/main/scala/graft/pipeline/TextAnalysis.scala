@@ -77,15 +77,21 @@ object TextAnalysis {
     * back onto the bigrams; everything else is map-only.
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bi = df.select(col(idCol).as("doc"),
+    // (doc, bigram, count) — at most |alphabet|² rows per doc, so all
+    // downstream joins/aggregations run on compressed counts instead
+    // of one row per character position
+    val docBi = df.select(col(idCol).as("doc"),
       explode(expr(s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))"))
         .as("bg"))
-    val prof = bi.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val prof1 = bi.groupBy(substring(col("bg"), 1, 1).as("c1")).agg(count(lit(1)).as("c1n"))
-    bi.join(broadcast(prof), "bg")
+      .groupBy(col("doc"), col("bg")).agg(count(lit(1)).as("c"))
+    val prof = docBi.groupBy(col("bg")).agg(sum(col("c")).as("cb"))
+    val prof1 = docBi.groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum(col("c")).as("c1n"))
+    docBi.join(broadcast(prof), "bg")
       .join(broadcast(prof1), substring(col("bg"), 1, 1) === col("c1"))
       .groupBy(col("doc"))
-      .agg(round(-avg(log(col("cb").cast("double") / col("c1n"))), 4).as("lm_score"))
+      .agg(round(-(sum(col("c") * log(col("cb").cast("double") / col("c1n"))) /
+        sum(col("c"))), 4).as("lm_score"))
   }
 
   /** Quality metrics per document: token count, mean token length,

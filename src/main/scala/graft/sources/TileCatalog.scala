@@ -80,6 +80,40 @@ object TileCatalog {
       .parquet(s"$path/tiles")
   }
 
+  /** Ingest a layer from a LONG-FORMAT pixel DataFrame
+    * `(gc INT, gr INT, v)` — the ETL direction: group pixels into
+    * dense tiles, NODATA-filling absent cells. Fully declarative
+    * (map_from_entries + transform over the cell sequence), one
+    * shuffle on the tile key; Catalyst handles partial grouping.
+    */
+  def writePixels(spark: SparkSession, path: String, meta: RasterMeta,
+                  pixels: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val tc = meta.tileCols
+    val tr = meta.tileRows
+    val (valueCol, fillSql, arrType) =
+      if (meta.isInt) ("tile_i", s"${Int.MinValue}", "array<int>")
+      else ("tile_d", "CAST('NaN' AS DOUBLE)", "array<double>")
+    val otherCol = if (meta.isInt) "tile_d" else "tile_i"
+    val otherType = if (meta.isInt) "array<double>" else "array<int>"
+    pixels
+      .select((col("gc") / tc).cast("int").as("key_col"),
+        (col("gr") / tr).cast("int").as("key_row"),
+        ((col("gr") % tr) * tc + (col("gc") % tc)).cast("int").as("idx"),
+        col("v"))
+      .groupBy(col("key_col"), col("key_row"))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("v")))).as("m"))
+      .select(col("key_col"), col("key_row"),
+        expr(s"transform(sequence(0, ${tc * tr - 1}), i -> coalesce(element_at(m, i), $fillSql))")
+          .cast(arrType).as(valueCol))
+      .withColumn(otherCol, lit(null).cast(otherType))
+      .withColumn("raster_id", lit(meta.rasterId))
+      .withColumn("zoom", lit(meta.zoom))
+      .select("key_col", "key_row", "tile_i", "tile_d", "raster_id", "zoom")
+      .write.mode("append").partitionBy("raster_id", "zoom")
+      .parquet(s"$path/tiles")
+  }
+
   /** Spatially-pruned layer scan (reference `fetchCroppedLayer`,
     * Utils.scala:241-248): partition-prunes on raster_id/zoom and
     * range-filters the key bbox derived from the AOI envelope — both
