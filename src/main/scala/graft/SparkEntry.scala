@@ -307,6 +307,27 @@ object SparkEntry {
       .withColumnRenamed("doc", "doc_id")
       .orderBy("doc_id")
 
+  /** Exact interpolated percentiles (sort-based, order-independent). */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("r1"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("r1")
+
+  /** Date/time function suite over order dates. */
+  private def qDatetime(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"))
+      .orderBy("o_orderkey")
+
   /** Semi/anti joins (EXISTS / NOT EXISTS shapes). */
   private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
@@ -513,6 +534,8 @@ object SparkEntry {
     "q41_semi_anti" -> (qSemiAnti(_, _)),
     "q42_array_ops" -> (qArrayOps(_, _)),
     "q43_string_funcs" -> (qStringFuncs(_, _)),
+    "q44_percentiles" -> (qPercentiles(_, _)),
+    "q45_datetime" -> (qDatetime(_, _)),
   )
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
@@ -914,5 +937,21 @@ object SparkEntry {
         |       length(replace(text, ' ', ''))::BIGINT AS n_nonspace,
         |       array_to_string((string_split(text, ' '))[1:3], ' ') AS first3
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q44_percentiles" ->
+      """SELECT l_returnflag AS r1,
+        |       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY r1""".stripMargin,
+
+    "q45_datetime" ->
+      """SELECT o_orderkey,
+        |       year(o_orderdate)::BIGINT AS y,
+        |       quarter(o_orderdate)::BIGINT AS q,
+        |       month(o_orderdate)::BIGINT AS m,
+        |       day(o_orderdate)::BIGINT AS d,
+        |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }
