@@ -96,4 +96,26 @@ object EventStreams {
                   watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
+
+  /** Watermarked stream–stream inner join: match right events to left
+    * events of the same key within `withinSeconds` AFTER the left
+    * event. Both sides carry watermarks and the join has a bounded
+    * time-range predicate, so Spark can evict join state — without
+    * both, stream-stream state grows forever.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       withinSeconds: Long = 600,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("k"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("k"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r,
+      l("k") === r("k") &&
+        r("r_ts") >= l("l_ts") &&
+        r("r_ts") <= l("l_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(l("k"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
 }

@@ -69,6 +69,28 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within the time bound only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val bdf = buys.toDF().toDF("user_id", "ts", "event_id")
+    val q = EventStreams.streamStreamJoin(cdf, bdf, "user_id", withinSeconds = 300)
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      // away from epoch: Spark's initial watermark is 0, and rows at
+      // or below the watermark are dropped as late
+      clicks.addData((1L, ts(100), 100L), (2L, ts(100), 101L))
+      buys.addData((1L, ts(102), 200L), // within 5 min of click 100
+        (2L, ts(120), 201L)) // 20 min later: outside
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 100L, 200L)))
+    } finally q.stop()
+  }
+
   test("the same transform runs in batch mode (unified API)") {
     import spark.implicits._
     val batch = Seq((ts(1), "click", 1.0), (ts(2), "click", 2.0))
