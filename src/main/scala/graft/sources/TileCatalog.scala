@@ -80,6 +80,63 @@ object TileCatalog {
       .parquet(s"$path/tiles")
   }
 
+  /** Build the next overview level (zoom+1 = 2× downsample, nearest
+    * neighbor: top-left of each 2×2 block) from an existing zoom.
+    * Four child tiles collapse into one parent tile of the same pixel
+    * dimensions; one shuffle on the parent key. Returns the new meta.
+    *
+    * The reference catalog is single-zoom in practice (zoom always 0,
+    * Utils.scala:57) but carries the zoom dimension — overviews are
+    * the standard way that dimension gets populated in a real pyramid.
+    */
+  def buildOverview(spark: SparkSession, path: String, meta: RasterMeta): RasterMeta = {
+    import org.apache.spark.sql.functions._
+    require(meta.layoutCols % 2 == 0 && meta.layoutRows % 2 == 0,
+      "overview needs an even tile grid")
+    val tc = meta.tileCols
+    val tr = meta.tileRows
+    val half = tc / 2
+    val src = spark.read.parquet(s"$path/tiles")
+      .filter(col("raster_id") === meta.rasterId && col("zoom") === meta.zoom)
+    // child (kc,kr) lands in parent (kc/2, kr/2) quadrant (kc%2, kr%2);
+    // parent cell (c,r) of quadrant (qx,qy) samples child cell (2c',2r')
+    // with c' local — expressed as one transform over the parent index
+    // space per child tile, then map-merge of the four quadrants
+    val isInt = meta.isInt
+    val valueCol = if (isInt) "tile_i" else "tile_d"
+    val contrib = src.select(
+      (col("key_col") / 2).cast("int").as("key_col"),
+      (col("key_row") / 2).cast("int").as("key_row"),
+      (col("key_col") % 2).as("qx"), (col("key_row") % 2).as("qy"),
+      col(valueCol).as("t"))
+    // per child tile: (tc/2)·(tr/2) sampled entries in parent index
+    // space (local col = j % half, local row = j DIV half), then the
+    // proven writePixels packing: explode → map_from_entries → fill
+    val entryExpr =
+      s"""transform(sequence(0, ${half * (tr / 2) - 1}), j -> struct(
+         |  CAST((qy * ${tr / 2} + j DIV $half) * $tc + qx * $half + j % $half AS INT) AS idx,
+         |  element_at(t, CAST((j DIV $half) * 2 * $tc + (j % $half) * 2 + 1 AS INT)) AS v))""".stripMargin
+    val fill = if (isInt) s"${Int.MinValue}" else "CAST('NaN' AS DOUBLE)"
+    val out = contrib
+      .select(col("key_col"), col("key_row"), explode(expr(entryExpr)).as("e"))
+      .groupBy(col("key_col"), col("key_row"))
+      .agg(map_from_entries(collect_list(struct(col("e.idx"), col("e.v")))).as("m"))
+      .select(col("key_col"), col("key_row"),
+        expr(s"transform(sequence(0, ${tc * tr - 1}), i -> coalesce(element_at(m, i), $fill))")
+          .as("vals"))
+    val (vi, vd) =
+      if (isInt) (col("vals").cast("array<int>"), lit(null).cast("array<double>"))
+      else (lit(null).cast("array<int>"), col("vals").cast("array<double>"))
+    out.select(col("key_col"), col("key_row"), vi.as("tile_i"), vd.as("tile_d"))
+      .withColumn("raster_id", lit(meta.rasterId))
+      .withColumn("zoom", lit(meta.zoom + 1))
+      .select("key_col", "key_row", "tile_i", "tile_d", "raster_id", "zoom")
+      .write.mode("append").partitionBy("raster_id", "zoom")
+      .parquet(s"$path/tiles")
+    meta.copy(zoom = meta.zoom + 1,
+      layoutCols = meta.layoutCols / 2, layoutRows = meta.layoutRows / 2)
+  }
+
   /** Ingest a layer from a LONG-FORMAT pixel DataFrame
     * `(gc INT, gr INT, v)` — the ETL direction: group pixels into
     * dense tiles, NODATA-filling absent cells. Fully declarative

@@ -159,6 +159,31 @@ class RasterizerSpec extends AnyFunSuite {
     }
   }
 
+  test("property: PixelIsArea+fully-inside equals JTS covers on random polygons") {
+    val re16 = RasterExtent(Extent(0, 0, 16, 16), 16, 16)
+    val rnd = new scala.util.Random(1313)
+    for (trial <- 0 until 15) {
+      val pts = Array.fill(3 + rnd.nextInt(6))(
+        new Coordinate(rnd.nextDouble() * 16, rnd.nextDouble() * 16))
+      val hull = new org.locationtech.jts.algorithm.ConvexHull(pts, gf).getConvexHull
+      if (hull.getDimension == 2) {
+        val got = {
+          val b = scala.collection.mutable.Set.empty[(Int, Int)]
+          Rasterizer.foreachCellByPolygon(hull, re16,
+            Options(includePartial = false, pixelIsArea = true))((c, r) => b += ((c, r)))
+          b.toSet
+        }
+        val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(hull)
+        val want = (for {
+          c <- 0 until 16; r <- 0 until 16
+          cell = re16.cellExtent(c, r)
+          if prep.covers(gf.toGeometry(cell.toEnvelope))
+        } yield (c, r)).toSet
+        assert(got == want, s"trial $trial hull=$hull")
+      }
+    }
+  }
+
   test("property: PixelIsArea+includePartial equals JTS cell-intersects on random polygons") {
     val re16 = RasterExtent(Extent(0, 0, 16, 16), 16, 16)
     val rnd = new scala.util.Random(777)

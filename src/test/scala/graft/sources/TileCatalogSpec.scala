@@ -33,6 +33,28 @@ class TileCatalogSpec extends AnyFunSuite with SparkSpec {
     (0 until 8).foreach(i => assert(got(s"List(${i * 10})") == 1))
   }
 
+  test("buildOverview halves resolution with nearest-neighbor sampling") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ovr").toString
+    val meta = RasterMeta("ov", 0, "ConusAlbers", "int", 0, 0, 8, 8, 4, 4, 2, 2)
+    // value = global col + 10 * global row, all tiles present
+    val pixels = (for (gc <- 0 until 8; gr <- 0 until 8) yield (gc, gr, gc + 10 * gr))
+      .toDF("gc", "gr", "v")
+    TileCatalog.writePixels(spark, dir, meta, pixels)
+    val meta1 = TileCatalog.buildOverview(spark, dir, meta)
+    TileCatalog.writeMeta(dir, Seq(meta, meta1))
+    assert(meta1.zoom == 1 && meta1.layoutCols == 1 && meta1.layoutRows == 1)
+    // zoom 1: one 4×4 tile; cell (c, r) samples full-res (2c, 2r)
+    val aoi = gf.createMultiPolygon(Array(gf.createPolygon(Array(
+      new Coordinate(0, 0), new Coordinate(8, 0), new Coordinate(8, 8),
+      new Coordinate(0, 8), new Coordinate(0, 0)))))
+    val rows = TileCatalog.readLayer(spark, dir, meta1, aoi).collect()
+    assert(rows.length == 1)
+    val arr = rows.head.getSeq[Int](2)
+    val want = for (r <- 0 until 4; c <- 0 until 4) yield 2 * c + 10 * (2 * r)
+    assert(arr == want)
+  }
+
   test("writePixels double layer NaN-fills and round-trips through summary") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest-d").toString
