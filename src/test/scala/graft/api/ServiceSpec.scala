@@ -94,6 +94,23 @@ class ServiceSpec extends AnyFunSuite with SparkSpec {
       "List(2, 1)" -> 2, "List(3, 1)" -> 2))
   }
 
+  test("RasterGroupedCountMany preserves input polygon order") {
+    val shapeA = """{\"type\":\"Polygon\",\"coordinates\":[[[1,5],[4,5],[4,7],[1,7],[1,5]]]}"""
+    val shapeB = """{\"type\":\"Polygon\",\"coordinates\":[[[4,1],[7,1],[7,4],[4,4],[4,1]]]}"""
+    val req =
+      s"""{"input": {"operationType": "RasterGroupedCountMany",
+         |  "rasters": ["soil"], "zoom": 0,
+         |  "polygonCRS": "ConusAlbers", "rasterCRS": "ConusAlbers",
+         |  "polygon": ["$shapeA", "$shapeB"]}}""".stripMargin
+    val resp = JsonMethods.parse(Service.run(cat, req))
+    val result = (resp \ "result").extract[List[Map[String, Int]]]
+    assert(result.size == 2)
+    // shape A [1,4]×[5,7]: gr 1..2 → soil=0, 6 px
+    assert(result(0) == Map("List(0)" -> 6))
+    // shape B [4,7]×[1,4]: gr 4..6 → soil=1, 9 px
+    assert(result(1) == Map("List(1)" -> 9))
+  }
+
   test("unknown operationType raises InvalidOperationException") {
     intercept[Service.InvalidOperationException](
       Service.run(cat, request("RasterFrobnicate")))

@@ -40,6 +40,13 @@ class DotProductSpec extends AnyFunSuite with SparkSpec {
     assert(weird.collect().head.isNullAt(0))
   }
 
+  test("graft_dot is callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head
+    assert(r.getDouble(0) == 32.0)
+  }
+
   test("a non-product aggregate is NOT rewritten") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
