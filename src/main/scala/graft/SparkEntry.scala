@@ -307,6 +307,45 @@ object SparkEntry {
       .withColumnRenamed("doc", "doc_id")
       .orderBy("doc_id")
 
+  /** Classic warehouse rollup: 4-table star join → revenue by nation
+    * (the TPC-H Q5 family — broadcast dims, one fact shuffle).
+    */
+  private def qRevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Sequential funnel: per user, earliest view → first click after it
+    * → first purchase after that; counts per furthest stage reached.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
+    val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click")).agg(min(col("ts")).as("t_buy"))
+    t1.join(t2.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), col("t_buy")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        lit(1L).as("reached_view"),
+        col("t_click").isNotNull.cast("long").as("reached_click"),
+        col("t_buy").isNotNull.cast("long").as("reached_buy"))
+      .orderBy("user_id")
+  }
+
   /** Exact interpolated percentiles (sort-based, order-independent). */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -536,6 +575,8 @@ object SparkEntry {
     "q43_string_funcs" -> (qStringFuncs(_, _)),
     "q44_percentiles" -> (qPercentiles(_, _)),
     "q45_datetime" -> (qDatetime(_, _)),
+    "q46_revenue_by_nation" -> (qRevenueByNation(_, _)),
+    "q47_funnel" -> (qFunnel(_, _)),
   )
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
@@ -953,5 +994,35 @@ object SparkEntry {
         |       day(o_orderdate)::BIGINT AS d,
         |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q46_revenue_by_nation" ->
+      """SELECT n_name,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+    "q47_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t_view GROUP BY 1
+        |), t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_buy
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click GROUP BY 1
+        |)
+        |SELECT t1.user_id, 1::BIGINT AS reached_view,
+        |       (t2.user_id IS NOT NULL)::BIGINT AS reached_click,
+        |       (t3.user_id IS NOT NULL)::BIGINT AS reached_buy
+        |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |LEFT JOIN t3 ON t1.user_id = t3.user_id
+        |ORDER BY t1.user_id""".stripMargin,
   )
 }
