@@ -176,7 +176,7 @@ object SparkEntry {
 
   private def qLangid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.languageId("text").as("lang_pred"))
+      .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
   // ---- q20–q21: embedding similarity ----

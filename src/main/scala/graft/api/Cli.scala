@@ -37,6 +37,12 @@ object Cli {
         System.err.println(s"Bad Request: ${e.getMessage}"); sys.exit(1)
       case e: graft.geom.UnknownCrsException =>
         System.err.println(s"Bad Request: ${e.getMessage}"); sys.exit(1)
+      case e: graft.geom.MalformedGeoJsonException =>
+        System.err.println(s"Bad Request: Malformed GeoJSON: ${e.getMessage}"); sys.exit(1)
+      case e: org.json4s.MappingException =>
+        System.err.println(s"Bad Request: Invalid request body: ${e.getMessage}"); sys.exit(1)
+      case e: IllegalArgumentException =>
+        System.err.println(s"Bad Request: ${e.getMessage}"); sys.exit(1)
     } finally {
       spark.stop()
     }

@@ -63,8 +63,17 @@ object Service {
         Zonal.Layer(m, TileCatalog.readLayer(spark, path, m, aoi))
       }
 
-    def layout(ids: Seq[String]): graft.raster.Layout =
-      metas(ids.head).layout
+    /** Shared layout of the request's rasters. The align join and the
+      * pixel indexing assume ONE grid (the reference assumes identical
+      * layouts too, Geoprocessing.scala:345) — reject mixed grids
+      * instead of silently zipping pixels from different places.
+      */
+    def layout(ids: Seq[String]): graft.raster.Layout = {
+      val layouts = ids.map(id => metas(id).layout).distinct
+      require(layouts.size == 1,
+        s"rasters must share one layout, got ${layouts.size}: ${ids.mkString(", ")}")
+      layouts.head
+    }
   }
 
   private def crs(name: Option[String], default: Projections.Crs): Projections.Crs =

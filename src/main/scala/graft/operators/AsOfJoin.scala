@@ -81,8 +81,10 @@ object AsOfJoin {
           .withColumn("__m",
             when(col("__f").isNull, col("__b"))
               .when(col("__b").isNull, col("__f"))
-              .when(abs(col("__f.__rt").cast("long") - col("__t").cast("long")) <
-                abs(col("__t").cast("long") - col("__b.__rt").cast("long")), col("__f"))
+              // microsecond precision: cast("long") would truncate to
+              // whole seconds and pick the wrong side for sub-second data
+              .when(abs(unix_micros(col("__f.__rt")) - unix_micros(col("__t"))) <
+                abs(unix_micros(col("__t")) - unix_micros(col("__b.__rt"))), col("__f"))
               .otherwise(col("__b")))
     }
     unioned

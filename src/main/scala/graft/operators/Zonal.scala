@@ -50,6 +50,29 @@ object Zonal {
 
   private def bgeom(g: Geometry): BGeom = new BGeom(GeomOps.toWkb(g))
 
+  /** Decode a grouping tile to Int values regardless of stored cell
+    * type (reference semantics: grouping rasters are read as Int,
+    * `tile.get` — double cells truncate, NaN → NODATA).
+    */
+  private def decodeIntTile(row: Row, ord: Int): Array[Int] =
+    if (row.isNullAt(ord)) null
+    else row.getSeq[Any](ord).map {
+      case i: Int => i
+      case d: Double => if (d.isNaN) NoData.INT else d.toInt
+      case null => NoData.INT
+    }.toArray
+
+  /** Decode a target tile to Double regardless of stored cell type
+    * (reference `tile.getDouble` — Int NODATA widens to NaN).
+    */
+  private def decodeDoubleTile(row: Row, ord: Int): Array[Double] =
+    if (row.isNullAt(ord)) null
+    else row.getSeq[Any](ord).map {
+      case d: Double => d
+      case i: Int => if (i == NoData.INT) Double.NaN else i.toDouble
+      case null => Double.NaN
+    }.toArray
+
   /** Hash-map key wrapping a primitive int array. */
   private final class ValsKey(val a: Array[Int]) {
     override val hashCode: Int = java.util.Arrays.hashCode(a)
@@ -125,14 +148,8 @@ object Zonal {
       val keyCol = row.getInt(0)
       val keyRow = row.getInt(1)
       val re = lay.rasterExtent(keyCol, keyRow)
-      val groups: Array[Array[Int]] = Array.tabulate(n) { i =>
-        if (row.isNullAt(2 + i)) null else row.getSeq[Int](2 + i).toArray
-      }
-      val tgt: Array[Double] =
-        if (hasTarget && !row.isNullAt(2 + n)) {
-          val s = row.getSeq[Any](2 + n)
-          s.map { case d: Double => d; case null => Double.NaN }.toArray
-        } else null
+      val groups: Array[Array[Int]] = Array.tabulate(n)(i => decodeIntTile(row, 2 + i))
+      val tgt: Array[Double] = if (hasTarget) decodeDoubleTile(row, 2 + n) else null
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
       shapes.zipWithIndex.foreach { case (bg, si) =>
         val accum = scala.collection.mutable.HashMap.empty[ValsKey, Agg]
@@ -259,9 +276,7 @@ object Zonal {
       val keyCol = row.getInt(0)
       val keyRow = row.getInt(1)
       val re = lay.rasterExtent(keyCol, keyRow)
-      val groups: Array[Array[Int]] = Array.tabulate(n) { i =>
-        if (row.isNullAt(2 + i)) null else row.getSeq[Int](2 + i).toArray
-      }
+      val groups: Array[Array[Int]] = Array.tabulate(n)(i => decodeIntTile(row, 2 + i))
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
       perShape.zipWithIndex.foreach { case (bg, si) =>
         val accum = scala.collection.mutable.HashMap.empty[ValsKey, Agg]
@@ -333,8 +348,10 @@ object Render {
     df.collect().map(r => listKey(r.getSeq[Int](0)) -> r.getDouble(1)).toMap
 
   def toResultSummary(df: DataFrame): Seq[Map[String, Double]] =
-    df.collect().sortBy(_.getInt(0)).map(r => Map(
-      "min" -> r.getDouble(2), "avg" -> r.getDouble(3), "max" -> r.getDouble(4))).toSeq
+    df.collect().sortBy(_.getInt(0)).map { r =>
+      def d(i: Int) = if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+      Map("min" -> d(2), "avg" -> d(3), "max" -> d(4))
+    }.toSeq
 
   def toResultManyInt(df: DataFrame, nShapes: Int): Seq[Map[String, Int]] = {
     val grouped = df.collect()

@@ -26,11 +26,13 @@ object TextAnalysis {
     regexp_count(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long")
 
   /** Number of tokens of `text` that appear in `words`. Occurrence count,
-    * not distinct (uses a higher-order `filter`, codegen-friendly).
+    * not distinct (higher-order `filter`, codegen-friendly). Words are
+    * passed as literal columns, never interpolated into SQL text, so
+    * quotes/apostrophes in caller-supplied lists are safe.
     */
-  def wordSetCount(textSql: String, words: Seq[String]): Column = {
-    val set = words.map(w => s"'$w'").mkString(", ")
-    size(expr(s"filter(split($textSql, ' '), t -> t IN ($set))")).cast("long")
+  def wordSetCount(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(split(text, " "), t => array_contains(set, t))).cast("long")
   }
 
   /** Canonical document fingerprint: md5 of case-folded,
@@ -54,8 +56,8 @@ object TextAnalysis {
     * argmax with deterministic tie-break (declaration order), `und`
     * when nothing matches. Pure column expression → map-only at scale.
     */
-  def languageId(textSql: String, markers: Seq[(String, Seq[String])] = defaultMarkers): Column = {
-    val scores = markers.map { case (lang, ws) => lang -> wordSetCount(textSql, ws) }
+  def languageId(text: Column, markers: Seq[(String, Seq[String])] = defaultMarkers): Column = {
+    val scores = markers.map { case (lang, ws) => lang -> wordSetCount(text, ws) }
     val total = scores.map(_._2).reduce(_ + _)
     // argmax by fold: a later language wins only with a strictly greater
     // score, so ties resolve in declaration order
@@ -80,9 +82,14 @@ object TextAnalysis {
     // (doc, bigram, count) — at most |alphabet|² rows per doc, so all
     // downstream joins/aggregations run on compressed counts instead
     // of one row per character position
+    // CASE guard: Spark's sequence(1, k) counts DOWN for k < 1, so an
+    // empty/1-char doc must yield no bigrams (not bogus ones that
+    // would pollute the corpus profile and diverge from the oracle)
     val docBi = df.select(col(idCol).as("doc"),
-      explode(expr(s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))"))
-        .as("bg"))
+      explode(expr(
+        s"CASE WHEN length($textCol) >= 2 THEN " +
+          s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2)) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("bg"))
       .groupBy(col("doc"), col("bg")).agg(count(lit(1)).as("c"))
     val prof = docBi.groupBy(col("bg")).agg(sum(col("c")).as("cb"))
     val prof1 = docBi.groupBy(substring(col("bg"), 1, 1).as("c1"))
@@ -103,7 +110,7 @@ object TextAnalysis {
     val t = col(textCol)
     val nTokens = size(tokens(t)).cast("long")
     val nChars = length(t).cast("long")
-    val stopCnt = wordSetCount(textCol, stopwords)
+    val stopCnt = wordSetCount(t, stopwords)
     val punctCnt = (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).cast("long")
     df.select(
       col(idCol),

@@ -192,8 +192,30 @@ object Rasterizer {
     }
   }
 
-  private def traverseSegment(x0: Double, y0: Double, x1: Double, y1: Double,
+  private def traverseSegment(rx0: Double, ry0: Double, rx1: Double, ry1: Double,
                               re: RasterExtent)(mark: (Int, Int) => Unit): Unit = {
+    // parametric (slab) clamp to the tile extent so the walk costs
+    // O(local coverage), not O(full segment length) per tile — a long
+    // line crossing N tiles would otherwise cost N × its whole path
+    val e = re.extent
+    val fdx = rx1 - rx0
+    val fdy = ry1 - ry0
+    var tmin = 0.0
+    var tmax = 1.0
+    def slab(p: Double, d: Double, lo: Double, hi: Double): Boolean = {
+      if (d == 0.0) return p >= lo && p <= hi
+      var t0 = (lo - p) / d
+      var t1 = (hi - p) / d
+      if (t0 > t1) { val tmp = t0; t0 = t1; t1 = tmp }
+      tmin = math.max(tmin, t0)
+      tmax = math.min(tmax, t1)
+      tmin <= tmax
+    }
+    if (!slab(rx0, fdx, e.xmin, e.xmax) || !slab(ry0, fdy, e.ymin, e.ymax)) return
+    val x0 = rx0 + tmin * fdx
+    val y0 = ry0 + tmin * fdy
+    val x1 = rx0 + tmax * fdx
+    val y1 = ry0 + tmax * fdy
     val dx = x1 - x0
     val dy = y1 - y0
     var c = re.mapXToGrid(x0)

@@ -48,6 +48,9 @@ object ZonalFixture {
     val spec = specFor(sfDir)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zonal_${spec.layoutCols}x${spec.layoutRows}x${spec.tileSize}"
     if (new java.io.File(s"$dir/meta.json").exists()) return dir
+    // a crashed partial build would re-append tiles on retry (writers
+    // use append mode) and silently double every count — build fresh
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     import spark.implicits._
     val ts = spec.tileSize
     val keys = for (kc <- 0 until spec.layoutCols; kr <- 0 until spec.layoutRows) yield (kc, kr)

@@ -88,14 +88,16 @@ object EventStreams {
       }
   }
 
-  /** Streaming exact dedup on a fingerprint column: `dropDuplicates`
-    * bounded by watermark — at scale the state store holds only keys
-    * inside the watermark horizon.
+  /** Streaming exact dedup on a fingerprint column:
+    * `dropDuplicatesWithinWatermark` — duplicates of the same key are
+    * dropped regardless of their event time (a producer retry seconds
+    * later is still a duplicate), and state stays bounded by the
+    * watermark horizon.
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Watermarked stream–stream inner join: match right events to left
     * events of the same key within `withinSeconds` AFTER the left

@@ -70,7 +70,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val df = Seq((1L, "the a order key"), (2L, "window group batch"), (3L, "zzz qqq"))
       .toDF("doc_id", "text")
-    val got = df.select($"doc_id", TextAnalysis.languageId("text").as("l"))
+    val got = df.select($"doc_id", TextAnalysis.languageId($"text").as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
   }
