@@ -104,6 +104,8 @@ object Zonal {
     */
   private def joinLayers(layers: Seq[Layer]): DataFrame = {
     require(layers.nonEmpty, "at least one layer")
+    require(layers.map(_.meta.layout).distinct.size == 1,
+      s"layers must share one layout: ${layers.map(_.meta.rasterId).mkString(", ")}")
     val renamed = layers.zipWithIndex.map { case (l, i) =>
       val valueCol = if (l.meta.isInt) col("tile_i") else col("tile_d")
       l.df.select(col("key_col"), col("key_row"), valueCol.as(s"t$i"))
