@@ -1,6 +1,13 @@
 package graft
+
 import graft.sources.TileCatalog
 import graft.sources.TileCatalog.RasterMeta
+
+/** Build the small demo catalog used by the CLI walkthrough in
+  * README/USAGE (2×2 tiles of 4×4 cells; nlcd/soil int layers + a
+  * slope double layer):
+  * {{{ sbt "runMain graft.MakeFixture /tmp/graft_cat" }}}
+  */
 object MakeFixture {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
@@ -17,6 +24,7 @@ object MakeFixture {
     TileCatalog.writeIntLayer(spark, dir, m("soil", "int"), tiles((_, gr) => gr / 4))
     TileCatalog.writeDoubleLayer(spark, dir, m("slope", "double"), dtiles((gc, _) => gc * 1.0))
     TileCatalog.writeMeta(dir, Seq(m("nlcd", "int"), m("soil", "int"), m("slope", "double")))
+    println(s"catalog written to $dir")
     spark.stop()
   }
 }
