@@ -227,6 +227,21 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Forward as-of: for each order, the user's first event at/after
+    * the order date (DuckDB `ASOF JOIN ... ON ts <= r.ts` oracle).
+    */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("user_id"), col("o_orderdate"))
+    val events = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("event_id"))
+    AsOfJoin.asof(orders, events, "o_orderdate", "ts", Seq("user_id"),
+      Seq("event_id"), direction = "forward")
+      .filter(col("event_id").isNotNull)
+      .select(col("o_orderkey"), col("user_id"), col("event_id").as("first_event"))
+      .orderBy("o_orderkey")
+  }
+
   private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("o_orderpriority"))
@@ -577,6 +592,7 @@ object SparkEntry {
     "q45_datetime" -> (qDatetime(_, _)),
     "q46_revenue_by_nation" -> (qRevenueByNation(_, _)),
     "q47_funnel" -> (qFunnel(_, _)),
+    "q48_asof_forward" -> (qAsofForward(_, _)),
   )
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
@@ -1024,5 +1040,13 @@ object SparkEntry {
         |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
         |LEFT JOIN t3 ON t1.user_id = t3.user_id
         |ORDER BY t1.user_id""".stripMargin,
+
+    "q48_asof_forward" ->
+      """WITH r AS (SELECT user_id, ts, MAX(event_id) AS event_id
+        |           FROM events GROUP BY 1, 2),
+        |     o AS (SELECT o_orderkey, o_custkey AS user_id, o_orderdate FROM orders)
+        |SELECT o.o_orderkey, o.user_id, r.event_id AS first_event
+        |FROM o ASOF JOIN r ON o.user_id = r.user_id AND o.o_orderdate <= r.ts
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -50,6 +50,23 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(frames(3L) == 1)
   }
 
+  test("frame pipeline composes: sample → explode → per-frame features → similarity") {
+    import spark.implicits._
+    val frames = Multimodal.fakeFrameSample(assets, stride = 64, maxFrames = 4)
+    // one row per frame, then the (stub) decoder over frames-as-assets
+    val perFrame = frames.flatMap(f =>
+      f.frames.zipWithIndex.map { case (bytes, i) =>
+        Multimodal.Asset(f.asset_id * 100 + i, "frame", bytes)
+      })
+    val feats = Multimodal.fakeDecodeFeatures(perFrame, dim = 8)
+      .select($"asset_id".as("vec_id"), $"feature".as("embedding"))
+    assert(feats.count() >= 4) // asset 1 alone yields 4 frames
+    // frame-level near-dup search runs on the frame features directly
+    val sims = Similarity.nearDupPairs(feats.toDF(), "vec_id", "embedding", threshold = 0.99)
+    // frames of asset 1 are constant-filled slices → identical features
+    assert(sims.count() >= 1)
+  }
+
   test("features feed straight into the similarity operators") {
     import spark.implicits._
     val feats = Multimodal.fakeDecodeFeatures(assets, dim = 8)
