@@ -420,6 +420,15 @@ object SparkEntry {
         substring_index(col("text"), " ", 3).as("first3"))
       .orderBy("doc_id")
 
+  /** Deterministic hash-based train/val/test split (leak-proof,
+    * engine-portable — no RNG state).
+    */
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+
   /** Exact distinct aggregation (expand + two-phase in Spark). */
   private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -593,6 +602,7 @@ object SparkEntry {
     "q46_revenue_by_nation" -> (qRevenueByNation(_, _)),
     "q47_funnel" -> (qFunnel(_, _)),
     "q48_asof_forward" -> (qAsofForward(_, _)),
+    "q49_hash_split" -> (qHashSplit(_, _)),
   )
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
@@ -1048,5 +1058,19 @@ object SparkEntry {
         |SELECT o.o_orderkey, o.user_id, r.event_id AS first_event
         |FROM o ASOF JOIN r ON o.user_id = r.user_id AND o.o_orderdate <= r.ts
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q49_hash_split" -> {
+      val space = math.pow(2.0, 60)
+      val t80 = (0.8 * space).toLong
+      val t90 = (0.9 * space).toLong
+      s"""SELECT doc_id,
+         |  CASE WHEN h < $t80 THEN 'train'
+         |       WHEN h < $t90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        ('0x' || substr(md5('0:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data
+  * pipelines. Assignment is a pure function of the row key (md5-derived
+  * 60-bit hash vs. fraction thresholds), so it is:
+  *  - stable across runs, partitionings, engines, and cluster sizes
+  *    (no RNG state, unlike `df.sample`/`randomSplit`);
+  *  - leak-proof: the same key always lands in the same split, even
+  *    across incremental reprocessing of a growing corpus;
+  *  - map-only (a literal comparison per row — no shuffle, no UDF).
+  */
+object Sampling {
+
+  private val SPACE: Double = math.pow(2.0, 60)
+
+  /** 60-bit key hash, portable across engines (same construction as
+    * [[Dedup.hash60]]).
+    */
+  private def keyHash(keySql: String, seed: Int): Column =
+    Dedup.hash60(s"CAST($keySql AS STRING)", seed)
+
+  /** Add a `split` column: named fractions must sum to ≤ 1; any
+    * remainder falls into the last split.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+                fractions: Seq[(String, Double)], seed: Int = 0): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "fractions must sum to <= 1")
+    val h = keyHash(keyCol, seed)
+    val thresholds = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.min(Long.MaxValue.toDouble, f * SPACE).toLong)
+    val expr0: Column = lit(fractions.last._1)
+    val split = fractions.init.zip(thresholds.init).reverse
+      .foldLeft(expr0) { case (els, ((name, _), thr)) =>
+        when(h < thr, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", split)
+  }
+
+  /** Keep a deterministic `fraction` of rows by key hash. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+                          seed: Int = 0): DataFrame =
+    df.filter(keyHash(keyCol, seed) < (fraction * SPACE).toLong)
+}

@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+
+  test("hashSplit is deterministic, partition-invariant, and ~proportional") {
+    val df = spark.range(10000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(df, "id", splits)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.values.sum == 10000)
+    assert(a("train") > 7700 && a("train") < 8300)
+    assert(a("val") > 800 && a("val") < 1200)
+    // partitioning must not change assignment
+    val b = Sampling.hashSplit(df.repartition(7), "id", splits)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // per-row stability: same key → same split across calls
+    val row42a = Sampling.hashSplit(df, "id", splits)
+      .filter(col("id") === 42).collect().head.getString(1)
+    val row42b = Sampling.hashSplit(df.repartition(3), "id", splits)
+      .filter(col("id") === 42).collect().head.getString(1)
+    assert(row42a == row42b)
+  }
+
+  test("deterministicSample keeps a stable subset of the requested size") {
+    val df = spark.range(10000).toDF("id")
+    val s1 = Sampling.deterministicSample(df, "id", 0.25)
+    val n = s1.count()
+    assert(n > 2200 && n < 2800)
+    val ids1 = s1.collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.deterministicSample(df.repartition(5), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // monotone: a 10% sample is a subset of the 25% sample
+    val ids3 = Sampling.deterministicSample(df, "id", 0.10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids3.subsetOf(ids1))
+  }
+}
