@@ -429,6 +429,22 @@ object SparkEntry {
       .select(col("doc_id"), col("split"))
       .orderBy("doc_id")
 
+  /** Sketch aggregates — HyperLogLog++ distinct counting and quantile
+    * approximation: the constant-memory path when exact distinct /
+    * exact percentile (q36/q44) would not fit at corpus scale. No
+    * DuckDB oracle (sketch internals are engine-specific ⇒ rows-only
+    * check); the exact counterparts pin correctness.
+    */
+  private def qSketches(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("r1"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("approx_pcts"))
+      .orderBy("r1")
+
   /** Exact distinct aggregation (expand + two-phase in Spark). */
   private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -603,6 +619,7 @@ object SparkEntry {
     "q47_funnel" -> (qFunnel(_, _)),
     "q48_asof_forward" -> (qAsofForward(_, _)),
     "q49_hash_split" -> (qHashSplit(_, _)),
+    "q50_sketches" -> (qSketches(_, _)),
   )
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
