@@ -36,16 +36,20 @@ object Bench {
 
     // min of two runs per query: the second run reuses compiled
     // codegen and OS page cache, so min reflects engine capability
-    // rather than JIT/IO jitter
+    // rather than JIT/IO jitter. Any failed run makes the query report
+    // the -1 sentinel — a flaky failure must be visible in the JSON,
+    // not masked by the surviving run's time.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
       val a = materialize(n)
       val b = materialize(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // numeric sf (parsed from the dir name) + the dir itself
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}""")
     spark.stop()
   }
 }

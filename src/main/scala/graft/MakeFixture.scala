@@ -13,6 +13,10 @@ object MakeFixture {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args(0)
+    // layer writers use parquet append mode — re-running on an existing
+    // catalog would silently double every tile (ZonalFixture.ensure
+    // guards the same way)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     def m(id: String, ct: String) = RasterMeta(id, 0, "ConusAlbers", ct, 0, 0, 8, 8, 4, 4, 2, 2)
     def tiles(f: (Int, Int) => Int) =
       for (kc <- 0 to 1; kr <- 0 to 1)

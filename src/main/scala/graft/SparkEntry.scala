@@ -443,6 +443,12 @@ object SparkEntry {
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
           .as("approx_pcts"))
+      // scalar columns: the driver's rows-only pandas check cannot
+      // sort/hash an array cell
+      .select(col("r1"), col("approx_parts"), col("approx_orders"),
+        round(element_at(col("approx_pcts"), 1), 4).as("ap50"),
+        round(element_at(col("approx_pcts"), 2), 4).as("ap90"),
+        round(element_at(col("approx_pcts"), 3), 4).as("ap99"))
       .orderBy("r1")
 
   /** Exact distinct aggregation (expand + two-phase in Spark). */
@@ -501,6 +507,14 @@ object SparkEntry {
   // the hand-computed goldens in ZonalSpec/ServiceSpec, and these
   // entries put real zonal throughput into BENCH at HUC-8 pixel scale.
 
+  /** Reference wire-format key: `"List(v1, v2)"` (Geoprocessing.scala:366).
+    * Also keeps zonal outputs scalar-typed — the driver's rows-only
+    * check reads the result parquet with pandas, which cannot sort or
+    * hash array-typed cells.
+    */
+  private val valsKey =
+    expr("concat('List(', array_join(transform(vals, v -> cast(v as string)), ', '), ')')")
+
   private def zonalCtx(s: SparkSession, dir: String) = {
     val path = graft.sources.ZonalFixture.ensure(s, dir)
     val spec = graft.sources.ZonalFixture.specFor(dir)
@@ -519,6 +533,7 @@ object SparkEntry {
     val aoi = graft.sources.ZonalFixture.aoi(spec)
     graft.operators.Zonal.groupedCount(s, metas("nlcd").layout,
       zonalLayers(s, path, metas, Seq("nlcd", "soil"), aoi), aoi)
+      .select(valsKey.as("vals"), col("cnt"))
       .orderBy("vals")
   }
 
@@ -528,6 +543,7 @@ object SparkEntry {
     graft.operators.Zonal.groupedAverage(s, metas("slope").layout,
       zonalLayers(s, path, metas, Seq("soil"), aoi),
       zonalLayers(s, path, metas, Seq("slope"), aoi).head, aoi)
+      .select(valsKey.as("vals"), round(col("avg_v"), 6).as("avg_v"))
       .orderBy("vals")
   }
 
@@ -545,6 +561,7 @@ object SparkEntry {
       graft.sources.ZonalFixture.streamLines(spec), aoi)
     graft.operators.Zonal.linesJoin(s, metas("nlcd").layout,
       zonalLayers(s, path, metas, Seq("nlcd", "soil"), aoi), lines)
+      .select(valsKey.as("vals"), col("cnt"))
       .orderBy("vals")
   }
 

@@ -160,18 +160,13 @@ object Service {
       s.id -> GeomOps.toAoi(s.shape, from, Projections.ConusAlbers))
     val unionAoi = GeomOps.unionAll(shapes.map(_._2))
     val rasterIds = req.operations.flatMap(op => op.rasters ++ op.targetRaster).distinct
-    // shared scan: one cached cropped DataFrame per raster id
-    val shared: Map[String, Zonal.Layer] = rasterIds.map { id =>
-      val l = cat.layers(Seq(id), unionAoi).head
-      id -> l.copy(df = l.df.persist())
-    }.toMap
     val streamLines = req.streamLines.map(
       GeomOps.toLines(_, from, Projections.ConusAlbers))
-    val layout = cat.layout(rasterIds)
 
     // one unioned plan: every operation becomes a multi-shape batch op
     // over the shared cached scans (SURVEY §3.2) — a single Spark job
-    // instead of |shapes| × |operations| jobs
+    // instead of |shapes| × |operations| jobs. Validated BEFORE any
+    // scan is cached so a bad operation never leaks a persisted layer.
     val batchOps: Seq[Zonal.BatchOp] = req.operations.map { op =>
       op.name match {
         case "RasterGroupedCount" =>
@@ -185,23 +180,34 @@ object Service {
         case other => throw new InvalidOperationException(other)
       }
     }
-    val rows = Zonal.multiBatch(cat.spark, layout, shared, shapes.map(_._2),
-      streamLines, batchOps).collect()
-    val hucIds = shapes.map(_._1)
-    val nested: Map[String, Map[String, Map[String, Double]]] =
-      rows.groupBy(r => hucIds(r.getInt(0))).map { case (huc, rs) =>
-        huc -> rs.groupBy(_.getString(1)).map { case (label, ls) =>
-          label -> ls.map(r => r.getString(2) -> r.getDouble(3)).toMap
-        }
-      }
-    // operations yielding no rows for a shape still appear as {} —
-    // reference tolerance for non-intersecting shapes (CHANGELOG:71-79)
-    val complete = hucIds.map { huc =>
-      val labels = req.operations.map(_.label)
-      val present = nested.getOrElse(huc, Map.empty)
-      huc -> labels.map(l => l -> present.getOrElse(l, Map.empty[String, Double])).toMap
+    val layout = cat.layout(rasterIds)
+    // shared scan: one cached cropped DataFrame per raster id
+    val shared: Map[String, Zonal.Layer] = rasterIds.map { id =>
+      val l = cat.layers(Seq(id), unionAoi).head
+      id -> l.copy(df = l.df.persist())
     }.toMap
-    shared.values.foreach(_.df.unpersist())
-    Serialization.write(complete)
+    try {
+      val rows = Zonal.multiBatch(cat.spark, layout, shared, shapes.map(_._2),
+        streamLines, batchOps).collect()
+      val hucIds = shapes.map(_._1)
+      val nested: Map[String, Map[String, Map[String, Double]]] =
+        rows.groupBy(r => hucIds(r.getInt(0))).map { case (huc, rs) =>
+          huc -> rs.groupBy(_.getString(1)).map { case (label, ls) =>
+            label -> ls.map(r => r.getString(2) -> r.getDouble(3)).toMap
+          }
+        }
+      // operations yielding no rows for a shape still appear as {} —
+      // reference tolerance for non-intersecting shapes (CHANGELOG:71-79)
+      val complete = hucIds.map { huc =>
+        val labels = req.operations.map(_.label)
+        val present = nested.getOrElse(huc, Map.empty)
+        huc -> labels.map(l => l -> present.getOrElse(l, Map.empty[String, Double])).toMap
+      }.toMap
+      Serialization.write(complete)
+    } finally {
+      // unpersist on every exit path — a long-lived service must not
+      // leak cached scans when a query fails mid-flight
+      shared.values.foreach(_.df.unpersist())
+    }
   }
 }

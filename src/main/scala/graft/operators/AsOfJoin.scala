@@ -33,6 +33,10 @@ object AsOfJoin {
            direction: String = "backward"): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown direction: $direction")
+    val reserved = Seq("__t", "__side", "__r", "__m", "__b", "__f", "__rt")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(clash.isEmpty,
+      s"input columns collide with reserved internal names: ${clash.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val rStruct = struct((rightValueCols.map(col) :+
       col(rightTime).cast("timestamp").as("__rt")): _*)
