@@ -39,7 +39,12 @@ object Bench {
     // rather than JIT/IO jitter. Any failed run makes the query report
     // the -1 sentinel — a flaky failure must be visible in the JSON,
     // not masked by the surviving run's time.
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    // optional args restrict the run to the named queries (local
+    // iteration); the driver passes none and benches everything
+    val names =
+      if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
+      else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { n =>
       val a = materialize(n)
       val b = materialize(n)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
