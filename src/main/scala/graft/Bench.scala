@@ -41,6 +41,9 @@ object Bench {
     // not masked by the surviving run's time.
     // optional args restrict the run to the named queries (local
     // iteration); the driver passes none and benches everything
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty)
+      System.err.println(s"[bench] WARNING: unknown query name(s) ignored: ${unknown.mkString(", ")}")
     val names =
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
       else SparkEntry.queries.keys.toSeq.sorted
@@ -53,7 +56,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // numeric sf (parsed from the dir name) + the dir itself
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}""")
     spark.stop()
   }

@@ -15,8 +15,15 @@ object MakeFixture {
     val dir = args(0)
     // layer writers use parquet append mode — re-running on an existing
     // catalog would silently double every tile (ZonalFixture.ensure
-    // guards the same way)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // guards the same way). Only delete a directory that actually IS a
+    // graft catalog (has the meta file): a mistyped path must not wipe
+    // unrelated data.
+    val target = new java.io.File(dir)
+    if (target.exists()) {
+      require(new java.io.File(target, "meta.json").exists(),
+        s"refusing to delete $dir: not a graft catalog (no meta.json)")
+      org.apache.commons.io.FileUtils.deleteQuietly(target)
+    }
     def m(id: String, ct: String) = RasterMeta(id, 0, "ConusAlbers", ct, 0, 0, 8, 8, 4, 4, 2, 2)
     def tiles(f: (Int, Int) => Int) =
       for (kc <- 0 to 1; kr <- 0 to 1)

@@ -159,23 +159,26 @@ object SparkEntry {
     Dedup.simhashPairs(Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"), maxHamming = 8)
       .orderBy("doc_a", "doc_b")
 
+  // map-only text queries: spread the one-row-group documents scan so
+  // the regex/md5 map side uses every core, not one
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    graft.pipeline.Par.spread(t(s, dir, "documents"))
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
+    graft.pipeline.Par.spread(t(s, dir, "documents")).select(
       col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("ws_tokens"),
       TextAnalysis.regexTokenCount(col("text")).as("re_tokens"))
       .orderBy("doc_id")
 
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.qualityMetrics(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+    TextAnalysis.qualityMetrics(graft.pipeline.Par.spread(t(s, dir, "documents")),
+      "doc_id", "text").orderBy("doc_id")
 
   private def qLangid(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    graft.pipeline.Par.spread(t(s, dir, "documents"))
       .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
@@ -361,14 +364,20 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
-  /** Exact interpolated percentiles (sort-based, order-independent). */
+  /** Exact interpolated percentiles — sort-based
+    * ([[graft.operators.ExactPercentiles]]), not the value-map
+    * collecting built-in `percentile` whose shuffle carries every
+    * distinct value.
+    */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag").as("r1"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+    graft.operators.ExactPercentiles.exact(
+      t(s, dir, "lineitem").select(col("l_returnflag").as("r1"), col("l_extendedprice")),
+      Seq("r1"), "l_extendedprice",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .select(col("r1"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"),
+        round(col("p99"), 4).as("p99"))
       .orderBy("r1")
 
   /** Date/time function suite over order dates. */

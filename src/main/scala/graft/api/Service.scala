@@ -181,13 +181,16 @@ object Service {
       }
     }
     val layout = cat.layout(rasterIds)
-    // shared scan: one cached cropped DataFrame per raster id
-    val shared: Map[String, Zonal.Layer] = rasterIds.map { id =>
-      val l = cat.layers(Seq(id), unionAoi).head
-      id -> l.copy(df = l.df.persist())
-    }.toMap
+    // shared scan: one cached cropped DataFrame per raster id. Built
+    // incrementally inside the try so a failure while fetching a later
+    // raster still unpersists the layers already cached for earlier ones.
+    val shared = scala.collection.mutable.Map.empty[String, Zonal.Layer]
     try {
-      val rows = Zonal.multiBatch(cat.spark, layout, shared, shapes.map(_._2),
+      rasterIds.foreach { id =>
+        val l = cat.layers(Seq(id), unionAoi).head
+        shared(id) = l.copy(df = l.df.persist())
+      }
+      val rows = Zonal.multiBatch(cat.spark, layout, shared.toMap, shapes.map(_._2),
         streamLines, batchOps).collect()
       val hucIds = shapes.map(_._1)
       val nested: Map[String, Map[String, Map[String, Double]]] =

@@ -76,16 +76,32 @@ object Dedup {
     * is still shuffle-bounded: one self-equi-join on the shingle key
     * plus two broadcast-size joins for set sizes.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+  def ngramJaccardPairs(df0: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, minJaccard: Double = 0.8): DataFrame = {
+    val df = Par.spread(df0)
     val sh = hashedShingleTable(df, idCol, textCol, n)
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    // set sizes from the un-exploded scan (size of the distinct-shingle
+    // array): no second explode+hash pass, and small enough to
+    // broadcast — the shingle grouping stays the only real shuffle
+    val sizes = df.select(col(idCol).as("doc"), size(wordShingles(textCol, n)).as("n_sh"))
+    // pair generation via group-then-combine, not a self-join: ONE
+    // shingle-hash pass, one shuffle on h, and per-bucket i<j pair
+    // expansion (shingle buckets are tiny — a shingle shared by
+    // thousands of docs means those docs are near-identical and meet
+    // through their many other shared shingles anyway). The sorted
+    // array gives doc_a < doc_b for free.
+    val inter = sh.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), " +
+          "b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .join(broadcast(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb")), "doc_b")
       .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -101,7 +117,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 12): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n).select(
+    val sh = shingleTable(Par.spread(df), idCol, textCol, n).select(
       col("doc"),
       expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h1"),
       expr("shiftright(CAST(conv(substr(md5(s), 17, 15), 16, 10) AS BIGINT), 4)").as("h2"))
@@ -140,7 +156,8 @@ object Dedup {
     * all partial-aggregated map-side.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("t"))
+    val tok = Par.spread(df)
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("t"))
       .groupBy(col("doc"), col("t")).agg(count(lit(1)).as("c"))
       .withColumn("h", hash60("t", 7))
     // 60 wide agg columns instead of a 60× bit-explode: one shuffle on

@@ -49,7 +49,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val c = Par.spread(corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv")))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -69,7 +69,10 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    // spread the streamed side: the nested-loop pair join parallelizes
+    // by the streamed side's partitions, and a one-row-group parquet
+    // input would otherwise put the whole O(n²) scan on one core
+    val v = Par.spread(df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("sim",
@@ -119,7 +122,7 @@ object Similarity {
                       threshold: Double, tables: Int = 8, planesPerTable: Int = 8,
                       seed: Int = 42): DataFrame = {
     val planes = lshPlanes(dim, tables, planesPerTable, seed)
-    val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val v = Par.spread(df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
     val tableKeys = planes.zipWithIndex.map { case (ps, t) =>
       val key = ps.zipWithIndex.map { case (p, i) =>

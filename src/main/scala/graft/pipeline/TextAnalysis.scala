@@ -85,7 +85,7 @@ object TextAnalysis {
     // CASE guard: Spark's sequence(1, k) counts DOWN for k < 1, so an
     // empty/1-char doc must yield no bigrams (not bogus ones that
     // would pollute the corpus profile and diverge from the oracle)
-    val docBi = df.select(col(idCol).as("doc"),
+    val docBi = Par.spread(df).select(col(idCol).as("doc"),
       explode(expr(
         s"CASE WHEN length($textCol) >= 2 THEN " +
           s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2)) " +
