@@ -29,9 +29,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // pre-generate the zonal fixture so catalog build cost stays out
-    // of per-query timings, then warm up codegen/parquet/JIT paths
-    graft.sources.ZonalFixture.ensure(spark, sfDir)
+    // pre-generate the zonal fixture AND its oracle mask dumps so
+    // neither build cost lands in per-query timings, then warm up
+    // codegen/parquet/JIT paths
+    graft.sources.ZonalFixture.ensureMasks(spark, sfDir)
     SparkEntry.queries.headOption.foreach { case (n, _) => materialize(n) }
 
     // min of two runs per query: the second run reuses compiled

@@ -525,7 +525,9 @@ object SparkEntry {
     expr("concat('List(', array_join(transform(vals, v -> cast(v as string)), ', '), ')')")
 
   private def zonalCtx(s: SparkSession, dir: String) = {
-    val path = graft.sources.ZonalFixture.ensure(s, dir)
+    // ensureMasks also dumps the rasterized cell sets the DuckDB
+    // oracle SQL (below) aggregates independently
+    val path = graft.sources.ZonalFixture.ensureMasks(s, dir)
     val spec = graft.sources.ZonalFixture.specFor(dir)
     val metas = graft.sources.TileCatalog.readMeta(path)
     (path, spec, metas)
@@ -561,6 +563,10 @@ object SparkEntry {
     val aoi = graft.sources.ZonalFixture.aoi(spec)
     graft.operators.Zonal.summary(s, metas("slope").layout,
       zonalLayers(s, path, metas, Seq("slope"), aoi), aoi)
+      .select(col("idx"), col("raster_id"),
+        round(col("min_v"), 6).as("min_v"),
+        round(col("avg_v"), 6).as("avg_v"),
+        round(col("max_v"), 6).as("max_v"))
   }
 
   private def qZonalLinesJoin(s: SparkSession, dir: String): DataFrame = {
@@ -591,6 +597,9 @@ object SparkEntry {
         Zonal.BatchCount("nlcd_soil", Seq("nlcd", "soil")),
         Zonal.BatchAverage("avg_slope", Seq("soil"), "slope"),
         Zonal.BatchLines("nlcd_streams", Seq("nlcd"))))
+      // counts are integral (round is identity); averages round at 6
+      // like q31, so the DuckDB oracle can hash-match v
+      .select(col("shape_id"), col("op_label"), col("k"), round(col("v"), 6).as("v"))
       .orderBy("shape_id", "op_label", "k")
   }
 
@@ -647,6 +656,17 @@ object SparkEntry {
     "q49_hash_split" -> (qHashSplit(_, _)),
     "q50_sketches" -> (qSketches(_, _)),
   )
+
+  /** Zonal-fixture path fragment for the q30–q34 oracles: the driver
+    * runs the correctness gate at sf0.01, whose fixture (plus the
+    * rasterized-mask dumps, [[graft.sources.ZonalFixture.ensureMasks]])
+    * lives at a deterministic tmpdir location that Verify materializes
+    * before the oracle SQL runs.
+    */
+  private def zfp(rel: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_zonal_2x2x256"
+    s"read_parquet('$d/$rel/*.parquet')"
+  }
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
   def oracleSql: Map[String, String] = Map(
@@ -967,6 +987,86 @@ object SparkEntry {
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q29_lsh_neardup" -> lshOracleSql,
+
+    "q30_zonal_grouped_count" ->
+      s"""WITH m AS (SELECT * FROM ${zfp("mask_aoi.parquet")}),
+         |n AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=nlcd/zoom=0")}),
+         |s AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=soil/zoom=0")})
+         |SELECT 'List(' || COALESCE(n.tile_i[m.idx + 1], -2147483648)
+         |    || ', ' || COALESCE(s.tile_i[m.idx + 1], -2147483648) || ')' AS vals,
+         |  COUNT(*) AS cnt
+         |FROM m LEFT JOIN n USING (key_col, key_row)
+         |       LEFT JOIN s USING (key_col, key_row)
+         |GROUP BY 1 ORDER BY vals""".stripMargin,
+
+    "q31_zonal_average" ->
+      s"""WITH m AS (SELECT * FROM ${zfp("mask_aoi.parquet")}),
+         |s AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=soil/zoom=0")}),
+         |t AS (SELECT key_col, key_row, tile_d FROM ${zfp("tiles/raster_id=slope/zoom=0")})
+         |SELECT 'List(' || COALESCE(s.tile_i[m.idx + 1], -2147483648) || ')' AS vals,
+         |  ROUND(SUM(CASE WHEN t.tile_d[m.idx + 1] IS NULL
+         |                   OR isnan(t.tile_d[m.idx + 1]) THEN 0.0
+         |                 ELSE t.tile_d[m.idx + 1] END) / COUNT(*), 6) AS avg_v
+         |FROM m LEFT JOIN s USING (key_col, key_row)
+         |       LEFT JOIN t USING (key_col, key_row)
+         |GROUP BY 1 ORDER BY vals""".stripMargin,
+
+    "q32_zonal_summary" ->
+      s"""WITH m AS (SELECT * FROM ${zfp("mask_aoi.parquet")}),
+         |t AS (SELECT key_col, key_row, tile_d FROM ${zfp("tiles/raster_id=slope/zoom=0")}),
+         |px AS (SELECT t.tile_d[m.idx + 1] AS v
+         |       FROM m LEFT JOIN t USING (key_col, key_row))
+         |SELECT 0 AS idx, 'slope' AS raster_id,
+         |  ROUND(MIN(CASE WHEN isnan(v) THEN NULL ELSE v END), 6) AS min_v,
+         |  ROUND(SUM(CASE WHEN v IS NULL OR isnan(v) THEN 0.0 ELSE v END)
+         |        / COUNT(*), 6) AS avg_v,
+         |  ROUND(MAX(CASE WHEN isnan(v) THEN NULL ELSE v END), 6) AS max_v
+         |FROM px""".stripMargin,
+
+    "q33_zonal_lines_join" ->
+      s"""WITH m AS (SELECT * FROM ${zfp("mask_lines.parquet")}),
+         |n AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=nlcd/zoom=0")}),
+         |s AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=soil/zoom=0")})
+         |SELECT 'List(' || COALESCE(n.tile_i[m.idx + 1], -2147483648)
+         |    || ', ' || COALESCE(s.tile_i[m.idx + 1], -2147483648) || ')' AS vals,
+         |  COUNT(*) AS cnt
+         |FROM m LEFT JOIN n USING (key_col, key_row)
+         |       LEFT JOIN s USING (key_col, key_row)
+         |GROUP BY 1 ORDER BY vals""".stripMargin,
+
+    "q34_zonal_multi" ->
+      s"""WITH ms AS (SELECT * FROM ${zfp("mask_shapes.parquet")}),
+         |ml AS (SELECT * FROM ${zfp("mask_lines_shapes.parquet")}),
+         |n AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=nlcd/zoom=0")}),
+         |s AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=soil/zoom=0")}),
+         |t AS (SELECT key_col, key_row, tile_d FROM ${zfp("tiles/raster_id=slope/zoom=0")}),
+         |cnt_op AS (
+         |  SELECT m.shape_id, 'nlcd_soil' AS op_label,
+         |    'List(' || COALESCE(n.tile_i[m.idx + 1], -2147483648)
+         |      || ', ' || COALESCE(s.tile_i[m.idx + 1], -2147483648) || ')' AS k,
+         |    CAST(COUNT(*) AS DOUBLE) AS v
+         |  FROM ms m LEFT JOIN n USING (key_col, key_row)
+         |            LEFT JOIN s USING (key_col, key_row)
+         |  GROUP BY 1, 3),
+         |avg_op AS (
+         |  SELECT m.shape_id, 'avg_slope' AS op_label,
+         |    'List(' || COALESCE(s.tile_i[m.idx + 1], -2147483648) || ')' AS k,
+         |    ROUND(SUM(CASE WHEN t.tile_d[m.idx + 1] IS NULL
+         |                     OR isnan(t.tile_d[m.idx + 1]) THEN 0.0
+         |                   ELSE t.tile_d[m.idx + 1] END) / COUNT(*), 6) AS v
+         |  FROM ms m LEFT JOIN s USING (key_col, key_row)
+         |            LEFT JOIN t USING (key_col, key_row)
+         |  GROUP BY 1, 3),
+         |lines_op AS (
+         |  SELECT m.shape_id, 'nlcd_streams' AS op_label,
+         |    'List(' || COALESCE(n.tile_i[m.idx + 1], -2147483648) || ')' AS k,
+         |    CAST(COUNT(*) AS DOUBLE) AS v
+         |  FROM ml m LEFT JOIN n USING (key_col, key_row)
+         |  GROUP BY 1, 3)
+         |SELECT * FROM cnt_op
+         |UNION ALL SELECT * FROM avg_op
+         |UNION ALL SELECT * FROM lines_op
+         |ORDER BY shape_id, op_label, k""".stripMargin,
 
     "q35_json_extract" ->
       """SELECT event_type, COUNT(*) AS cnt,

@@ -70,6 +70,84 @@ object ZonalFixture {
     dir
   }
 
+  /** Mask dumps for the DuckDB correctness oracle: the rasterized cell
+    * sets of every geometry the zonal gate queries use, as parquet next
+    * to the tiles. The rasterizer is the one piece DuckDB cannot
+    * re-run — its semantics are pinned cell-by-cell against JTS
+    * oracles in RasterizerSpec — so dumping its output lets the oracle
+    * SQL recompute every zonal aggregate independently by indexing the
+    * tile arrays (`tile_i[idx+1]`). Idempotent; one-time per fixture.
+    */
+  def ensureMasks(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = ensure(spark, sfDir)
+    if (new java.io.File(s"$dir/mask_aoi.parquet/_SUCCESS").exists()) return dir
+    val spec = specFor(sfDir)
+    import spark.implicits._
+    val layout = metas(spec).head.layout
+    val ts = spec.tileSize
+    val keys = for (kc <- 0 until spec.layoutCols; kr <- 0 until spec.layoutRows) yield (kc, kr)
+    val aoiG = aoi(spec)
+    val shapes = subShapes(spec)
+    val lines = streamLines(spec)
+
+    // same pre-clip as the operators (Zonal.clipToTile) — center
+    // sampling is invariant under it, cost is bounded per tile
+    def clipTile(g: org.locationtech.jts.geom.Geometry,
+                 re: graft.raster.RasterExtent): org.locationtech.jts.geom.Geometry = {
+      val env = g.getFactory.toGeometry(re.extent.toEnvelope)
+      try g.intersection(env) catch { case _: Exception => g }
+    }
+    def mergeLines(ls: Seq[org.locationtech.jts.geom.MultiLineString]) =
+      gf.createMultiLineString(ls.flatMap(ml => (0 until ml.getNumGeometries)
+        .map(ml.getGeometryN(_).asInstanceOf[org.locationtech.jts.geom.LineString])).toArray)
+
+    keys.toDS().flatMap { case (kc, kr) =>
+      val re = layout.rasterExtent(kc, kr)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      graft.raster.Rasterizer.foreachCellByPolygon(clipTile(aoiG, re), re)(
+        (c, r) => buf += ((kc, kr, r * ts + c)))
+      buf
+    }.toDF("key_col", "key_row", "idx")
+      .write.mode("overwrite").parquet(s"$dir/mask_aoi.parquet.tmp")
+
+    val shapeKeys = for ((kc, kr) <- keys; si <- shapes.indices) yield (si, kc, kr)
+    shapeKeys.toDS().flatMap { case (si, kc, kr) =>
+      val re = layout.rasterExtent(kc, kr)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+      graft.raster.Rasterizer.foreachCellByPolygon(clipTile(shapes(si), re), re)(
+        (c, r) => buf += ((si, kc, kr, r * ts + c)))
+      buf
+    }.toDF("shape_id", "key_col", "key_row", "idx")
+      .write.mode("overwrite").parquet(s"$dir/mask_shapes.parquet")
+
+    val aoiLines = mergeLines(graft.geom.GeomOps.clipLines(lines, aoiG))
+    keys.toDS().flatMap { case (kc, kr) =>
+      val re = layout.rasterExtent(kc, kr)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      graft.raster.Rasterizer.foreachCellByLines(aoiLines, re)(
+        (c, r) => buf += ((kc, kr, r * ts + c)))
+      buf
+    }.toDF("key_col", "key_row", "idx")
+      .write.mode("overwrite").parquet(s"$dir/mask_lines.parquet")
+
+    val perShapeLines = shapes.map(s => mergeLines(graft.geom.GeomOps.clipLines(lines, s)))
+    shapeKeys.toDS().flatMap { case (si, kc, kr) =>
+      val re = layout.rasterExtent(kc, kr)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+      graft.raster.Rasterizer.foreachCellByLines(perShapeLines(si), re)(
+        (c, r) => buf += ((si, kc, kr, r * ts + c)))
+      buf
+    }.toDF("shape_id", "key_col", "key_row", "idx")
+      .write.mode("overwrite").parquet(s"$dir/mask_lines_shapes.parquet")
+
+    // the AOI mask moves into place LAST: its _SUCCESS is the
+    // all-masks-written marker the idempotence check reads
+    val tmp = new java.io.File(s"$dir/mask_aoi.parquet.tmp")
+    if (!tmp.renameTo(new java.io.File(s"$dir/mask_aoi.parquet")))
+      throw new java.io.IOException(s"rename failed for $tmp")
+    dir
+  }
+
   private val gf = new GeometryFactory()
 
   /** AOI: a big octagon covering ~80% of the grid (masked-pixel count
