@@ -603,6 +603,46 @@ object SparkEntry {
       .orderBy("shape_id", "op_label", "k")
   }
 
+  /** Duplicate CLUSTERS from MinHash-LSH pairs: connected components
+    * by min-label propagation ([[graft.pipeline.Graph]]) — the
+    * transitive-closure step that turns candidate pairs into
+    * keep-one-survivor groups.
+    */
+  private def qDedupGroups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val edges = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 12, bands = 4)
+    graft.pipeline.Graph.connectedComponents(
+      docs.select(col("doc_id")), "doc_id", edges, "doc_a", "doc_b")
+      .select(col("doc").as("doc_id"), col("group_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic sequence packing into 2048-token bins. */
+  private def qSeqPacking(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.packGreedy(t(s, dir, "documents"), "doc_id",
+      size(split(col("text"), " ")), capacity = 2048)
+      .orderBy("doc_id")
+
+  /** Benchmark-contamination flags: corpus = doc_id % 100 != 0,
+    * benchmark = doc_id % 100 == 0, 8-gram overlap.
+    */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.pipeline.Contamination.flagNgramOverlap(
+      docs.filter(col("doc_id") % 100 =!= 0),
+      docs.filter(col("doc_id") % 100 === 0),
+      "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition signals (top-bigram fraction,
+    * distinct-token ratio).
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -655,7 +695,41 @@ object SparkEntry {
     "q48_asof_forward" -> (qAsofForward(_, _)),
     "q49_hash_split" -> (qHashSplit(_, _)),
     "q50_sketches" -> (qSketches(_, _)),
+    "q51_dedup_groups" -> (qDedupGroups(_, _)),
+    "q52_seq_packing" -> (qSeqPacking(_, _)),
+    "q53_contamination" -> (qContamination(_, _)),
+    "q54_repetition" -> (qRepetition(_, _)),
   )
+
+  /** Shared CTE chain of the MinHash-LSH oracle (q13, q51): shingle →
+    * double-hash h_i = h1 + i*(h2>>4) (mirroring
+    * [[graft.pipeline.Dedup.minhashSignatures]]) → signatures → banded
+    * bucket keys.
+    */
+  private def minhashCtes: String = {
+    val sigCols = (0 until 12)
+      .map(i => s"MIN(h1 + $i * h2) AS h$i")
+      .mkString(",\n        ")
+    val bandSelects = (0 until 4).map { b =>
+      val parts = (0 until 3).map(i => s"h${b * 3 + i}::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc, $b AS band, md5($parts) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id AS doc, array_to_string(tok[i:i+2], ' ') AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       |       generate_series(1, 100000) t(i)
+       |  WHERE i + 2 <= len(tok)
+       |), hs AS (
+       |  SELECT doc, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+       |         (('0x' || substr(md5(s), 17, 15))::BIGINT >> 4) AS h2
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc, $sigCols
+       |  FROM hs GROUP BY doc
+       |), buckets AS (
+       |  $bandSelects
+       |)""".stripMargin
+  }
 
   /** Zonal-fixture path fragment for the q30–q34 oracles: the driver
     * runs the correctness gate at sf0.01, whose fixture (plus the
@@ -755,35 +829,12 @@ object SparkEntry {
         |  FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b)
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q13_minhash_lsh" -> {
-      // double hashing h_i = h1 + i*(h2>>4), mirroring Dedup.minhashSignatures
-      val sigCols = (0 until 12)
-        .map(i => s"MIN(h1 + $i * h2) AS h$i")
-        .mkString(",\n        ")
-      val bandSelects = (0 until 4).map { b =>
-        val parts = (0 until 3).map(i => s"h${b * 3 + i}::VARCHAR").mkString(" || ',' || ")
-        s"SELECT doc, $b AS band, md5($parts) AS bkey FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH sh AS (
-         |  SELECT DISTINCT doc_id AS doc, array_to_string(tok[i:i+2], ' ') AS s
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-         |       generate_series(1, 100000) t(i)
-         |  WHERE i + 2 <= len(tok)
-         |), hs AS (
-         |  SELECT doc, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
-         |         (('0x' || substr(md5(s), 17, 15))::BIGINT >> 4) AS h2
-         |  FROM sh
-         |), sig AS (
-         |  SELECT doc, $sigCols
-         |  FROM hs GROUP BY doc
-         |), buckets AS (
-         |  $bandSelects
-         |)
+    "q13_minhash_lsh" ->
+      s"""WITH $minhashCtes
          |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
          |FROM buckets a JOIN buckets b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q14_simhash" ->
       """WITH tok AS (
@@ -1215,5 +1266,77 @@ object SparkEntry {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // transitive closure of the LSH pair relation: label = min id
+    // reachable over undirected edges (same fixpoint the Spark
+    // min-label propagation converges to)
+    "q51_dedup_groups" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
+         |)
+         |SELECT doc AS doc_id, MIN(lbl) AS group_id
+         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q52_seq_packing" ->
+      """SELECT doc_id, n_tokens, start_tok,
+        |       (start_tok // 2048)::BIGINT AS bin,
+        |       (start_tok % 2048)::BIGINT AS "offset"
+        |FROM (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |         COALESCE(SUM(len(string_split(text, ' ')))
+        |                  OVER (ORDER BY doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                  0)::BIGINT AS start_tok
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q53_contamination" ->
+      """WITH bsh AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5('0:' || array_to_string(tok[i:i+7], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT string_split(text, ' ') AS tok FROM documents
+        |        WHERE doc_id % 100 = 0),
+        |       generate_series(1, 100000) t(i)
+        |  WHERE i + 7 <= len(tok)
+        |), csh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5('0:' || array_to_string(tok[i:i+7], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+        |        WHERE doc_id % 100 <> 0),
+        |       generate_series(1, 100000) t(i)
+        |  WHERE i + 7 <= len(tok)
+        |), hits AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (h))
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL)::BIGINT AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 100 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q54_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), bi AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |         len(list_distinct(toks))::BIGINT AS n_distinct,
+        |         toks[i] || ' ' || toks[i+1] AS bg
+        |  FROM base, generate_series(1, 100000) t(i)
+        |  WHERE i + 1 <= len(toks)
+        |), cnt AS (
+        |  SELECT doc_id, n_tokens, n_distinct, bg, COUNT(*) AS c
+        |  FROM bi GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, n_tokens,
+        |       ROUND(MAX(c)::DOUBLE / SUM(c), 4) AS top_bigram_frac,
+        |       ROUND(n_distinct::DOUBLE / n_tokens, 4) AS distinct_ratio
+        |FROM cnt GROUP BY doc_id, n_tokens, n_distinct
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -101,6 +101,33 @@ object TextAnalysis {
         sum(col("c"))), 4).as("lm_score"))
   }
 
+  /** Repetition metrics per document (the Gopher-rules family):
+    * distinct-token ratio and top-bigram fraction — high top-bigram
+    * fraction or low distinct ratio marks boilerplate/spam that
+    * length/stopword filters miss. One explode + two aggregations,
+    * all partial-aggregated map-side.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = Par.spread(df).select(col(idCol).as("doc"),
+      split(col(textCol), " ").as("toks"))
+      .select(col("doc"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        // toks[i] is 0-based in Spark SQL; sequence guards the <2-token
+        // doc (sequence(1, k) counts DOWN for k < 1)
+        explode(expr(
+          "CASE WHEN size(toks) >= 2 THEN " +
+            "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i])) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END")).as("bg"))
+    base.groupBy(col("doc"), col("n_tokens"), col("n_distinct"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc"), col("n_tokens"), col("n_distinct"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_c"))
+      .select(col("doc").as(idCol), col("n_tokens"),
+        round(col("top_c").cast("double") / col("n_bigrams"), 4).as("top_bigram_frac"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"))
+  }
+
   /** Quality metrics per document: token count, mean token length,
     * stopword ratio, punctuation ratio, and a boolean-ish keep flag —
     * the standard cheap pre-filters of web-scale corpus cleaning.

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Specs for the round-3 training-pipeline operators: connected
+  * components, sequence packing, contamination flags, repetition
+  * metrics.
+  */
+class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
+
+  test("connectedComponents: chain merges, isolated node keeps own label") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain, {5,6}, {9} isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.connectedComponents(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
+  test("connectedComponents converges past maxIter-bounded long chains") {
+    import spark.implicits._
+    // a 12-node path: min label must traverse the whole chain
+    val nodes = (0L to 11L).toDF("id")
+    val edges = (0L to 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Graph.connectedComponents(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.toSeq == Seq(0L))
+  }
+
+  test("packGreedy: contiguous bins, offsets, boundary-crossing doc starts its bin") {
+    import spark.implicits._
+    val df = Seq((1L, 100), (2L, 900), (3L, 100), (4L, 50)).toDF("id", "n")
+    val got = Packing.packGreedy(df, "id", col("n"), capacity = 1000)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // starts: 0, 100, 1000, 1100 -> bins 0,0,1,1
+    assert(got.toSeq == Seq((1L, 0L, 0L, 0L), (2L, 100L, 0L, 100L),
+      (3L, 1000L, 1L, 0L), (4L, 1100L, 1L, 100L)))
+  }
+
+  test("flagNgramOverlap: only the doc sharing an 8-gram with the benchmark is flagged") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta end marker"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"), // shares 8-gram
+      (2L, "totally unrelated words that never overlap with anything benchmark has"),
+    ).toDF("doc_id", "text")
+    val got = Contamination.flagNgramOverlap(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L))
+  }
+
+  test("repetitionMetrics: looped text scores high top-bigram fraction, diverse text low") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam ham spam ham spam ham spam ham spam ham"),
+      (2L, "one two three four five six seven eight nine ten"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (n1, top1, dr1) = got(1L)
+    val (n2, top2, dr2) = got(2L)
+    assert(n1 == 10L && n2 == 10L)
+    // 9 bigrams: "spam ham" x5, "ham spam" x4
+    assert(top1 == math.rint(5.0 / 9.0 * 10000) / 10000)
+    assert(dr1 == 0.2)
+    assert(top2 == math.rint(1.0 / 9.0 * 10000) / 10000)
+    assert(dr2 == 1.0)
+  }
+}
