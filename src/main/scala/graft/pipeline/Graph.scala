@@ -8,53 +8,114 @@ import org.apache.spark.sql.functions._
   * Near-duplicate PAIRS (MinHash/SimHash/embedding candidates) are only
   * half the dedup story: keeping one survivor per duplicate CLUSTER
   * requires the transitive closure of the pair relation. At corpus
-  * scale that is a connected-components problem over billions of
-  * edges — solved here with the standard iterative min-label
-  * propagation (Lloyd-style; the basis of GraphX/Pregel CC).
+  * scale that is a connected-components problem over the candidate
+  * edge list.
   */
 object Graph {
 
-  /** Connected components by min-label propagation: every node starts
-    * as its own label; each round, a node adopts the smallest label
-    * among itself and its neighbors; converged when no label changes.
-    * The result is deterministic (the unique least-id fixpoint), so an
-    * engine-independent oracle can reproduce it exactly.
+  /** Connected components of the undirected pair relation; node ids
+    * must be integral. Output (doc, group_id): node id → least node id
+    * in its component — the unique deterministic fixpoint, so an
+    * engine-independent oracle (recursive CTE) reproduces it exactly.
     *
-    * Scale notes: each round is one shuffle of the edge list joined to
-    * the label table plus a min-aggregation — O(E) per round, ≤
-    * O(log V) rounds on real near-dup graphs (components are tiny and
-    * dense). `localCheckpoint` cuts the plan lineage every round so
-    * iteration N does not replan rounds 1..N−1; on a cluster a
-    * reliable checkpoint dir serves the same purpose. The driver-side
-    * convergence count is one scalar per round, not data.
+    * Size-adaptive, the shape production CC implementations use:
     *
-    * @param nodes one row per node (deduplicated by caller)
-    * @param edges undirected pair list (aCol, bCol)
-    * @return (doc, group_id): node id → least node id in its component
+    *  - Edge list fits the driver (`localEdgeThreshold`, 10M edges ≈
+    *    160 MB — post-LSH pair lists are billions of times smaller
+    *    than their corpus): exact union-find with path halving.
+    *    Iterating Spark jobs over megabytes pays per-round scheduler
+    *    latency for nothing.
+    *  - Bigger: distributed min-label rounds — (a) adopt the min label
+    *    among self and neighbors (one edge shuffle + min-agg), then
+    *    (b) pointer-jump (adopt the label OF one's label, halving
+    *    label paths) so convergence is O(log diameter), not
+    *    O(diameter); near-dup chains make the diameter linear in
+    *    cluster size without it. `localCheckpoint` cuts lineage per
+    *    round; the driver sees one scalar per round.
+    *
+    * Singleton nodes never enter either path: they rejoin as
+    * themselves at the end.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
-    val adj = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+                          maxIter: Int = 40,
+                          localEdgeThreshold: Long = 10000000L): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val adj = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("src"),
+        greatest(col(aCol), col(bCol)).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct().persist()
-    var labels = nodes.select(col(idCol).as("doc"), col(idCol).as("group_id"))
+    val labels =
+      if (adj.count() <= localEdgeThreshold) unionFind(spark, adj)
+      else propagate(adj, maxIter)
+    adj.unpersist()
+    nodes.select(col(idCol).cast("long").as("doc"))
+      .join(broadcast(labels), Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("__g"), col("doc")).as("group_id"))
+  }
+
+  /** Driver-side exact union-find (path halving; larger root joins
+    * smaller, so every final root is its component's min id).
+    */
+  private def unionFind(spark: org.apache.spark.sql.SparkSession,
+                        adj: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edgeArr = adj.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edgeArr.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    edgeArr.foreach { case (a, b) =>
+      buf += ((a, find(a))); buf += ((b, find(b)))
+    }
+    buf.distinct.toSeq.toDF("doc", "__g")
+  }
+
+  /** Distributed min-label propagation with pointer jumping, for edge
+    * lists too large to collect. Returns labels for edge-touched nodes.
+    */
+  private def propagate(adj: DataFrame, maxIter: Int): DataFrame = {
+    val sym = adj.select(col("src"), col("dst"))
+      .union(adj.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = adj.select(col("src").as("doc")).union(adj.select(col("dst").as("doc")))
+      .distinct().withColumn("group_id", col("doc"))
       .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val nbr = adj.join(labels, col("src") === col("doc"))
+      val nbr = sym.join(labels, col("src") === col("doc"))
         .groupBy(col("dst")).agg(min(col("group_id")).as("nbl"))
-      val next = labels.join(nbr, col("doc") === col("dst"), "left")
-        .select(col("doc"),
-          least(col("group_id"), coalesce(col("nbl"), col("group_id"))).as("group_id"),
-          (coalesce(col("nbl"), col("group_id")) < col("group_id")).as("chg"))
+      val stepped = labels.join(nbr, col("doc") === col("dst"), "left")
+        .select(col("doc"), col("group_id").as("prev"),
+          least(col("group_id"), coalesce(col("nbl"), col("group_id"))).as("mid"))
+        .localCheckpoint()
+      val ptr = stepped.select(col("doc").as("gdoc"), col("mid").as("glab"))
+      val nextLab = least(col("mid"), coalesce(col("glab"), col("mid")))
+      val next = stepped.join(ptr, col("mid") === col("gdoc"), "left")
+        .select(col("doc"), nextLab.as("group_id"), (nextLab < col("prev")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
       labels = next.select(col("doc"), col("group_id"))
       i += 1
     }
-    adj.unpersist()
-    labels
+    if (changed > 0)
+      System.err.println(s"[graft] connectedComponents: NOT converged after $maxIter rounds")
+    labels.withColumnRenamed("group_id", "__g")
   }
 }

@@ -21,14 +21,28 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
       5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
-  test("connectedComponents converges past maxIter-bounded long chains") {
+  test("connectedComponents distributed path: 60-node path converges inside O(log n) rounds") {
     import spark.implicits._
-    // a 12-node path: min label must traverse the whole chain
-    val nodes = (0L to 11L).toDF("id")
-    val edges = (0L to 10L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Graph.connectedComponents(nodes, "id", edges, "a", "b")
+    // localEdgeThreshold=0 forces the distributed propagation path; a
+    // long path maximizes diameter: plain min-propagation would need 59
+    // rounds, pointer jumping must close it in O(log n)
+    val nodes = (0L to 59L).toDF("id")
+    val edges = (0L to 58L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Graph.connectedComponents(nodes, "id", edges, "a", "b",
+      maxIter = 12, localEdgeThreshold = 0L)
       .collect().map(r => r.getLong(1)).distinct
     assert(got.toSeq == Seq(0L))
+  }
+
+  test("connectedComponents union-find and distributed paths agree") {
+    import spark.implicits._
+    val nodes = (0L to 30L).toDF("id")
+    val edges = Seq((3L, 7L), (7L, 11L), (20L, 21L), (22L, 21L), (5L, 4L))
+      .toDF("a", "b")
+    def run(thr: Long) =
+      Graph.connectedComponents(nodes, "id", edges, "a", "b", localEdgeThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1000000L) == run(0L))
   }
 
   test("packGreedy: contiguous bins, offsets, boundary-crossing doc starts its bin") {
