@@ -49,6 +49,9 @@ object Bench {
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
       else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { n =>
+      // collect garbage between queries so one query's allocation debt
+      // (O(n²) pair joins) is not paid inside the next query's timing
+      System.gc()
       val a = materialize(n)
       val b = materialize(n)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
