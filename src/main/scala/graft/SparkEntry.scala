@@ -156,7 +156,11 @@ object SparkEntry {
     Dedup.simhash(t(s, dir, "documents"), "doc_id", "text").orderBy("doc")
 
   private def qSimhashNeardup(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"), maxHamming = 8)
+    // localCheckpoint: both sides of the pair join read the SAME
+    // materialized signatures instead of re-running the simhash
+    // aggregation twice (signatures are 16 bytes/doc — tiny)
+    Dedup.simhashPairs(Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint(), maxHamming = 8)
       .orderBy("doc_a", "doc_b")
 
   // map-only text queries: spread the one-row-group documents scan so
