@@ -156,14 +156,18 @@ object Dedup {
     * all partial-aggregated map-side.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // ±1 per token OCCURRENCE sums to exactly the frequency-weighted
+    // ±count per distinct token, so no (doc, token) pre-aggregation is
+    // needed: one explode straight into the doc-keyed aggregation —
+    // ONE shuffle carrying 60 partial sums per doc instead of two
+    // (the dropped one carried every distinct (doc, token) string)
     val tok = Par.spread(df)
       .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("t"))
-      .groupBy(col("doc"), col("t")).agg(count(lit(1)).as("c"))
       .withColumn("h", hash60("t", 7))
-    // 60 wide agg columns instead of a 60× bit-explode: one shuffle on
-    // doc, all bit-sums partial-aggregated map-side in codegen
+    // 60 wide agg columns instead of a 60× bit-explode: all bit-sums
+    // partial-aggregated map-side in codegen
     val bitAggs = (0 until 60).map(j =>
-      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN c ELSE -c END")).as(s"b$j"))
+      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"b$j"))
     val packed = (0 until 60)
       .map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
