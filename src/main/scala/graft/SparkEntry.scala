@@ -647,6 +647,17 @@ object SparkEntry {
     TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** The production dedup composition: LSH candidates → exact Jaccard
+    * verification computed only on candidate pairs.
+    */
+  private def qLshJaccardVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cands = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 12, bands = 4)
+    Dedup.jaccardVerify(docs, "doc_id", "text", cands, n = 3, minJaccard = 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -703,6 +714,7 @@ object SparkEntry {
     "q52_seq_packing" -> (qSeqPacking(_, _)),
     "q53_contamination" -> (qContamination(_, _)),
     "q54_repetition" -> (qRepetition(_, _)),
+    "q55_lsh_jaccard_verify" -> (qLshJaccardVerify(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51): shingle →
@@ -1342,5 +1354,34 @@ object SparkEntry {
         |       ROUND(n_distinct::DOUBLE / n_tokens, 4) AS distinct_ratio
         |FROM cnt GROUP BY doc_id, n_tokens, n_distinct
         |ORDER BY doc_id""".stripMargin,
+
+    // LSH candidates (shared minhash CTEs) verified by exact Jaccard
+    // computed only on those pairs (inner joins — no-overlap pairs
+    // drop, matching the engine's inner intersection join)
+    "q55_lsh_jaccard_verify" ->
+      s"""WITH $minhashCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+         |), jsh AS (
+         |  SELECT DISTINCT doc_id AS doc,
+         |    ('0x' || substr(md5('0:' || array_to_string(tok[i:i+2], ' ')), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |       generate_series(1, 100000) t(i)
+         |  WHERE i + 2 <= len(tok)
+         |), sizes AS (SELECT doc, COUNT(*) AS n_sh FROM jsh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN jsh a ON a.doc = c.doc_a
+         |  JOIN jsh b ON b.doc = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT i.doc_a, i.doc_b,
+         |         ROUND(i.inter::DOUBLE / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
+         |  FROM inter i JOIN sizes sa ON sa.doc = i.doc_a
+         |               JOIN sizes sb ON sb.doc = i.doc_b)
+         |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

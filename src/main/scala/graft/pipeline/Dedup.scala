@@ -148,6 +148,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact Jaccard verification RESTRICTED to candidate pairs — the
+    * LSH→verify composition production dedup runs: candidates come
+    * from [[minhashLshPairs]] (or any bucketing), and the exact
+    * intersection is computed only for them, so shuffle volume is
+    * O(candidates × shingles-per-doc) instead of quadratic in
+    * co-shingled docs. Pairs sharing no shingle drop out of the inner
+    * join — their Jaccard is 0, below any useful threshold.
+    */
+  def jaccardVerify(df: DataFrame, idCol: String, textCol: String,
+                    candidates: DataFrame,
+                    n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val dfS = Par.spread(df)
+    val sh = hashedShingleTable(dfS, idCol, textCol, n)
+    val sizes = dfS.select(col(idCol).as("doc"), size(wordShingles(textCol, n)).as("n_sh"))
+    val inter = candidates.select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb")), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** 60-bit frequency-weighted SimHash: each token contributes its
     * occurrence count (+c for a set bit, −c otherwise); fingerprint
     * bit j is set iff the weighted sum is positive. Frequency (not

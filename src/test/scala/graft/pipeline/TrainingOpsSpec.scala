@@ -56,6 +56,24 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
       (3L, 1000L, 1L, 0L), (4L, 1100L, 1L, 100L)))
   }
 
+  test("jaccardVerify scores only candidate pairs, exact-dups at 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (2L, "completely different words about spark query engines and data processing"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    ).toDF("doc_id", "text")
+    val cands = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    val got = Dedup.jaccardVerify(docs, "doc_id", "text", cands, n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((0L, 3L)) == 1.0)
+    assert(!got.keys.exists { case (a, b) => a == 2L || b == 2L })
+    // verified pairs are a subset of the candidate set
+    val candSet = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.keySet.subsetOf(candSet))
+  }
+
   test("flagNgramOverlap: only the doc sharing an 8-gram with the benchmark is flagged") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta end marker"))
