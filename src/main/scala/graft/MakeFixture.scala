@@ -20,8 +20,15 @@ object MakeFixture {
     // unrelated data.
     val target = new java.io.File(dir)
     if (target.exists()) {
-      require(new java.io.File(target, "meta.json").exists(),
-        s"refusing to delete $dir: not a graft catalog (no meta.json)")
+      // delete only what is safe: a complete catalog (meta.json), a
+      // partial build (tiles/ but no meta — crash between layer writes
+      // and writeMeta must stay re-runnable), or an empty dir. Anything
+      // else is someone's unrelated data.
+      val contents = Option(target.list()).getOrElse(Array.empty[String])
+      val looksLikeCatalog = contents.isEmpty ||
+        contents.forall(n => n == "meta.json" || n == "tiles")
+      require(looksLikeCatalog,
+        s"refusing to delete $dir: not a graft catalog (contains ${contents.take(3).mkString(", ")})")
       org.apache.commons.io.FileUtils.deleteQuietly(target)
     }
     def m(id: String, ct: String) = RasterMeta(id, 0, "ConusAlbers", ct, 0, 0, 8, 8, 4, 4, 2, 2)

@@ -747,14 +747,20 @@ object SparkEntry {
        |)""".stripMargin
   }
 
-  /** Zonal-fixture path fragment for the q30–q34 oracles: the driver
-    * runs the correctness gate at sf0.01, whose fixture (plus the
-    * rasterized-mask dumps, [[graft.sources.ZonalFixture.ensureMasks]])
-    * lives at a deterministic tmpdir location that Verify materializes
-    * before the oracle SQL runs.
+  /** Zonal-fixture path fragment for the q30–q34 oracles: the fixture
+    * (plus the rasterized-mask dumps,
+    * [[graft.sources.ZonalFixture.ensureMasks]]) lives at a
+    * deterministic tmpdir location that Verify materializes before the
+    * oracle SQL runs. The spec is derived from the sfDir Verify is
+    * running (system property set by [[Verify.main]]; defaults to the
+    * driver's sf0.01 gate) so the oracle always reads the fixture the
+    * Spark side computed against.
     */
   private def zfp(rel: String): String = {
-    val d = s"${System.getProperty("java.io.tmpdir")}/graft_zonal_2x2x256"
+    val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+    val spec = graft.sources.ZonalFixture.specFor(sfDir)
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_zonal_" +
+      s"${spec.layoutCols}x${spec.layoutRows}x${spec.tileSize}"
     s"read_parquet('$d/$rel/*.parquet')"
   }
 
@@ -1340,19 +1346,21 @@ object SparkEntry {
     "q54_repetition" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |), bi AS (
+        |), stats AS (
         |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-        |         len(list_distinct(toks))::BIGINT AS n_distinct,
-        |         toks[i] || ' ' || toks[i+1] AS bg
+        |         len(list_distinct(toks))::BIGINT AS n_distinct FROM base
+        |), bi AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
         |  FROM base, generate_series(1, 100000) t(i)
         |  WHERE i + 1 <= len(toks)
         |), cnt AS (
-        |  SELECT doc_id, n_tokens, n_distinct, bg, COUNT(*) AS c
-        |  FROM bi GROUP BY 1, 2, 3, 4)
-        |SELECT doc_id, n_tokens,
-        |       ROUND(MAX(c)::DOUBLE / SUM(c), 4) AS top_bigram_frac,
-        |       ROUND(n_distinct::DOUBLE / n_tokens, 4) AS distinct_ratio
-        |FROM cnt GROUP BY doc_id, n_tokens, n_distinct
+        |  SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_c FROM cnt GROUP BY 1)
+        |SELECT s.doc_id, s.n_tokens,
+        |       ROUND(COALESCE(a.top_c::DOUBLE / a.n_bigrams, 0.0), 4) AS top_bigram_frac,
+        |       ROUND(s.n_distinct::DOUBLE / s.n_tokens, 4) AS distinct_ratio
+        |FROM stats s LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // LSH candidates (shared minhash CTEs) verified by exact Jaccard

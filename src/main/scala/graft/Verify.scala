@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // the zonal oracle SQL derives its fixture path from the sfDir
+    // this run computes against (SparkEntry.zfp)
+    sys.props("graft.verify.sfdir") = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     GraftSession.printConfiguration(spark)

@@ -27,9 +27,13 @@ object ExactPercentiles {
   def exact(df: DataFrame, groupCols: Seq[String], valueCol: String,
             ps: Seq[(String, Double)]): DataFrame = {
     val gcols = groupCols.map(col)
-    val counts = df.groupBy(gcols: _*).agg(count(lit(1)).as("__n"))
+    // NULL values are excluded from n and from ranking, matching the
+    // built-in percentile's ignore-nulls semantics (a group of all
+    // nulls disappears, as it does with the built-in)
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val counts = nonNull.groupBy(gcols: _*).agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(gcols: _*).orderBy(col(valueCol))
-    val ranked = df.select(gcols :+ col(valueCol): _*)
+    val ranked = nonNull.select(gcols :+ col(valueCol): _*)
       .join(broadcast(counts), groupCols)
       .withColumn("__rn", row_number().over(w).cast("long"))
     val aggs = ps.map { case (name, p) =>

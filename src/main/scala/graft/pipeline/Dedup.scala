@@ -85,23 +85,24 @@ object Dedup {
     // broadcast — the shingle grouping stays the only real shuffle
     val sizes = df.select(col(idCol).as("doc"), size(wordShingles(textCol, n)).as("n_sh"))
     // pair generation via group-then-combine, not a self-join: ONE
-    // shingle-hash pass, one shuffle on h, and per-bucket i<j pair
-    // expansion (shingle buckets are tiny — a shingle shared by
-    // thousands of docs means those docs are near-identical and meet
-    // through their many other shared shingles anyway). The sorted
-    // array gives doc_a < doc_b for free.
+    // shingle-hash pass, one shuffle on h. Pairs stream out of two
+    // NESTED explodes (doc_a from posexplode, doc_b from the suffix
+    // slice), so per-row memory is O(bucket) — never the O(bucket²)
+    // a single flattened pair array would materialize on a hot
+    // boilerplate shingle. The sorted array gives doc_a < doc_b free.
     val inter = sh.groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc"))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), " +
-          "b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hint on sizes: one row per doc is NOT broadcastable
+    // at corpus scale — Catalyst auto-broadcasts when it actually fits
     inter
-      .join(broadcast(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb")), "doc_b")
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
       .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -167,8 +168,8 @@ object Dedup {
       .join(sh.select(col("doc").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb")), "doc_b")
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
       .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))

@@ -47,12 +47,15 @@ object Graph {
         greatest(col(aCol), col(bCol)).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct().persist()
-    val labels =
-      if (adj.count() <= localEdgeThreshold) unionFind(spark, adj)
-      else propagate(adj, maxIter)
+    val small = adj.count() <= localEdgeThreshold
+    val labels = if (small) unionFind(spark, adj) else propagate(adj, maxIter)
     adj.unpersist()
+    // broadcast only the union-find labels (driver-sized by
+    // construction); the distributed path's label table is as big as
+    // the touched-node set and must shuffle-join
+    val right = if (small) broadcast(labels) else labels
     nodes.select(col(idCol).cast("long").as("doc"))
-      .join(broadcast(labels), Seq("doc"), "left")
+      .join(right, Seq("doc"), "left")
       .select(col("doc"), coalesce(col("__g"), col("doc")).as("group_id"))
   }
 

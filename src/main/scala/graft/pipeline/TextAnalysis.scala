@@ -108,23 +108,28 @@ object TextAnalysis {
     * all partial-aggregated map-side.
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = Par.spread(df).select(col(idCol).as("doc"),
+    val toks = Par.spread(df).select(col(idCol).as("doc"),
       split(col(textCol), " ").as("toks"))
-      .select(col("doc"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        // toks[i] is 0-based in Spark SQL; sequence guards the <2-token
-        // doc (sequence(1, k) counts DOWN for k < 1)
-        explode(expr(
-          "CASE WHEN size(toks) >= 2 THEN " +
-            "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i])) " +
-            "ELSE CAST(array() AS ARRAY<STRING>) END")).as("bg"))
-    base.groupBy(col("doc"), col("n_tokens"), col("n_distinct"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc"), col("n_tokens"), col("n_distinct"))
+    // per-doc token stats come straight from the un-exploded scan so
+    // EVERY input doc gets an output row — a <2-token doc has no
+    // bigrams (left join below) and scores top_bigram_frac 0.0
+    val stats = toks.select(col("doc"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    // toks[i] is 0-based in Spark SQL; sequence guards the <2-token
+    // doc (sequence(1, k) counts DOWN for k < 1)
+    val biAgg = toks.select(col("doc"),
+      explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN " +
+          "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i])) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("bg"))
+      .groupBy(col("doc"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc"))
       .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_c"))
+    stats.join(biAgg, Seq("doc"), "left")
       .select(col("doc").as(idCol), col("n_tokens"),
-        round(col("top_c").cast("double") / col("n_bigrams"), 4).as("top_bigram_frac"),
+        round(coalesce(col("top_c").cast("double") / col("n_bigrams"), lit(0.0)), 4)
+          .as("top_bigram_frac"),
         round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"))
   }
 
