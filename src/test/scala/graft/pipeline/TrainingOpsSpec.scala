@@ -87,6 +87,48 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("ngramJaccardPairs group-then-combine equals a reference self-join on random docs") {
+    import spark.implicits._
+    val words = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val rnd = new scala.util.Random(42)
+    val docs = (0L until 60L).map(i =>
+      (i, Seq.fill(12)(words(rnd.nextInt(words.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // reference: plain self-join on the hashed shingle table
+    val sh = docs.select(col("doc_id").as("doc"),
+      explode(Dedup.wordShingles("text", 2)).as("s"))
+      .select(col("doc"), Dedup.hash60("s", 0).as("h"))
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val want = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("j", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("j") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == want)
+  }
+
+  test("packGreedy properties: bins non-decreasing, offsets within capacity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val df = (1L to 500L).map(i => (i, 1 + rnd.nextInt(700))).toDF("id", "n")
+    val rows = Packing.packGreedy(df, "id", col("n"), capacity = 512)
+      .orderBy("id").collect()
+    val bins = rows.map(_.getLong(3))
+    assert(bins.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(rows.forall(r => r.getLong(4) >= 0 && r.getLong(4) < 512))
+    // starts are exactly the running sum of preceding token counts
+    val starts = rows.map(_.getLong(2))
+    val toks = rows.map(_.getLong(1))
+    assert(starts.toSeq == toks.scanLeft(0L)(_ + _).init.toSeq)
+  }
+
   test("repetitionMetrics: looped text scores high top-bigram fraction, diverse text low") {
     import spark.implicits._
     val df = Seq(
