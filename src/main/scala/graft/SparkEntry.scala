@@ -647,6 +647,35 @@ object SparkEntry {
     TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Grouped count under the reference's OTHER rasterization mode
+    * (pixelIsArea — low-res rasters, CHANGELOG.md:110-113): the
+    * supercover mask, oracle-checked against its own mask dump.
+    */
+  private def qZonalAreaCount(s: SparkSession, dir: String): DataFrame = {
+    val (path, spec, metas) = zonalCtx(s, dir)
+    val aoi = graft.sources.ZonalFixture.aoi(spec)
+    val opts = graft.raster.Rasterizer.Options(includePartial = true, pixelIsArea = true)
+    graft.operators.Zonal.groupedCount(s, metas("nlcd").layout,
+      zonalLayers(s, path, metas, Seq("nlcd", "soil"), aoi), aoi, opts)
+      .select(valsKey.as("vals"), col("cnt"))
+      .orderBy("vals")
+  }
+
+  /** Grouped count on the zoom=1 overview (2× downsample): exercises
+    * the catalog's zoom dimension + partition pruning end-to-end.
+    */
+  private def qZonalOverviewCount(s: SparkSession, dir: String): DataFrame = {
+    val (path, spec, metas) = zonalCtx(s, dir)
+    val aoi = graft.sources.ZonalFixture.aoi(spec)
+    val z1 = metas("nlcd").copy(zoom = 1,
+      layoutCols = spec.layoutCols / 2, layoutRows = spec.layoutRows / 2)
+    graft.operators.Zonal.groupedCount(s, z1.layout,
+      Seq(graft.operators.Zonal.Layer(z1,
+        graft.sources.TileCatalog.readLayer(s, path, z1, aoi))), aoi)
+      .select(valsKey.as("vals"), col("cnt"))
+      .orderBy("vals")
+  }
+
   /** The production dedup composition: LSH candidates → exact Jaccard
     * verification computed only on candidate pairs.
     */
@@ -715,6 +744,8 @@ object SparkEntry {
     "q53_contamination" -> (qContamination(_, _)),
     "q54_repetition" -> (qRepetition(_, _)),
     "q55_lsh_jaccard_verify" -> (qLshJaccardVerify(_, _)),
+    "q56_zonal_area_count" -> (qZonalAreaCount(_, _)),
+    "q57_zonal_overview_count" -> (qZonalOverviewCount(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51): shingle →
@@ -1391,5 +1422,24 @@ object SparkEntry {
          |  FROM inter i JOIN sizes sa ON sa.doc = i.doc_a
          |               JOIN sizes sb ON sb.doc = i.doc_b)
          |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q56_zonal_area_count" ->
+      s"""WITH m AS (SELECT * FROM ${zfp("mask_aoi_area.parquet")}),
+         |n AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=nlcd/zoom=0")}),
+         |s AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=soil/zoom=0")})
+         |SELECT 'List(' || COALESCE(n.tile_i[m.idx + 1], -2147483648)
+         |    || ', ' || COALESCE(s.tile_i[m.idx + 1], -2147483648) || ')' AS vals,
+         |  COUNT(*) AS cnt
+         |FROM m LEFT JOIN n USING (key_col, key_row)
+         |       LEFT JOIN s USING (key_col, key_row)
+         |GROUP BY 1 ORDER BY vals""".stripMargin,
+
+    "q57_zonal_overview_count" ->
+      s"""WITH m AS (SELECT * FROM ${zfp("mask_aoi_z1.parquet")}),
+         |n AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=nlcd/zoom=1")})
+         |SELECT 'List(' || COALESCE(n.tile_i[m.idx + 1], -2147483648) || ')' AS vals,
+         |  COUNT(*) AS cnt
+         |FROM m LEFT JOIN n USING (key_col, key_row)
+         |GROUP BY 1 ORDER BY vals""".stripMargin,
   )
 }

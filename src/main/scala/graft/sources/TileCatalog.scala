@@ -91,43 +91,67 @@ object TileCatalog {
     */
   def buildOverview(spark: SparkSession, path: String, meta: RasterMeta): RasterMeta = {
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     require(meta.layoutCols % 2 == 0 && meta.layoutRows % 2 == 0,
       "overview needs an even tile grid")
     val tc = meta.tileCols
     val tr = meta.tileRows
     val half = tc / 2
+    val halfR = tr / 2
     val src = spark.read.parquet(s"$path/tiles")
       .filter(col("raster_id") === meta.rasterId && col("zoom") === meta.zoom)
     // child (kc,kr) lands in parent (kc/2, kr/2) quadrant (kc%2, kr%2);
-    // parent cell (c,r) of quadrant (qx,qy) samples child cell (2c',2r')
-    // with c' local — expressed as one transform over the parent index
-    // space per child tile, then map-merge of the four quadrants
+    // parent cell (c,r) of quadrant (qx,qy) samples child cell (2c,2r)
+    // local. The dense fill is a typed mapGroups kernel: one shuffle on
+    // the parent key, then O(cells) array writes per tile — the
+    // map_from_entries + element_at formulation it replaces is
+    // O(cells²) per tile because Catalyst map lookup on
+    // ArrayBasedMapData is a linear scan (minutes per 512² tile).
     val isInt = meta.isInt
     val valueCol = if (isInt) "tile_i" else "tile_d"
     val contrib = src.select(
-      (col("key_col") / 2).cast("int").as("key_col"),
-      (col("key_row") / 2).cast("int").as("key_row"),
-      (col("key_col") % 2).as("qx"), (col("key_row") % 2).as("qy"),
+      (col("key_col") / 2).cast("int").as("kc"),
+      (col("key_row") / 2).cast("int").as("kr"),
+      (col("key_col") % 2).cast("int").as("qx"),
+      (col("key_row") % 2).cast("int").as("qy"),
       col(valueCol).as("t"))
-    // per child tile: (tc/2)·(tr/2) sampled entries in parent index
-    // space (local col = j % half, local row = j DIV half), then the
-    // proven writePixels packing: explode → map_from_entries → fill
-    val entryExpr =
-      s"""transform(sequence(0, ${half * (tr / 2) - 1}), j -> struct(
-         |  CAST((qy * ${tr / 2} + j DIV $half) * $tc + qx * $half + j % $half AS INT) AS idx,
-         |  element_at(t, CAST((j DIV $half) * 2 * $tc + (j % $half) * 2 + 1 AS INT)) AS v))""".stripMargin
-    val fill = if (isInt) s"${Int.MinValue}" else "CAST('NaN' AS DOUBLE)"
-    val out = contrib
-      .select(col("key_col"), col("key_row"), explode(expr(entryExpr)).as("e"))
-      .groupBy(col("key_col"), col("key_row"))
-      .agg(map_from_entries(collect_list(struct(col("e.idx"), col("e.v")))).as("m"))
-      .select(col("key_col"), col("key_row"),
-        expr(s"transform(sequence(0, ${tc * tr - 1}), i -> coalesce(element_at(m, i), $fill))")
-          .as("vals"))
-    val (vi, vd) =
-      if (isInt) (col("vals").cast("array<int>"), lit(null).cast("array<double>"))
-      else (lit(null).cast("array<int>"), col("vals").cast("array<double>"))
-    out.select(col("key_col"), col("key_row"), vi.as("tile_i"), vd.as("tile_d"))
+    val out: DataFrame =
+      if (isInt) {
+        contrib.as[(Int, Int, Int, Int, Array[Int])]
+          .groupByKey { case (kc, kr, _, _, _) => (kc, kr) }
+          .mapGroups { (key: (Int, Int), it) =>
+            val (kc, kr) = key
+            val arr = Array.fill(tc * tr)(Int.MinValue)
+            it.foreach { case (_, _, qx, qy, tile) =>
+              var j = 0
+              while (j < half * halfR) {
+                arr((qy * halfR + j / half) * tc + qx * half + j % half) =
+                  tile((j / half) * 2 * tc + (j % half) * 2)
+                j += 1
+              }
+            }
+            (kc, kr, arr)
+          }.toDF("key_col", "key_row", "tile_i")
+          .withColumn("tile_d", lit(null).cast("array<double>"))
+      } else {
+        contrib.as[(Int, Int, Int, Int, Array[Double])]
+          .groupByKey { case (kc, kr, _, _, _) => (kc, kr) }
+          .mapGroups { (key: (Int, Int), it) =>
+            val (kc, kr) = key
+            val arr = Array.fill(tc * tr)(Double.NaN)
+            it.foreach { case (_, _, qx, qy, tile) =>
+              var j = 0
+              while (j < half * halfR) {
+                arr((qy * halfR + j / half) * tc + qx * half + j % half) =
+                  tile((j / half) * 2 * tc + (j % half) * 2)
+                j += 1
+              }
+            }
+            (kc, kr, arr)
+          }.toDF("key_col", "key_row", "tile_d")
+          .withColumn("tile_i", lit(null).cast("array<int>"))
+      }
+    out
       .withColumn("raster_id", lit(meta.rasterId))
       .withColumn("zoom", lit(meta.zoom + 1))
       .select("key_col", "key_row", "tile_i", "tile_d", "raster_id", "zoom")
@@ -139,31 +163,42 @@ object TileCatalog {
 
   /** Ingest a layer from a LONG-FORMAT pixel DataFrame
     * `(gc INT, gr INT, v)` — the ETL direction: group pixels into
-    * dense tiles, NODATA-filling absent cells. Fully declarative
-    * (map_from_entries + transform over the cell sequence), one
-    * shuffle on the tile key; Catalyst handles partial grouping.
+    * dense tiles, NODATA-filling absent cells. One shuffle on the tile
+    * key into a typed mapGroups dense-fill kernel (O(cells) per tile —
+    * a map_from_entries + element_at fill is O(cells²), Catalyst map
+    * lookup being a linear scan).
     */
   def writePixels(spark: SparkSession, path: String, meta: RasterMeta,
                   pixels: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     val tc = meta.tileCols
     val tr = meta.tileRows
-    val (valueCol, fillSql, arrType) =
-      if (meta.isInt) ("tile_i", s"${Int.MinValue}", "array<int>")
-      else ("tile_d", "CAST('NaN' AS DOUBLE)", "array<double>")
-    val otherCol = if (meta.isInt) "tile_d" else "tile_i"
-    val otherType = if (meta.isInt) "array<double>" else "array<int>"
-    pixels
-      .select((col("gc") / tc).cast("int").as("key_col"),
-        (col("gr") / tr).cast("int").as("key_row"),
+    val keyed = pixels
+      .select((col("gc") / tc).cast("int").as("kc"),
+        (col("gr") / tr).cast("int").as("kr"),
         ((col("gr") % tr) * tc + (col("gc") % tc)).cast("int").as("idx"),
-        col("v"))
-      .groupBy(col("key_col"), col("key_row"))
-      .agg(map_from_entries(collect_list(struct(col("idx"), col("v")))).as("m"))
-      .select(col("key_col"), col("key_row"),
-        expr(s"transform(sequence(0, ${tc * tr - 1}), i -> coalesce(element_at(m, i), $fillSql))")
-          .cast(arrType).as(valueCol))
-      .withColumn(otherCol, lit(null).cast(otherType))
+        col("v").cast("double").as("v"))
+      .as[(Int, Int, Int, Double)]
+      .groupByKey { case (kc, kr, _, _) => (kc, kr) }
+    val out: DataFrame =
+      if (meta.isInt)
+        keyed.mapGroups { (key: (Int, Int), it) =>
+            val (kc, kr) = key
+          val arr = Array.fill(tc * tr)(Int.MinValue)
+          it.foreach { case (_, _, idx, v) => arr(idx) = v.toInt }
+          (kc, kr, arr)
+        }.toDF("key_col", "key_row", "tile_i")
+          .withColumn("tile_d", lit(null).cast("array<double>"))
+      else
+        keyed.mapGroups { (key: (Int, Int), it) =>
+            val (kc, kr) = key
+          val arr = Array.fill(tc * tr)(Double.NaN)
+          it.foreach { case (_, _, idx, v) => arr(idx) = v }
+          (kc, kr, arr)
+        }.toDF("key_col", "key_row", "tile_d")
+          .withColumn("tile_i", lit(null).cast("array<int>"))
+    out
       .withColumn("raster_id", lit(meta.rasterId))
       .withColumn("zoom", lit(meta.zoom))
       .select("key_col", "key_row", "tile_i", "tile_d", "raster_id", "zoom")

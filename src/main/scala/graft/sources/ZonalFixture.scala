@@ -80,7 +80,10 @@ object ZonalFixture {
     */
   def ensureMasks(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = ensure(spark, sfDir)
-    if (new java.io.File(s"$dir/mask_aoi.parquet/_SUCCESS").exists()) return dir
+    // mask_aoi is renamed into place LAST, so its _SUCCESS implies all
+    // masks; the z1 check upgrades fixtures built before overviews
+    if (new java.io.File(s"$dir/mask_aoi.parquet/_SUCCESS").exists() &&
+      new java.io.File(s"$dir/mask_aoi_z1.parquet/_SUCCESS").exists()) return dir
     val spec = specFor(sfDir)
     import spark.implicits._
     val layout = metas(spec).head.layout
@@ -140,8 +143,47 @@ object ZonalFixture {
     }.toDF("shape_id", "key_col", "key_row", "idx")
       .write.mode("overwrite").parquet(s"$dir/mask_lines_shapes.parquet")
 
+    // PixelIsArea mask: the reference's other rasterization mode
+    // (low-res rasters, CHANGELOG.md:110-113) through the oracle gate
+    val areaOpts = graft.raster.Rasterizer.Options(includePartial = true, pixelIsArea = true)
+    keys.toDS().flatMap { case (kc, kr) =>
+      val re = layout.rasterExtent(kc, kr)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      graft.raster.Rasterizer.foreachCellByPolygon(clipTile(aoiG, re), re, areaOpts)(
+        (c, r) => buf += ((kc, kr, r * ts + c)))
+      buf
+    }.toDF("key_col", "key_row", "idx")
+      .write.mode("overwrite").parquet(s"$dir/mask_aoi_area.parquet")
+
+    // overview pyramid (zoom=1, 2x downsample) + its AOI mask on the
+    // halved layout — the zoom dimension through the oracle gate
+    val allMeta = TileCatalog.readMeta(dir)
+    val z1Nlcd = new java.io.File(s"$dir/tiles/raster_id=nlcd/zoom=1")
+    val z1Soil = new java.io.File(s"$dir/tiles/raster_id=soil/zoom=1")
+    if (!z1Nlcd.exists() || !z1Soil.exists()) {
+      // overview writers append: wipe any partial zoom=1 partitions
+      // first so a crashed run cannot double tiles on retry
+      org.apache.commons.io.FileUtils.deleteQuietly(z1Nlcd)
+      org.apache.commons.io.FileUtils.deleteQuietly(z1Soil)
+      TileCatalog.buildOverview(spark, dir, allMeta("nlcd"))
+      TileCatalog.buildOverview(spark, dir, allMeta("soil"))
+    }
+    val z1 = allMeta("nlcd").copy(zoom = 1,
+      layoutCols = spec.layoutCols / 2, layoutRows = spec.layoutRows / 2)
+    val z1Layout = z1.layout
+    val z1Keys = for (kc <- 0 until z1.layoutCols; kr <- 0 until z1.layoutRows) yield (kc, kr)
+    z1Keys.toDS().flatMap { case (kc, kr) =>
+      val re = z1Layout.rasterExtent(kc, kr)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      graft.raster.Rasterizer.foreachCellByPolygon(clipTile(aoiG, re), re)(
+        (c, r) => buf += ((kc, kr, r * ts + c)))
+      buf
+    }.toDF("key_col", "key_row", "idx")
+      .write.mode("overwrite").parquet(s"$dir/mask_aoi_z1.parquet")
+
     // the AOI mask moves into place LAST: its _SUCCESS is the
     // all-masks-written marker the idempotence check reads
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/mask_aoi.parquet"))
     val tmp = new java.io.File(s"$dir/mask_aoi.parquet.tmp")
     if (!tmp.renameTo(new java.io.File(s"$dir/mask_aoi.parquet")))
       throw new java.io.IOException(s"rename failed for $tmp")
