@@ -41,6 +41,8 @@ object Cli {
         System.err.println(s"Bad Request: Malformed GeoJSON: ${e.getMessage}"); sys.exit(1)
       case e: org.json4s.MappingException =>
         System.err.println(s"Bad Request: Invalid request body: ${e.getMessage}"); sys.exit(1)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        System.err.println(s"Bad Request: Invalid request body: ${e.getMessage}"); sys.exit(1)
       case e: IllegalArgumentException =>
         System.err.println(s"Bad Request: ${e.getMessage}"); sys.exit(1)
     } finally {

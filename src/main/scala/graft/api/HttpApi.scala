@@ -1,0 +1,91 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.GraftSession
+
+/** The reference's HTTP transport, on the JDK's built-in server (zero
+  * extra dependencies): `GET /ping` → `"pong"`, `POST /run`,
+  * `POST /multi` — same JSON contracts as [[Service.run]]/
+  * [[Service.runMulti]], same error surface as the reference
+  * (ErrorHandler.scala:8-46): typed errors → 400 with the reference's
+  * message, anything else → 500.
+  *
+  * A user of the reference can point their client at this port and run
+  * every request they run today (`WebServer.scala:64-101` routes).
+  */
+object HttpApi {
+
+  /** Start serving `catalogPath` on `port` (0 = ephemeral; the chosen
+    * port is in the returned server's address). Non-blocking.
+    */
+  def start(cat: Service.Catalog, port: Int): HttpServer = {
+    val srv = HttpServer.create(new InetSocketAddress(port), 0)
+    srv.createContext("/ping", (ex: HttpExchange) => respond(ex, 200, "\"pong\""))
+    srv.createContext("/run", handle(ex => Service.run(cat, body(ex)))(_))
+    srv.createContext("/multi", handle(ex => Service.runMulti(cat, body(ex)))(_))
+    srv.start()
+    srv
+  }
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  private def respond(ex: HttpExchange, status: Int, payload: String): Unit = {
+    val bytes = payload.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  /** Reference error mapping (ErrorHandler.scala:8-46; same messages
+    * as [[Cli]]'s stderr surface): typed → 400, unknown → 500.
+    */
+  private def handle(f: HttpExchange => String)(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") respond(ex, 405, "\"POST only\"")
+      else respond(ex, 200, f(ex))
+    } catch {
+      case _: Service.MissingTargetRasterException =>
+        respond(ex, 400, err("Missing target raster"))
+      case _: Service.MissingVectorException =>
+        respond(ex, 400, err("Missing vector input"))
+      case _: Service.MissingVectorCRSException =>
+        respond(ex, 400, err("Missing vectorCRS"))
+      case e: Service.InvalidOperationException =>
+        respond(ex, 400, err(e.getMessage))
+      case e: graft.geom.UnknownCrsException =>
+        respond(ex, 400, err(e.getMessage))
+      case e: graft.geom.MalformedGeoJsonException =>
+        respond(ex, 400, err(s"Malformed GeoJSON: ${e.getMessage}"))
+      case e: org.json4s.MappingException =>
+        respond(ex, 400, err(s"Invalid request body: ${e.getMessage}"))
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        respond(ex, 400, err(s"Invalid request body: ${e.getMessage}"))
+      case e: IllegalArgumentException =>
+        respond(ex, 400, err(e.getMessage))
+      case e: Throwable =>
+        respond(ex, 500, err(s"Internal error: ${e.getClass.getSimpleName}"))
+    }
+
+  private def err(msg: String): String =
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      org.json4s.JObject("error" -> org.json4s.JString(msg))))
+
+  /** Standalone server main:
+    * {{{ sbt "runMain graft.api.HttpApi <catalogPath> [port]" }}}
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: HttpApi <catalogPath> [port]")
+    val port = if (args.length > 1) args(1).toInt else 8090
+    val spark = GraftSession.builder("local[*]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val srv = start(Service.Catalog(spark, args(0)), port)
+    println(s"graft serving ${args(0)} on port ${srv.getAddress.getPort} (/ping /run /multi)")
+    Thread.currentThread().join()
+  }
+}

@@ -1,0 +1,81 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.SparkSpec
+import graft.sources.TileCatalog
+import graft.sources.TileCatalog.RasterMeta
+
+/** Live HTTP round-trips against the JDK-server transport: the same
+  * wire contract the reference serves on port 8090
+  * (WebServer.scala:64-101), hit with a real HTTP client.
+  */
+class HttpApiSpec extends AnyFunSuite with SparkSpec {
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  private lazy val path: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-http").toString
+    def m(id: String) = RasterMeta(id, 0, "ConusAlbers", "int", 0, 0, 8, 8, 4, 4, 2, 2)
+    def tiles(f: (Int, Int) => Int) =
+      for (kc <- 0 to 1; kr <- 0 to 1)
+        yield (kc, kr, Array.tabulate(16)(i => f(kc * 4 + i % 4, kr * 4 + i / 4)))
+    TileCatalog.writeIntLayer(spark, dir, m("nlcd"), tiles((gc, _) => gc / 2))
+    TileCatalog.writeMeta(dir, Seq(m("nlcd")))
+    dir
+  }
+
+  private lazy val server = HttpApi.start(Service.Catalog(spark, path), 0)
+  private lazy val base = s"http://localhost:${server.getAddress.getPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def get(p: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$p")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(p: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$p"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private val aoiJson =
+    """{\"type\":\"Polygon\",\"coordinates\":[[[1,1],[7,1],[7,7],[1,7],[1,1]]]}"""
+
+  private def request(op: String): String =
+    s"""{"input": {"operationType": "$op",
+       |  "rasters": ["nlcd"], "zoom": 0,
+       |  "polygonCRS": "ConusAlbers", "rasterCRS": "ConusAlbers",
+       |  "polygon": ["$aoiJson"]}}""".stripMargin
+
+  test("GET /ping answers pong") {
+    val r = get("/ping")
+    assert(r.statusCode() == 200 && r.body() == "\"pong\"")
+  }
+
+  test("POST /run RasterGroupedCount over HTTP matches the library result") {
+    val r = post("/run", request("RasterGroupedCount"))
+    assert(r.statusCode() == 200)
+    val viaHttp = (JsonMethods.parse(r.body()) \ "result").extract[Map[String, Int]]
+    val viaLib = (JsonMethods.parse(
+      Service.run(Service.Catalog(spark, path), request("RasterGroupedCount")))
+      \ "result").extract[Map[String, Int]]
+    assert(viaHttp == viaLib && viaHttp.values.sum == 36) // 6x6 interior cells
+  }
+
+  test("unknown operationType maps to 400 with the reference message") {
+    val r = post("/run", request("Bogus"))
+    assert(r.statusCode() == 400)
+    assert((JsonMethods.parse(r.body()) \ "error").extract[String]
+      == "Invalid operationType: Bogus")
+  }
+
+  test("malformed body maps to 400, GET on /run maps to 405") {
+    assert(post("/run", "{nope").statusCode() == 400)
+    assert(get("/run").statusCode() == 405)
+  }
+}
