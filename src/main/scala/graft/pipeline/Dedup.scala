@@ -126,6 +126,61 @@ object Dedup {
     sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-ROW minhash signatures — no explode, no shuffle, so the same
+    * column expressions run on a STREAMING DataFrame (stateless map),
+    * where the explode+groupBy of [[minhashSignatures]] would need a
+    * streaming aggregation. Identical double-hashing over the same
+    * distinct-shingle set ⇒ identical signatures to the batch path
+    * (spec-pinned). Docs with fewer than `n` tokens cannot minhash and
+    * are dropped (their shingle set is empty).
+    */
+  def withMinhashSignature(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, numHashes: Int = 12): DataFrame =
+    df.withColumn("__sh", wordShingles(textCol, n))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__h1",
+        expr("transform(__sh, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("__h2",
+        expr("transform(__sh, s -> shiftright(CAST(conv(substr(md5(s), 17, 15), 16, 10) AS BIGINT), 4))"))
+      .select(col(idCol).as("doc") +: (0 until numHashes).map(i =>
+        expr(s"array_min(zip_with(__h1, __h2, (a, b) -> a + $i * b))").as(s"h$i")): _*)
+
+  /** Banded bucket rows (doc, band, bkey) from a signature frame —
+    * map-only, so it composes with both batch and streaming inputs.
+    */
+  def minhashBuckets(sigs: DataFrame, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandKeys = (0 until bands).map { b =>
+      val parts = (0 until r).map(i => s"CAST(h${b * r + i} AS STRING)").mkString(", ")
+      struct(lit(b).as("band"), md5(expr(s"concat_ws(',', $parts)")).as("bkey"))
+    }
+    sigs.select(col("doc"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Dedup-at-ingest: screen incoming documents (batch OR streaming)
+    * against a STATIC corpus by LSH bucket collision. The stream side
+    * is stateless map-only ([[withMinhashSignature]] →
+    * [[minhashBuckets]]); the corpus side is a static bucket table the
+    * join probes — a stream-static join needs no watermark and holds
+    * no streaming state. Emits one row per (arriving doc, colliding
+    * corpus doc, band); route collisions to exact verification
+    * ([[jaccardVerify]]) downstream.
+    */
+  def nearDupScreen(incoming: DataFrame, corpus: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3, numHashes: Int = 12,
+                    bands: Int = 4): DataFrame = {
+    val in = minhashBuckets(withMinhashSignature(incoming, idCol, textCol, n, numHashes),
+      numHashes, bands)
+    val ref = minhashBuckets(withMinhashSignature(corpus, idCol, textCol, n, numHashes),
+      numHashes, bands)
+      .withColumnRenamed("doc", "corpus_doc")
+    in.join(ref, Seq("band", "bkey"))
+      .filter(col("doc") =!= col("corpus_doc"))
+      .select(col("doc"), col("corpus_doc"), col("band"))
+  }
+
   /** MinHash + LSH candidate pairs: signatures are cut into `bands`
     * bands of numHashes/bands rows; docs sharing any band bucket are
     * candidates. Collision probability ≈ 1-(1-j^r)^b (the standard LSH
@@ -133,15 +188,8 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
-    val bandKeys = (0 until bands).map { b =>
-      val parts = (0 until r).map(i => s"CAST(h${b * r + i} AS STRING)").mkString(", ")
-      struct(lit(b).as("band"), md5(expr(s"concat_ws(',', $parts)")).as("bkey"))
-    }
-    val buckets = sigs.select(col("doc"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val buckets = minhashBuckets(sigs, numHashes, bands)
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc") < col("b.doc"))
