@@ -20,10 +20,13 @@ object MakeFixture {
     // unrelated data.
     val target = new java.io.File(dir)
     if (target.exists()) {
-      // delete only what is safe: a complete catalog (meta.json), a
-      // partial build (tiles/ but no meta — crash between layer writes
-      // and writeMeta must stay re-runnable), or an empty dir. Anything
-      // else is someone's unrelated data.
+      // delete only what is safe: a DIRECTORY that is a complete
+      // catalog (meta.json), a partial build (tiles/ but no meta — a
+      // crash between layer writes and writeMeta must stay
+      // re-runnable), or empty. A regular file or any dir with other
+      // contents is someone's unrelated data.
+      require(target.isDirectory,
+        s"refusing to delete $dir: not a directory")
       val contents = Option(target.list()).getOrElse(Array.empty[String])
       val looksLikeCatalog = contents.isEmpty ||
         contents.forall(n => n == "meta.json" || n == "tiles")

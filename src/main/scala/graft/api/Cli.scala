@@ -26,25 +26,13 @@ object Cli {
       }
       println(response)
     } catch {
-      // reference error surface (ErrorHandler.scala:8-46)
-      case _: Service.MissingTargetRasterException =>
-        System.err.println("Bad Request: Missing target raster"); sys.exit(1)
-      case _: Service.MissingVectorException =>
-        System.err.println("Bad Request: Missing vector input"); sys.exit(1)
-      case _: Service.MissingVectorCRSException =>
-        System.err.println("Bad Request: Missing vectorCRS"); sys.exit(1)
-      case e: Service.InvalidOperationException =>
-        System.err.println(s"Bad Request: ${e.getMessage}"); sys.exit(1)
-      case e: graft.geom.UnknownCrsException =>
-        System.err.println(s"Bad Request: ${e.getMessage}"); sys.exit(1)
-      case e: graft.geom.MalformedGeoJsonException =>
-        System.err.println(s"Bad Request: Malformed GeoJSON: ${e.getMessage}"); sys.exit(1)
-      case e: org.json4s.MappingException =>
-        System.err.println(s"Bad Request: Invalid request body: ${e.getMessage}"); sys.exit(1)
-      case e: com.fasterxml.jackson.core.JacksonException =>
-        System.err.println(s"Bad Request: Invalid request body: ${e.getMessage}"); sys.exit(1)
-      case e: IllegalArgumentException =>
-        System.err.println(s"Bad Request: ${e.getMessage}"); sys.exit(1)
+      // reference error surface (ErrorHandler.scala:8-46), shared with
+      // the HTTP transport via Service.errorMessage
+      case scala.util.control.NonFatal(e) =>
+        Service.errorMessage(e) match {
+          case Some(msg) => System.err.println(s"Bad Request: $msg"); sys.exit(1)
+          case None => throw e
+        }
     } finally {
       spark.stop()
     }

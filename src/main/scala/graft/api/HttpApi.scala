@@ -24,12 +24,24 @@ object HttpApi {
     */
   def start(cat: Service.Catalog, port: Int): HttpServer = {
     val srv = HttpServer.create(new InetSocketAddress(port), 0)
-    srv.createContext("/ping", (ex: HttpExchange) => respond(ex, 200, "\"pong\""))
-    srv.createContext("/run", handle(ex => Service.run(cat, body(ex)))(_))
-    srv.createContext("/multi", handle(ex => Service.runMulti(cat, body(ex)))(_))
+    // JDK contexts are longest-PREFIX matched: each handler checks the
+    // exact path so /pingfoo or /run/extra 404 like a route table would
+    srv.createContext("/ping", exact("/ping") { ex =>
+      respond(ex, 200, "\"pong\"")
+    })
+    srv.createContext("/run", exact("/run")(handle(ex => Service.run(cat, body(ex)))))
+    srv.createContext("/multi", exact("/multi")(handle(ex => Service.runMulti(cat, body(ex)))))
+    // the default single-thread dispatcher would serialize every
+    // request behind a long Spark job (a health-check /ping must not
+    // wait on a 30 s /run); the reference serves concurrently too
+    srv.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     srv.start()
     srv
   }
+
+  private def exact(path: String)(f: HttpExchange => Unit)(ex: HttpExchange): Unit =
+    if (ex.getRequestURI.getPath == path) f(ex)
+    else respond(ex, 404, err(s"No route: ${ex.getRequestURI.getPath}"))
 
   private def body(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
@@ -50,26 +62,11 @@ object HttpApi {
       if (ex.getRequestMethod != "POST") respond(ex, 405, "\"POST only\"")
       else respond(ex, 200, f(ex))
     } catch {
-      case _: Service.MissingTargetRasterException =>
-        respond(ex, 400, err("Missing target raster"))
-      case _: Service.MissingVectorException =>
-        respond(ex, 400, err("Missing vector input"))
-      case _: Service.MissingVectorCRSException =>
-        respond(ex, 400, err("Missing vectorCRS"))
-      case e: Service.InvalidOperationException =>
-        respond(ex, 400, err(e.getMessage))
-      case e: graft.geom.UnknownCrsException =>
-        respond(ex, 400, err(e.getMessage))
-      case e: graft.geom.MalformedGeoJsonException =>
-        respond(ex, 400, err(s"Malformed GeoJSON: ${e.getMessage}"))
-      case e: org.json4s.MappingException =>
-        respond(ex, 400, err(s"Invalid request body: ${e.getMessage}"))
-      case e: com.fasterxml.jackson.core.JacksonException =>
-        respond(ex, 400, err(s"Invalid request body: ${e.getMessage}"))
-      case e: IllegalArgumentException =>
-        respond(ex, 400, err(e.getMessage))
       case e: Throwable =>
-        respond(ex, 500, err(s"Internal error: ${e.getClass.getSimpleName}"))
+        Service.errorMessage(e) match {
+          case Some(msg) => respond(ex, 400, err(msg))
+          case None => respond(ex, 500, err(s"Internal error: ${e.getClass.getSimpleName}"))
+        }
     }
 
   private def err(msg: String): String =

@@ -76,6 +76,26 @@ object Service {
     }
   }
 
+  /** The reference's typed error surface (ErrorHandler.scala:8-46) as
+    * one mapping both transports share: Some(message) for errors the
+    * reference answers with 400, None for everything else (500).
+    */
+  def errorMessage(t: Throwable): Option[String] = t match {
+    case _: MissingTargetRasterException => Some("Missing target raster")
+    case _: MissingVectorException => Some("Missing vector input")
+    case _: MissingVectorCRSException => Some("Missing vectorCRS")
+    case e: InvalidOperationException => Some(e.getMessage)
+    case e: graft.geom.UnknownCrsException => Some(e.getMessage)
+    case e: graft.geom.MalformedGeoJsonException =>
+      Some(s"Malformed GeoJSON: ${e.getMessage}")
+    case e: org.json4s.MappingException =>
+      Some(s"Invalid request body: ${e.getMessage}")
+    case e: com.fasterxml.jackson.core.JacksonException =>
+      Some(s"Invalid request body: ${e.getMessage}")
+    case e: IllegalArgumentException => Some(e.getMessage)
+    case _ => None
+  }
+
   private def crs(name: Option[String], default: Projections.Crs): Projections.Crs =
     name.map(Projections.byName).getOrElse(default)
 

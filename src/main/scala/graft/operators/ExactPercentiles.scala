@@ -28,10 +28,11 @@ object ExactPercentiles {
             ps: Seq[(String, Double)]): DataFrame = {
     val gcols = groupCols.map(col)
     // NULL values are excluded from n and from ranking, matching the
-    // built-in percentile's ignore-nulls semantics (a group of all
-    // nulls disappears, as it does with the built-in)
+    // built-in percentile's ignore-nulls semantics; a group whose
+    // values are ALL null still emits a row with NULL percentiles
+    // (count(col) skips nulls, the final left join keeps the group)
+    val counts = df.groupBy(gcols: _*).agg(count(col(valueCol)).as("__n"))
     val nonNull = df.filter(col(valueCol).isNotNull)
-    val counts = nonNull.groupBy(gcols: _*).agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(gcols: _*).orderBy(col(valueCol))
     val ranked = nonNull.select(gcols :+ col(valueCol): _*)
       .join(broadcast(counts), groupCols)
@@ -52,6 +53,7 @@ object ExactPercentiles {
           when(col("__rn") === hi && hi =!= lo, v * (pos - loD)).otherwise(lit(0.0))
       ).as(name)
     }
-    ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+    counts.select(groupCols.head, groupCols.tail: _*)
+      .join(ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*), groupCols, "left")
   }
 }

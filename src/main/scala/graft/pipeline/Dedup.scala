@@ -173,9 +173,15 @@ object Dedup {
                     bands: Int = 4): DataFrame = {
     val in = minhashBuckets(withMinhashSignature(incoming, idCol, textCol, n, numHashes),
       numHashes, bands)
+    // persist the corpus bucket table: a streaming query re-evaluates
+    // the static side EVERY microbatch — without the cache that is a
+    // full corpus re-hash per trigger. Long-running screens should
+    // pass a corpus they manage (and unpersist) themselves via
+    // [[minhashBuckets]]; this convenience cache lives for the query.
     val ref = minhashBuckets(withMinhashSignature(corpus, idCol, textCol, n, numHashes),
       numHashes, bands)
       .withColumnRenamed("doc", "corpus_doc")
+      .persist()
     in.join(ref, Seq("band", "bkey"))
       .filter(col("doc") =!= col("corpus_doc"))
       .select(col("doc"), col("corpus_doc"), col("band"))
@@ -211,7 +217,9 @@ object Dedup {
     val dfS = Par.spread(df)
     val sh = hashedShingleTable(dfS, idCol, textCol, n)
     val sizes = dfS.select(col(idCol).as("doc"), size(wordShingles(textCol, n)).as("n_sh"))
-    val inter = candidates.select(col("doc_a"), col("doc_b"))
+    // distinct: bucketing emits one row per colliding band, and a
+    // duplicated candidate pair would multiply the intersection count
+    val inter = candidates.select(col("doc_a"), col("doc_b")).distinct()
       .join(sh.select(col("doc").as("doc_a"), col("h")), "doc_a")
       .join(sh.select(col("doc").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))

@@ -109,45 +109,41 @@ object TileCatalog {
     // ArrayBasedMapData is a linear scan (minutes per 512² tile).
     val isInt = meta.isInt
     val valueCol = if (isInt) "tile_i" else "tile_d"
-    val contrib = src.select(
+    // a NULL tile (absent / wrong-typed column) contributes nothing:
+    // its quadrant keeps the NODATA fill, mirroring the align join
+    val contrib = src.filter(col(valueCol).isNotNull).select(
       (col("key_col") / 2).cast("int").as("kc"),
       (col("key_row") / 2).cast("int").as("kr"),
       (col("key_col") % 2).cast("int").as("qx"),
       (col("key_row") % 2).cast("int").as("qy"),
       col(valueCol).as("t"))
+    // one generic quadrant kernel for both cell types (the index
+    // arithmetic must not fork)
+    def downsampleInto[T](arr: Array[T], tile: Array[T], qx: Int, qy: Int): Unit = {
+      var j = 0
+      while (j < half * halfR) {
+        arr((qy * halfR + j / half) * tc + qx * half + j % half) =
+          tile((j / half) * 2 * tc + (j % half) * 2)
+        j += 1
+      }
+    }
     val out: DataFrame =
       if (isInt) {
         contrib.as[(Int, Int, Int, Int, Array[Int])]
           .groupByKey { case (kc, kr, _, _, _) => (kc, kr) }
           .mapGroups { (key: (Int, Int), it) =>
-            val (kc, kr) = key
             val arr = Array.fill(tc * tr)(Int.MinValue)
-            it.foreach { case (_, _, qx, qy, tile) =>
-              var j = 0
-              while (j < half * halfR) {
-                arr((qy * halfR + j / half) * tc + qx * half + j % half) =
-                  tile((j / half) * 2 * tc + (j % half) * 2)
-                j += 1
-              }
-            }
-            (kc, kr, arr)
+            it.foreach { case (_, _, qx, qy, tile) => downsampleInto(arr, tile, qx, qy) }
+            (key._1, key._2, arr)
           }.toDF("key_col", "key_row", "tile_i")
           .withColumn("tile_d", lit(null).cast("array<double>"))
       } else {
         contrib.as[(Int, Int, Int, Int, Array[Double])]
           .groupByKey { case (kc, kr, _, _, _) => (kc, kr) }
           .mapGroups { (key: (Int, Int), it) =>
-            val (kc, kr) = key
             val arr = Array.fill(tc * tr)(Double.NaN)
-            it.foreach { case (_, _, qx, qy, tile) =>
-              var j = 0
-              while (j < half * halfR) {
-                arr((qy * halfR + j / half) * tc + qx * half + j % half) =
-                  tile((j / half) * 2 * tc + (j % half) * 2)
-                j += 1
-              }
-            }
-            (kc, kr, arr)
+            it.foreach { case (_, _, qx, qy, tile) => downsampleInto(arr, tile, qx, qy) }
+            (key._1, key._2, arr)
           }.toDF("key_col", "key_row", "tile_d")
           .withColumn("tile_i", lit(null).cast("array<int>"))
       }
@@ -167,6 +163,12 @@ object TileCatalog {
     * key into a typed mapGroups dense-fill kernel (O(cells) per tile —
     * a map_from_entries + element_at fill is O(cells²), Catalyst map
     * lookup being a linear scan).
+    *
+    * Input hygiene: NULL `v` fills as NODATA; pixels outside the
+    * layout grid are dropped (matching the former map-based fill,
+    * which never looked such entries up); DUPLICATE (gc, gr) rows
+    * fail the job — last-write-wins under a shuffled iterator would
+    * be nondeterministic tile content.
     */
   def writePixels(spark: SparkSession, path: String, meta: RasterMeta,
                   pixels: org.apache.spark.sql.DataFrame): Unit = {
@@ -174,28 +176,38 @@ object TileCatalog {
     import spark.implicits._
     val tc = meta.tileCols
     val tr = meta.tileRows
+    val maxGc = tc.toLong * meta.layoutCols
+    val maxGr = tr.toLong * meta.layoutRows
     val keyed = pixels
+      .filter(col("gc") >= 0 && col("gc") < maxGc && col("gr") >= 0 && col("gr") < maxGr)
       .select((col("gc") / tc).cast("int").as("kc"),
         (col("gr") / tr).cast("int").as("kr"),
         ((col("gr") % tr) * tc + (col("gc") % tc)).cast("int").as("idx"),
         col("v").cast("double").as("v"))
-      .as[(Int, Int, Int, Double)]
+      .as[(Int, Int, Int, Option[Double])]
       .groupByKey { case (kc, kr, _, _) => (kc, kr) }
+    def fill[T](key: (Int, Int), it: Iterator[(Int, Int, Int, Option[Double])],
+                arr: Array[T], put: (Int, Double) => Unit): (Int, Int, Array[T]) = {
+      val seen = new java.util.BitSet(arr.length)
+      it.foreach { case (_, _, idx, v) =>
+        require(!seen.get(idx),
+          s"duplicate pixel at tile ${key}, cell $idx for ${meta.rasterId}")
+        seen.set(idx)
+        v.foreach(put(idx, _)) // NULL value ⇒ keep the NODATA fill
+      }
+      (key._1, key._2, arr)
+    }
     val out: DataFrame =
       if (meta.isInt)
         keyed.mapGroups { (key: (Int, Int), it) =>
-            val (kc, kr) = key
           val arr = Array.fill(tc * tr)(Int.MinValue)
-          it.foreach { case (_, _, idx, v) => arr(idx) = v.toInt }
-          (kc, kr, arr)
+          fill(key, it, arr, (i, v) => arr(i) = v.toInt)
         }.toDF("key_col", "key_row", "tile_i")
           .withColumn("tile_d", lit(null).cast("array<double>"))
       else
         keyed.mapGroups { (key: (Int, Int), it) =>
-            val (kc, kr) = key
           val arr = Array.fill(tc * tr)(Double.NaN)
-          it.foreach { case (_, _, idx, v) => arr(idx) = v }
-          (kc, kr, arr)
+          fill(key, it, arr, (i, v) => arr(i) = v)
         }.toDF("key_col", "key_row", "tile_d")
           .withColumn("tile_i", lit(null).cast("array<int>"))
     out

@@ -49,6 +49,16 @@ class ExactPercentilesSpec extends AnyFunSuite with SparkSpec {
     compare(rows)
   }
 
+  test("an all-NULL group emits a row with NULL percentiles, like the builtin") {
+    import spark.implicits._
+    val df = Seq(("g1", java.lang.Double.valueOf(1.0)),
+      ("g2", null: java.lang.Double), ("g2", null: java.lang.Double)).toDF("g", "v")
+    val got = ExactPercentiles.exact(df, Seq("g"), "v", ps).collect()
+      .map(r => r.getString(0) -> (1 to 4).map(r.isNullAt)).toMap
+    assert(got.keySet == Set("g1", "g2"))
+    assert(got("g2").forall(identity) && got("g1").forall(n => !n))
+  }
+
   test("matches builtin on single-row and duplicate-value groups") {
     compare(Seq(
       ("one", java.lang.Double.valueOf(42.0)),
