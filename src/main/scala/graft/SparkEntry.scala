@@ -647,6 +647,39 @@ object SparkEntry {
     TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Window-function suite: lag/lead, ntile, cume_dist, running sum.
+    * The running sum is over CENTS AS BIGINT — integer window sums are
+    * exact, where a double running sum's engine-specific addition
+    * order (DuckDB uses segment trees) could flip a rounding at this
+    * row count.
+    */
+  private def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("cents", expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+      .select(
+        col("o_orderkey"), col("o_orderpriority").as("prio"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"),
+        sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("run_sum_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Ordered string aggregation (listagg shape): deterministic via
+    * sort-before-join.
+    */
+  private def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",", slice(sort_array(collect_list(col("o_orderkey"))), 1, 10))
+          .as("first10"))
+      .orderBy("prio")
+
   /** Grouped count under the reference's OTHER rasterization mode
     * (pixelIsArea — low-res rasters, CHANGELOG.md:110-113): the
     * supercover mask, oracle-checked against its own mask dump.
@@ -746,6 +779,8 @@ object SparkEntry {
     "q55_lsh_jaccard_verify" -> (qLshJaccardVerify(_, _)),
     "q56_zonal_area_count" -> (qZonalAreaCount(_, _)),
     "q57_zonal_overview_count" -> (qZonalOverviewCount(_, _)),
+    "q58_window_suite" -> (qWindowSuite(_, _)),
+    "q59_string_agg" -> (qStringAgg(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51): shingle →
@@ -1441,5 +1476,23 @@ object SparkEntry {
          |  COUNT(*) AS cnt
          |FROM m LEFT JOIN n USING (key_col, key_row)
          |GROUP BY 1 ORDER BY vals""".stripMargin,
+
+    "q58_window_suite" ->
+      """SELECT o_orderkey, o_orderpriority AS prio,
+        |  ROUND(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  ROUND(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  ntile(4) OVER w AS quartile,
+        |  ROUND(cume_dist() OVER w, 6) AS cd,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |    OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q59_string_agg" ->
+      """SELECT o_orderpriority AS prio, COUNT(*) AS n,
+        |  array_to_string(list_sort(list(o_orderkey))[1:10], ',') AS first10
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
   )
 }

@@ -15,6 +15,7 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Par {
   def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // .rdd is illegal on a stream; micro-batches size themselves
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
