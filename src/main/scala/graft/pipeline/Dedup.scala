@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** 60-bit uniform hash of a string column, seeded. Portable: decimal
-    * value of the first 15 hex chars of md5("<seed>:<s>").
+    * value of the first 15 hex chars of md5("<seed>:<s>"), computed by
+    * the native codegen expression `graft_md5hi60` (no intermediate
+    * hex/decimal strings; bit-identical to the conv-chain — spec-pinned
+    * against it and against the DuckDB oracles).
     */
   def hash60(sqlExpr: String, seed: Int): Column =
-    expr(s"CAST(conv(substr(md5(concat('$seed:', $sqlExpr)), 1, 15), 16, 10) AS BIGINT)")
+    expr(s"graft_md5hi60(concat('$seed:', $sqlExpr))")
 
   /** Exact duplicate groups: md5 over the raw text. One shuffle.
     * Returns (h, cnt, keep_id): the canonical survivor is min(id).
@@ -120,8 +123,8 @@ object Dedup {
                         n: Int = 3, numHashes: Int = 12): DataFrame = {
     val sh = shingleTable(Par.spread(df), idCol, textCol, n).select(
       col("doc"),
-      expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h1"),
-      expr("shiftright(CAST(conv(substr(md5(s), 17, 15), 16, 10) AS BIGINT), 4)").as("h2"))
+      expr("graft_md5hi60(s)").as("h1"),
+      expr("shiftright(graft_md5lo60(s), 4)").as("h2"))
     val aggs = (0 until numHashes).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
     sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
@@ -138,10 +141,8 @@ object Dedup {
                            n: Int = 3, numHashes: Int = 12): DataFrame =
     df.withColumn("__sh", wordShingles(textCol, n))
       .filter(size(col("__sh")) > 0)
-      .withColumn("__h1",
-        expr("transform(__sh, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))"))
-      .withColumn("__h2",
-        expr("transform(__sh, s -> shiftright(CAST(conv(substr(md5(s), 17, 15), 16, 10) AS BIGINT), 4))"))
+      .withColumn("__h1", expr("transform(__sh, s -> graft_md5hi60(s))"))
+      .withColumn("__h2", expr("transform(__sh, s -> shiftright(graft_md5lo60(s), 4))"))
       .select(col(idCol).as("doc") +: (0 until numHashes).map(i =>
         expr(s"array_min(zip_with(__h1, __h2, (a, b) -> a + $i * b))").as(s"h$i")): _*)
 

@@ -54,5 +54,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot takes two array<double> arguments")
         DotProduct(children.head, children(1))
       }))
+    // SQL-callable 60-bit md5-half hashes (usable inside higher-order
+    // lambdas, where only registered functions resolve)
+    Seq("graft_md5hi60" -> true, "graft_md5lo60" -> false).foreach { case (name, hi) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Md5Top60].getName, name),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, s"$name takes one binary argument")
+          Md5Top60(children.head, hi)
+        }))
+    }
   }
 }
