@@ -680,6 +680,17 @@ object SparkEntry {
           .as("first10"))
       .orderBy("prio")
 
+  /** End-to-end corpus curation (lang → quality → exact dedup → LSH
+    * near-dedup) as ONE composed plan — the flagship training-data
+    * pipeline ([[graft.pipeline.Curation]]).
+    */
+  private def qCuration(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.curate(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private def qCurationFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.funnel(t(s, dir, "documents"), "doc_id", "text")
+
   /** Grouped count under the reference's OTHER rasterization mode
     * (pixelIsArea — low-res rasters, CHANGELOG.md:110-113): the
     * supercover mask, oracle-checked against its own mask dump.
@@ -781,14 +792,18 @@ object SparkEntry {
     "q57_zonal_overview_count" -> (qZonalOverviewCount(_, _)),
     "q58_window_suite" -> (qWindowSuite(_, _)),
     "q59_string_agg" -> (qStringAgg(_, _)),
+    "q60_curation" -> (qCuration(_, _)),
+    "q61_curation_funnel" -> (qCurationFunnel(_, _)),
   )
 
-  /** Shared CTE chain of the MinHash-LSH oracle (q13, q51): shingle →
-    * double-hash h_i = h1 + i*(h2>>4) (mirroring
+  /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
+    * shingle → double-hash h_i = h1 + i*(h2>>4) (mirroring
     * [[graft.pipeline.Dedup.minhashSignatures]]) → signatures → banded
-    * bucket keys.
+    * bucket keys. `src` is the (doc_id, text) relation to hash —
+    * `documents` for the standalone queries, the curation-survivor CTE
+    * for q60/q61.
     */
-  private def minhashCtes: String = {
+  private def minhashCtes(src: String = "documents"): String = {
     val sigCols = (0 until 12)
       .map(i => s"MIN(h1 + $i * h2) AS h$i")
       .mkString(",\n        ")
@@ -798,7 +813,7 @@ object SparkEntry {
     }.mkString("\n  UNION ALL ")
     s"""sh AS (
        |  SELECT DISTINCT doc_id AS doc, array_to_string(tok[i:i+2], ' ') AS s
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM $src),
        |       generate_series(1, 100000) t(i)
        |  WHERE i + 2 <= len(tok)
        |), hs AS (
@@ -918,7 +933,7 @@ object SparkEntry {
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q13_minhash_lsh" ->
-      s"""WITH $minhashCtes
+      s"""WITH ${minhashCtes()}
          |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
          |FROM buckets a JOIN buckets b
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
@@ -1359,7 +1374,7 @@ object SparkEntry {
     // reachable over undirected edges (same fixpoint the Spark
     // min-label propagation converges to)
     "q51_dedup_groups" ->
-      s"""WITH RECURSIVE $minhashCtes,
+      s"""WITH RECURSIVE ${minhashCtes()},
          |pairs AS (
          |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
          |  FROM buckets a JOIN buckets b
@@ -1433,7 +1448,7 @@ object SparkEntry {
     // computed only on those pairs (inner joins — no-overlap pairs
     // drop, matching the engine's inner intersection join)
     "q55_lsh_jaccard_verify" ->
-      s"""WITH $minhashCtes,
+      s"""WITH ${minhashCtes()},
          |cand AS (
          |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
          |  FROM buckets a JOIN buckets b
@@ -1494,5 +1509,66 @@ object SparkEntry {
       """SELECT o_orderpriority AS prio, COUNT(*) AS n,
         |  array_to_string(list_sort(list(o_orderkey))[1:10], ',') AS first10
         |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+
+    "q60_curation" ->
+      s"""WITH $curationCtes
+         |SELECT doc_id, lang_pred, ws_tokens FROM surv
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q61_curation_funnel" ->
+      s"""WITH $curationCtes
+         |SELECT stage, n_docs FROM (
+         |  SELECT '1_raw' AS stage, COUNT(*)::BIGINT AS n_docs FROM scored
+         |  UNION ALL SELECT '2_lang', COUNT(*) FROM scored WHERE lang_pred = 'en'
+         |  UNION ALL SELECT '3_quality', COUNT(*) FROM elig
+         |  UNION ALL SELECT '4_exact', COUNT(*) FROM keepids
+         |  UNION ALL SELECT '5_neardup',
+         |    (SELECT COUNT(*) FROM keepids) - (SELECT COUNT(DISTINCT doc_b) FROM pairs)
+         |) ORDER BY stage""".stripMargin,
   )
+
+  /** Shared CTE chain of the curation oracles (q60/q61): language +
+    * quality scoring (identical fragments to the q18/q19 oracles) →
+    * eligible set → exact-dup min-id survivors → MinHash-LSH bucket
+    * collisions among the survivors.
+    */
+  private def curationCtes: String =
+    s"""scored AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+       |         WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+       |         WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+       |         WHEN s_de > s_en THEN 'de'
+       |         ELSE 'en' END AS lang_pred,
+       |    len(string_split(text, ' '))::BIGINT AS ws_tokens,
+       |    md5(text) AS h,
+       |    (len(string_split(text, ' ')) BETWEEN 10 AND 100000
+       |     AND len(list_filter(string_split(text, ' '),
+       |          t -> t IN ('the', 'a', 'data', 'key', 'order')))::DOUBLE
+       |          / len(string_split(text, ' ')) >= 0.01)::INT AS keep
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      len(list_filter(string_split(text, ' '),
+       |          t -> t IN ('the', 'a', 'order', 'table', 'key'))) AS s_en,
+       |      len(list_filter(string_split(text, ' '),
+       |          t -> t IN ('window', 'group', 'batch', 'stream'))) AS s_de,
+       |      len(list_filter(string_split(text, ' '),
+       |          t -> t IN ('query', 'merge', 'vector', 'part'))) AS s_fr,
+       |      len(list_filter(string_split(text, ' '),
+       |          t -> t IN ('data', 'row', 'scan', 'filter'))) AS s_es
+       |    FROM documents)
+       |), elig AS (
+       |  SELECT * FROM scored WHERE lang_pred = 'en' AND keep = 1
+       |), keepids AS (
+       |  SELECT h, MIN(doc_id) AS doc_id FROM elig GROUP BY 1
+       |), surv AS (
+       |  SELECT e.doc_id, e.text, e.lang_pred, e.ws_tokens
+       |  FROM elig e JOIN keepids k ON e.h = k.h AND e.doc_id = k.doc_id
+       |), ${minhashCtes("surv")},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+       |)""".stripMargin
 }

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the standard web-scale cleaning chain
+  * (language filter → quality filter → exact dedup → near-dup removal)
+  * composed as ONE declarative plan over a documents table.
+  *
+  * Stage shapes and why they scale:
+  *  1. language + quality scoring — pure column expressions
+  *     ([[TextAnalysis.languageId]], [[TextAnalysis.keepFlag]]): map-only,
+  *     whole-stage-codegen, zero shuffle. Filters run before any hash
+  *     work, so downstream stages see only the surviving fraction.
+  *  2. exact dedup — one shuffle on the 128-bit content hash (uniform,
+  *     skew-free); the min-id survivor is restored by a semi-join on
+  *     `(hash, id)`, which shuffles only `(hash, id)` pairs, never text.
+  *  3. near-dup removal — MinHash+LSH candidates ([[Dedup.minhashLshPairs]]:
+  *     banded bucket join, never the O(n²) pair space) with the greedy
+  *     survivor rule *keep the smaller id of every colliding pair*: one
+  *     anti-join against the distinct `doc_b` set. Greedy (not
+  *     transitive-closure) is the production default for streas of
+  *     billions of docs; the transitive variant is
+  *     [[Graph.connectedComponents]] over the same pairs (gate q51).
+  *
+  * The reference engine has no corpus surface; this is the flagship
+  * beyond-parity composition (builder brief; SURVEY.md §7 step 8).
+  */
+object Curation {
+
+  /** Scored frame shared by [[curate]] and [[funnel]]: id, text,
+    * predicted language, whitespace-token count, content hash,
+    * quality-keep flag.
+    *
+    * Checkpointed: every downstream stage (exact-dup grouping, its
+    * restore semi-join, the LSH subplan, the final anti-join) consumes
+    * this frame, and without materialization each plan branch would
+    * re-run the langid/quality/md5 map work — the same
+    * shared-stage-vs-rescan trade the reference's /multi solves by
+    * fetching tiles once (CHANGELOG.md:82-91). On a cluster this is
+    * `persist(MEMORY_AND_DISK)` semantics; sized like the input corpus.
+    */
+  private def scored(df0: DataFrame, idCol: String, textCol: String): DataFrame =
+    Par.spread(df0).select(
+      col(idCol).as("doc"),
+      col(textCol).as("text"),
+      TextAnalysis.languageId(col(textCol)).as("lang_pred"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("ws_tokens"),
+      md5(col(textCol)).as("__h"),
+      TextAnalysis.keepFlag(col(textCol)).as("__keep"))
+      .localCheckpoint()
+
+  private def eligible(lang: String): Column =
+    col("lang_pred") === lang && col("__keep") === 1
+
+  /** Exact-dup survivors (min id per content hash) of the eligible set.
+    * Checkpointed for the same reason as [[scored]]: both the LSH
+    * subplan and the final anti-join read it.
+    */
+  private def exactSurvivors(sc: DataFrame, lang: String): DataFrame = {
+    val elig = sc.filter(eligible(lang))
+    val keepIds = elig.groupBy(col("__h")).agg(min(col("doc")).as("doc"))
+    elig.join(keepIds, Seq("__h", "doc"), "left_semi").localCheckpoint()
+  }
+
+  /** Curated-corpus manifest: `(doc_id, lang_pred, ws_tokens)` of every
+    * document that survives all four stages, deterministic for a given
+    * input (all hashes md5-derived).
+    */
+  def curate(df0: DataFrame, idCol: String, textCol: String,
+             lang: String = "en", n: Int = 3, numHashes: Int = 12,
+             bands: Int = 4): DataFrame = {
+    val surv = exactSurvivors(scored(df0, idCol, textCol), lang)
+    val pairs = Dedup.minhashLshPairs(
+      surv.select(col("doc").as(idCol), col("text").as(textCol)),
+      idCol, textCol, n, numHashes, bands)
+    surv.join(pairs.select(col("doc_b").as("doc")).distinct(), Seq("doc"), "left_anti")
+      .select(col("doc").as(idCol), col("lang_pred"), col("ws_tokens"))
+  }
+
+  /** Stage-by-stage funnel `(stage, n_docs)` — the observability query
+    * a curation run reports. Stages 1–4 come from ONE conditional-
+    * aggregate pass (no per-stage rescans: `count_if` per filter plus a
+    * distinct-hash count for the exact stage); only the near-dup stage
+    * needs the LSH subplan.
+    */
+  def funnel(df0: DataFrame, idCol: String, textCol: String,
+             lang: String = "en", n: Int = 3, numHashes: Int = 12,
+             bands: Int = 4): DataFrame = {
+    val sc = scored(df0, idCol, textCol)
+    val base = sc.agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("lang_pred") === lang, 1L).otherwise(0L)).as("n_lang"),
+      sum(when(eligible(lang), 1L).otherwise(0L)).as("n_quality"),
+      count_distinct(when(eligible(lang), col("__h"))).as("n_exact"))
+    val surv = exactSurvivors(sc, lang)
+    val dropped = Dedup.minhashLshPairs(
+      surv.select(col("doc").as(idCol), col("text").as(textCol)),
+      idCol, textCol, n, numHashes, bands)
+      .agg(count_distinct(col("doc_b")).as("n_dropped"))
+    base.crossJoin(dropped).selectExpr(
+      "stack(5, '1_raw', n_raw, '2_lang', n_lang, '3_quality', n_quality, " +
+        "'4_exact', n_exact, '5_neardup', n_exact - n_dropped) AS (stage, n_docs)")
+      .orderBy("stage")
+  }
+}

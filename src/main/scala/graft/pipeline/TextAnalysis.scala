@@ -133,6 +133,17 @@ object TextAnalysis {
         round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"))
   }
 
+  /** The `keep` decision of [[qualityMetrics]] as a standalone column
+    * (length band + minimum stopword ratio) so pipelines can filter
+    * without materializing the full metrics row.
+    */
+  def keepFlag(t: Column,
+               stopwords: Seq[String] = Seq("the", "a", "data", "key", "order")): Column = {
+    val nTokens = size(tokens(t)).cast("long")
+    (nTokens >= 10 && nTokens <= 100000 &&
+      wordSetCount(t, stopwords).cast("double") / nTokens >= 0.01).cast("int")
+  }
+
   /** Quality metrics per document: token count, mean token length,
     * stopword ratio, punctuation ratio, and a boolean-ish keep flag —
     * the standard cheap pre-filters of web-scale corpus cleaning.
@@ -151,8 +162,7 @@ object TextAnalysis {
       round(nChars.cast("double") / nTokens, 4).as("mean_token_len"),
       round(stopCnt.cast("double") / nTokens, 4).as("stopword_ratio"),
       round(punctCnt.cast("double") / greatest(nChars, lit(1L)), 4).as("punct_ratio"),
-      (nTokens >= 10 && nTokens <= 100000 &&
-        stopCnt.cast("double") / nTokens >= 0.01).cast("int").as("keep"),
+      keepFlag(t, stopwords).as("keep"),
     )
   }
 }

@@ -23,17 +23,21 @@ case class Md5Top60(child: Expression, hi: Boolean)
   override def prettyName: String = if (hi) "graft_md5hi60" else "graft_md5lo60"
 
   override protected def nullSafeEval(input: Any): Any =
-    Md5Top60.eval(input.asInstanceOf[Array[Byte]], hi)
+    Md5HashKernel.top60(input.asInstanceOf[Array[Byte]], hi)
 
+  // the kernel lives in its own object (not the companion): Expression
+  // already defines instance `eval`, which suppresses the static
+  // forwarder a companion method of the same name would get, and
+  // Janino resolves only true statics
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"org.apache.spark.sql.graft.Md5Top60.eval($c, $hi)")
+      c => s"org.apache.spark.sql.graft.Md5HashKernel.top60($c, $hi)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Top60 =
     copy(child = newChild)
 }
 
-object Md5Top60 {
+object Md5HashKernel {
   private val digest: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
@@ -41,7 +45,7 @@ object Md5Top60 {
     * (lo) — always in [0, 2⁶⁰), so the BIGINT is non-negative like the
     * `conv` parse it replaces.
     */
-  def eval(bytes: Array[Byte], hi: Boolean): Long = {
+  def top60(bytes: Array[Byte], hi: Boolean): Long = {
     val d = digest.get()
     d.reset()
     val h = d.digest(bytes)

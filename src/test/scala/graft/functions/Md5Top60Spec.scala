@@ -14,13 +14,19 @@ class Md5Top60Spec extends AnyFunSuite with SparkSpec {
 
   test("graft_md5hi60 / graft_md5lo60 are bit-identical to the conv chain") {
     import spark.implicits._
-    val samples = (Seq("", "a", "0:", "7:the", "hello world", "éü世界",
-      "x" * 4096) ++ (0 until 500).map(i => s"shingle $i of doc ${i % 7}")).toDF("s")
-    val mismatches = samples.selectExpr(
-      s"$hiChain AS hi_chain", "graft_md5hi60(s) AS hi_native",
-      s"$loChain AS lo_chain", "graft_md5lo60(s) AS lo_native")
-      .where("hi_chain <> hi_native OR lo_chain <> lo_native")
-    assert(mismatches.count() == 0, mismatches.collect().mkString("\n"))
+    // fallback=false: a codegen compile error in the expression (e.g. a
+    // non-resolvable static kernel reference) must FAIL, not silently
+    // run interpreted
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val samples = (Seq("", "a", "0:", "7:the", "hello world", "éü世界",
+        "x" * 4096) ++ (0 until 500).map(i => s"shingle $i of doc ${i % 7}")).toDF("s")
+      val mismatches = samples.selectExpr(
+        s"$hiChain AS hi_chain", "graft_md5hi60(s) AS hi_native",
+        s"$loChain AS lo_chain", "graft_md5lo60(s) AS lo_native")
+        .where("hi_chain <> hi_native OR lo_chain <> lo_native")
+      assert(mismatches.count() == 0, mismatches.collect().mkString("\n"))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
   test("known digest value") {
