@@ -691,6 +691,34 @@ object SparkEntry {
   private def qCurationFunnel(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Curation.funnel(t(s, dir, "documents"), "doc_id", "text")
 
+  /** CUBE (all 4 grouping sets of 2 dims) with grouping_id — the
+    * grouping-sets surface beyond q38's ROLLUP. gid is also derivable
+    * from the NULL pattern since the data columns are never NULL,
+    * which is what the DuckDB oracle does.
+    */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("r1"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("r2"),
+        col("cnt"), col("sum_qty"), col("gid"))
+      .orderBy("gid", "r1", "r2")
+
+  /** Correlated scalar subquery (Catalyst decorrelates it to an
+    * aggregate + join — no per-row re-execution at any scale).
+    */
+  private def qCorrelated(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderpriority AS prio, COUNT(*) AS n_above
+        |FROM orders_v o1
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v o2
+        |                      WHERE o2.o_orderpriority = o1.o_orderpriority)
+        |GROUP BY o_orderpriority ORDER BY prio""".stripMargin)
+  }
+
   /** Grouped count under the reference's OTHER rasterization mode
     * (pixelIsArea — low-res rasters, CHANGELOG.md:110-113): the
     * supercover mask, oracle-checked against its own mask dump.
@@ -794,6 +822,8 @@ object SparkEntry {
     "q59_string_agg" -> (qStringAgg(_, _)),
     "q60_curation" -> (qCuration(_, _)),
     "q61_curation_funnel" -> (qCurationFunnel(_, _)),
+    "q62_cube" -> (qCube(_, _)),
+    "q63_correlated" -> (qCorrelated(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -1526,6 +1556,21 @@ object SparkEntry {
          |  UNION ALL SELECT '5_neardup',
          |    (SELECT COUNT(*) FROM keepids) - (SELECT COUNT(DISTINCT doc_b) FROM pairs)
          |) ORDER BY stage""".stripMargin,
+
+    "q62_cube" ->
+      """SELECT COALESCE(l_returnflag, '<all>') AS r1,
+        |       COALESCE(l_linestatus, '<all>') AS r2,
+        |       COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ((l_returnflag IS NULL)::INT * 2 + (l_linestatus IS NULL)::INT)::BIGINT AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, r1, r2""".stripMargin,
+
+    "q63_correlated" ->
+      """SELECT o_orderpriority AS prio, COUNT(*) AS n_above
+        |FROM orders o1
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders o2
+        |                      WHERE o2.o_orderpriority = o1.o_orderpriority)
+        |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
