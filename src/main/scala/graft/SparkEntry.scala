@@ -706,6 +706,51 @@ object SparkEntry {
         col("cnt"), col("sum_qty"), col("gid"))
       .orderBy("gid", "r1", "r2")
 
+  /** PII redaction over synthetic injected PII (the test corpus has
+    * none of its own): email + IPv4 + long-digit-run rules, applied in
+    * rule order ([[graft.pipeline.TextAnalysis.redact]]).
+    */
+  private def qRedaction(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Par.spread(t(s, dir, "documents")).select(
+      col("doc_id"),
+      TextAnalysis.redact(concat(
+        lit("contact user"), col("doc_id"), lit("@example.com or 10.0."),
+        col("doc_id") % 256, lit(".7, acct 4111222233334444: "), col("text")))
+        .as("clean"))
+      .orderBy("doc_id")
+
+  /** Deterministic epoch shuffle: global position under the epoch-1
+    * hash order ([[graft.pipeline.Sampling.withEpochKey]]). The global
+    * window here is the oracle-checkable shape; the scale path is
+    * `repartitionByRange(epoch_key)` + `sortWithinPartitions`, which
+    * needs no total order.
+    */
+  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = graft.pipeline.Sampling.withEpochKey(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id", epoch = 1)
+    keyed
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("epoch_key"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Weighted domain mixing: per-source subsampling to a target
+    * mixture ([[graft.pipeline.Sampling.domainMix]]).
+    */
+  private def qDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("domain",
+      element_at(array(lit("web"), lit("code"), lit("wiki"), lit("forum")),
+        (col("doc_id") % 4 + 1).cast("int")))
+    graft.pipeline.Sampling.domainMix(d, "doc_id", "domain", domainWeights, seed = 3)
+      .select(col("doc_id"), col("domain"))
+      .orderBy("doc_id")
+  }
+
+  private val domainWeights = Seq("web" -> 0.5, "code" -> 0.25, "wiki" -> 1.0,
+    "forum" -> 0.1)
+
   /** Correlated scalar subquery (Catalyst decorrelates it to an
     * aggregate + join — no per-row re-execution at any scale).
     */
@@ -824,6 +869,9 @@ object SparkEntry {
     "q61_curation_funnel" -> (qCurationFunnel(_, _)),
     "q62_cube" -> (qCube(_, _)),
     "q63_correlated" -> (qCorrelated(_, _)),
+    "q64_redaction" -> (qRedaction(_, _)),
+    "q65_epoch_shuffle" -> (qEpochShuffle(_, _)),
+    "q66_domain_mix" -> (qDomainMix(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -1571,6 +1619,37 @@ object SparkEntry {
         |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders o2
         |                      WHERE o2.o_orderpriority = o1.o_orderpriority)
         |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
+
+    "q64_redaction" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  'contact user' || doc_id || '@example.com or 10.0.' || (doc_id % 256)
+        |    || '.7, acct 4111222233334444: ' || text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\b\d{13,18}\b', '<ID>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q65_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY ('0x' || substr(md5('1:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+        |             doc_id)::BIGINT AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q66_domain_mix" -> {
+      def thr(w: Double) = graft.pipeline.Sampling.weightThreshold(w)
+      val cases = domainWeights
+        .map { case (d, w) => s"WHEN '$d' THEN ${thr(w)}" }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE (doc_id % 4) WHEN 0 THEN 'web' WHEN 1 THEN 'code'
+         |         WHEN 2 THEN 'wiki' ELSE 'forum' END AS domain
+         |  FROM documents)
+         |SELECT doc_id, domain FROM d
+         |WHERE ('0x' || substr(md5('3:' || doc_id::VARCHAR), 1, 15))::BIGINT <
+         |      CASE domain $cases ELSE 0 END
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

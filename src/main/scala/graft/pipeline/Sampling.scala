@@ -44,4 +44,43 @@ object Sampling {
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
                           seed: Int = 0): DataFrame =
     df.filter(keyHash(keyCol, seed) < (fraction * SPACE).toLong)
+
+  /** Exact threshold [[domainMix]] compares against for weight `w` —
+    * exposed so an independent checker (the DuckDB oracle) can embed
+    * the identical long instead of re-deriving it from a double (cast
+    * rounding differs across engines).
+    */
+  def weightThreshold(w: Double): Long = (w * SPACE).toLong
+
+  /** Weighted domain mixing: keep rows of domain d with probability
+    * `weights(d)` — the per-source subsampling step that turns raw
+    * corpus proportions into a training mixture. Same hash-vs-threshold
+    * construction as [[deterministicSample]], so it is map-only,
+    * partition-invariant, and stable under incremental reprocessing;
+    * domains absent from `weights` are dropped (weight 0).
+    */
+  def domainMix(df: DataFrame, keyCol: String, domainCol: String,
+                weights: Seq[(String, Double)], seed: Int = 0): DataFrame = {
+    require(weights.nonEmpty && weights.forall { case (_, w) => w >= 0 && w <= 1 },
+      "weights must be in [0, 1]")
+    val h = keyHash(keyCol, seed)
+    val thr = weights.tail
+      .foldLeft(when(col(domainCol) === weights.head._1,
+        lit(weightThreshold(weights.head._2)))) {
+        case (acc, (d, w)) => acc.when(col(domainCol) === d, lit(weightThreshold(w)))
+      }
+      .otherwise(lit(0L))
+    df.filter(h < thr)
+  }
+
+  /** Deterministic epoch-shuffle key: a uniform 60-bit hash of
+    * (epoch, key). Range-partitioning + sorting by it IS the global
+    * shuffle pass of a training epoch — reproducible on any engine or
+    * cluster size, a different order every epoch, and no RNG state to
+    * coordinate across executors. Map-only; the caller chooses whether
+    * to `repartitionByRange`/`sortWithinPartitions` (scale path) or
+    * globally sort (small corpus).
+    */
+  def withEpochKey(df: DataFrame, keyCol: String, epoch: Int): DataFrame =
+    df.withColumn("epoch_key", keyHash(keyCol, epoch))
 }

@@ -41,6 +41,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "  +", " ")))
 
+  /** PII redaction: emails, IPv4 literals, then long digit runs
+    * (13–18 digits — card/account shaped) → typed placeholder tokens,
+    * in that order so an address is never half-eaten by a later rule.
+    * Patterns stay inside the Java-regex ∩ RE2 common subset so any
+    * engine applies the same edits. Map-only, codegen'd.
+    */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{13,18}\\b", "<ID>")
+  }
+
   /** Language markers for the n-gram/stopword heuristic language ID.
     * Word lists are the public "most distinctive frequent words"
     * approach; tie-breaks resolve in declaration order.

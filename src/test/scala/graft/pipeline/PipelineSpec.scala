@@ -83,4 +83,20 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(2) == 28) // chars
     assert(r.getDouble(5) == 0.0714) // 2 punct / 28 chars
   }
+
+  test("redact replaces emails, IPv4s, and long digit runs, in rule order") {
+    import spark.implicits._
+    val out = Seq(
+      "mail a.b+c@sub.example.org now",
+      "from 192.168.0.1 port 8080",
+      "card 4111111111111111 exp 12/26",
+      "no pii here 123 12.5",
+      "both bob@x.io at 10.0.0.7 acct 12345678901234567",
+    ).toDF("t").select(TextAnalysis.redact($"t")).collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "from <IP> port 8080")
+    assert(out(2) == "card <ID> exp 12/26")
+    assert(out(3) == "no pii here 123 12.5") // short numbers untouched
+    assert(out(4) == "both <EMAIL> at <IP> acct <ID>")
+  }
 }

@@ -40,4 +40,37 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(ids3.subsetOf(ids1))
   }
+
+  test("domainMix keeps ~weight per domain, all of weight-1, none of unknown") {
+    import spark.implicits._
+    val df = spark.range(8000).toDF("id")
+      .withColumn("domain",
+        element_at(array(lit("web"), lit("code"), lit("wiki"), lit("junk")),
+          (col("id") % 4 + 1).cast("int")))
+    val weights = Seq("web" -> 0.5, "code" -> 0.1, "wiki" -> 1.0)
+    val kept = Sampling.domainMix(df, "id", "domain", weights)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("wiki") == 2000) // weight 1.0 keeps every row
+    assert(!kept.contains("junk")) // unlisted domain dropped entirely
+    assert(kept("web") > 850 && kept("web") < 1150)
+    assert(kept("code") > 120 && kept("code") < 280)
+    // deterministic under repartitioning
+    val a = Sampling.domainMix(df, "id", "domain", weights)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.domainMix(df.repartition(7), "id", "domain", weights)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("withEpochKey: stable within an epoch, different order across epochs") {
+    val df = spark.range(2000).toDF("id")
+    def order(epoch: Int): Seq[Long] =
+      Sampling.withEpochKey(df, "id", epoch)
+        .orderBy(col("epoch_key"), col("id"))
+        .select("id").collect().map(_.getLong(0)).toSeq
+    assert(order(1) == order(1)) // reproducible
+    assert(order(1) != order(2)) // reshuffled per epoch
+    assert(order(1).toSet == order(2).toSet) // same rows, different order
+  }
 }
