@@ -751,6 +751,25 @@ object SparkEntry {
   private val domainWeights = Seq("web" -> 0.5, "code" -> 0.25, "wiki" -> 1.0,
     "forum" -> 0.1)
 
+  /** Banded interval join ([[graft.operators.RangeJoin]]): events
+    * against each user's 30-day order windows — equi-join on
+    * (user, time-bucket), never a nested-loop range join.
+    */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    // orders are 1995–2001 but events 2024: derive a synthetic window
+    // start inside the events' month (deterministic from o_orderkey) so
+    // the join is exercised, windows overlap, and bucket edges are hit
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("user_id"),
+        date_add(lit("2023-12-15").cast("date"),
+          (col("o_orderkey") % 45).cast("int")).as("win_start"))
+    graft.operators.RangeJoin.intervalJoin(e, "ts", o, "win_start", 30, Seq("user_id"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_orders"), min(col("o_orderkey")).as("first_order"))
+      .orderBy("event_id")
+  }
+
   /** Correlated scalar subquery (Catalyst decorrelates it to an
     * aggregate + join — no per-row re-execution at any scale).
     */
@@ -872,6 +891,7 @@ object SparkEntry {
     "q64_redaction" -> (qRedaction(_, _)),
     "q65_epoch_shuffle" -> (qEpochShuffle(_, _)),
     "q66_domain_mix" -> (qDomainMix(_, _)),
+    "q67_interval_join" -> (qIntervalJoin(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -1650,6 +1670,18 @@ object SparkEntry {
          |      CASE domain $cases ELSE 0 END
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q67_interval_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey AS user_id,
+        |         DATE '2023-12-15' + (o_orderkey % 45)::INT AS win_start
+        |  FROM orders)
+        |SELECT event_id, COUNT(*) AS n_orders, MIN(o_orderkey) AS first_order
+        |FROM events e JOIN o
+        |  ON e.user_id = o.user_id
+        | AND e.ts >= o.win_start::TIMESTAMP
+        | AND e.ts < o.win_start::TIMESTAMP + INTERVAL 30 DAY
+        |GROUP BY event_id ORDER BY event_id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
