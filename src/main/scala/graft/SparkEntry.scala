@@ -775,11 +775,21 @@ object SparkEntry {
     */
   private def qCorrelated(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    // "price above the group average" in EXACT integer math:
+    // cents·count > sum(cents) avoids hash-comparing a count that flips
+    // when a price sits within float ulps of AVG (engine sum order
+    // differs) — the q58 cents-as-BIGINT invariant. Two correlated
+    // scalar subqueries; Catalyst decorrelates both into one aggregate.
     s.sql(
-      """SELECT o_orderpriority AS prio, COUNT(*) AS n_above
-        |FROM orders_v o1
-        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v o2
-        |                      WHERE o2.o_orderpriority = o1.o_orderpriority)
+      """WITH o AS (SELECT o_orderpriority,
+        |                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders_v)
+        |SELECT o_orderpriority AS prio, COUNT(*) AS n_above
+        |FROM o o1
+        |WHERE cents * (SELECT COUNT(*) FROM o o2
+        |               WHERE o2.o_orderpriority = o1.o_orderpriority)
+        |      > (SELECT SUM(cents) FROM o o3
+        |         WHERE o3.o_orderpriority = o1.o_orderpriority)
         |GROUP BY o_orderpriority ORDER BY prio""".stripMargin)
   }
 
@@ -1634,10 +1644,15 @@ object SparkEntry {
         |ORDER BY gid, r1, r2""".stripMargin,
 
     "q63_correlated" ->
-      """SELECT o_orderpriority AS prio, COUNT(*) AS n_above
-        |FROM orders o1
-        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders o2
-        |                      WHERE o2.o_orderpriority = o1.o_orderpriority)
+      """WITH o AS (SELECT o_orderpriority,
+        |                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT o_orderpriority AS prio, COUNT(*) AS n_above
+        |FROM o o1
+        |WHERE cents * (SELECT COUNT(*) FROM o o2
+        |               WHERE o2.o_orderpriority = o1.o_orderpriority)
+        |      > (SELECT SUM(cents)::BIGINT FROM o o3
+        |         WHERE o3.o_orderpriority = o1.o_orderpriority)
         |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
 
     "q64_redaction" ->

@@ -42,11 +42,16 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   /** Apply graft-required runtime confs to an externally-built session
-    * (e.g. the driver's). Only confs that are settable at runtime.
+    * (e.g. the driver's): confs that are settable at runtime, plus the
+    * graft function registry + optimizer rule (equivalent to the
+    * `spark.sql.extensions` static conf, which cannot be set on a live
+    * session — without this, every md5-hash-keyed pipeline operator
+    * would fail to resolve `graft_md5hi60`).
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    org.apache.spark.sql.graft.GraftExtensions.install(spark)
     spark
   }
 

@@ -32,6 +32,9 @@ object RangeJoin {
                    right: DataFrame, startCol: String, lengthDays: Int,
                    keys: Seq[String]): DataFrame = {
     require(lengthDays > 0, "interval length must be positive")
+    val reserved = Seq("__b", "__s", "__start")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"input columns must not use the reserved intermediate names ${reserved.mkString(", ")}")
     val w = lengthDays.toLong * 86400L
     // bucketing uses whole seconds (floor); the exact containment
     // filter below compares full-precision timestamps. Sub-second ts

@@ -54,13 +54,16 @@ object Curation {
     col("lang_pred") === lang && col("__keep") === 1
 
   /** Exact-dup survivors (min id per content hash) of the eligible set.
-    * Checkpointed for the same reason as [[scored]]: both the LSH
-    * subplan and the final anti-join read it.
+    * `materialize` checkpoints the result when more than one downstream
+    * branch reads it ([[curate]]: the LSH subplan AND the final
+    * anti-join); [[funnel]]'s single consumer skips the copy.
     */
-  private def exactSurvivors(sc: DataFrame, lang: String): DataFrame = {
+  private def exactSurvivors(sc: DataFrame, lang: String,
+                             materialize: Boolean): DataFrame = {
     val elig = sc.filter(eligible(lang))
     val keepIds = elig.groupBy(col("__h")).agg(min(col("doc")).as("doc"))
-    elig.join(keepIds, Seq("__h", "doc"), "left_semi").localCheckpoint()
+    val surv = elig.join(keepIds, Seq("__h", "doc"), "left_semi")
+    if (materialize) surv.localCheckpoint() else surv
   }
 
   /** Curated-corpus manifest: `(doc_id, lang_pred, ws_tokens)` of every
@@ -70,7 +73,7 @@ object Curation {
   def curate(df0: DataFrame, idCol: String, textCol: String,
              lang: String = "en", n: Int = 3, numHashes: Int = 12,
              bands: Int = 4): DataFrame = {
-    val surv = exactSurvivors(scored(df0, idCol, textCol), lang)
+    val surv = exactSurvivors(scored(df0, idCol, textCol), lang, materialize = true)
     val pairs = Dedup.minhashLshPairs(
       surv.select(col("doc").as(idCol), col("text").as(textCol)),
       idCol, textCol, n, numHashes, bands)
@@ -88,12 +91,14 @@ object Curation {
              lang: String = "en", n: Int = 3, numHashes: Int = 12,
              bands: Int = 4): DataFrame = {
     val sc = scored(df0, idCol, textCol)
+    // count(when(...)) not sum(when(...)): on an EMPTY corpus sum
+    // yields NULL where every stage must report 0
     val base = sc.agg(
       count(lit(1)).as("n_raw"),
-      sum(when(col("lang_pred") === lang, 1L).otherwise(0L)).as("n_lang"),
-      sum(when(eligible(lang), 1L).otherwise(0L)).as("n_quality"),
+      count(when(col("lang_pred") === lang, 1)).as("n_lang"),
+      count(when(eligible(lang), 1)).as("n_quality"),
       count_distinct(when(eligible(lang), col("__h"))).as("n_exact"))
-    val surv = exactSurvivors(sc, lang)
+    val surv = exactSurvivors(sc, lang, materialize = false)
     val dropped = Dedup.minhashLshPairs(
       surv.select(col("doc").as(idCol), col("text").as(textCol)),
       idCol, textCol, n, numHashes, bands)

@@ -45,26 +45,49 @@ object DotProductRewriteRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotProductRewriteRule)
-    // SQL-callable: SELECT graft_dot(a, b)
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[DotProduct].getName, "graft_dot"),
+    GraftExtensions.functions.foreach(ext.injectFunction)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  /** The SQL-callable function set: `graft_dot(a, b)` and the 60-bit
+    * md5-half hashes (which every pipeline hash key derives from —
+    * registration matters because inside higher-order lambdas only
+    * registered functions resolve).
+    */
+  private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot takes two array<double> arguments")
         DotProduct(children.head, children(1))
-      }))
-    // SQL-callable 60-bit md5-half hashes (usable inside higher-order
-    // lambdas, where only registered functions resolve)
-    Seq("graft_md5hi60" -> true, "graft_md5lo60" -> false).foreach { case (name, hi) =>
-      ext.injectFunction((
-        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[Md5Top60].getName, name),
+      })) ++
+    Seq("graft_md5hi60" -> true, "graft_md5lo60" -> false).map { case (name, hi) =>
+      (new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[Md5Top60].getName, name),
         (children: Seq[Expression]) => {
           require(children.size == 1, s"$name takes one binary argument")
           Md5Top60(children.head, hi)
-        }))
+        })
     }
+
+  /** Runtime installation for sessions built WITHOUT
+    * `spark.sql.extensions` (a static conf): registers the functions in
+    * the session's registry and appends the dot-product rewrite to
+    * `experimental.extraOptimizations`. Idempotent. This is what keeps
+    * every pipeline operator (all hash keys are `graft_md5hi60`-based)
+    * usable on an externally-built session via `GraftSession.tune`.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    if (!spark.experimental.extraOptimizations.contains(DotProductRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DotProductRewriteRule
   }
 }

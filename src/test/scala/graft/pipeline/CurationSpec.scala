@@ -43,4 +43,12 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // de: doc 4 passes language but fails the 10-token+stopword quality gate
     assert(Curation.curate(corpus, "doc_id", "text", lang = "de").count() == 0)
   }
+
+  test("empty corpus: every funnel stage reports 0, not NULL") {
+    val empty = corpus.filter(org.apache.spark.sql.functions.col("doc_id") < 0)
+    val f = Curation.funnel(empty, "doc_id", "text").collect()
+    assert(f.length == 5)
+    assert(f.forall(r => !r.isNullAt(1) && r.getLong(1) == 0L))
+    assert(Curation.curate(empty, "doc_id", "text").count() == 0)
+  }
 }
