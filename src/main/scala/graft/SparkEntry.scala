@@ -751,6 +751,18 @@ object SparkEntry {
   private val domainWeights = Seq("web" -> 0.5, "code" -> 0.25, "wiki" -> 1.0,
     "forum" -> 0.1)
 
+  /** Sliding-window chunking of long documents (size 64, stride 48 —
+    * 16-token overlap), the complement of q52's packing
+    * ([[graft.pipeline.Packing.chunk]]).
+    */
+  private def qChunking(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.chunk(
+      graft.pipeline.Par.spread(t(s, dir, "documents")), "doc_id", "text",
+      chunkSize = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Banded interval join ([[graft.operators.RangeJoin]]): events
     * against each user's 30-day order windows — equi-join on
     * (user, time-bucket), never a nested-loop range join.
@@ -902,6 +914,7 @@ object SparkEntry {
     "q65_epoch_shuffle" -> (qEpochShuffle(_, _)),
     "q66_domain_mix" -> (qDomainMix(_, _)),
     "q67_interval_join" -> (qIntervalJoin(_, _)),
+    "q68_chunking" -> (qChunking(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -1697,6 +1710,16 @@ object SparkEntry {
         | AND e.ts >= o.win_start::TIMESTAMP
         | AND e.ts < o.win_start::TIMESTAMP + INTERVAL 30 DAY
         |GROUP BY event_id ORDER BY event_id""".stripMargin,
+
+    "q68_chunking" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+        |SELECT doc_id, i AS chunk_id,
+        |       len(tok[i * 48 + 1 : i * 48 + 64])::BIGINT AS chunk_tokens,
+        |       md5(array_to_string(tok[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_md5
+        |FROM toks, generate_series(0, 100000) t(i)
+        |WHERE i * 48 < len(tok)
+        |  AND length(array_to_string(tok[i * 48 + 1 : i * 48 + 64], ' ')) > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

@@ -36,4 +36,31 @@ object Packing {
       .withColumn("bin", (col("start_tok") / capacity).cast("long"))
       .withColumn("offset", (col("start_tok") % capacity).cast("long"))
   }
+
+  /** The complement of [[packGreedy]] for LONG documents: split each
+    * into `chunkSize`-token chunks starting every `stride` tokens (overlap
+    * = chunkSize − stride), keeping the trailing shorter chunk so no
+    * token is dropped. Map-only (one generator per doc — no shuffle, no
+    * window): chunk starts are 0, stride, 2·stride, … strictly below
+    * `n_tokens`, so a doc shorter than `chunkSize` yields one chunk
+    * and an empty doc none.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize (stride > chunkSize would drop tokens)")
+    // split() never yields an empty array (empty text -> [""]), so the
+    // sequence upper bound (size-1) div stride is always >= 0; the ""
+    // pseudo-chunk of an empty doc is dropped by the length filter
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, (size(__toks) - 1) div $stride),
+             |  i -> concat_ws(' ', slice(__toks, i * $stride + 1, $chunkSize)))""".stripMargin))
+          .as(Seq("chunk_id", "chunk")))
+      .filter(length(col("chunk")) > 0)
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      .withColumn("chunk_tokens", size(split(col("chunk"), " ")).cast("long"))
+  }
 }

@@ -146,4 +146,24 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(top2 == math.rint(1.0 / 9.0 * 10000) / 10000)
     assert(dr2 == 1.0)
   }
+
+  test("chunk: full coverage, stride overlap, trailing/short/empty docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val toks10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, toks10), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = Packing.chunk(df, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc 1: starts 0,3,6,9 -> [t1..t4][t4..t7][t7..t10][t10]
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L, 1L))
+    // doc 2 shorter than size: exactly one whole-doc chunk; empty doc: none
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b"))
+    assert(!out.exists(_._1 == 3L))
+    // coverage: union of chunk tokens == doc tokens (no token dropped)
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered == toks10.split(" ").toSet)
+  }
 }
