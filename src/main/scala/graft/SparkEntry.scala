@@ -751,6 +751,14 @@ object SparkEntry {
   private val domainWeights = Seq("web" -> 0.5, "code" -> 0.25, "wiki" -> 1.0,
     "forum" -> 0.1)
 
+  /** Frequency-ranked vocabulary over the corpus
+    * ([[graft.pipeline.TextAnalysis.vocabulary]]).
+    */
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(
+      graft.pipeline.Par.spread(t(s, dir, "documents")), "text", maxSize = 200)
+      .orderBy("token_id")
+
   /** Sliding-window chunking of long documents (size 64, stride 48 —
     * 16-token overlap), the complement of q52's packing
     * ([[graft.pipeline.Packing.chunk]]).
@@ -915,6 +923,7 @@ object SparkEntry {
     "q66_domain_mix" -> (qDomainMix(_, _)),
     "q67_interval_join" -> (qIntervalJoin(_, _)),
     "q68_chunking" -> (qChunking(_, _)),
+    "q69_vocab" -> (qVocab(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -1720,6 +1729,14 @@ object SparkEntry {
         |WHERE i * 48 < len(tok)
         |  AND length(array_to_string(tok[i * 48 + 1 : i * 48 + 64], ' ')) > 0
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q69_vocab" ->
+      """SELECT token, cnt, token_id FROM (
+        |  SELECT token, COUNT(*) AS cnt,
+        |         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS token_id
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token)
+        |WHERE token_id <= 200 ORDER BY token_id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

@@ -158,6 +158,24 @@ object TextAnalysis {
       wordSetCount(t, stopwords).cast("double") / nTokens >= 0.01).cast("int")
   }
 
+  /** Frequency-ranked vocabulary: `(token, cnt, token_id)` for the
+    * `maxSize` most frequent whitespace tokens, id 1 = most frequent,
+    * ties broken lexically — the deterministic word-count stage every
+    * tokenizer build starts from. One explode + one count shuffle; the
+    * ranking window runs over the AGGREGATED vocabulary (≤ |vocab|
+    * rows), never the token stream, so the global sort is bounded by
+    * vocabulary size regardless of corpus size.
+    */
+  def vocabulary(df: DataFrame, textCol: String, maxSize: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .filter(col("token_id") <= maxSize)
+  }
+
   /** Quality metrics per document: token count, mean token length,
     * stopword ratio, punctuation ratio, and a boolean-ish keep flag —
     * the standard cheap pre-filters of web-scale corpus cleaning.

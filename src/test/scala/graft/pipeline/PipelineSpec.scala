@@ -84,6 +84,16 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(5) == 0.0714) // 2 punct / 28 chars
   }
 
+  test("vocabulary ranks by frequency then lexically, capped at maxSize") {
+    import spark.implicits._
+    val df = Seq("b b b a a c", "a d d", "e").toDF("text")
+    val v = TextAnalysis.vocabulary(df, "text", maxSize = 3)
+      .orderBy("token_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a:3 b:3 d:2 c:1 e:1 -> tie a/b lexical, cap drops c/e
+    assert(v.toSeq == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("d", 2L, 3L)))
+  }
+
   test("redact replaces emails, IPv4s, and long digit runs, in rule order") {
     import spark.implicits._
     val out = Seq(
