@@ -39,6 +39,29 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(rows == 0)
   }
 
+  test("property: banded == naive on 400 random events x 120 random windows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val horizon = 100L * 86400
+    val left = (1L to 400L).map(i => (i, rnd.nextInt(20).toLong,
+      (rnd.nextDouble() * horizon * 1000).toLong)).toDF("event_id", "user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val right = (1L to 120L).map(i => (i, rnd.nextInt(20).toLong,
+      rnd.nextInt(100).toLong)).toDF("o_orderkey", "user_id", "day")
+      .withColumn("o_orderdate", date_add(lit("1970-01-01").cast("date"), col("day").cast("int")))
+      .drop("day")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "o_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val banded = pairs(RangeJoin.intervalJoin(left, "ts", right, "o_orderdate", 7, Seq("user_id")))
+    val naive = pairs(left.join(right, Seq("user_id"))
+      .filter(col("ts") >= col("o_orderdate").cast("timestamp") &&
+        col("ts") < col("o_orderdate").cast("timestamp") + expr("INTERVAL 7 DAY")))
+    assert(banded.size == banded.toSet.size) // exactly-once
+    assert(banded.toSet == naive.toSet)
+    assert(naive.nonEmpty) // fixture actually joins
+  }
+
   test("sub-second timestamps stay in the right bucket") {
     import spark.implicits._
     val left = Seq((1L, 9L, "1970-01-30 23:59:59.750"), (2L, 9L, "1970-01-31 00:00:00.250"))
