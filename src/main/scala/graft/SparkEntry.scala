@@ -720,21 +720,15 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** Deterministic epoch shuffle: global position under the epoch-1
-    * hash order ([[graft.pipeline.Sampling.withEpochKey]]). The global
-    * window here is the oracle-checkable shape; the scale path is
-    * `repartitionByRange(epoch_key)` + `sortWithinPartitions`, which
-    * needs no total order.
+    * hash order, via the distributed two-pass rank
+    * ([[graft.pipeline.Sampling.epochPositions]] /
+    * [[graft.pipeline.Prefix]]) — no single-task global window.
     */
-  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val keyed = graft.pipeline.Sampling.withEpochKey(
+  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.epochPositions(
       t(s, dir, "documents").select(col("doc_id")), "doc_id", epoch = 1)
-    keyed
-      .withColumn("pos",
-        row_number().over(Window.orderBy(col("epoch_key"), col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("pos"))
       .orderBy("doc_id")
-  }
 
   /** Weighted domain mixing: per-source subsampling to a target
     * mixture ([[graft.pipeline.Sampling.domainMix]]).

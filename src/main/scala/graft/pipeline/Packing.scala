@@ -19,20 +19,19 @@ object Packing {
     * capacity (a doc whose start crosses a bin boundary begins that
     * bin; consumers split or pad at read time).
     *
-    * Scale note: the global-order cumulative sum is a range-partitioned
-    * distributed sort in Spark (not a single task); the window's
-    * running sum needs the per-partition prefix totals, which AQE's
-    * single final WindowExec handles at test scale — at petabyte scale
-    * swap in a two-pass prefix-sum (per-partition totals broadcast
-    * back), same declared semantics.
+    * The global cumulative sum runs through [[Prefix.withPrefixSum]]
+    * (range partition + per-partition offsets), so there is no
+    * single-task `Window.orderBy` — the sort is distributed and each
+    * partition windows locally. Semantics depend only on the `idCol`
+    * total order (spec-pinned against the naive global window).
     */
   def packGreedy(df: DataFrame, idCol: String, tokens: Column,
                  capacity: Int): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val w = Window.orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol), tokens.cast("long").as("n_tokens"))
-      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    Prefix.withPrefixSum(
+      df.select(col(idCol), tokens.cast("long").as("n_tokens")),
+      Seq(idCol), "n_tokens")
+      .withColumnRenamed("prefix", "start_tok")
       .withColumn("bin", (col("start_tok") / capacity).cast("long"))
       .withColumn("offset", (col("start_tok") % capacity).cast("long"))
   }

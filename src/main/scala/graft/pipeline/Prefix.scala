@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ordering primitives — the two-pass
+  * range-partition + per-partition-offset technique that replaces an
+  * unpartitioned `Window.orderBy` (which Spark executes as ONE task
+  * holding the whole dataset) for global positions and prefix sums.
+  *
+  * Pass 1 range-partitions by the order key and aggregates one row per
+  * partition (count or sum — thousands of rows at most, collected to
+  * the driver and turned into exclusive offsets). Pass 2 computes the
+  * per-partition running value with a PARTITIONED window — each
+  * partition sorts locally, no single-task bottleneck — and adds its
+  * partition's offset. Results depend only on the total order of the
+  * key columns, not on where sampling placed the range boundaries, so
+  * output is deterministic even though boundaries are not.
+  */
+object Prefix {
+
+  // callers MUST localCheckpoint the result before consuming it twice:
+  // repartitionByRange SAMPLES to pick boundaries, so two evaluations
+  // of the same plan can partition differently — offsets computed from
+  // one evaluation would then be applied to another (silent corruption,
+  // not just wasted work)
+  private def ranged(df: DataFrame, orderCols: Seq[String], partitions: Int) =
+    df.repartitionByRange(partitions, orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+
+  private def offsetsOf(perPid: Array[(Int, Long)]): Seq[(Int, Long)] = {
+    val sorted = perPid.sortBy(_._1)
+    sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _).init)
+  }
+
+  /** Adds `pos` (0-based global rank under `orderCols`, which must be
+    * a total order — include a unique tiebreak column).
+    */
+  def withGlobalPosition(df: DataFrame, orderCols: Seq[String],
+                         partitions: Int = 200): DataFrame = {
+    val r = ranged(df, orderCols, partitions).localCheckpoint()
+    val counts = r.groupBy(col("__pid")).count()
+      .collect().map(x => (x.getInt(0), x.getLong(1)))
+    val off = offsetsOf(counts).toSeq
+    val offDf = df.sparkSession.createDataFrame(off).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    r.join(broadcast(offDf), "__pid")
+      .withColumn("pos", row_number().over(w).cast("long") - 1L + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** Adds `prefix` (exclusive running sum of `valueCol` under
+    * `orderCols`' total order): row i gets Σ value of rows 0..i-1.
+    */
+  def withPrefixSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                    partitions: Int = 200): DataFrame = {
+    val r = ranged(df, orderCols, partitions).localCheckpoint()
+    val sums = r.groupBy(col("__pid")).agg(sum(col(valueCol)).as("s"))
+      .collect().map(x => (x.getInt(0), x.getLong(1)))
+    val off = offsetsOf(sums).toSeq
+    val offDf = df.sparkSession.createDataFrame(off).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    r.join(broadcast(offDf), "__pid")
+      .withColumn("prefix",
+        coalesce(sum(col(valueCol)).over(w), lit(0L)) + col("__off"))
+      .drop("__pid", "__off")
+  }
+}

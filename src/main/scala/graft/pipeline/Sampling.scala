@@ -83,4 +83,15 @@ object Sampling {
     */
   def withEpochKey(df: DataFrame, keyCol: String, epoch: Int): DataFrame =
     df.withColumn("epoch_key", keyHash(keyCol, epoch))
+
+  /** Global 1-based epoch positions: rank under the (epoch_key, key)
+    * total order, computed with [[Prefix.withGlobalPosition]] (range
+    * partition + offsets — no single-task global window), so the
+    * "which sample is row N of epoch e" question is answerable at any
+    * corpus size.
+    */
+  def epochPositions(df: DataFrame, keyCol: String, epoch: Int): DataFrame =
+    Prefix.withGlobalPosition(withEpochKey(df, keyCol, epoch),
+      Seq("epoch_key", keyCol))
+      .withColumn("pos", col("pos") + 1L)
 }

@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The distributed two-pass rank/prefix-sum must equal the naive
+  * single-task global window on any input, including inputs wider than
+  * the partition count and skewed key distributions.
+  */
+class PrefixSpec extends AnyFunSuite with SparkSpec {
+
+  test("withGlobalPosition == global row_number, many partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 5000L).map(i => (i, rnd.nextLong())).toDF("id", "k")
+      .repartition(13)
+    val got = Prefix.withGlobalPosition(df, Seq("k", "id"), partitions = 7)
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("pos",
+        row_number().over(Window.orderBy(col("k"), col("id"))).cast("long") - 1L)
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("withPrefixSum == global exclusive running sum, skewed values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (1L to 3000L).map(i =>
+      (i, if (i % 97 == 0) 100000L else rnd.nextInt(50).toLong)).toDF("id", "n")
+      .repartition(9)
+    val got = Prefix.withPrefixSum(df, Seq("id"), "n", partitions = 5)
+      .select("id", "prefix").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("prefix", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select("id", "prefix").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("empty input yields empty output, single row gets pos 0 / prefix 0") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "n")
+    assert(Prefix.withGlobalPosition(empty, Seq("id")).count() == 0)
+    assert(Prefix.withPrefixSum(empty, Seq("id"), "n").count() == 0)
+    val one = Seq((7L, 42L)).toDF("id", "n")
+    assert(Prefix.withGlobalPosition(one, Seq("id")).select("pos")
+      .collect().head.getLong(0) == 0L)
+    assert(Prefix.withPrefixSum(one, Seq("id"), "n").select("prefix")
+      .collect().head.getLong(0) == 0L)
+  }
+}
