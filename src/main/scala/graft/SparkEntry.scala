@@ -672,13 +672,24 @@ object SparkEntry {
   /** Ordered string aggregation (listagg shape): deterministic via
     * sort-before-join.
     */
-  private def qStringAgg(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
+  /** Ordered string agg (listagg shape) of the 10 smallest keys per
+    * group. The rank filter runs BEFORE collect_list so the aggregation
+    * buffers ≤10 elements per group — a bare
+    * `slice(sort_array(collect_list(all_keys)), 1, 10)` would hold
+    * every key of the group in memory, unbounded at corpus scale.
+    */
+  private def qStringAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+    val top = o.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 10)
       .groupBy(col("o_orderpriority").as("prio"))
-      .agg(count(lit(1)).as("n"),
-        concat_ws(",", slice(sort_array(collect_list(col("o_orderkey"))), 1, 10))
-          .as("first10"))
+      .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("first10"))
+    o.groupBy(col("o_orderpriority").as("prio")).agg(count(lit(1)).as("n"))
+      .join(top, Seq("prio"))
+      .select(col("prio"), col("n"), col("first10"))
       .orderBy("prio")
+  }
 
   /** End-to-end corpus curation (lang → quality → exact dedup → LSH
     * near-dedup) as ONE composed plan — the flagship training-data
