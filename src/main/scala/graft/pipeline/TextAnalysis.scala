@@ -167,13 +167,16 @@ object TextAnalysis {
     * vocabulary size regardless of corpus size.
     */
   def vocabulary(df: DataFrame, textCol: String, maxSize: Int = 200): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df.select(explode(split(col(textCol), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    counts
-      .withColumn("token_id",
-        row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+    // rank via the distributed two-pass position (desc count = asc
+    // negated count) — a web-scale vocabulary has 10⁸ distinct tokens,
+    // too many for a single-task global window
+    Prefix.withGlobalPosition(counts.withColumn("__neg", -col("cnt")),
+        Seq("__neg", "token"))
+      .withColumn("token_id", col("pos") + 1L)
       .filter(col("token_id") <= maxSize)
+      .select(col("token"), col("cnt"), col("token_id"))
   }
 
   /** Quality metrics per document: token count, mean token length,
