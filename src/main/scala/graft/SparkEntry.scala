@@ -685,9 +685,11 @@ object SparkEntry {
     val top = o.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 10)
       .groupBy(col("o_orderpriority").as("prio"))
       .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("first10"))
-    o.groupBy(col("o_orderpriority").as("prio")).agg(count(lit(1)).as("n"))
-      .join(top, Seq("prio"))
-      .select(col("prio"), col("n"), col("first10"))
+    val counts = o.groupBy(col("o_orderpriority").as("prio")).agg(count(lit(1)).as("n"))
+    // null-safe join: a NULL group key exists on BOTH sides (same
+    // grouping) and must not vanish through an equi-join
+    counts.join(top, counts("prio") <=> top("prio"))
+      .select(counts("prio"), col("n"), col("first10"))
       .orderBy("prio")
   }
 
@@ -737,7 +739,8 @@ object SparkEntry {
     */
   private def qEpochShuffle(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Sampling.epochPositions(
-      t(s, dir, "documents").select(col("doc_id")), "doc_id", epoch = 1)
+      graft.pipeline.Par.spread(t(s, dir, "documents").select(col("doc_id"))),
+      "doc_id", epoch = 1)
       .select(col("doc_id"), col("pos"))
       .orderBy("doc_id")
 

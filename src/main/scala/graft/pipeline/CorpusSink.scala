@@ -20,8 +20,9 @@ object CorpusSink {
 
   /** Write `df` under `path` partitioned by `partitionCols`, each file
     * sorted by `sortCol`, at most `maxRecordsPerFile` rows per file.
-    * `buckets` controls the range-partition count of the sort layout
-    * (≈ files per partition directory).
+    * `buckets` is the TOTAL range-partition count of the sort layout
+    * across all partition values (files per directory follow each
+    * value's share of the data, then maxRecordsPerFile splitting).
     */
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String], sortCol: String,

@@ -20,14 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Prefix {
 
+  private val reserved = Seq("__pid", "__off", "pos", "prefix")
+
+  /** 0 ⇒ the session's `spark.sql.shuffle.partitions` — the knob the
+    * deployment already sizes to its data volume.
+    */
+  private def resolve(df: DataFrame, partitions: Int): Int =
+    if (partitions > 0) partitions
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+
   // callers MUST localCheckpoint the result before consuming it twice:
   // repartitionByRange SAMPLES to pick boundaries, so two evaluations
   // of the same plan can partition differently — offsets computed from
   // one evaluation would then be applied to another (silent corruption,
   // not just wasted work)
-  private def ranged(df: DataFrame, orderCols: Seq[String], partitions: Int) =
-    df.repartitionByRange(partitions, orderCols.map(col): _*)
+  private def ranged(df: DataFrame, orderCols: Seq[String], partitions: Int) = {
+    require(!df.columns.exists(reserved.contains),
+      s"input columns must not use the reserved names ${reserved.mkString(", ")}")
+    df.repartitionByRange(resolve(df, partitions), orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
+  }
 
   private def offsetsOf(perPid: Array[(Int, Long)]): Seq[(Int, Long)] = {
     val sorted = perPid.sortBy(_._1)
@@ -38,7 +50,7 @@ object Prefix {
     * a total order — include a unique tiebreak column).
     */
   def withGlobalPosition(df: DataFrame, orderCols: Seq[String],
-                         partitions: Int = 200): DataFrame = {
+                         partitions: Int = 0): DataFrame = {
     val r = ranged(df, orderCols, partitions).localCheckpoint()
     val counts = r.groupBy(col("__pid")).count()
       .collect().map(x => (x.getInt(0), x.getLong(1)))
@@ -54,10 +66,12 @@ object Prefix {
     * `orderCols`' total order): row i gets Σ value of rows 0..i-1.
     */
   def withPrefixSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
-                    partitions: Int = 200): DataFrame = {
+                    partitions: Int = 0): DataFrame = {
     val r = ranged(df, orderCols, partitions).localCheckpoint()
+    // an all-NULL-value partition sums to NULL: treat as 0, matching
+    // the window sum below (which skips NULL rows)
     val sums = r.groupBy(col("__pid")).agg(sum(col(valueCol)).as("s"))
-      .collect().map(x => (x.getInt(0), x.getLong(1)))
+      .collect().map(x => (x.getInt(0), if (x.isNullAt(1)) 0L else x.getLong(1)))
     val off = offsetsOf(sums).toSeq
     val offDf = df.sparkSession.createDataFrame(off).toDF("__pid", "__off")
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)

@@ -161,22 +161,20 @@ object TextAnalysis {
   /** Frequency-ranked vocabulary: `(token, cnt, token_id)` for the
     * `maxSize` most frequent whitespace tokens, id 1 = most frequent,
     * ties broken lexically — the deterministic word-count stage every
-    * tokenizer build starts from. One explode + one count shuffle; the
-    * ranking window runs over the AGGREGATED vocabulary (≤ |vocab|
-    * rows), never the token stream, so the global sort is bounded by
-    * vocabulary size regardless of corpus size.
+    * tokenizer build starts from. One explode + one count shuffle,
+    * then `orderBy.limit` = TakeOrderedAndProject: per-partition
+    * top-`maxSize` heaps, so a 10⁸-distinct-token vocabulary is never
+    * globally sorted or ranked — only the ≤ maxSize survivors get ids
+    * (a window over a frame already bounded by maxSize).
     */
   def vocabulary(df: DataFrame, textCol: String, maxSize: Int = 200): DataFrame = {
-    val counts = df.select(explode(split(col(textCol), " ")).as("token"))
+    import org.apache.spark.sql.expressions.Window
+    val top = df.select(explode(split(col(textCol), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    // rank via the distributed two-pass position (desc count = asc
-    // negated count) — a web-scale vocabulary has 10⁸ distinct tokens,
-    // too many for a single-task global window
-    Prefix.withGlobalPosition(counts.withColumn("__neg", -col("cnt")),
-        Seq("__neg", "token"))
-      .withColumn("token_id", col("pos") + 1L)
-      .filter(col("token_id") <= maxSize)
-      .select(col("token"), col("cnt"), col("token_id"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(maxSize)
+    top.withColumn("token_id",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
   }
 
   /** Quality metrics per document: token count, mean token length,

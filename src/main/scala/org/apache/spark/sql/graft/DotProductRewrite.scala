@@ -86,7 +86,13 @@ object GraftExtensions {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
-    if (!spark.experimental.extraOptimizations.contains(DotProductRewriteRule))
+    // sessions built with the spark.sql.extensions static conf already
+    // run the rule via injectOptimizerRule — appending it to
+    // extraOptimizations there would execute it twice per pass
+    val viaExtensions = spark.conf.getOption("spark.sql.extensions")
+      .exists(_.contains(classOf[GraftExtensions].getName))
+    if (!viaExtensions &&
+        !spark.experimental.extraOptimizations.contains(DotProductRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ DotProductRewriteRule
   }

@@ -38,6 +38,22 @@ class PrefixSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("NULL values sum as 0 (all-null partitions included); reserved names rejected") {
+    import spark.implicits._
+    // ids 1..40 all-null n, 41..80 valued: the low id range partitions
+    // to all-NULL partitions, which must not NPE and must offset as 0
+    val df = (1L to 80L).map(i => (i, if (i <= 40) None else Some(i)))
+      .toDF("id", "n")
+    val got = Prefix.withPrefixSum(df, Seq("id"), "n", partitions = 4)
+      .select("id", "prefix").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("prefix", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select("id", "prefix").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    intercept[IllegalArgumentException](
+      Prefix.withGlobalPosition(df.withColumnRenamed("n", "pos"), Seq("id")))
+  }
+
   test("empty input yields empty output, single row gets pos 0 / prefix 0") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id", "n")

@@ -30,8 +30,15 @@ class GraftInstallSpec extends AnyFunSuite with SparkSpec {
       Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text"), "doc_id", "text")
     assert(sigs.count() == 1)
 
-    // idempotent: a second tune must not stack the optimizer rule
+    // this session was built WITH the spark.sql.extensions static conf
+    // (newSession inherits it), so the rule is already injected: tune
+    // must NOT add a second active copy via extraOptimizations…
     graft.GraftSession.tune(s2)
-    assert(s2.experimental.extraOptimizations.count(_ == DotProductRewriteRule) == 1)
+    assert(s2.experimental.extraOptimizations.count(_ == DotProductRewriteRule) == 0)
+    // …and the rewrite still fires (via the injected copy)
+    val naive = s2.range(1)
+      .selectExpr("array(cast(id AS DOUBLE), 2.0D) AS a", "array(3.0D, 4.0D) AS b")
+      .selectExpr("aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v) AS d")
+    assert(naive.queryExecution.optimizedPlan.toString.contains("graft_dot"))
   }
 }
