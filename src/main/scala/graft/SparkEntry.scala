@@ -767,6 +767,19 @@ object SparkEntry {
       graft.pipeline.Par.spread(t(s, dir, "documents")), "text", maxSize = 200)
       .orderBy("token_id")
 
+  /** Dedup-at-ingest screen in its batch shape
+    * ([[graft.pipeline.Dedup.nearDupScreen]]): "arriving" docs
+    * (doc_id % 50 == 0) LSH-screened against the static corpus (the
+    * rest). Streaming equivalence is spec-pinned (NearDupScreenSpec).
+    */
+  private def qIngestScreen(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.pipeline.Par.spread(t(s, dir, "documents"))
+    Dedup.nearDupScreen(
+      docs.filter(col("doc_id") % 50 === 0),
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text")
+      .orderBy("doc", "corpus_doc", "band")
+  }
+
   /** Sliding-window chunking of long documents (size 64, stride 48 —
     * 16-token overlap), the complement of q52's packing
     * ([[graft.pipeline.Packing.chunk]]).
@@ -932,6 +945,7 @@ object SparkEntry {
     "q67_interval_join" -> (qIntervalJoin(_, _)),
     "q68_chunking" -> (qChunking(_, _)),
     "q69_vocab" -> (qVocab(_, _)),
+    "q70_ingest_screen" -> (qIngestScreen(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -939,29 +953,30 @@ object SparkEntry {
     * [[graft.pipeline.Dedup.minhashSignatures]]) → signatures → banded
     * bucket keys. `src` is the (doc_id, text) relation to hash —
     * `documents` for the standalone queries, the curation-survivor CTE
-    * for q60/q61.
+    * for q60/q61. `p` prefixes the CTE names so two chains (q70's
+    * incoming + corpus sides) can coexist in one WITH.
     */
-  private def minhashCtes(src: String = "documents"): String = {
+  private def minhashCtes(src: String = "documents", p: String = ""): String = {
     val sigCols = (0 until 12)
       .map(i => s"MIN(h1 + $i * h2) AS h$i")
       .mkString(",\n        ")
     val bandSelects = (0 until 4).map { b =>
       val parts = (0 until 3).map(i => s"h${b * 3 + i}::VARCHAR").mkString(" || ',' || ")
-      s"SELECT doc, $b AS band, md5($parts) AS bkey FROM sig"
+      s"SELECT doc, $b AS band, md5($parts) AS bkey FROM ${p}sig"
     }.mkString("\n  UNION ALL ")
-    s"""sh AS (
+    s"""${p}sh AS (
        |  SELECT DISTINCT doc_id AS doc, array_to_string(tok[i:i+2], ' ') AS s
        |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM $src),
        |       generate_series(1, 100000) t(i)
        |  WHERE i + 2 <= len(tok)
-       |), hs AS (
+       |), ${p}hs AS (
        |  SELECT doc, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
        |         (('0x' || substr(md5(s), 17, 15))::BIGINT >> 4) AS h2
-       |  FROM sh
-       |), sig AS (
+       |  FROM ${p}sh
+       |), ${p}sig AS (
        |  SELECT doc, $sigCols
-       |  FROM hs GROUP BY doc
-       |), buckets AS (
+       |  FROM ${p}hs GROUP BY doc
+       |), ${p}buckets AS (
        |  $bandSelects
        |)""".stripMargin
   }
@@ -1745,6 +1760,16 @@ object SparkEntry {
         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |  GROUP BY token)
         |WHERE token_id <= 200 ORDER BY token_id""".stripMargin,
+
+    "q70_ingest_screen" ->
+      s"""WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+         |${minhashCtes("inc", "i")},
+         |${minhashCtes("corp", "c")}
+         |SELECT i.doc AS doc, c.doc AS corpus_doc, i.band AS band
+         |FROM ibuckets i JOIN cbuckets c ON i.band = c.band AND i.bkey = c.bkey
+         |WHERE i.doc <> c.doc
+         |ORDER BY doc, corpus_doc, band""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

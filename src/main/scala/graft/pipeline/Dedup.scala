@@ -174,15 +174,17 @@ object Dedup {
                     bands: Int = 4): DataFrame = {
     val in = minhashBuckets(withMinhashSignature(incoming, idCol, textCol, n, numHashes),
       numHashes, bands)
-    // persist the corpus bucket table: a streaming query re-evaluates
-    // the static side EVERY microbatch — without the cache that is a
-    // full corpus re-hash per trigger. Long-running screens should
-    // pass a corpus they manage (and unpersist) themselves via
-    // [[minhashBuckets]]; this convenience cache lives for the query.
-    val ref = minhashBuckets(withMinhashSignature(corpus, idCol, textCol, n, numHashes),
-      numHashes, bands)
+    // persist the corpus bucket table for STREAMS only: a streaming
+    // query re-evaluates the static side EVERY microbatch — without
+    // the cache that is a full corpus re-hash per trigger. Long-running
+    // screens should pass a corpus they manage (and unpersist)
+    // themselves via [[minhashBuckets]]; this convenience cache lives
+    // until the session drops it. A batch screen is one evaluation, so
+    // caching there would only leak a session cache entry per call.
+    val refBuckets = minhashBuckets(
+      withMinhashSignature(corpus, idCol, textCol, n, numHashes), numHashes, bands)
       .withColumnRenamed("doc", "corpus_doc")
-      .persist()
+    val ref = if (incoming.isStreaming) refBuckets.persist() else refBuckets
     in.join(ref, Seq("band", "bkey"))
       .filter(col("doc") =!= col("corpus_doc"))
       .select(col("doc"), col("corpus_doc"), col("band"))
