@@ -43,8 +43,23 @@ object HttpApi {
     if (ex.getRequestURI.getPath == path) f(ex)
     else respond(ex, 404, err(s"No route: ${ex.getRequestURI.getPath}"))
 
-  private def body(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+  /** Reference payload ceiling: 50 MB, sized for HUC-8 multipolygon
+    * GeoJSON (application.conf:16-18, CHANGELOG.md:5-8). Oversize
+    * requests get 413 without buffering the body.
+    */
+  private[api] val MaxRequestBytes: Long = 50L * 1024 * 1024
+
+  private final class PayloadTooLargeException extends RuntimeException
+
+  private def body(ex: HttpExchange): String = {
+    val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+    if (declared.exists(_ > MaxRequestBytes)) throw new PayloadTooLargeException
+    // chunked or lying clients: read at most limit+1 and reject overflow
+    val bytes = ex.getRequestBody.readNBytes(MaxRequestBytes.toInt + 1)
+    if (bytes.length > MaxRequestBytes) throw new PayloadTooLargeException
+    new String(bytes, UTF_8)
+  }
 
   private def respond(ex: HttpExchange, status: Int, payload: String): Unit = {
     val bytes = payload.getBytes(UTF_8)
@@ -62,6 +77,9 @@ object HttpApi {
       if (ex.getRequestMethod != "POST") respond(ex, 405, "\"POST only\"")
       else respond(ex, 200, f(ex))
     } catch {
+      case _: PayloadTooLargeException =>
+        respond(ex, 413,
+          err(s"Request entity too large: limit $MaxRequestBytes bytes"))
       case e: Throwable =>
         Service.errorMessage(e) match {
           case Some(msg) => respond(ex, 400, err(msg))

@@ -78,4 +78,20 @@ class HttpApiSpec extends AnyFunSuite with SparkSpec {
     assert(post("/run", "{nope").statusCode() == 400)
     assert(get("/run").statusCode() == 405)
   }
+
+  test("payload above the reference's 50 MB ceiling maps to 413") {
+    // raw socket with a spoofed Content-Length: the limit must reject
+    // on the DECLARED size, before buffering any body
+    val uri = URI.create(base)
+    val sock = new java.net.Socket(uri.getHost, uri.getPort)
+    try {
+      val out = sock.getOutputStream
+      out.write(("POST /run HTTP/1.1\r\nHost: localhost\r\n" +
+        s"Content-Length: ${HttpApi.MaxRequestBytes + 1}\r\n\r\n").getBytes("UTF-8"))
+      out.flush()
+      val status = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream)).readLine()
+      assert(status.contains("413"), status)
+    } finally sock.close()
+  }
 }
