@@ -44,10 +44,14 @@ object HttpApi {
     else respond(ex, 404, err(s"No route: ${ex.getRequestURI.getPath}"))
 
   /** Reference payload ceiling: 50 MB, sized for HUC-8 multipolygon
-    * GeoJSON (application.conf:16-18, CHANGELOG.md:5-8). Oversize
-    * requests get 413 without buffering the body.
+    * GeoJSON (application.conf:16-18, CHANGELOG.md:5-8). A declared
+    * Content-Length above the limit gets 413 before any body read;
+    * chunked/undeclared bodies are read up to limit+1 and rejected on
+    * overflow — like the reference (Akka buffers up to its limit too),
+    * so worst-case transient heap per request is the limit itself.
+    * Int by construction: the value is also the bounded-read length.
     */
-  private[api] val MaxRequestBytes: Long = 50L * 1024 * 1024
+  private[api] val MaxRequestBytes: Int = 50 * 1024 * 1024
 
   private final class PayloadTooLargeException extends RuntimeException
 
@@ -55,8 +59,7 @@ object HttpApi {
     val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
       .flatMap(v => scala.util.Try(v.toLong).toOption)
     if (declared.exists(_ > MaxRequestBytes)) throw new PayloadTooLargeException
-    // chunked or lying clients: read at most limit+1 and reject overflow
-    val bytes = ex.getRequestBody.readNBytes(MaxRequestBytes.toInt + 1)
+    val bytes = ex.getRequestBody.readNBytes(MaxRequestBytes + 1)
     if (bytes.length > MaxRequestBytes) throw new PayloadTooLargeException
     new String(bytes, UTF_8)
   }

@@ -85,6 +85,9 @@ class HttpApiSpec extends AnyFunSuite with SparkSpec {
     val uri = URI.create(base)
     val sock = new java.net.Socket(uri.getHost, uri.getPort)
     try {
+      // a regression that reads the body before rejecting would block
+      // forever waiting for 50 MB we never send: fail, don't hang
+      sock.setSoTimeout(30000)
       val out = sock.getOutputStream
       out.write(("POST /run HTTP/1.1\r\nHost: localhost\r\n" +
         s"Content-Length: ${HttpApi.MaxRequestBytes + 1}\r\n\r\n").getBytes("UTF-8"))

@@ -45,19 +45,19 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("end-to-end: curate -> split -> epoch key -> partitioned sink -> read back") {
-    import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
-    val manifest = Curation.curate(corpus, "doc_id", "text")
-    val shipped = Sampling.withEpochKey(
-      Sampling.hashSplit(manifest, "doc_id", Seq("train" -> 0.5, "val" -> 0.5)),
-      "doc_id", epoch = 1)
-    CorpusSink.writePartitioned(shipped, dir, Seq("split"), "epoch_key", buckets = 2)
-    val back = spark.read.parquet(dir)
-    assert(back.count() == manifest.count())
-    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 6L))
-    assert(back.columns.toSet ==
-      Set("doc_id", "lang_pred", "ws_tokens", "split", "epoch_key"))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    try {
+      val manifest = Curation.curate(corpus, "doc_id", "text")
+      val shipped = Sampling.withEpochKey(
+        Sampling.hashSplit(manifest, "doc_id", Seq("train" -> 0.5, "val" -> 0.5)),
+        "doc_id", epoch = 1)
+      CorpusSink.writePartitioned(shipped, dir, Seq("split"), "epoch_key", buckets = 2)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == manifest.count())
+      assert(back.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 6L))
+      assert(back.columns.toSet ==
+        Set("doc_id", "lang_pred", "ws_tokens", "split", "epoch_key"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
   test("empty corpus: every funnel stage reports 0, not NULL") {
