@@ -1,25 +1,36 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO}
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: image/audio/video as opaque `BINARY` with typed
   * metadata, processed batch-wise.
   *
-  * The Spark-side plumbing is real — schema, partition-batched
-  * processing via `mapPartitions` (the JVM analog of Python's
-  * `mapInPandas` batch shape), deterministic output contract — while
-  * the actual media DECODE IS A STUB (`fakeDecode*`): the container
-  * has no image/audio codecs, so decode produces a deterministic
-  * hash-seeded feature vector / frame set, clearly marked. Swapping in
-  * a real codec only changes the function body, not the plan shape.
+  * Decode, resize and frame-sampling are REAL: the bare JDK decodes
+  * PNG/JPEG/GIF (and writes PNG/GIF) through `javax.imageio`, so the
+  * image paths below do actual pixel work — `decodeImageFeatures`
+  * (dimensions + exact per-channel sums/means), `decodeHistogram`
+  * (luminance histogram feature vector), `resizeImages`
+  * (nearest-neighbor pixel resize, re-encoded PNG), `sampleFrames`
+  * (every `stride`-th frame of a multi-frame container, e.g. animated
+  * GIF). Only VIDEO decode remains out of scope — the JDK ships no
+  * video codec — and video assets simply fall out as `n_frames = 0` /
+  * null features rather than being faked.
   *
-  * Scale notes: assets are processed one partition at a time with
-  * constant memory per row; no shuffle anywhere — the whole decode /
-  * feature-extract stage is map-only, and `content` (the heavy column)
-  * is pruned away the moment features are produced. Store assets in
-  * parquet with a small row-group size so `content` columns stream.
+  * Everything is `mapPartitions` (the JVM analog of Python's
+  * `mapInPandas` batch shape): one partition in, iterator out,
+  * constant memory per row, no shuffle anywhere — the whole
+  * decode / feature-extract stage is map-only, and `content` (the
+  * heavy column) is pruned away the moment features are produced.
+  * Store assets in parquet with a small row-group size so `content`
+  * columns stream. Undecodable or null content never throws: it
+  * yields null feature columns (filter them out downstream), because
+  * at 100 TB a single corrupt blob must not kill the stage.
   */
 object Multimodal {
 
@@ -50,52 +61,214 @@ object Multimodal {
   final case class Asset(asset_id: Long, modality: String, content: Array[Byte])
   final case class Feature(asset_id: Long, dim: Int, feature: Array[Float])
   final case class Frames(asset_id: Long, n_frames: Int, frames: Array[Array[Byte]])
-
-  /** STUB image decode → feature extract. Deterministic fake: a
-    * `dim`-float vector seeded by the content hash. Batch shape: one
-    * partition in, iterator out — exactly where a real decoder
-    * (libjpeg/ffmpeg via JNI) would slot in.
+  /** Exact integer pixel statistics of a decoded image; all-null past
+    * `asset_id` when the content is null or not a decodable image.
     */
-  def fakeDecodeFeatures(assets: Dataset[Asset], dim: Int = 16): Dataset[Feature] = {
+  final case class ImageFeature(asset_id: Long, width: Option[Int],
+      height: Option[Int], sum_r: Option[Long], sum_g: Option[Long],
+      sum_b: Option[Long])
+
+  // ---- codec helpers (executor-side; ImageIO's disk cache off — the
+  // blobs are already in memory and executor threads must not contend
+  // on temp files) ----
+
+  private def readImage(content: Array[Byte]): BufferedImage =
+    if (content == null) null
+    else try {
+      ImageIO.setUseCache(false)
+      ImageIO.read(new ByteArrayInputStream(content)) // null if no reader claims it
+    } catch { case _: Exception => null }             // truncated/corrupt stream
+
+  private def pngBytes(img: BufferedImage): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic PNG synthesizer: a `w`×`h` RGB image with pixel
+    * (x, y) = `rgb(x, y)` (packed 0xRRGGBB). PNG is lossless, so the
+    * decode path recovers these exact values — which is what lets the
+    * decode operators be gated against an arithmetic oracle.
+    */
+  def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = rgb(x, y); x += 1 }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    pngBytes(img)
+  }
+
+  /** Animated-GIF synthesizer (multi-frame container for
+    * frame-sampling tests). GIF palettizes colors, so pixel values are
+    * not round-trip-exact — frame COUNTS are.
+    */
+  def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new IIOImage(f, null, null), writer.getDefaultWriteParam))
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  def grayFrame(w: Int, h: Int, level: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(level, level, level))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    img
+  }
+
+  // ---- decode operators ----
+
+  /** Real image decode → exact pixel statistics: dimensions plus
+    * per-channel sums (integers — no float-order ambiguity, so results
+    * are bit-stable under any partitioning). Null/undecodable content
+    * → all-null stats.
+    */
+  def decodeImageFeatures(assets: Dataset[Asset]): Dataset[ImageFeature] = {
+    implicit val enc = Encoders.product[ImageFeature]
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val img = readImage(a.content)
+        if (img == null) ImageFeature(a.asset_id, None, None, None, None, None)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xFF
+            sg += (p >> 8) & 0xFF
+            sb += p & 0xFF
+            i += 1
+          }
+          ImageFeature(a.asset_id, Some(w), Some(h), Some(sr), Some(sg), Some(sb))
+        }
+      }
+    }
+  }
+
+  /** Real image decode → normalized luminance histogram (`bins`
+    * floats): a compact, deterministic feature vector that feeds the
+    * [[Similarity]] operators directly. Undecodable → zero vector
+    * (distinguishable and join-safe; filter on `dim > 0` upstream
+    * if strictness is wanted — dim is 0 exactly when decode failed).
+    */
+  def decodeHistogram(assets: Dataset[Asset], bins: Int = 16): Dataset[Feature] = {
     implicit val enc = Encoders.product[Feature]
     assets.mapPartitions { it =>
       it.map { a =>
-        val seed = java.util.Arrays.hashCode(a.content).toLong
-        val rnd = new scala.util.Random(seed)
-        Feature(a.asset_id, dim, Array.fill(dim)(rnd.nextFloat()))
+        val img = readImage(a.content)
+        if (img == null) Feature(a.asset_id, 0, new Array[Float](bins))
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val counts = new Array[Long](bins)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            // integer luma (Rec.601 weights scaled by 1000) — exact
+            val lum = (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 +
+              (p & 0xFF) * 114) / 1000
+            counts(lum * bins / 256) += 1L
+            i += 1
+          }
+          val n = px.length.toFloat
+          Feature(a.asset_id, bins, counts.map(c => c / n))
+        }
       }
     }
   }
 
-  /** STUB video frame-sample: every `stride`-th 16-byte slice of the
-    * content stands in for a decoded frame. Real plan shape (explode
-    * to one row per frame happens downstream via `explode`).
+  /** Real pixel-space resize to `w`×`h` — nearest-neighbor source
+    * sampling (pure integer arithmetic: deterministic across JVMs,
+    * unlike AWT's rendering-hint-dependent scalers), re-encoded as
+    * PNG. Null/undecodable content passes through as a null-content
+    * asset rather than throwing.
     */
-  def fakeFrameSample(assets: Dataset[Asset], stride: Int = 64,
-                      maxFrames: Int = 8): Dataset[Frames] = {
-    implicit val enc = Encoders.product[Frames]
-    assets.mapPartitions { it =>
-      it.map { a =>
-        val frames = (0 until maxFrames)
-          .map(_ * stride)
-          .filter(_ + 16 <= a.content.length)
-          .map(off => java.util.Arrays.copyOfRange(a.content, off, off + 16))
-          .toArray
-        Frames(a.asset_id, frames.length, frames)
-      }
-    }
-  }
-
-  /** STUB resize: trim/pad content to `targetBytes` — placeholder for
-    * a pixel-space resize with the same (binary→binary) plan shape.
-    */
-  def fakeResize(assets: Dataset[Asset], targetBytes: Int = 256): Dataset[Asset] = {
+  def resizeImages(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
     implicit val enc = Encoders.product[Asset]
     assets.mapPartitions { it =>
       it.map { a =>
-        val out = java.util.Arrays.copyOf(a.content, targetBytes)
-        Asset(a.asset_id, a.modality, out)
+        val img = readImage(a.content)
+        if (img == null) Asset(a.asset_id, a.modality, null)
+        else {
+          val iw = img.getWidth
+          val ih = img.getHeight
+          val src = img.getRGB(0, 0, iw, ih, null, 0, iw)
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            val sy = y * ih / h
+            var x = 0
+            while (x < w) { out(y * w + x) = src(sy * iw + x * iw / w); x += 1 }
+            y += 1
+          }
+          val o = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          o.setRGB(0, 0, w, h, out, 0, w)
+          Asset(a.asset_id, a.modality, pngBytes(o))
+        }
       }
     }
   }
+
+  /** Real frame sampling from a multi-frame container (animated GIF;
+    * single-frame formats yield one frame): every `stride`-th frame,
+    * capped at `maxFrames`, each re-encoded as PNG so downstream
+    * per-frame decode composes. Containers the JDK cannot read (video,
+    * audio, corrupt blobs) yield `n_frames = 0` — explicitly absent,
+    * never faked.
+    */
+  def sampleFrames(assets: Dataset[Asset], stride: Int = 1,
+                   maxFrames: Int = 8): Dataset[Frames] = {
+    implicit val enc = Encoders.product[Frames]
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.content == null) Frames(a.asset_id, 0, Array.empty)
+        else try {
+          ImageIO.setUseCache(false)
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(a.content))
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Frames(a.asset_id, 0, Array.empty) }
+          else {
+            val r = readers.next()
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            val frames = (0 until n by stride).take(maxFrames)
+              .map(i => pngBytes(toRgb(r.read(i)))).toArray
+            r.dispose()
+            iis.close()
+            Frames(a.asset_id, frames.length, frames)
+          }
+        } catch { case _: Exception => Frames(a.asset_id, 0, Array.empty) }
+      }
+    }
+  }
+
+  /** GIF frames decode as palette-indexed images; normalize to RGB so
+    * re-encoded frames behave like any other asset downstream.
+    */
+  private def toRgb(img: BufferedImage): BufferedImage =
+    if (img.getType == BufferedImage.TYPE_INT_RGB) img
+    else {
+      val o = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+      val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+      o.setRGB(0, 0, img.getWidth, img.getHeight, px, 0, img.getWidth)
+      o
+    }
 }

@@ -18,6 +18,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       Asset(3L, "text", "plain ascii bytes".getBytes("UTF-8"))).toDS()
   }
 
+  /** Real decodable PNG assets: 6×4 gradient + 8×8 constant + a null
+    * content + an undecodable text blob.
+    */
+  private def pngAssets = {
+    import spark.implicits._
+    Seq(
+      Asset(1L, "image", Multimodal.encodePng(6, 4, (x, y) =>
+        ((10 + x) << 16) | ((20 + y) << 8) | (x + y))),
+      Asset(2L, "image", Multimodal.encodePng(8, 8, (_, _) => 0x405060)),
+      Asset(3L, "image", null),
+      Asset(4L, "text", "not an image at all".getBytes("UTF-8"))).toDS()
+  }
+
   test("sniffFormat detects magic bytes without UDFs") {
     val got = Multimodal.contentMeta(assets.toDF(), "asset_id", "content")
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
@@ -33,46 +46,94 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .map("%02x".format(_)).mkString)
   }
 
-  test("fakeDecodeFeatures is deterministic with the declared batch shape") {
-    val f1 = Multimodal.fakeDecodeFeatures(assets, dim = 8).collect()
-      .map(f => f.asset_id -> f.feature.toSeq).toMap
-    val f2 = Multimodal.fakeDecodeFeatures(assets.repartition(3), dim = 8).collect()
-      .map(f => f.asset_id -> f.feature.toSeq).toMap
-    assert(f1 == f2) // partitioning must not change results
-    assert(f1(1L).size == 8)
+  test("decodeImageFeatures recovers exact dimensions and channel sums") {
+    val f = Multimodal.decodeImageFeatures(pngAssets).collect()
+      .map(x => x.asset_id -> x).toMap
+    // 6×4 gradient: sum_r = Σ(10+x) over 24 px = 24*10 + 4*Σx = 240+60
+    assert(f(1L).width.contains(6) && f(1L).height.contains(4))
+    assert(f(1L).sum_r.contains(24L * 10 + 4 * (0 to 5).sum))
+    assert(f(1L).sum_g.contains(24L * 20 + 6 * (0 to 3).sum))
+    assert(f(1L).sum_b.contains(4L * (0 to 5).sum + 6 * (0 to 3).sum))
+    // constant image: every channel sum = count × level
+    assert(f(2L).sum_r.contains(64L * 0x40))
+    assert(f(2L).sum_b.contains(64L * 0x60))
+    // null and undecodable content → all-null stats, no exception
+    assert(f(3L).width.isEmpty && f(3L).sum_r.isEmpty)
+    assert(f(4L).width.isEmpty)
   }
 
-  test("fakeFrameSample bounds frames and slices deterministically") {
-    val frames = Multimodal.fakeFrameSample(assets, stride = 64, maxFrames = 8)
-      .collect().map(f => f.asset_id -> f.n_frames).toMap
-    assert(frames(1L) == 8) // 608 bytes → all 8 strided slices fit
-    assert(frames(2L) == 2) // 104 bytes → offsets 0, 64 only
-    assert(frames(3L) == 1)
+  test("decode is partitioning-invariant") {
+    val a = Multimodal.decodeImageFeatures(pngAssets).collect().toSet
+    val b = Multimodal.decodeImageFeatures(pngAssets.repartition(3)).collect().toSet
+    assert(a == b)
   }
 
-  test("frame pipeline composes: sample → explode → per-frame features → similarity") {
+  test("resizeImages does a real pixel-space resize (and survives nulls)") {
+    val resized = Multimodal.resizeImages(pngAssets, 4, 4)
+    val feats = Multimodal.decodeImageFeatures(resized).collect()
+      .map(x => x.asset_id -> x).toMap
+    // constant 8×8 → 4×4: still constant, sums scale with the pixel count
+    assert(feats(2L).width.contains(4) && feats(2L).height.contains(4))
+    assert(feats(2L).sum_r.contains(16L * 0x40))
+    assert(feats(2L).sum_g.contains(16L * 0x50))
+    assert(feats(2L).sum_b.contains(16L * 0x60))
+    // nearest-neighbor on the gradient: out(x,y) samples src(x*6/4, y*4/4)
+    val xs = (0 until 4).map(_ * 6 / 4)
+    val ys = (0 until 4).map(_ * 4 / 4)
+    assert(feats(1L).sum_r.contains(ys.map(_ => xs.map(10L + _).sum).sum))
+    // null/undecodable stay null-content, never throw
+    assert(feats(3L).width.isEmpty && feats(4L).width.isEmpty)
+  }
+
+  test("sampleFrames reads real multi-frame GIFs with stride and cap") {
     import spark.implicits._
-    val frames = Multimodal.fakeFrameSample(assets, stride = 64, maxFrames = 4)
-    // one row per frame, then the (stub) decoder over frames-as-assets
+    val gif5 = Multimodal.encodeGif((0 until 5).map(i =>
+      Multimodal.grayFrame(4, 4, 40 * i)))
+    val ds = Seq(
+      Asset(1L, "video", gif5),
+      Asset(2L, "image", Multimodal.encodePng(4, 4, (_, _) => 0x112233)),
+      Asset(3L, "text", "nope".getBytes("UTF-8")),
+      Asset(4L, "image", null)).toDS()
+    val got = Multimodal.sampleFrames(ds, stride = 2, maxFrames = 8)
+      .collect().map(f => f.asset_id -> f.n_frames).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 0, 4L -> 0)) // frames 0,2,4
+    // cap applies after stride
+    val capped = Multimodal.sampleFrames(ds.filter($"asset_id" === 1), stride = 1,
+      maxFrames = 3).collect().head
+    assert(capped.n_frames == 3)
+  }
+
+  test("frame pipeline composes: sample → explode → per-frame decode") {
+    import spark.implicits._
+    val gif = Multimodal.encodeGif((0 until 3).map(i =>
+      Multimodal.grayFrame(4, 4, 30 + 60 * i)))
+    val frames = Multimodal.sampleFrames(Seq(Asset(9L, "video", gif)).toDS())
     val perFrame = frames.flatMap(f =>
       f.frames.zipWithIndex.map { case (bytes, i) =>
-        Multimodal.Asset(f.asset_id * 100 + i, "frame", bytes)
+        Asset(f.asset_id * 100 + i, "frame", bytes)
       })
-    val feats = Multimodal.fakeDecodeFeatures(perFrame, dim = 8)
-      .select($"asset_id".as("vec_id"), $"feature".as("embedding"))
-    assert(feats.count() >= 4) // asset 1 alone yields 4 frames
-    // frame-level near-dup search runs on the frame features directly
-    val sims = Similarity.nearDupPairs(feats.toDF(), "vec_id", "embedding", threshold = 0.99)
-    // frames of asset 1 are constant-filled slices → identical features
-    assert(sims.count() >= 1)
+    val feats = Multimodal.decodeImageFeatures(perFrame).collect()
+      .sortBy(_.asset_id)
+    assert(feats.length == 3)
+    // frames re-encode as PNG → per-frame decode sees 4×4 images whose
+    // gray levels are monotone in frame order (GIF palettization may
+    // shift exact levels; monotonicity survives)
+    assert(feats.forall(_.width.contains(4)))
+    val grays = feats.map(_.sum_r.get)
+    assert(grays(0) < grays(1) && grays(1) < grays(2))
   }
 
-  test("features feed straight into the similarity operators") {
+  test("decodeHistogram features feed straight into the similarity operators") {
     import spark.implicits._
-    val feats = Multimodal.fakeDecodeFeatures(assets, dim = 8)
+    val ds = Seq(
+      Asset(1L, "image", Multimodal.encodePng(8, 8, (_, _) => 0x101010)),
+      Asset(2L, "image", Multimodal.encodePng(8, 8, (_, _) => 0x121212)),
+      Asset(3L, "image", Multimodal.encodePng(8, 8, (_, _) => 0xF0F0F0))).toDS()
+    val feats = Multimodal.decodeHistogram(ds, bins = 8)
       .select($"asset_id".as("vec_id"), $"feature".as("embedding"))
-    val top = Similarity.bruteForceTopK(feats, feats.filter($"vec_id" === 1),
-      "vec_id", "embedding", k = 2)
-    assert(top.count() == 2) // plumbing composes end-to-end
+    // near-identical dark images collide; the bright one doesn't
+    val sims = Similarity.nearDupPairs(feats.toDF(), "vec_id", "embedding",
+      threshold = 0.99).collect()
+    assert(sims.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 }
