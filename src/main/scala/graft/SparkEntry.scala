@@ -223,6 +223,51 @@ object SparkEntry {
       .orderBy("user_id", "session_id")
   }
 
+  private val streamGateN = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Streaming gate: the SAME events, fed through a real
+    * `MemoryStream` in five micro-batches into
+    * [[graft.streaming.EventStreams.sessionize]]
+    * (`flatMapGroupsWithState` with explicit per-user state), must
+    * reproduce the batch window-function sessionizer bit-for-bit —
+    * the oracle is q23's SQL reshaped to session bounds. Sessions
+    * still open at end-of-stream are closed by one per-user sentinel
+    * event two gaps past the horizon: the sentinel closes the last
+    * real session and opens a phantom one that is never emitted, so
+    * the streamed output covers exactly the real events. The driver
+    * collect here is inherent to MemoryStream (a test-only source);
+    * production ingest reads Kafka/files with identical semantics.
+    */
+  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val gap = 3600L
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val horizon = evs.iterator.map(_.ts.getTime).max
+    val sentinels = evs.iterator.map(_.user_id).toArray.distinct.sorted.map(u =>
+      EventStreams.Event(-1L, new java.sql.Timestamp(horizon + 2 * gap * 1000),
+        u, "sentinel", 0.0))
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val name = s"q72_sessions_${streamGateN.incrementAndGet()}"
+    val q = EventStreams.sessionize(mem.toDS(), gap)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 5)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      mem.addData(sentinels.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
     val r = t(s, dir, "orders")
@@ -262,14 +307,44 @@ object SparkEntry {
   }
 
   /** Multimodal metadata path: documents' text as opaque utf-8 binary
-    * content — byte length, digest, magic-byte format sniff (decode
-    * itself is the stubbed [[graft.pipeline.Multimodal]] stage).
+    * content — byte length, digest, magic-byte format sniff (pure
+    * expressions; the decode stage itself is gated by q71).
     */
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val assets = t(s, dir, "documents")
       .select(col("doc_id").as("asset_id"), encode(col("text"), "utf-8").as("content"))
     graft.pipeline.Multimodal.contentMeta(assets, "asset_id", "content")
       .orderBy("asset_id")
+  }
+
+  /** Real multimodal decode gate: synthesize a deterministic gradient
+    * PNG per document (width/height/pixel values all arithmetic in
+    * `doc_id`), push the bytes through the REAL `javax.imageio` decode
+    * ([[graft.pipeline.Multimodal.decodeImageFeatures]]), and emit the
+    * exact integer pixel statistics. The oracle recomputes the same
+    * statistics in closed form — they only match if the engine
+    * actually decoded the pixels it encoded (PNG is lossless). Pixel
+    * formulas are bounded < 256 by construction (base ≤ 63, 3x ≤ 45,
+    * 5y ≤ 45) so no channel ever wraps.
+    */
+  private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.pipeline.Par.spread(
+      t(s, dir, "documents").select(col("doc_id"))).as[Long]
+    val assets = docs.mapPartitions(_.map { id =>
+      val w = 4 + (id % 13).toInt
+      val h = 4 + (id % 7).toInt
+      val base = (id % 64).toInt
+      graft.pipeline.Multimodal.Asset(id, "image",
+        graft.pipeline.Multimodal.encodePng(w, h, (x, y) =>
+          ((base + 3 * x + 5 * y) << 16) | ((base + 2 * x + 7 * y) << 8) |
+            (base + x + y)))
+    })
+    graft.pipeline.Multimodal.decodeImageFeatures(assets)
+      .toDF()
+      .select(col("asset_id").as("doc_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy("doc_id")
   }
 
   private def qIvfAssign(s: SparkSession, dir: String): DataFrame = {
@@ -287,6 +362,58 @@ object SparkEntry {
     Similarity.ivfTopK(assigned, col("id") < 10, k = 3)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
       .orderBy("query_id", "rank")
+  }
+
+  /** ANN recall gate: the bucketed scale paths (IVF with k-means
+    * centroids; banded hyperplane LSH) measured against their exact
+    * baselines and gated ≥ a stated floor — what makes them
+    * trustworthy substitutes for the brute-force plans at 100 TB.
+    *
+    * Row 1 — recall@10 of single-probe IVF (8 spherical-k-means cells,
+    * 3 Lloyd iterations) over 50 queries vs [[Similarity.bruteForceTopK]].
+    * Row 2 — pair recall of the banded LSH near-dup path vs the exact
+    * O(n²) [[Similarity.nearDupPairs]] at cosine ≥ 0.4; LSH verifies
+    * candidates with the exact cosine, so its pairs are a subset and
+    * recall is the count ratio. The gate uses a recall-oriented
+    * banding (24 tables × 6 planes: per-plane agreement p = 1-θ/π =
+    * 0.63 at θ = acos 0.4, so 1-(1-p⁶)²⁴ ≈ 0.79) rather than q29's
+    * precision-oriented 8×8 (≈ 0.18) — tables is THE recall knob and
+    * the gate pins the recall-configured point of the curve.
+    *
+    * Floors are set from measured recall with margin — IVF 0.406 /
+    * 0.356 / 0.346 and LSH 0.773 / 0.729 / 0.797 at sf 0.001 / 0.01 /
+    * 0.1 (both paths fully deterministic: seeded planes, k-lowest-id
+    * k-means init). A recall regression flips `meets_floor` → hash
+    * mismatch → red gate.
+    */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val k = 10
+    val ivfFloor = 0.30
+    val lshFloor = 0.60
+    val exactTopk = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val assigned = Similarity.ivfAssignDf(emb, "vec_id", "embedding", cents, "cid", "cv")
+    val ivfTopk = Similarity.ivfTopK(assigned, col("id") < 50, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivfRecall = exactTopk
+      .join(ivfTopk.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .agg(avg(when(col("hit").isNotNull, 1.0).otherwise(0.0)).as("recall"))
+    val thr = 0.4
+    val lshRecall = Similarity
+      .lshNearDupPairs(emb, "vec_id", "embedding", dim = 64, threshold = thr,
+        tables = 24, planesPerTable = 6, seed = 42)
+      .agg(count(lit(1)).cast("double").as("c_lsh"))
+      .crossJoin(Similarity.nearDupPairs(emb, "vec_id", "embedding", thr)
+        .agg(count(lit(1)).cast("double").as("c_ex")))
+      .select((col("c_lsh") / greatest(col("c_ex"), lit(1.0))).as("recall"))
+    ivfRecall.select(lit("ivf_top10").as("method"), lit(ivfFloor).as("floor"),
+        (col("recall") >= ivfFloor).as("meets_floor"))
+      .unionAll(lshRecall.select(lit("lsh_neardup").as("method"),
+        lit(lshFloor).as("floor"), (col("recall") >= lshFloor).as("meets_floor")))
+      .orderBy("method")
   }
 
   private def qLshNeardup(s: SparkSession, dir: String): DataFrame =
@@ -444,25 +571,66 @@ object SparkEntry {
 
   /** Sketch aggregates — HyperLogLog++ distinct counting and quantile
     * approximation: the constant-memory path when exact distinct /
-    * exact percentile (q36/q44) would not fit at corpus scale. No
-    * DuckDB oracle (sketch internals are engine-specific ⇒ rows-only
-    * check); the exact counterparts pin correctness.
+    * exact percentile (q36/q44) would not fit at corpus scale.
+    *
+    * Sketch internals are engine-specific, so raw approximations can't
+    * be hash-compared across engines; instead the ERROR BOUNDS are the
+    * gated contract. Per return flag the engine emits
+    * `(r1, metric, expected, within_bound)` where `expected` is a
+    * value DuckDB independently recomputes (exact NDV for the HLL++
+    * rows; the target rank ⌈n·q⌉ for the quantile rows) and
+    * `within_bound` asserts the sketch met its published error bound —
+    * HLL++ at rsd = 1 % within 5 % relative (5σ, deterministic sketch;
+    * +2 absolute slack for tiny groups), approx_percentile at
+    * accuracy = 10000 within rank error 3·n/10000 (floor 3; the rank
+    * interval of the returned value, [#{x<v}+1, #{x≤v}], must meet
+    * [target−tol, target+tol]). A sketch regression flips
+    * `within_bound` to false → hash mismatch → red gate.
     */
-  private def qSketches(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag").as("r1"))
+  private def qSketches(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("r1"), col("l_partkey"),
+        col("l_orderkey"), col("l_extendedprice"))
+    val agg = li.groupBy("r1")
       .agg(
         approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-          .as("approx_pcts"))
-      // scalar columns: the driver's rows-only pandas check cannot
-      // sort/hash an array cell
-      .select(col("r1"), col("approx_parts"), col("approx_orders"),
-        round(element_at(col("approx_pcts"), 1), 4).as("ap50"),
-        round(element_at(col("approx_pcts"), 2), 4).as("ap90"),
-        round(element_at(col("approx_pcts"), 3), 4).as("ap99"))
-      .orderBy("r1")
+          .as("ap"),
+        count(lit(1)).as("n"))
+    def ndvRow(metric: String, approxC: String, exactC: String) =
+      agg.select(col("r1"), lit(metric).as("metric"),
+        col(exactC).cast("long").as("expected"),
+        (abs(col(approxC) - col(exactC)) <=
+          greatest(col(exactC) * 0.05, lit(2))).as("within_bound"))
+    // quantile rows: broadcast the 9 (flag, q, v) approx values back
+    // over lineitem, measure the returned value's true rank interval,
+    // and assert it meets the target rank within tolerance
+    val qs = array(lit(0.5), lit(0.9), lit(0.99))
+    val aps = agg.select(col("r1").as("ar1"), col("n"), posexplode(col("ap")))
+      .select(col("ar1"), col("n"), element_at(qs, col("pos") + 1).as("q"),
+        col("col").as("v"),
+        concat(lit("p"), format_string("%.0f",
+          element_at(qs, col("pos") + 1) * 100)).as("metric"))
+    val pctRows = li.join(broadcast(aps), col("r1") === col("ar1"))
+      .groupBy(col("r1"), col("metric"), col("q"), col("v"), col("n"))
+      .agg(sum(when(col("l_extendedprice") < col("v"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L)).as("hi"))
+      .select(col("r1"), col("metric"),
+        ceil(col("n") * col("q")).cast("long").as("expected"),
+        {
+          val target = ceil(col("n") * col("q"))
+          val tol = greatest(ceil(col("n") * 3 / 10000), lit(3))
+          (col("lo") + 1 <= target + tol && col("hi") >= target - tol)
+            .as("within_bound")
+        })
+    ndvRow("parts_ndv", "approx_parts", "exact_parts")
+      .unionAll(ndvRow("orders_ndv", "approx_orders", "exact_orders"))
+      .unionAll(pctRows)
+      .orderBy("r1", "metric")
+  }
 
   /** Exact distinct aggregation (expand + two-phase in Spark). */
   private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
@@ -946,6 +1114,9 @@ object SparkEntry {
     "q68_chunking" -> (qChunking(_, _)),
     "q69_vocab" -> (qVocab(_, _)),
     "q70_ingest_screen" -> (qIngestScreen(_, _)),
+    "q71_multimodal_decode" -> (qMultimodalDecode(_, _)),
+    "q72_stream_sessionize" -> (qStreamSessionize(_, _)),
+    "q73_ann_recall" -> (qAnnRecall(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -1526,6 +1697,24 @@ object SparkEntry {
     // transitive closure of the LSH pair relation: label = min id
     // reachable over undirected edges (same fixpoint the Spark
     // min-label propagation converges to)
+    // q50: the sketch values themselves are engine-specific; the gated
+    // contract is (a) `expected` — exact NDV / target rank, recomputed
+    // here independently — and (b) `within_bound`, which the engine
+    // computes from its own sketch error and must report true
+    "q50_sketches" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS r1,
+        |         COUNT(DISTINCT l_partkey)::BIGINT AS parts,
+        |         COUNT(DISTINCT l_orderkey)::BIGINT AS ords,
+        |         COUNT(*)::BIGINT AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT r1, 'parts_ndv' AS metric, parts AS expected, true AS within_bound FROM g
+        |UNION ALL SELECT r1, 'orders_ndv', ords, true FROM g
+        |UNION ALL SELECT r1, 'p50', CAST(ceil(n * 0.5) AS BIGINT), true FROM g
+        |UNION ALL SELECT r1, 'p90', CAST(ceil(n * 0.9) AS BIGINT), true FROM g
+        |UNION ALL SELECT r1, 'p99', CAST(ceil(n * 0.99) AS BIGINT), true FROM g
+        |ORDER BY r1, metric""".stripMargin,
+
     "q51_dedup_groups" ->
       s"""WITH RECURSIVE ${minhashCtes()},
          |pairs AS (
@@ -1770,6 +1959,55 @@ object SparkEntry {
          |FROM ibuckets i JOIN cbuckets c ON i.band = c.band AND i.bkey = c.bkey
          |WHERE i.doc <> c.doc
          |ORDER BY doc, corpus_doc, band""".stripMargin,
+
+    // closed-form pixel statistics of the per-doc gradient PNG that
+    // qMultimodalDecode encodes then REALLY decodes via ImageIO:
+    // Σ_{x<w,y<h} (base + a·x + b·y) = w·h·base + a·h·T(w) + b·w·T(h)
+    // with T(n) = n(n-1)/2 (exact integers — PNG is lossless)
+    "q71_multimodal_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         4 + doc_id % 13 AS w,
+        |         4 + doc_id % 7  AS h,
+        |         doc_id % 64     AS base
+        |  FROM documents)
+        |SELECT doc_id,
+        |       w::INTEGER AS width,
+        |       h::INTEGER AS height,
+        |       (w*h*base + 3*h*(w*(w-1)//2) + 5*w*(h*(h-1)//2))::BIGINT AS sum_r,
+        |       (w*h*base + 2*h*(w*(w-1)//2) + 7*w*(h*(h-1)//2))::BIGINT AS sum_g,
+        |       (w*h*base + 1*h*(w*(w-1)//2) + 1*w*(h*(h-1)//2))::BIGINT AS sum_b
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // q72: same session semantics as q23, reshaped to session bounds —
+    // the streamed flatMapGroupsWithState result must equal the batch
+    // window-function result exactly
+    "q72_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, sec,
+        |         CASE WHEN lag(sec) OVER w IS NULL
+        |              OR sec - lag(sec) OVER w > 3600 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        |), s AS (
+        |  SELECT user_id, sec,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        |  FROM m)
+        |SELECT user_id, MIN(sec) AS session_start, MAX(sec) AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // q73: recall values depend on the engine's ANN internals; the
+    // gated contract is the stated floor and that the engine reports
+    // meeting it (a recall regression flips meets_floor → mismatch)
+    "q73_ann_recall" ->
+      """SELECT 'ivf_top10' AS method, 0.30 AS floor, true AS meets_floor
+        |UNION ALL
+        |SELECT 'lsh_neardup', 0.60, true
+        |ORDER BY method""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
