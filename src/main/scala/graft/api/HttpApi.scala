@@ -19,18 +19,32 @@ import graft.GraftSession
   */
 object HttpApi {
 
+  /** Reference request-duration ceiling: 120 s
+    * (application.conf:12-15 `idle-timeout`/`request-timeout`;
+    * CHANGELOG.md:35-38 — raised precisely so hi-res LinesJoin jobs
+    * finish while runaway requests still die). On expiry the Spark
+    * job group backing the request is CANCELLED (not just abandoned —
+    * the cluster stops burning executors on it) and the client gets a
+    * typed 503.
+    */
+  private[api] val RequestTimeoutMillis: Long = 120 * 1000L
+
   /** Start serving `catalogPath` on `port` (0 = ephemeral; the chosen
     * port is in the returned server's address). Non-blocking.
+    * `timeoutMillis` bounds every /run and /multi request end-to-end.
     */
-  def start(cat: Service.Catalog, port: Int): HttpServer = {
+  def start(cat: Service.Catalog, port: Int,
+            timeoutMillis: Long = RequestTimeoutMillis): HttpServer = {
     val srv = HttpServer.create(new InetSocketAddress(port), 0)
     // JDK contexts are longest-PREFIX matched: each handler checks the
     // exact path so /pingfoo or /run/extra 404 like a route table would
     srv.createContext("/ping", exact("/ping") { ex =>
       respond(ex, 200, "\"pong\"")
     })
-    srv.createContext("/run", exact("/run")(handle(ex => Service.run(cat, body(ex)))))
-    srv.createContext("/multi", exact("/multi")(handle(ex => Service.runMulti(cat, body(ex)))))
+    srv.createContext("/run",
+      exact("/run")(timedHandler(cat.spark, timeoutMillis)(ex => Service.run(cat, body(ex)))))
+    srv.createContext("/multi",
+      exact("/multi")(timedHandler(cat.spark, timeoutMillis)(ex => Service.runMulti(cat, body(ex)))))
     // the default single-thread dispatcher would serialize every
     // request behind a long Spark job (a health-check /ping must not
     // wait on a 30 s /run); the reference serves concurrently too
@@ -72,14 +86,53 @@ object HttpApi {
     try os.write(bytes) finally os.close()
   }
 
-  /** Reference error mapping (ErrorHandler.scala:8-46; same messages
-    * as [[Cli]]'s stderr surface): typed → 400, unknown → 500.
+  private final class RequestTimeoutException extends RuntimeException
+
+  /** One worker pool for request bodies: the dispatch thread only
+    * waits (bounded) on the future, so a hung Spark job can never pin
+    * the HTTP dispatcher itself.
     */
-  private def handle(f: HttpExchange => String)(ex: HttpExchange): Unit =
+  private val workers = java.util.concurrent.Executors.newCachedThreadPool()
+
+  /** Reference error mapping (ErrorHandler.scala:8-46; same messages
+    * as [[Cli]]'s stderr surface): typed → 400, unknown → 500 — plus
+    * the duration ceiling: the request body runs inside a per-request
+    * Spark job group on a worker thread; if it exceeds `timeoutMs` the
+    * job group is cancelled (`interruptOnCancel = true`, so even a
+    * task stuck in a blocking call dies) and the client gets 503 with
+    * a typed message — the Akka-HTTP request-timeout analog.
+    */
+  private[api] def timedHandler(spark: org.apache.spark.sql.SparkSession,
+      timeoutMs: Long)(f: HttpExchange => String)(ex: HttpExchange): Unit =
     try {
       if (ex.getRequestMethod != "POST") respond(ex, 405, "\"POST only\"")
-      else respond(ex, 200, f(ex))
+      else {
+        val group = "graft-http-" + java.util.UUID.randomUUID()
+        val fut = workers.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = {
+            // job-group tagging is thread-local: every Spark job this
+            // request launches becomes cancellable as one unit
+            spark.sparkContext.setJobGroup(group, "graft http request",
+              interruptOnCancel = true)
+            try f(ex) finally spark.sparkContext.clearJobGroup()
+          }
+        })
+        val out =
+          try fut.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              fut.cancel(true)
+              spark.sparkContext.cancelJobGroup(group)
+              throw new RequestTimeoutException
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        respond(ex, 200, out)
+      }
     } catch {
+      case _: RequestTimeoutException =>
+        respond(ex, 503,
+          err(s"Request timed out after ${timeoutMs} ms"))
       case _: PayloadTooLargeException =>
         respond(ex, 413,
           err(s"Request entity too large: limit $MaxRequestBytes bytes"))

@@ -97,4 +97,40 @@ class HttpApiSpec extends AnyFunSuite with SparkSpec {
       assert(status.contains("413"), status)
     } finally sock.close()
   }
+
+  test("request over the duration ceiling → 503 and its Spark job is cancelled") {
+    // a handler whose Spark job would run 120 s, behind a 500 ms
+    // ceiling — the reference's request-timeout contract
+    // (application.conf:12-15) says the client gets a prompt typed
+    // error and the cluster stops burning on the job
+    val slowSrv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    slowSrv.createContext("/slow", HttpApi.timedHandler(spark, 500) { _ =>
+      spark.sparkContext.parallelize(1 to 64, 8)
+        .mapPartitions { it => Thread.sleep(120000); it }.count().toString
+    })
+    slowSrv.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    slowSrv.start()
+    try {
+      val uri = URI.create(s"http://localhost:${slowSrv.getAddress.getPort}/slow")
+      val t0 = System.nanoTime()
+      val r = client.send(HttpRequest.newBuilder(uri)
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(r.statusCode() == 503, r.body())
+      assert((JsonMethods.parse(r.body()) \ "error").extract[String]
+        == "Request timed out after 500 ms")
+      assert(secs < 30, s"response must be bounded by the ceiling, took $secs s")
+      // interruptOnCancel kills even the sleeping tasks: the job group
+      // must drain instead of holding executors for the full 120 s
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (spark.sparkContext.statusTracker.getActiveJobIds.nonEmpty
+          && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(spark.sparkContext.statusTracker.getActiveJobIds.isEmpty,
+        "cancelled request's Spark job still active after 15 s")
+      // the shared session survives a cancelled job group
+      assert(spark.range(5).count() == 5)
+    } finally slowSrv.stop(0)
+  }
 }
