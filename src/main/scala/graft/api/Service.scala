@@ -197,6 +197,10 @@ object Service {
             opts(op.pixelIsArea))
         case "RasterLinesJoin" =>
           Zonal.BatchLines(op.label, op.rasters)
+        // deliberate divergence (COVERAGE.md "Deliberate divergences"):
+        // the reference's /multi hits a MatchError here and 500s
+        // (Geoprocessing.scala:54-75); graft returns the typed 400 the
+        // single-op route already uses
         case other => throw new InvalidOperationException(other)
       }
     }

@@ -45,6 +45,34 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(run(1000000L) == run(0L))
   }
 
+  test("connectedComponents property: both paths agree on seeded random graphs") {
+    import spark.implicits._
+    // the 10M-edge threshold is never crossed by spec fixtures, so the
+    // distributed propagation path is forced (threshold 0) on the SAME
+    // generated graphs the union-find answers — seeded, so failures
+    // reproduce. Topology mixes a long chain (worst-case diameter:
+    // plain min-propagation would need ~n rounds, pointer jumping must
+    // close it in O(log n)), random edges (merging blobs), self-loops
+    // and duplicate edges (normalization), and untouched singletons.
+    val rnd = new scala.util.Random(20260812)
+    for (trial <- 0 until 3) {
+      val n = 120 + rnd.nextInt(80)
+      val chain = (0 until n / 3).map(i => (i.toLong, (i + 1).toLong))
+      val rand = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val nodes = (0L until n.toLong).toDF("id")
+      val edges = (chain ++ rand).toDF("a", "b")
+      def run(thr: Long, iters: Int) =
+        Graph.connectedComponents(nodes, "id", edges, "a", "b",
+          maxIter = iters, localEdgeThreshold = thr)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val uf = run(Long.MaxValue, 40)
+      val dist = run(0L, 20)
+      assert(uf == dist, s"trial $trial n=$n: distributed != union-find")
+      // labels are the component MIN id — a fixpoint any engine agrees on
+      assert(uf.forall { case (doc, g) => g <= doc })
+    }
+  }
+
   test("packGreedy: contiguous bins, offsets, boundary-crossing doc starts its bin") {
     import spark.implicits._
     val df = Seq((1L, 100), (2L, 900), (3L, 100), (4L, 50)).toDF("id", "n")
