@@ -591,15 +591,24 @@ object SparkEntry {
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag").as("r1"), col("l_partkey"),
         col("l_orderkey"), col("l_extendedprice"))
-    val agg = li.groupBy("r1")
+    // sketches and exact NDVs aggregate in SEPARATE plans: mixing
+    // countDistinct with sketch aggregates in one groupBy would put
+    // the wide HLL++/QuantileSummaries buffers on the Expand-multiplied
+    // distinct path (measured 60× slower at sf0.1); two clean scans +
+    // a 6-row join is the cheap shape. The joined per-flag handful is
+    // materialized once (localCheckpoint) so its three consumers (two
+    // NDV branches + the percentile explode) don't re-aggregate.
+    val sketch = li.groupBy("r1")
       .agg(
         approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
           .as("ap"),
         count(lit(1)).as("n"))
+    val exact = li.groupBy("r1")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    val agg = sketch.join(exact, Seq("r1")).localCheckpoint()
     def ndvRow(metric: String, approxC: String, exactC: String) =
       agg.select(col("r1"), lit(metric).as("metric"),
         col(exactC).cast("long").as("expected"),
