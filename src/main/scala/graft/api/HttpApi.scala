@@ -108,21 +108,39 @@ object HttpApi {
       if (ex.getRequestMethod != "POST") respond(ex, 405, "\"POST only\"")
       else {
         val group = "graft-http-" + java.util.UUID.randomUUID()
+        // latch = "the worker has left f": jobs are only submitted
+        // inside f, so once this fires no new job can carry the group
+        val done = new java.util.concurrent.CountDownLatch(1)
         val fut = workers.submit(new java.util.concurrent.Callable[String] {
           def call(): String = {
             // job-group tagging is thread-local: every Spark job this
             // request launches becomes cancellable as one unit
             spark.sparkContext.setJobGroup(group, "graft http request",
               interruptOnCancel = true)
-            try f(ex) finally spark.sparkContext.clearJobGroup()
+            try f(ex) finally {
+              spark.sparkContext.clearJobGroup(); done.countDown()
+            }
           }
         })
         val out =
           try fut.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
           catch {
             case _: java.util.concurrent.TimeoutException =>
-              fut.cancel(true)
+              // cancel the group FIRST (kills jobs already running),
+              // then interrupt the worker so it unblocks between
+              // actions. A job submitted in the window between this
+              // cancel and the worker's exit would escape it —
+              // cancelJobGroup only hits jobs that exist at call time —
+              // so re-issue the cancel once the worker has observably
+              // left the body (bounded, off the dispatch thread).
               spark.sparkContext.cancelJobGroup(group)
+              fut.cancel(true)
+              workers.submit(new Runnable {
+                def run(): Unit = {
+                  done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+                  spark.sparkContext.cancelJobGroup(group)
+                }
+              })
               throw new RequestTimeoutException
             case e: java.util.concurrent.ExecutionException =>
               throw e.getCause
