@@ -9,11 +9,24 @@ import org.apache.spark.sql.execution.FormattedMode
   * {{{ sbt "runMain graft.PlanCheck q10_pruned_scan" }}}
   */
 object PlanCheck {
+
+  /** Queries whose CONSTRUCTION already runs Spark jobs (q72 executes
+    * a full streaming query into a memory sink, q73 trains k-means
+    * with a collect loop, q50 localCheckpoints both aggregation
+    * branches) — their printed "plan" is mostly a scan of
+    * already-materialized state, so explaining them by default costs
+    * tens of seconds for no signal. Still explainable by name.
+    */
+  private val eagerConstruction =
+    Set("q50_sketches", "q72_stream_sessionize", "q73_ann_recall")
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted.filterNot(eagerConstruction)
     names.foreach { name =>
       println(s"===== $name")
       println(SparkEntry.queries(name)(spark, dir)
