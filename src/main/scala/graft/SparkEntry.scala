@@ -246,6 +246,10 @@ object SparkEntry {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    if (evs.isEmpty) // no horizon to sentinel past: empty in, empty out
+      return s.emptyDataset[EventStreams.SessionOut].toDF()
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
     val horizon = evs.iterator.map(_.ts.getTime).max
     val sentinels = evs.iterator.map(_.user_id).toArray.distinct.sorted.map(u =>
       EventStreams.Event(-1L, new java.sql.Timestamp(horizon + 2 * gap * 1000),
@@ -344,6 +348,31 @@ object SparkEntry {
       .toDF()
       .select(col("asset_id").as("doc_id"), col("width"), col("height"),
         col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy("doc_id")
+  }
+
+  /** Real audio decode gate: WAV containers synthesized from `doc_id`
+    * through the JDK's own WAVE writer, decoded by
+    * [[graft.pipeline.Multimodal.decodeAudioFeatures]]. PCM is
+    * lossless, so the oracle recomputes the exact per-asset amplitude
+    * sums arithmetically (the audio analog of q71's pixel sums).
+    */
+  private def qAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.pipeline.Par.spread(
+      t(s, dir, "documents").select(col("doc_id"))).as[Long]
+    val assets = docs.mapPartitions(_.map { id =>
+      val rate = 8000 + 1000 * (id % 4).toInt
+      val n = 200 + (id % 50).toInt
+      val samples = Array.tabulate(n)(i =>
+        ((id * 31 + i * 17) % 4001 - 2000).toShort)
+      graft.pipeline.Multimodal.Asset(id, "audio",
+        graft.pipeline.Multimodal.encodeWav(rate, samples))
+    })
+    graft.pipeline.Multimodal.decodeAudioFeatures(assets)
+      .toDF()
+      .select(col("asset_id").as("doc_id"), col("sample_rate"),
+        col("channels"), col("n_frames"), col("sum_abs"))
       .orderBy("doc_id")
   }
 
@@ -1126,6 +1155,7 @@ object SparkEntry {
     "q71_multimodal_decode" -> (qMultimodalDecode(_, _)),
     "q72_stream_sessionize" -> (qStreamSessionize(_, _)),
     "q73_ann_recall" -> (qAnnRecall(_, _)),
+    "q74_audio_decode" -> (qAudioDecode(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2017,6 +2047,25 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'lsh_neardup', 0.60, true
         |ORDER BY method""".stripMargin,
+
+    // q74: WAV round trip through the JDK's own WAVE codec; PCM is
+    // lossless so Σ|sample| is recomputed arithmetically over the
+    // same per-doc synthesis formula (the audio analog of q71)
+    "q74_audio_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         (8000 + 1000 * (doc_id % 4))::INTEGER AS sample_rate,
+        |         200 + (doc_id % 50) AS cnt
+        |  FROM documents),
+        |s AS (
+        |  SELECT p.doc_id, p.sample_rate, p.cnt,
+        |         CAST(SUM(ABS((p.doc_id * 31 + g.i * 17) % 4001 - 2000)) AS BIGINT) AS sum_abs
+        |  FROM p, generate_series(0, 249) AS g(i)
+        |  WHERE g.i < p.cnt
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, sample_rate, 1::INTEGER AS channels,
+        |       cnt::BIGINT AS n_frames, sum_abs
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

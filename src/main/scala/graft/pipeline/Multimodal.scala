@@ -3,6 +3,7 @@ package graft.pipeline
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.{IIOImage, ImageIO}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
@@ -18,9 +19,12 @@ import org.apache.spark.sql.types._
   * (luminance histogram feature vector), `resizeImages`
   * (nearest-neighbor pixel resize, re-encoded PNG), `sampleFrames`
   * (every `stride`-th frame of a multi-frame container, e.g. animated
-  * GIF). Only VIDEO decode remains out of scope — the JDK ships no
-  * video codec — and video assets simply fall out as `n_frames = 0` /
-  * null features rather than being faked.
+  * GIF). AUDIO is real too: `javax.sound.sampled` parses WAV/AIFF/AU
+  * containers in the bare JDK, so [[decodeAudioFeatures]] recovers
+  * exact sample rate / channel count / frame count / integer amplitude
+  * sums from PCM content. Only VIDEO decode remains out of scope — the
+  * JDK ships no video codec — and video assets simply fall out as
+  * `n_frames = 0` / null features rather than being faked.
   *
   * Everything is `mapPartitions` (the JVM analog of Python's
   * `mapInPandas` batch shape): one partition in, iterator out,
@@ -48,6 +52,9 @@ object Multimodal {
     when(hex(substring(content, 1, 4)) === "89504E47", "png")
       .when(hex(substring(content, 1, 2)) === "FFD8", "jpeg")
       .when(hex(substring(content, 1, 3)) === "474946", "gif")
+      // RIFF is a container: bytes 8-11 name the payload (WAVE = wav)
+      .when(hex(substring(content, 1, 4)) === "52494646" &&
+        hex(substring(content, 9, 4)) === "57415645", "wav")
       .when(hex(substring(content, 1, 4)) === "52494646", "riff")
       .otherwise("unknown")
 
@@ -67,17 +74,41 @@ object Multimodal {
   final case class ImageFeature(asset_id: Long, width: Option[Int],
       height: Option[Int], sum_r: Option[Long], sum_g: Option[Long],
       sum_b: Option[Long])
+  /** Exact integer statistics of a decoded PCM audio container
+    * (`sum_abs` = Σ|sample| over every channel); all-null past
+    * `asset_id` when the content is null or not decodable 16-bit PCM.
+    */
+  final case class AudioFeature(asset_id: Long, sample_rate: Option[Int],
+      channels: Option[Int], n_frames: Option[Long], sum_abs: Option[Long])
 
   // ---- codec helpers (executor-side; ImageIO's disk cache off — the
   // blobs are already in memory and executor threads must not contend
-  // on temp files) ----
+  // on temp files). Set ONCE at object init: this object initializes
+  // in every JVM (driver or executor) before any codec call below, so
+  // both read AND write paths get memory-backed streams — a per-call
+  // set would leave the first encodePng calls on the
+  // FileCacheImageOutputStream path, a temp file per image.
+  ImageIO.setUseCache(false)
 
   private def readImage(content: Array[Byte]): BufferedImage =
     if (content == null) null
     else try {
-      ImageIO.setUseCache(false)
       ImageIO.read(new ByteArrayInputStream(content)) // null if no reader claims it
     } catch { case _: Exception => null }             // truncated/corrupt stream
+
+  /** Shared decode preamble of every pixel operator: content →
+    * (width, height, packed-ARGB row-major pixels), or None when the
+    * content is null or no installed reader can decode it.
+    */
+  private def decodePixels(content: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val img = readImage(content)
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+    }
+  }
 
   private def pngBytes(img: BufferedImage): Array[Byte] = {
     val baos = new ByteArrayOutputStream()
@@ -121,6 +152,29 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic WAV synthesizer: mono 16-bit signed little-endian
+    * PCM at `sampleRate`, written through the JDK's own WAVE writer
+    * (`AudioSystem.write`), so the decode path exercises a real
+    * container round trip. PCM is lossless — [[decodeAudioFeatures]]
+    * recovers these exact samples, which is what lets the audio
+    * operator be gated against an arithmetic oracle.
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xFF).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt,
+      samples.length.toLong)
+    val baos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos) finally ais.close()
+    baos.toByteArray
+  }
+
   def grayFrame(w: Int, h: Int, level: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val g = img.createGraphics()
@@ -141,23 +195,61 @@ object Multimodal {
     implicit val enc = Encoders.product[ImageFeature]
     assets.mapPartitions { it =>
       it.map { a =>
-        val img = readImage(a.content)
-        if (img == null) ImageFeature(a.asset_id, None, None, None, None, None)
-        else {
-          val w = img.getWidth
-          val h = img.getHeight
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var i = 0
-          while (i < px.length) {
-            val p = px(i)
-            sr += (p >> 16) & 0xFF
-            sg += (p >> 8) & 0xFF
-            sb += p & 0xFF
-            i += 1
-          }
-          ImageFeature(a.asset_id, Some(w), Some(h), Some(sr), Some(sg), Some(sb))
+        decodePixels(a.content) match {
+          case None => ImageFeature(a.asset_id, None, None, None, None, None)
+          case Some((w, h, px)) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              sr += (p >> 16) & 0xFF
+              sg += (p >> 8) & 0xFF
+              sb += p & 0xFF
+              i += 1
+            }
+            ImageFeature(a.asset_id, Some(w), Some(h), Some(sr), Some(sg), Some(sb))
         }
+      }
+    }
+  }
+
+  /** Real audio decode → exact sample statistics: format header
+    * (sample rate, channels) plus frame count and Σ|sample| (integers —
+    * bit-stable under any partitioning), via the JDK's
+    * `javax.sound.sampled` WAV/AIFF/AU parsers. Map-only, constant
+    * memory per row. Null content, non-audio containers, and PCM
+    * encodings other than 16-bit signed (the overwhelming case, and
+    * the only one with unambiguous integer samples) → all-null stats,
+    * never a throw — at 100 TB one corrupt blob must not kill the
+    * stage.
+    */
+  def decodeAudioFeatures(assets: Dataset[Asset]): Dataset[AudioFeature] = {
+    implicit val enc = Encoders.product[AudioFeature]
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.content == null) AudioFeature(a.asset_id, None, None, None, None)
+        else try {
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(a.content))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+                fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED)
+              AudioFeature(a.asset_id, None, None, None, None)
+            else {
+              val bytes = ais.readAllBytes()
+              var sum = 0L
+              var i = 0
+              while (i + 1 < bytes.length) {
+                val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort
+                sum += math.abs(s.toLong)
+                i += 2
+              }
+              AudioFeature(a.asset_id, Some(fmt.getSampleRate.toInt),
+                Some(fmt.getChannels),
+                Some(bytes.length / (2L * fmt.getChannels)), Some(sum))
+            }
+          } finally ais.close()
+        } catch { case _: Exception => AudioFeature(a.asset_id, None, None, None, None) }
       }
     }
   }
@@ -172,24 +264,21 @@ object Multimodal {
     implicit val enc = Encoders.product[Feature]
     assets.mapPartitions { it =>
       it.map { a =>
-        val img = readImage(a.content)
-        if (img == null) Feature(a.asset_id, 0, new Array[Float](bins))
-        else {
-          val w = img.getWidth
-          val h = img.getHeight
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
-          val counts = new Array[Long](bins)
-          var i = 0
-          while (i < px.length) {
-            val p = px(i)
-            // integer luma (Rec.601 weights scaled by 1000) — exact
-            val lum = (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 +
-              (p & 0xFF) * 114) / 1000
-            counts(lum * bins / 256) += 1L
-            i += 1
-          }
-          val n = px.length.toFloat
-          Feature(a.asset_id, bins, counts.map(c => c / n))
+        decodePixels(a.content) match {
+          case None => Feature(a.asset_id, 0, new Array[Float](bins))
+          case Some((_, _, px)) =>
+            val counts = new Array[Long](bins)
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              // integer luma (Rec.601 weights scaled by 1000) — exact
+              val lum = (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 +
+                (p & 0xFF) * 114) / 1000
+              counts(lum * bins / 256) += 1L
+              i += 1
+            }
+            val n = px.length.toFloat
+            Feature(a.asset_id, bins, counts.map(c => c / n))
         }
       }
     }
@@ -205,23 +294,20 @@ object Multimodal {
     implicit val enc = Encoders.product[Asset]
     assets.mapPartitions { it =>
       it.map { a =>
-        val img = readImage(a.content)
-        if (img == null) Asset(a.asset_id, a.modality, null)
-        else {
-          val iw = img.getWidth
-          val ih = img.getHeight
-          val src = img.getRGB(0, 0, iw, ih, null, 0, iw)
-          val out = new Array[Int](w * h)
-          var y = 0
-          while (y < h) {
-            val sy = y * ih / h
-            var x = 0
-            while (x < w) { out(y * w + x) = src(sy * iw + x * iw / w); x += 1 }
-            y += 1
-          }
-          val o = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-          o.setRGB(0, 0, w, h, out, 0, w)
-          Asset(a.asset_id, a.modality, pngBytes(o))
+        decodePixels(a.content) match {
+          case None => Asset(a.asset_id, a.modality, null)
+          case Some((iw, ih, src)) =>
+            val out = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              val sy = y * ih / h
+              var x = 0
+              while (x < w) { out(y * w + x) = src(sy * iw + x * iw / w); x += 1 }
+              y += 1
+            }
+            val o = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            o.setRGB(0, 0, w, h, out, 0, w)
+            Asset(a.asset_id, a.modality, pngBytes(o))
         }
       }
     }
@@ -236,25 +322,29 @@ object Multimodal {
     */
   def sampleFrames(assets: Dataset[Asset], stride: Int = 1,
                    maxFrames: Int = 8): Dataset[Frames] = {
+    // a caller bug, not a data condition — fail fast on the driver
+    // rather than silently mapping every asset to n_frames = 0
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     implicit val enc = Encoders.product[Frames]
     assets.mapPartitions { it =>
       it.map { a =>
         if (a.content == null) Frames(a.asset_id, 0, Array.empty)
         else try {
-          ImageIO.setUseCache(false)
           val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(a.content))
-          val readers = ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) { iis.close(); Frames(a.asset_id, 0, Array.empty) }
-          else {
-            val r = readers.next()
-            r.setInput(iis)
-            val n = r.getNumImages(true)
-            val frames = (0 until n by stride).take(maxFrames)
-              .map(i => pngBytes(toRgb(r.read(i)))).toArray
-            r.dispose()
-            iis.close()
-            Frames(a.asset_id, frames.length, frames)
-          }
+          try {
+            val readers = ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Frames(a.asset_id, 0, Array.empty)
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(iis)
+                val n = r.getNumImages(true)
+                val frames = (0 until n by stride).take(maxFrames)
+                  .map(i => pngBytes(toRgb(r.read(i)))).toArray
+                Frames(a.asset_id, frames.length, frames)
+              } finally r.dispose() // even when a corrupt frame throws mid-loop
+            }
+          } finally iis.close()
         } catch { case _: Exception => Frames(a.asset_id, 0, Array.empty) }
       }
     }

@@ -123,6 +123,36 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(grays(0) < grays(1) && grays(1) < grays(2))
   }
 
+  test("decodeAudioFeatures recovers exact sample statistics from a WAV round trip") {
+    import spark.implicits._
+    val samples = Array.tabulate(300)(i => ((i * 37) % 4001 - 2000).toShort)
+    val ds = Seq(
+      Asset(1L, "audio", Multimodal.encodeWav(11000, samples)),
+      Asset(2L, "audio", Multimodal.encodeWav(8000, Array[Short](100, -200, 0, 32767, -32768))),
+      Asset(3L, "audio", null),
+      Asset(4L, "audio", "not audio".getBytes("UTF-8")),
+      // a decodable IMAGE is not audio: must fall out null, not throw
+      Asset(5L, "image", Multimodal.encodePng(4, 4, (_, _) => 0x112233))).toDS()
+    val f = Multimodal.decodeAudioFeatures(ds).collect().map(x => x.asset_id -> x).toMap
+    assert(f(1L).sample_rate.contains(11000) && f(1L).channels.contains(1))
+    assert(f(1L).n_frames.contains(300L))
+    assert(f(1L).sum_abs.contains(samples.map(s => math.abs(s.toLong)).sum))
+    assert(f(2L).sum_abs.contains(100L + 200 + 0 + 32767 + 32768))
+    assert(f(3L).sample_rate.isEmpty && f(4L).sample_rate.isEmpty && f(5L).sample_rate.isEmpty)
+  }
+
+  test("audio decode is partitioning-invariant and wav-sniffable") {
+    import spark.implicits._
+    val ds = Seq.tabulate(7)(i => Asset(i.toLong, "audio",
+      Multimodal.encodeWav(8000 + i, Array.tabulate(50)(j => (i * j).toShort)))).toDS()
+    val a = Multimodal.decodeAudioFeatures(ds).collect().toSet
+    val b = Multimodal.decodeAudioFeatures(ds.repartition(4)).collect().toSet
+    assert(a == b)
+    val sniffed = Multimodal.contentMeta(ds.toDF(), "asset_id", "content")
+      .select("format").distinct().collect().map(_.getString(0)).toSeq
+    assert(sniffed == Seq("wav"))
+  }
+
   test("decodeHistogram features feed straight into the similarity operators") {
     import spark.implicits._
     val ds = Seq(
