@@ -1080,6 +1080,26 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-document TF-IDF top terms
+    * ([[graft.pipeline.TextAnalysis.tfIdfTopTerms]]): the
+    * document-frequency side collapses to vocabulary cardinality and
+    * is broadcast, so scoring adds no shuffle of the TF table.
+    */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(
+      graft.pipeline.Par.spread(t(s, dir, "documents")), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** Gopher-style quality rules
+    * ([[graft.pipeline.TextAnalysis.gopherRules]]): word-count band,
+    * mean-word-length band, alphabetic-word fraction, distinct-stopword
+    * floor — metrics, per-rule flags, and the `keep` conjunction.
+    */
+  private def qGopherQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(
+      graft.pipeline.Par.spread(t(s, dir, "documents")), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1156,6 +1176,8 @@ object SparkEntry {
     "q72_stream_sessionize" -> (qStreamSessionize(_, _)),
     "q73_ann_recall" -> (qAnnRecall(_, _)),
     "q74_audio_decode" -> (qAudioDecode(_, _)),
+    "q75_tfidf" -> (qTfidf(_, _)),
+    "q76_gopher_quality" -> (qGopherQuality(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2066,6 +2088,55 @@ object SparkEntry {
         |SELECT doc_id, sample_rate, 1::INTEGER AS channels,
         |       cnt::BIGINT AS n_frames, sum_abs
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q75: ranking uses the ROUNDED score (both engines) so a last-ulp
+    // difference in ln() can never flip a rank
+    "q75_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         ROUND(tf.tf * LN(n.n::DOUBLE / dfq.df), 4) AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |rk AS (
+        |  SELECT doc_id, term, tf, tfidf,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY tfidf DESC, term) AS "rank"
+        |  FROM sc)
+        |SELECT doc_id, "rank", term, tf, tfidf FROM rk WHERE "rank" <= 3
+        |ORDER BY doc_id, "rank"""".stripMargin,
+
+    "q76_gopher_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(words)::BIGINT AS n_words,
+        |    list_aggregate(list_transform(words, x -> length(x)), 'sum')::BIGINT AS total_len,
+        |    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha_words,
+        |    len(list_intersect(list_distinct(words),
+        |        ['the', 'a', 'of', 'to', 'and', 'in']))::BIGINT AS stop_hits
+        |  FROM w),
+        |f AS (
+        |  SELECT doc_id, n_words,
+        |    total_len::DOUBLE / greatest(n_words, 1) AS mean_len,
+        |    alpha_words::DOUBLE / greatest(n_words, 1) AS alpha_frac,
+        |    stop_hits,
+        |    (n_words BETWEEN 25 AND 100000)::INT AS pass_words,
+        |    (total_len::DOUBLE / greatest(n_words, 1) BETWEEN 3.0 AND 10.0)::INT AS pass_word_len,
+        |    (alpha_words::DOUBLE / greatest(n_words, 1) >= 0.8)::INT AS pass_alpha,
+        |    (stop_hits >= 2)::INT AS pass_stop
+        |  FROM m)
+        |SELECT doc_id, n_words, ROUND(mean_len, 4) AS mean_word_len,
+        |       ROUND(alpha_frac, 4) AS alpha_frac, stop_hits,
+        |       pass_words, pass_word_len, pass_alpha, pass_stop,
+        |       pass_words * pass_word_len * pass_alpha * pass_stop AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

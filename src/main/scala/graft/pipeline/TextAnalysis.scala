@@ -198,4 +198,76 @@ object TextAnalysis {
       keepFlag(t, stopwords).as("keep"),
     )
   }
+
+  /** Per-document TF-IDF top-`k` terms: `(id, rank, term, tf, tfidf)`
+    * with `tfidf = tf · ln(N / df)`, ranked per document by rounded
+    * score (desc) then term (asc) — the rounding keeps the ranking
+    * engine-portable when two scores differ only in the last ulps of
+    * `ln`.
+    *
+    * Scale shape: one explode + one `(id, term)` count shuffle for TF;
+    * the document-frequency side collapses to vocabulary cardinality
+    * and is broadcast (as is the 1-row corpus count), so the join adds
+    * NO shuffle of the TF table; the final top-k is a per-document
+    * window over ≤ |vocab| rows per doc. Nothing here grows with
+    * corpus size except the embarrassingly-parallel TF stage.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), roundTo))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /** Gopher-style document-quality rules (Rae et al. 2021, "Scaling
+    * Language Models", table A1 — the public heuristics every web
+    * corpus clean starts from): word-count band, mean-word-length
+    * band, minimum fraction of words containing an alphabetic
+    * character, and a minimum number of DISTINCT stopwords present.
+    * Emits the metrics, one 0/1 flag per rule, and the conjunction as
+    * `keep` — map-only pure column expressions (one pass, no shuffle,
+    * no UDF), like the rest of this module.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 25, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+                  stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in"))
+  : DataFrame = {
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    val nWords = size(words).cast("long")
+    val nW = greatest(nWords, lit(1L))
+    val totalLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(array_intersect(array_distinct(words),
+      array(stopwords.map(lit): _*))).cast("long")
+    val meanLen = totalLen.cast("double") / nW
+    val alphaFrac = alphaWords.cast("double") / nW
+    val pWords = (nWords >= minWords && nWords <= maxWords).cast("int")
+    val pLen = (meanLen >= minMeanLen && meanLen <= maxMeanLen).cast("int")
+    val pAlpha = (alphaFrac >= minAlphaFrac).cast("int")
+    val pStop = (stopHits >= minStopHits).cast("int")
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      pWords.as("pass_words"),
+      pLen.as("pass_word_len"),
+      pAlpha.as("pass_alpha"),
+      pStop.as("pass_stop"),
+      (pWords * pLen * pAlpha * pStop).as("keep"))
+  }
 }
