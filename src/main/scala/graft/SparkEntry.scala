@@ -1100,6 +1100,17 @@ object SparkEntry {
       graft.pipeline.Par.spread(t(s, dir, "documents")), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Sparse term-vector cosine top-k via the inverted-index join
+    * ([[graft.pipeline.SparseSim.cosineTopK]]) — candidate pairs come
+    * only from shared postings, never a doc×doc cross product.
+    */
+  private def qSparseCosine(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.pipeline.Par.spread(t(s, dir, "documents"))
+    graft.pipeline.SparseSim.cosineTopK(docs,
+      docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1178,6 +1189,7 @@ object SparkEntry {
     "q74_audio_decode" -> (qAudioDecode(_, _)),
     "q75_tfidf" -> (qTfidf(_, _)),
     "q76_gopher_quality" -> (qGopherQuality(_, _)),
+    "q77_sparse_cosine" -> (qSparseCosine(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2137,6 +2149,35 @@ object SparkEntry {
         |       pass_words, pass_word_len, pass_alpha, pass_stop,
         |       pass_words * pass_word_len * pass_alpha * pass_stop AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q77: integer tf counts make dots/norms exact double sums
+    // (< 2^53, order-independent) and cos uses only IEEE
+    // correctly-rounded ops, so BOTH engines rank on the bit-identical
+    // raw score; ROUND(...,6) is display only
+    "q77_sparse_cosine" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tv AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok2 GROUP BY 1, 2),
+        |n2 AS (SELECT doc_id, SUM(tf * tf)::BIGINT AS norm2 FROM tv GROUP BY 1),
+        |qt AS (SELECT * FROM tv WHERE doc_id % 100 = 0),
+        |dots AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS match_id,
+        |         SUM(q.tf * c.tf)::BIGINT AS dot
+        |  FROM qt q JOIN tv c ON q.term = c.term AND c.doc_id <> q.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT d.query_id, d.match_id, d.dot,
+        |         d.dot / sqrt((qn.norm2 * cn.norm2)::DOUBLE) AS cos
+        |  FROM dots d JOIN n2 qn ON qn.doc_id = d.query_id
+        |              JOIN n2 cn ON cn.doc_id = d.match_id),
+        |rk AS (
+        |  SELECT query_id, match_id, dot, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, match_id) AS "rank"
+        |  FROM sc)
+        |SELECT query_id, "rank", match_id, dot, ROUND(cos, 6) AS cos
+        |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
