@@ -18,7 +18,8 @@ object PlanCheck {
     * tens of seconds for no signal. Still explainable by name.
     */
   private val eagerConstruction =
-    Set("q50_sketches", "q72_stream_sessionize", "q73_ann_recall")
+    Set("q50_sketches", "q72_stream_sessionize", "q73_ann_recall",
+      "q79_stream_window")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()

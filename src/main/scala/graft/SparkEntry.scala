@@ -1111,6 +1111,59 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Snapshot compaction ([[graft.pipeline.Snapshot.compact]]):
+    * latest version per (user, event_type) — upsert semantics via
+    * `max_by` aggregation (map-side combine), not a sorting window.
+    */
+  private def qSnapshotCompact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    graft.pipeline.Snapshot.compact(e, Seq("user_id", "event_type"),
+      Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_type"), col("n_versions"),
+        col("latest.event_id").as("last_event_id"),
+        round(col("latest.value"), 2).as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Second streaming gate (after q72's sessionize): the SAME events
+    * through a real MemoryStream into
+    * [[graft.streaming.EventStreams.windowedTypeCounts]] (watermarked
+    * tumbling-window agg, append mode) must reproduce the batch
+    * hour-window aggregation bit-for-bit — the oracle is q22's SQL.
+    * A single sentinel event 2 h past the horizon advances the
+    * watermark past every real window's close; the sentinel's own
+    * window never closes and is never emitted.
+    */
+  private def qStreamWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val name = s"q79_windows_${streamGateN.incrementAndGet()}"
+    val q = EventStreams.windowedTypeCounts(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      if (evs.nonEmpty) {
+        evs.grouped(math.max(1, evs.length / 3)).foreach { chunk =>
+          mem.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        val horizon = evs.iterator.map(_.ts.getTime).max
+        mem.addData(Seq(EventStreams.Event(-1L,
+          new java.sql.Timestamp(horizon + 2 * 3600 * 1000), -1L, "sentinel", 0.0)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1190,6 +1243,8 @@ object SparkEntry {
     "q75_tfidf" -> (qTfidf(_, _)),
     "q76_gopher_quality" -> (qGopherQuality(_, _)),
     "q77_sparse_cosine" -> (qSparseCosine(_, _)),
+    "q78_snapshot_compact" -> (qSnapshotCompact(_, _)),
+    "q79_stream_window" -> (qStreamWindow(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2178,6 +2233,24 @@ object SparkEntry {
         |  FROM sc)
         |SELECT query_id, "rank", match_id, dot, ROUND(cos, 6) AS cos
         |FROM rk WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q78_snapshot_compact" ->
+      """WITH rk AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+        |  FROM events)
+        |SELECT user_id, event_type, n_versions, event_id AS last_event_id,
+        |       ROUND(value, 2) AS last_value
+        |FROM rk WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // q79: stream ≡ batch — q22's aggregation, computed through a real
+    // watermarked streaming query, must match the batch SQL exactly
+    "q79_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

@@ -1,0 +1,39 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot compaction / merge — the upsert step of an incrementally
+  * re-crawled corpus: each key (URL, document id, user...) may appear
+  * once per crawl; downstream training wants exactly the latest
+  * version of each.
+  *
+  * Implemented as `groupBy(keys).agg(max_by(payload, version))`, NOT a
+  * row_number window: the aggregate gets map-side partial combine (one
+  * candidate row per key per input partition flows into the shuffle),
+  * while a window would shuffle and SORT every version of every key.
+  * At a 100 TB corpus with 10 crawls that is the difference between
+  * shuffling ~n_keys rows and shuffling-and-sorting 10× that.
+  */
+object Snapshot {
+
+  /** One row per distinct `keyCols` tuple: `n_versions` plus `latest`,
+    * the full original row with the greatest `versionCols` tuple
+    * (struct ordering = lexicographic; make the tuple unique per key —
+    * e.g. include a sequence id — for a deterministic result).
+    */
+  def compact(df: DataFrame, keyCols: Seq[String], versionCols: Seq[String]): DataFrame = {
+    val ver = struct(versionCols.map(col): _*)
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_versions"), max_by(payload, ver).as("latest"))
+  }
+
+  /** Merge an incremental crawl into an existing snapshot: union, then
+    * keep the latest version per key. Both inputs must share the
+    * column set (by name).
+    */
+  def merge(snapshot: DataFrame, increment: DataFrame, keyCols: Seq[String],
+            versionCols: Seq[String]): DataFrame =
+    compact(snapshot.unionByName(increment), keyCols, versionCols)
+}
