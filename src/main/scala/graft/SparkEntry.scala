@@ -1164,6 +1164,38 @@ object SparkEntry {
       .orderBy("hour", "event_type")
   }
 
+  /** Bloom-screen gate ([[graft.pipeline.Bloom]]): corpus keys into a
+    * distributed-built Bloom filter; probe known members (must ALL
+    * flag — zero false negatives is the structural guarantee) and
+    * known non-members (false-positive count must stay ≤ 3× the
+    * configured fpp — generous vs the Chernoff tail). Engine-computed
+    * pass booleans, q50/q73-style: the oracle recomputes the
+    * data-derived expecteds and pins `pass = true`.
+    */
+  private def qBloomScreen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fpp = 0.03
+    val docs = graft.pipeline.Par.spread(t(s, dir, "documents"))
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0).select(md5(col("text")).as("key"))
+    val bf = graft.pipeline.Bloom.build(corpus, "key", corpus.count(), fpp)
+    val members = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 7 === 1)
+      .select(md5(col("text")).as("key"))
+    val nonMembers = docs
+      .select(md5(concat(lit("nonmember:"), col("doc_id").cast("string"))).as("key"))
+    val nMem = members.count()
+    val fn = graft.pipeline.Bloom.screen(members, "key", bf)
+      .filter(col("maybe_member") === 0).count()
+    val fp = graft.pipeline.Bloom.screen(nonMembers, "key", bf)
+      .filter(col("maybe_member") === 1).count()
+    val bound = math.ceil(3 * fpp * nonMembers.count()).toLong
+    Seq(
+      ("false_negatives", fn, fn == 0L),
+      ("fp_within_bound", bound, fp <= bound),
+      ("probed_members", nMem, nMem > 0L))
+      .toDF("metric", "value", "pass")
+      .orderBy("metric")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1245,6 +1277,7 @@ object SparkEntry {
     "q77_sparse_cosine" -> (qSparseCosine(_, _)),
     "q78_snapshot_compact" -> (qSnapshotCompact(_, _)),
     "q79_stream_window" -> (qStreamWindow(_, _)),
+    "q80_bloom_screen" -> (qBloomScreen(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2251,6 +2284,21 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |       event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // q80: the false-positive COUNT is engine-internal (depends on the
+    // sketch's hash layout); the gated contract is zero false
+    // negatives, the fp bound value (recomputable: ceil(3·fpp·probes)),
+    // and engine-reported pass = true on every row
+    "q80_bloom_screen" ->
+      """SELECT 'false_negatives' AS metric, 0::BIGINT AS value, true AS pass
+        |UNION ALL
+        |SELECT 'fp_within_bound',
+        |       CAST(ceil(0.09 * (SELECT COUNT(*) FROM documents)) AS BIGINT), true
+        |UNION ALL
+        |SELECT 'probed_members',
+        |       (SELECT COUNT(*) FROM documents
+        |        WHERE doc_id % 50 <> 0 AND doc_id % 7 = 1)::BIGINT, true
+        |ORDER BY metric""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter corpus screen — the cheapest dedup-at-ingest gate: a
+  * compact bit-array summary of the corpus keys that answers "possibly
+  * seen before?" with NO false negatives and a tunable false-positive
+  * rate. Rows flagged `maybe_member = 0` are definitely new and skip
+  * the (much more expensive) exact or LSH confirmation joins
+  * ([[Dedup.nearDupScreen]]); only the ~fpp fraction of survivors pays
+  * them.
+  *
+  * Scale shape: the build is Spark's own distributed sketch aggregation
+  * (`DataFrameStatFunctions.bloomFilter` — partition-local filters
+  * OR-merged on the driver, a treeAggregate), and the probe side is a
+  * broadcast of the finished filter. A 1 B-key corpus at 1 % fpp is a
+  * ~1.2 GiB bitset — broadcastable; beyond that, shard the corpus by
+  * key range and screen against per-shard filters (same code per
+  * shard), or fall back to the LSH bucket screen which never
+  * materializes a global structure.
+  */
+object Bloom {
+
+  /** Build a Bloom filter over `keyCol` (use a STRING key — hashing is
+    * over the UTF-8 bytes; hash a composite key into one string first,
+    * e.g. `md5(text)`). Deterministic: Murmur3 hashing, and the bitset
+    * OR-merge is order-independent.
+    */
+  def build(df: DataFrame, keyCol: String, expectedItems: Long,
+            fpp: Double = 0.03): BloomFilter =
+    df.stat.bloomFilter(keyCol, math.max(expectedItems, 1L), fpp)
+
+  /** Flag incoming rows with `maybe_member` (1 = possibly in the
+    * corpus, confirm with an exact join; 0 = guaranteed new). The
+    * probe is a broadcast-closure UDF by necessity: no Catalyst
+    * expression exposes the sketch probe, and inlining a multi-MB
+    * bitset as a plan literal would bloat every task's plan — the
+    * broadcast ships it once per executor instead.
+    */
+  def screen(incoming: DataFrame, keyCol: String, bf: BloomFilter): DataFrame = {
+    val bcast = incoming.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) =>
+      if (s != null && bcast.value.mightContainString(s)) 1 else 0)
+    incoming.withColumn("maybe_member", mightContain(col(keyCol).cast("string")))
+  }
+}
