@@ -1196,6 +1196,46 @@ object SparkEntry {
       .orderBy("metric")
   }
 
+  /** PQ recall gate (the q73 pattern for the third ANN family,
+    * [[graft.pipeline.Similarity.pqTrain]]/pqEncode/pqTopK/
+    * pqTopKRerank): 8×64 codebooks, top-10 over 50 queries vs the
+    * exact brute-force baseline. Two gated rows: raw ADC (codes only)
+    * and the production shape — ADC shortlist-100 re-ranked with the
+    * exact cosine on just those candidates. Floors set from measured
+    * recall with margin (deterministic lowest-id init): ADC 0.47 /
+    * 0.452 / 0.292 and rerank 0.956 / 0.972 / 0.80 at sf 0.001 /
+    * 0.01 / 0.1. A recall regression flips `meets_floor` → hash
+    * mismatch → red gate.
+    */
+  private def qPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val k = 10
+    val adcFloor = 0.22
+    val rerankFloor = 0.70
+    val queries = emb.filter(col("vec_id") < 50)
+    val exactTopk = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64,
+      m = 8, ksub = 64, iters = 3)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", dim = 64, cb)
+    val adc = Similarity.pqTopK(enc, queries, "vec_id", "embedding", dim = 64,
+      cb, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val rerank = Similarity.pqTopKRerank(enc, emb, queries, "vec_id",
+      "embedding", dim = 64, cb, k, shortlist = 100)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallRow(approx: DataFrame, method: String, floor: Double): DataFrame =
+      exactTopk
+        .join(approx.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .agg(avg(when(col("hit").isNotNull, 1.0).otherwise(0.0)).as("recall"))
+        .select(lit(method).as("method"), lit(floor).as("floor"),
+          (col("recall") >= floor).as("meets_floor"))
+    recallRow(adc, "pq_adc_top10", adcFloor)
+      .unionAll(recallRow(rerank, "pq_rerank_top10", rerankFloor))
+      .orderBy("method")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1278,6 +1318,7 @@ object SparkEntry {
     "q78_snapshot_compact" -> (qSnapshotCompact(_, _)),
     "q79_stream_window" -> (qStreamWindow(_, _)),
     "q80_bloom_screen" -> (qBloomScreen(_, _)),
+    "q81_pq_recall" -> (qPqRecall(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2299,6 +2340,14 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM documents
         |        WHERE doc_id % 50 <> 0 AND doc_id % 7 = 1)::BIGINT, true
         |ORDER BY metric""".stripMargin,
+
+    // q81: like q73 — recall depends on the engine's PQ internals; the
+    // gated contract is the stated floors and the engine reporting them met
+    "q81_pq_recall" ->
+      """SELECT 'pq_adc_top10' AS method, 0.22 AS floor, true AS meets_floor
+        |UNION ALL
+        |SELECT 'pq_rerank_top10', 0.70, true
+        |ORDER BY method""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

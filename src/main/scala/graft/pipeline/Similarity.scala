@@ -240,4 +240,146 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"), col("cell"))
   }
+
+  // ---- Product quantization (Jégou et al., TPAMI 2011) ----
+  //
+  // The third ANN family beside IVF and hyperplane LSH: compress each
+  // (unit-normalized) vector into M small codes — one per disjoint
+  // subspace — and approximate cosine(q, x) as the SUM of per-subspace
+  // dot products q_m · codebook_m[code_m(x)] (ADC, asymmetric distance
+  // computation). The corpus shrinks from n·d floats to n·M bytes, and
+  // search touches codes + a tiny per-query lookup table instead of
+  // raw vectors — at 100 TB the decisive property is that the scored
+  // join carries NO vector payloads at all.
+
+  /** Squared L2 distance between two equal-length arrays. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, z) => acc + z)
+
+  /** `(id, m, sv)` subvector table: vectors unit-normalized then cut
+    * into `m` disjoint `dsub`-wide slices. All M subspaces live in ONE
+    * DataFrame keyed by `m`, so training/encoding run all subspaces in
+    * the same plans rather than M sequential jobs.
+    */
+  def pqSubvectors(df: DataFrame, idCol: String, vecCol: String,
+                   m: Int, dsub: Int): DataFrame = {
+    val v0 = toDouble(col(vecCol))
+    val unit = transform(v0, x => x / sqrt(dot(v0, v0)))
+    df.select(col(idCol).as("id"), unit.as("v"))
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
+      .select(col("id"), col("m"),
+        slice(col("v"), col("m") * dsub + lit(1), lit(dsub)).as("sv"))
+  }
+
+  /** Train per-subspace codebooks: plain (L2) Lloyd's over subvectors,
+    * all subspaces jointly — each iteration is one broadcast
+    * assignment join + one (m, cid, pos) mean shuffle; the collected
+    * state is m·ksub·dsub doubles (KBs). Deterministic: init = the
+    * subvectors of the `ksub` lowest-id vectors, ties to lowest cid.
+    * Returns `(m, cid, cv)`.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int = 8, ksub: Int = 16, iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val sub = pqSubvectors(df, idCol, vecCol, m, dsub).persist()
+    val initIds = sub.select(col("id")).distinct().orderBy(col("id")).limit(ksub)
+      .withColumn("cid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("id"))).cast("long") - 1)
+    var cents: Seq[(Int, Long, Seq[Double])] = sub
+      .join(broadcast(initIds), Seq("id"))
+      .select(col("m"), col("cid"), col("sv"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+    for (_ <- 0 until iters) {
+      val centDf = cents.toDF("m", "cid", "cv")
+      val assigned = pqAssign(sub, centDf)
+      val means = assigned.join(sub, Seq("id", "m"))
+        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cid"), col("pos")).agg(avg(col("x")).as("mu"))
+        .groupBy(col("m"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("ps"))
+        .select(col("m"), col("cid"), expr("transform(ps, p -> p.mu)").as("cv"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+      cents = cents.map { case (mi, cid, old) =>
+        (mi, cid, means.getOrElse((mi, cid), old))
+      }
+    }
+    sub.unpersist()
+    cents.toDF("m", "cid", "cv")
+  }
+
+  /** Nearest codebook entry per (vector, subspace): broadcast join on
+    * `m`, argmin L2 (ties → lowest cid). Returns `(id, m, cid)`.
+    */
+  private def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = sub.join(broadcast(codebook), Seq("m"))
+      .withColumn("d2", l2sq(col("sv"), col("cv")))
+    val w = Window.partitionBy(col("id"), col("m")).orderBy(col("d2"), col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("m"), col("cid"))
+  }
+
+  /** Encode the corpus: `(id, m, code)` — n·M rows of three small
+    * integers; this (not the vectors) is what search joins against.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               codebook: DataFrame, m: Int = 8): DataFrame =
+    pqAssign(pqSubvectors(df, idCol, vecCol, m, dim / m), codebook)
+      .withColumnRenamed("cid", "code")
+
+  /** ADC top-k: per query, a lookup table `q_m · cv` over (m, cid) —
+    * Q·M·ksub rows, broadcast — is equi-joined to the corpus codes on
+    * (m, code) and summed to the approximate cosine. One shuffle of
+    * (query, id) partial sums; vectors never enter the join.
+    */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dim: Int, codebook: DataFrame,
+             k: Int = 10, m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qsub = pqSubvectors(queries, idCol, vecCol, m, dim / m)
+      .select(col("id").as("query_id"), col("m"), col("sv"))
+    val lut = qsub.join(broadcast(codebook), Seq("m"))
+      .select(col("query_id"), col("m"), col("cid").as("code"),
+        dot(col("sv"), col("cv")).as("part"))
+    val scored = encoded.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("part")).as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("adc"), 6).as("adc_sim"))
+  }
+
+  /** Production PQ search: ADC generates a `shortlist`-sized candidate
+    * set per query (codes only — cheap), then ONLY those Q·shortlist
+    * candidates are re-ranked with the exact cosine on raw vectors.
+    * The rerank join is an equi-join on (query, candidate) ids against
+    * the corpus — at 100 TB the raw vectors are touched for a few
+    * hundred rows per query instead of the whole corpus, which is the
+    * standard IVF-PQ serving shape (shortlist ≈ 10–50× k recovers most
+    * of the quantization loss).
+    */
+  def pqTopKRerank(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, dim: Int, codebook: DataFrame,
+                   k: Int = 10, shortlist: Int = 100, m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = pqTopK(encoded, queries, idCol, vecCol, dim, codebook, shortlist, m)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val scored = cand.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
 }

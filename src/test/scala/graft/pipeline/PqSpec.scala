@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Product-quantization specs: codebook/encode invariants on synthetic
+  * clustered vectors, and ADC retrieval quality vs brute force.
+  */
+class PqSpec extends AnyFunSuite with SparkSpec {
+
+  // 2 well-separated clusters in R^8: cluster A near e1, cluster B near e5,
+  // deterministic jitter in the other coords
+  private def clustered(n: Int): Seq[(Long, Seq[Float])] =
+    (0 until n).map { i =>
+      val base = Array.fill(8)(0.0f)
+      if (i % 2 == 0) base(0) = 10f else base(4) = 10f
+      base(1 + (i % 3)) += (i % 5) * 0.1f
+      base(5 + (i % 2)) += (i % 7) * 0.1f
+      (i.toLong, base.toSeq)
+    }
+
+  test("pqEncode: exactly one code per (id, subspace), codes within [0, ksub)") {
+    import spark.implicits._
+    val df = clustered(40).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = 8, m = 2,
+      ksub = 4, iters = 2)
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", dim = 8, cb, m = 2)
+    assert(enc.count() == 80)
+    assert(enc.select($"id", $"m").distinct().count() == 80)
+    val codes = enc.select($"code").distinct().collect().map(_.getLong(0))
+    assert(codes.forall(c => c >= 0 && c < 4))
+  }
+
+  test("ADC top-1 stays within the query's cluster on separated clusters") {
+    import spark.implicits._
+    val df = clustered(40).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = 8, m = 2,
+      ksub = 4, iters = 3)
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", dim = 8, cb, m = 2)
+    val queries = df.filter($"vec_id" < 6)
+    val top1 = Similarity.pqTopK(enc, queries, "vec_id", "embedding", dim = 8,
+      cb, k = 1, m = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    assert(top1.length == 6)
+    top1.foreach { case (q, n) => assert(q % 2 == n % 2, s"query $q matched $n") }
+  }
+
+  test("ADC top-5 recall vs brute force is high on the toy set") {
+    import spark.implicits._
+    val df = clustered(40).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = 8, m = 2,
+      ksub = 4, iters = 3)
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", dim = 8, cb, m = 2)
+    val approx = Similarity.pqTopK(enc, queries, "vec_id", "embedding", dim = 8,
+      cb, k = 5, m = 2)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("rerank with a full-corpus shortlist reproduces brute force exactly") {
+    import spark.implicits._
+    val df = clustered(30).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = 8, m = 2,
+      ksub = 4, iters = 2)
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", dim = 8, cb, m = 2)
+    // shortlist >= corpus size: ADC ordering is irrelevant, the exact
+    // rerank must land on the brute-force answer including rank order
+    val got = Similarity.pqTopKRerank(enc, df, queries, "vec_id", "embedding",
+      dim = 8, codebook = cb, k = 3, shortlist = 30, m = 2)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact.map { case (q, r, n) => (q, r, n) })
+  }
+}
