@@ -295,8 +295,7 @@ object Similarity {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
     for (_ <- 0 until iters) {
       val centDf = cents.toDF("m", "cid", "cv")
-      val assigned = pqAssign(sub, centDf)
-      val means = assigned.join(sub, Seq("id", "m"))
+      val means = pqAssign(sub, centDf)
         .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("m"), col("cid"), col("pos")).agg(avg(col("x")).as("mu"))
         .groupBy(col("m"), col("cid"))
@@ -312,16 +311,19 @@ object Similarity {
   }
 
   /** Nearest codebook entry per (vector, subspace): broadcast join on
-    * `m`, argmin L2 (ties → lowest cid). Returns `(id, m, cid)`.
+    * `m`, then argmin as `min(struct(d2, cid))` — a hash aggregation
+    * with map-side partial combine (ties → lowest cid), NOT a window:
+    * a window would sort all n·M·ksub scored rows per iteration where
+    * the aggregate shuffles one candidate per (id, m) per partition.
+    * `sv` rides along via `first` (functionally dependent on (id, m)).
+    * Returns `(id, m, cid, sv)`.
     */
-  private def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = sub.join(broadcast(codebook), Seq("m"))
+  private def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame =
+    sub.join(broadcast(codebook), Seq("m"))
       .withColumn("d2", l2sq(col("sv"), col("cv")))
-    val w = Window.partitionBy(col("id"), col("m")).orderBy(col("d2"), col("cid"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("m"), col("cid"))
-  }
+      .groupBy(col("id"), col("m"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"), first(col("sv")).as("sv"))
+      .select(col("id"), col("m"), col("best.cid").as("cid"), col("sv"))
 
   /** Encode the corpus: `(id, m, code)` — n·M rows of three small
     * integers; this (not the vectors) is what search joins against.
@@ -329,7 +331,7 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                codebook: DataFrame, m: Int = 8): DataFrame =
     pqAssign(pqSubvectors(df, idCol, vecCol, m, dim / m), codebook)
-      .withColumnRenamed("cid", "code")
+      .select(col("id"), col("m"), col("cid").as("code"))
 
   /** ADC top-k: per query, a lookup table `q_m · cv` over (m, cid) —
     * Q·M·ksub rows, broadcast — is equi-joined to the corpus codes on
@@ -367,10 +369,21 @@ object Similarity {
     */
   def pqTopKRerank(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
                    idCol: String, vecCol: String, dim: Int, codebook: DataFrame,
-                   k: Int = 10, shortlist: Int = 100, m: Int = 8): DataFrame = {
+                   k: Int = 10, shortlist: Int = 100, m: Int = 8): DataFrame =
+    pqRerank(
+      pqTopK(encoded, queries, idCol, vecCol, dim, codebook, shortlist, m)
+        .select(col("query_id"), col("neighbor_id")),
+      corpus, queries, idCol, vecCol, k)
+
+  /** The exact-rerank half of [[pqTopKRerank]], reusable against an
+    * already-materialized candidate frame `(query_id, neighbor_id)` —
+    * callers that also want the raw ADC ranking can compute the
+    * shortlist once and feed it here instead of paying the ADC join
+    * twice.
+    */
+  def pqRerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cand = pqTopK(encoded, queries, idCol, vecCol, dim, codebook, shortlist, m)
-      .select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val cv = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
