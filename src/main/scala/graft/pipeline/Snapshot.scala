@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * Implemented as `groupBy(keys).agg(max_by(payload, version))`, NOT a
   * row_number window: the aggregate gets map-side partial combine (one
   * candidate row per key per input partition flows into the shuffle),
-  * while a window would shuffle and SORT every version of every key.
-  * At a 100 TB corpus with 10 crawls that is the difference between
-  * shuffling ~n_keys rows and shuffling-and-sorting 10× that.
+  * while a window would shuffle and then sort every version of every
+  * key on one side of the exchange. At a 100 TB corpus with 10 crawls
+  * that is the difference between shuffling ~n_keys rows and
+  * shuffling-and-sorting 10× that. (The struct-valued buffer makes
+  * Spark pick SortAggregate — the sorts are per input partition,
+  * before the combine, never of the shuffled whole.)
   */
 object Snapshot {
 
