@@ -1250,6 +1250,25 @@ object SparkEntry {
       .orderBy("method")
   }
 
+  /** Unicode NFC canonicalization gate
+    * ([[graft.pipeline.TextAnalysis.normalize]], the codegen'd
+    * `graft_nfc` expression): per-doc decomposed suffixes (combining
+    * acute, angstrom sign) must collapse to their precomposed forms —
+    * lengths shrink and the md5 of the normalized text matches
+    * DuckDB's `nfc_normalize` output exactly.
+    */
+  private def qNfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    val suffix = concat_ws("",
+      array_repeat(lit(" cafe\u0301 \u212B"), (col("doc_id") % 5 + 1).cast("int")))
+    val raw = concat(col("text"), suffix)
+    graft.pipeline.Par.spread(t(s, dir, "documents")).select(
+      col("doc_id"),
+      length(raw).cast("long").as("raw_len"),
+      length(TextAnalysis.normalize(raw)).cast("long").as("nfc_len"),
+      md5(encode(TextAnalysis.normalize(raw), "utf-8")).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1333,6 +1352,7 @@ object SparkEntry {
     "q79_stream_window" -> (qStreamWindow(_, _)),
     "q80_bloom_screen" -> (qBloomScreen(_, _)),
     "q81_pq_recall" -> (qPqRecall(_, _)),
+    "q82_nfc_normalize" -> (qNfcNormalize(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2362,6 +2382,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'pq_rerank_top10', 0.70, true
         |ORDER BY method""".stripMargin,
+
+    // q82: chr(769) = combining acute, chr(8491) = angstrom sign —
+    // both canonically compose under NFC; lengths are codepoint counts
+    // in both engines
+    "q82_nfc_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         text || repeat(' cafe' || chr(769) || ' ' || chr(8491),
+        |                        (doc_id % 5 + 1)::INT) AS raw
+        |  FROM documents)
+        |SELECT doc_id, length(raw)::BIGINT AS raw_len,
+        |       length(nfc_normalize(raw))::BIGINT AS nfc_len,
+        |       md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

@@ -19,6 +19,19 @@ object TextAnalysis {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode normalization (codegen'd
+    * [[org.apache.spark.sql.graft.UnicodeNormalize]] expression) —
+    * canonicalize before hashing/dedup so precomposed and decomposed
+    * spellings of the same text collide. `form` ∈ NFC/NFD/NFKC/NFKD;
+    * NFKC additionally folds full-width forms and ligatures.
+    */
+  def normalize(text: Column, form: String = "NFC"): Column = form match {
+    case "NFC" => call_function("graft_nfc", text)
+    case "NFKC" => call_function("graft_nfkc", text)
+    case other => throw new IllegalArgumentException(
+      s"unregistered normalization form $other (register it in GraftExtensions)")
+  }
+
   /** Token count under a simple BPE-ish lexer: runs of letters, runs of
     * digits, or single other non-space characters each count as one token.
     */

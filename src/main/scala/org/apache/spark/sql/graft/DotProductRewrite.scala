@@ -73,6 +73,14 @@ object GraftExtensions {
           require(children.size == 1, s"$name takes one binary argument")
           Md5Top60(children.head, hi)
         })
+    } ++
+    Seq("graft_nfc" -> "NFC", "graft_nfkc" -> "NFKC").map { case (name, form) =>
+      (new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[UnicodeNormalize].getName, name),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, s"$name takes one string argument")
+          UnicodeNormalize(children.head, form)
+        })
     }
 
   /** Runtime installation for sessions built WITHOUT
