@@ -1269,6 +1269,90 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints ([[graft.pipeline.Dedup.winnowFingerprints]],
+    * the MOSS selection, SIGMOD '03): the positional k-gram hash array
+    * and its window-min selection run inside ONE codegen'd projection —
+    * map-only, zero shuffle, no per-document window sort.
+    */
+  private def qWinnow(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(
+      graft.pipeline.Par.spread(t(s, dir, "documents")), "doc_id", "text")
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id", "fp")
+
+  /** Edit-distance near-dup ([[graft.pipeline.Dedup.editDistancePairs]]):
+    * length-bucket blocking (|Δlen| ≤ dist lower bound) turns the pair
+    * space into an equi-join on bucket id; the Levenshtein kernel is
+    * Spark's banded 3-arg form, run only on blocked candidates.
+    */
+  private def qEditDistance(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(
+      graft.pipeline.Par.spread(t(s, dir, "documents")), "doc_id", "text",
+      maxDist = 12, bucket = 16)
+      .orderBy("doc_a", "doc_b")
+
+  /** Stratified exact-n sample ([[graft.pipeline.Sampling.stratifiedFixedN]]):
+    * first 5 docs of each source under the deterministic (hash, key)
+    * order. The rank filter compiles to WindowGroupLimit — a bounded
+    * 5-row buffer per stratum before the exchange.
+    */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.stratifiedFixedN(
+      graft.pipeline.Par.spread(t(s, dir, "documents"))
+        .select("doc_id", "lang", "source"),
+      "doc_id", "source", n = 5)
+      .orderBy("source", "doc_id")
+
+  /** Temperature-weighted mixture plan
+    * ([[graft.pipeline.Sampling.temperatureWeights]]): per-domain
+    * p^α sampling weights (α = 0.5) and the epoch document budget.
+    */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.temperatureWeights(
+      graft.pipeline.Par.spread(t(s, dir, "documents")), "lang",
+      alpha = 0.5, epochSize = 1000L)
+      .orderBy("domain")
+
+  /** Stream–stream join gate: views joined to purchases of the same
+    * user within 10 minutes, run through two MemoryStreams with
+    * watermarked state ([[graft.streaming.EventStreams.streamStreamJoin]])
+    * and gated against the batch interval join the DuckDB oracle
+    * computes. Events are fed in global ts order, so watermark state
+    * eviction (30 min delay vs the 10 min join window) can never drop
+    * a qualifying match — the stream result is bit-equal to batch.
+    */
+  private def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx = s.sqlContext
+    val lmem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val rmem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val name = s"q87_joins_${streamGateN.incrementAndGet()}"
+    val joined = EventStreams.streamStreamJoin(
+      lmem.toDF().filter(col("event_type") === "view"),
+      rmem.toDF().filter(col("event_type") === "purchase"),
+      "user_id", withinSeconds = 600, watermark = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 2 + 1)).foreach { chunk =>
+        lmem.addData(chunk.toSeq); rmem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+      .select(col("k"), col("l_id"), col("r_id"),
+        date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts"),
+        date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts"))
+      .orderBy("k", "l_id", "r_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1353,6 +1437,11 @@ object SparkEntry {
     "q80_bloom_screen" -> (qBloomScreen(_, _)),
     "q81_pq_recall" -> (qPqRecall(_, _)),
     "q82_nfc_normalize" -> (qNfcNormalize(_, _)),
+    "q83_winnow_fingerprint" -> (qWinnow(_, _)),
+    "q84_edit_distance" -> (qEditDistance(_, _)),
+    "q85_stratified_sample" -> (qStratifiedSample(_, _)),
+    "q86_temperature_mix" -> (qTemperatureMix(_, _)),
+    "q87_stream_join" -> (qStreamJoin(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2396,6 +2485,69 @@ object SparkEntry {
         |       length(nfc_normalize(raw))::BIGINT AS nfc_len,
         |       md5(nfc_normalize(raw)) AS nfc_md5
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q83: winnowing — positional 5-gram hashes (seed 7), min of each
+    // 4-hash window, distinct per doc
+    "q83_winnow_fingerprint" ->
+      """WITH hs AS (
+        |  SELECT doc_id, list(h ORDER BY i) AS hs
+        |  FROM (
+        |    SELECT doc_id, i,
+        |      ('0x' || substr(md5('7:' || array_to_string(tok[i:i+4], ' ')), 1, 15))::BIGINT AS h
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |         generate_series(1, 100000) t(i)
+        |    WHERE i + 4 <= len(tok))
+        |  GROUP BY doc_id)
+        |SELECT DISTINCT doc_id, list_min(hs[j:j+3]) AS fp
+        |FROM hs, generate_series(1, 100000) t(j)
+        |WHERE j + 3 <= len(hs)
+        |ORDER BY doc_id, fp""".stripMargin,
+
+    // q84: |Δlen| <= dist lower-bounds edit distance, so bucket width
+    // 16 >= maxDist 12 makes same-or-adjacent-bucket blocking exhaustive
+    "q84_edit_distance" ->
+      """WITH p AS (SELECT doc_id, text, length(text) AS len,
+        |                  length(text) // 16 AS b FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       levenshtein(a.text, b.text)::BIGINT AS dist
+        |FROM p a JOIN p b
+        |  ON a.doc_id < b.doc_id AND abs(a.b - b.b) <= 1
+        | AND abs(a.len - b.len) <= 12
+        |WHERE levenshtein(a.text, b.text) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q85_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5('0:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+        |               doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM r WHERE rn <= 5
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "q86_temperature_mix" ->
+      """WITH c AS (SELECT lang AS domain, count(*) AS n_docs,
+        |                  pow(count(*), 0.5) AS npow
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS total_docs, sum(npow) AS total_pow FROM c)
+        |SELECT domain, n_docs,
+        |       round(n_docs::DOUBLE / total_docs, 6) AS p_raw,
+        |       round(npow / total_pow, 6) AS weight,
+        |       round(npow / total_pow * 1000, 0)::BIGINT AS epoch_docs
+        |FROM c, t ORDER BY domain""".stripMargin,
+
+    // q87: the batch interval join the watermarked stream-stream join
+    // must reproduce exactly (events fed in global ts order)
+    "q87_stream_join" ->
+      """SELECT l.user_id AS k, l.event_id AS l_id, r.event_id AS r_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts,
+        |       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts
+        |FROM events l JOIN events r
+        |  ON l.event_type = 'view' AND r.event_type = 'purchase'
+        | AND l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 600 SECOND
+        |ORDER BY k, l_id, r_id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

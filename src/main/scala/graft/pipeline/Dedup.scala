@@ -286,4 +286,66 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD '03 —
+    * the MOSS algorithm): hash every k-gram positionally, then keep the
+    * minimum hash of each sliding window of `w` consecutive k-gram
+    * hashes. Guarantees every shared substring of ≥ w+k-1 tokens
+    * produces at least one shared fingerprint, while storing ~2/(w+1)
+    * of the hashes — the local-fingerprint sweet spot between full
+    * shingle sets (q12) and one global hash (q16).
+    *
+    * Scale shape: the entire selection runs inside ONE codegen'd
+    * projection — `transform` over the positional hash array + a
+    * windowed `array_min` via `slice` — so it is map-only with zero
+    * shuffle; the output explode feeds whatever join/dedup consumes the
+    * fingerprints. No per-doc window function, no sort.
+    *
+    * Returns exploded (doc, fp) rows, distinct per doc.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4, seed: Int = 7): DataFrame = {
+    val toks = s"split($textCol, ' ')"
+    // positional (NOT distinct) k-gram hashes, in document order
+    val hs =
+      s"""CASE WHEN size($toks) >= $k THEN
+         |  transform(sequence(1, size($toks) - ${k - 1}),
+         |    i -> graft_md5hi60(concat('$seed:', concat_ws(' ', slice($toks, i, $k)))))
+         |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    df.select(col(idCol).as("doc"), expr(hs).as("hs"))
+      .filter(size(col("hs")) >= w)
+      .select(col("doc"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w)))")))
+          .as("fp"))
+  }
+
+  /** Near-duplicate pairs by edit (Levenshtein) distance ≤ maxDist,
+    * with length-bucket blocking: since |len(a) − len(b)| ≤ dist is a
+    * lower bound on edit distance, any qualifying pair lands in the
+    * same or an adjacent bucket of width ≥ maxDist — so candidates
+    * come from an equi-join on bucket id (left side exploded to
+    * {b−1, b, b+1}), never a cross join. Each pair meets exactly once
+    * (one matching (bb, b) combination under doc_a < doc_b).
+    *
+    * The quadratic-in-text-length Levenshtein kernel runs only on
+    * candidates that also pass the |Δlen| ≤ maxDist pre-filter, and
+    * uses Spark's banded 3-arg `levenshtein(l, r, threshold)` which
+    * abandons rows early once the distance exceeds the bound — O(n·d)
+    * per pair, not O(n²).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 12, bucket: Int = 16): DataFrame = {
+    require(bucket >= maxDist, "bucket width must be >= maxDist for sound blocking")
+    val p = df.select(col(idCol).as("doc"), col(textCol).as("t"),
+      length(col(textCol)).as("len"))
+      .withColumn("b", floor(col("len") / bucket))
+    val left = p.withColumn("bb", explode(array(col("b") - 1, col("b"), col("b") + 1)))
+    left.as("a").join(p.as("b"),
+        col("a.bb") === col("b.b") && col("a.doc") < col("b.doc") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .withColumn("dist", levenshtein(col("a.t"), col("b.t"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("dist"))
+  }
 }

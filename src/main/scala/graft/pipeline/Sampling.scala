@@ -94,4 +94,50 @@ object Sampling {
     Prefix.withGlobalPosition(withEpochKey(df, keyCol, epoch),
       Seq("epoch_key", keyCol))
       .withColumn("pos", col("pos") + 1L)
+
+  /** Stratified EXACT-n sample: the first `n` rows of each stratum
+    * under the deterministic (hash, key) order — unlike
+    * [[deterministicSample]]'s threshold rule, every stratum yields
+    * exactly min(n, |stratum|) rows, which is what eval-set carving
+    * and per-domain capping need.
+    *
+    * Scale shape: `row_number() <= n` over (stratum / hash-order) is
+    * rewritten by Catalyst's InferWindowGroupLimit into a
+    * WindowGroupLimit exec — each task keeps only a bounded n-row
+    * buffer per stratum BEFORE the shuffle, so the exchange carries
+    * O(strata · n) rows, not the corpus. Same bounded-buffer property
+    * as the q59 ordered string-agg.
+    */
+  def stratifiedFixedN(df: DataFrame, keyCol: String, stratumCol: String,
+                       n: Int, seed: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(keyHash(keyCol, seed), col(keyCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .drop("rn")
+  }
+
+  /** Temperature-weighted mixture plan (the `p^α` sampling rule of
+    * multilingual / multi-domain LM training, e.g. mT5): per domain,
+    * raw share p_d = n_d / N and temperature weight
+    * w_d = n_d^α / Σ n_d^α, plus the resulting document budget for an
+    * epoch of `epochSize` samples. α < 1 upweights small domains.
+    *
+    * Scale shape: one partial-aggregated count per domain (domains are
+    * few), then a broadcast of the 1-row total — no window-over-all,
+    * no single-partition exchange.
+    */
+  def temperatureWeights(df: DataFrame, domainCol: String,
+                         alpha: Double = 0.5, epochSize: Long = 1000L): DataFrame = {
+    val counts = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("npow", pow(col("n_docs").cast("double"), lit(alpha)))
+    val tot = counts.agg(sum("n_docs").as("total_docs"), sum("npow").as("total_pow"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"),
+        round(col("n_docs") / col("total_docs"), 6).as("p_raw"),
+        round(col("npow") / col("total_pow"), 6).as("weight"),
+        round(col("npow") / col("total_pow") * epochSize, 0).cast("long").as("epoch_docs"))
+  }
 }

@@ -73,4 +73,47 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(order(1) != order(2)) // reshuffled per epoch
     assert(order(1).toSet == order(2).toSet) // same rows, different order
   }
+
+  test("stratifiedFixedN: exactly min(n, |stratum|) rows, partition-invariant") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("s", (col("id") % 7).cast("string"))
+    val a = Sampling.stratifiedFixedN(df, "id", "s", 10)
+    val counts = a.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == 7 && counts.values.forall(_ == 10))
+    // strata smaller than n are returned whole
+    val tiny = df.filter(col("id") < 5) // 5 strata of size 1
+    assert(Sampling.stratifiedFixedN(tiny, "id", "s", 10).count() == 5)
+    // same sample regardless of physical partitioning
+    val ids1 = a.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedFixedN(df.repartition(11), "id", "s", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("stratifiedFixedN: rank filter compiles to WindowGroupLimit") {
+    val df = spark.range(100).toDF("id")
+      .withColumn("s", (col("id") % 3).cast("string"))
+    val plan = Sampling.stratifiedFixedN(df, "id", "s", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a bounded per-stratum buffer, got:\n$plan")
+  }
+
+  test("temperatureWeights: normalized, and alpha<1 upweights small domains") {
+    import spark.implicits._
+    val df = (Seq.fill(900)("big") ++ Seq.fill(90)("mid") ++ Seq.fill(10)("small"))
+      .toDF("domain")
+    val rows = Sampling.temperatureWeights(df, "domain", alpha = 0.5,
+      epochSize = 1000L).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-4)
+    // temperature flattens: small domain's weight exceeds its raw share,
+    // the big domain's is below it
+    assert(rows("small")._2 > rows("small")._1)
+    assert(rows("big")._2 < rows("big")._1)
+    // epoch budget follows the weights
+    assert(rows.values.map(_._3).sum >= 998 && rows.values.map(_._3).sum <= 1002)
+  }
 }
