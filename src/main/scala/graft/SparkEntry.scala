@@ -238,6 +238,21 @@ object SparkEntry {
     * collect here is inherent to MemoryStream (a test-only source);
     * production ingest reads Kafka/files with identical semantics.
     */
+  /** Start a streaming query with the shuffle narrowed to 4
+    * partitions: streaming operators commit one state store per
+    * shuffle partition per micro-batch (four per partition for a
+    * stream-stream join), so at gate scale the partition count — not
+    * the data — is the dominant cost. Partitioning is a physical
+    * choice; results are invariant. Restores the session conf
+    * immediately after `start()` captures it.
+    */
+  private def startNarrow(s: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery) = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.EventStreams
@@ -258,8 +273,8 @@ object SparkEntry {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[EventStreams.Event]
     val name = s"q72_sessions_${streamGateN.incrementAndGet()}"
-    val q = EventStreams.sessionize(mem.toDS(), gap)
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val q = startNarrow(s)(EventStreams.sessionize(mem.toDS(), gap)
+      .writeStream.format("memory").queryName(name).outputMode("append").start())
     try {
       evs.grouped(math.max(1, evs.length / 5)).foreach { chunk =>
         mem.addData(chunk.toSeq); q.processAllAvailable()
@@ -1145,8 +1160,8 @@ object SparkEntry {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[EventStreams.Event]
     val name = s"q79_windows_${streamGateN.incrementAndGet()}"
-    val q = EventStreams.windowedTypeCounts(mem.toDF())
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val q = startNarrow(s)(EventStreams.windowedTypeCounts(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start())
     try {
       if (evs.nonEmpty) {
         // two real micro-batches + the sentinel trigger: enough to
@@ -1324,9 +1339,13 @@ object SparkEntry {
   private def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.EventStreams
+    // each side gets only ITS events (pre-filtered before addData):
+    // shipping the full event set through both streams would 5× the
+    // state-store traffic just to filter it inside the plan
     val evs = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
+      .filter(col("event_type").isin("view", "purchase"))
       .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
     implicit val sqlCtx = s.sqlContext
     val lmem = org.apache.spark.sql.execution.streaming.runtime
@@ -1335,14 +1354,16 @@ object SparkEntry {
       .MemoryStream[EventStreams.Event]
     val name = s"q87_joins_${streamGateN.incrementAndGet()}"
     val joined = EventStreams.streamStreamJoin(
-      lmem.toDF().filter(col("event_type") === "view"),
-      rmem.toDF().filter(col("event_type") === "purchase"),
+      lmem.toDF(), rmem.toDF(),
       "user_id", withinSeconds = 600, watermark = "30 minutes")
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+    val q = startNarrow(s)(joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start())
     try {
+      // chunk on the MERGED ts order so both watermarks advance in
+      // lockstep and neither side's state outruns the other
       evs.grouped(math.max(1, evs.length / 2 + 1)).foreach { chunk =>
-        lmem.addData(chunk.toSeq); rmem.addData(chunk.toSeq)
+        lmem.addData(chunk.filter(_.event_type == "view").toSeq)
+        rmem.addData(chunk.filter(_.event_type == "purchase").toSeq)
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -1351,6 +1372,31 @@ object SparkEntry {
         date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts"),
         date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts"))
       .orderBy("k", "l_id", "r_id")
+  }
+
+  /** Focal mean via tile halo exchange
+    * ([[graft.operators.Focal.focalMeanD]]): each tile ships only its
+    * payload + O(perimeter) border strips through ONE shuffle; the 3×3
+    * kernel runs tile-locally on the assembled extended frame. Gated
+    * as per-tile stats of the focal surface (per-cell values rounded
+    * to 4 dp on both engines before aggregation).
+    */
+  private def qFocalMean(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, metas) = zonalCtx(s, dir)
+    val meta = metas("slope")
+    val full = new org.locationtech.jts.geom.GeometryFactory()
+      .toGeometry(meta.layout.extent.toEnvelope)
+    val layer = graft.sources.TileCatalog.readLayer(s, path, meta, full)
+    val focal = graft.operators.Focal.focalMeanD(s, layer, meta)
+    focal.select(col("key_col"), col("key_row"), explode(col("tile_d")).as("v"))
+      .groupBy("key_col", "key_row")
+      .agg(count(lit(1)).as("n_cells"),
+        count(when(!isnan(col("v")), lit(1))).as("n_data"),
+        sum(when(!isnan(col("v")) && round(col("v"), 4) > 25.0, 1L)
+          .otherwise(0L)).as("cnt_hi"),
+        round(sum(when(isnan(col("v")), 0.0).otherwise(round(col("v"), 4))), 2)
+          .as("sum_fm"))
+      .orderBy("key_col", "key_row")
   }
 
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
@@ -1442,6 +1488,7 @@ object SparkEntry {
     "q85_stratified_sample" -> (qStratifiedSample(_, _)),
     "q86_temperature_mix" -> (qTemperatureMix(_, _)),
     "q87_stream_join" -> (qStreamJoin(_, _)),
+    "q88_focal_mean" -> (qFocalMean(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2548,6 +2595,41 @@ object SparkEntry {
         | AND l.user_id = r.user_id
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 600 SECOND
         |ORDER BY k, l_id, r_id""".stripMargin,
+
+    // q88: the oracle recomputes the focal mean from raw tiles by a
+    // 9-shift explode + group (fine at gate scale; the engine's halo
+    // exchange is the scale path). Per-cell fm rounded to 4 dp on both
+    // sides before any aggregation, so engine-order ulp noise cannot
+    // surface; NaN centers with zero data neighbors are NULL here and
+    // NaN in the engine, excluded from all three data aggregates.
+    "q88_focal_mean" -> {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+      val spec = graft.sources.ZonalFixture.specFor(sfDir)
+      val ts = spec.tileSize
+      val w = spec.layoutCols * ts; val h = spec.layoutRows * ts
+      s"""WITH cells AS (
+         |  SELECT key_col * $ts + (i - 1) % $ts AS gc,
+         |         key_row * $ts + (i - 1) // $ts AS gr,
+         |         tile_d[i] AS v
+         |  FROM ${zfp("tiles/raster_id=slope/zoom=0")},
+         |       generate_series(1, ${ts * ts}) t(i)),
+         |nbr AS (
+         |  SELECT gc + dx.x AS tgc, gr + dy.y AS tgr, v
+         |  FROM cells, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
+         |  WHERE NOT isnan(v)),
+         |fm AS (
+         |  SELECT tgc, tgr, round(avg(v), 4) AS fm
+         |  FROM nbr
+         |  WHERE tgc BETWEEN 0 AND ${w - 1} AND tgr BETWEEN 0 AND ${h - 1}
+         |  GROUP BY 1, 2)
+         |SELECT (c.gc // $ts)::INTEGER AS key_col, (c.gr // $ts)::INTEGER AS key_row,
+         |  count(*) AS n_cells,
+         |  count(f.fm) AS n_data,
+         |  sum(CASE WHEN f.fm > 25.0 THEN 1 ELSE 0 END)::BIGINT AS cnt_hi,
+         |  round(sum(COALESCE(f.fm, 0)), 2) AS sum_fm
+         |FROM cells c LEFT JOIN fm f ON f.tgc = c.gc AND f.tgr = c.gr
+         |GROUP BY 1, 2 ORDER BY key_col, key_row""".stripMargin
+    },
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

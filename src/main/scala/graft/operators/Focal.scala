@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.TileCatalog.RasterMeta
+
+/** Focal (neighborhood / stencil) raster operators over the tiled
+  * catalog — the classic next operator family beyond the reference's
+  * zonal surface (the reference has none; GeoTrellis ships them as
+  * `focalMean`/`focalSlope`, which the reference never calls).
+  *
+  * Distributed design — tile halo exchange, the canonical stencil
+  * pattern: each tile emits its own payload plus eight border strips
+  * (four 1-cell-wide edges + four corner cells) re-keyed to the
+  * neighbor tiles that need them; one `groupByKey(key)` then assembles
+  * a (tr+2)×(tc+2) extended frame per tile and runs the kernel
+  * entirely locally. Shuffle volume is tiles + O(perimeter) halo —
+  * per 512² tile, 2 MB payload + ~16 KB of strips — and the whole op
+  * is ONE shuffle regardless of kernel, so at 100 TB it scales exactly
+  * like the zonal scan it feeds. No pixel-level shuffle: a naive
+  * per-pixel 9-way self-join would shuffle 9× the raster.
+  *
+  * NODATA: NaN cells are excluded from the mean (cells outside the
+  * raster likewise — boundary frames stay NaN); a cell with zero data
+  * neighbors yields NaN. Horn slope requires the full 3×3 window and
+  * yields NaN if any neighbor is missing.
+  */
+object Focal {
+
+  /** 3×3 focal mean (center included) of a double layer. */
+  def focalMeanD(spark: SparkSession, layer: DataFrame, meta: RasterMeta): DataFrame =
+    focalD(spark, layer, meta) { (ext, tc, tr) =>
+      val es = tc + 2
+      val out = Array.fill(tc * tr)(Double.NaN)
+      var y = 1
+      while (y <= tr) {
+        var x = 1
+        while (x <= tc) {
+          var s = 0.0; var c = 0
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              val v = ext((y + dy) * es + (x + dx))
+              if (!v.isNaN) { s += v; c += 1 }
+              dx += 1
+            }
+            dy += 1
+          }
+          if (c > 0) out((y - 1) * tc + (x - 1)) = s / c
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** Horn's slope (ESRI/GDAL formula): gradient from the 3×3 window
+    * with 1-2-1 weights, slope in degrees. NaN if any of the nine
+    * cells is missing (honest NODATA propagation for a derivative).
+    */
+  def hornSlopeD(spark: SparkSession, layer: DataFrame, meta: RasterMeta,
+                 cellSize: Double): DataFrame =
+    focalD(spark, layer, meta) { (ext, tc, tr) =>
+      val es = tc + 2
+      val out = Array.fill(tc * tr)(Double.NaN)
+      var y = 1
+      while (y <= tr) {
+        var x = 1
+        while (x <= tc) {
+          val a = ext((y - 1) * es + (x - 1)); val b = ext((y - 1) * es + x)
+          val c = ext((y - 1) * es + (x + 1)); val d = ext(y * es + (x - 1))
+          val f = ext(y * es + (x + 1)); val g = ext((y + 1) * es + (x - 1))
+          val h = ext((y + 1) * es + x); val i = ext((y + 1) * es + (x + 1))
+          val e = ext(y * es + x)
+          if (!(a.isNaN || b.isNaN || c.isNaN || d.isNaN || e.isNaN ||
+            f.isNaN || g.isNaN || h.isNaN || i.isNaN)) {
+            val dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * cellSize)
+            val dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8 * cellSize)
+            out((y - 1) * tc + (x - 1)) =
+              math.toDegrees(math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy)))
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** Halo-exchange skeleton: apply `kernel(extendedFrame, tc, tr)` to
+    * every tile of a double layer; the extended frame is (tr+2)×(tc+2)
+    * row-major with NaN outside the raster / where neighbors are
+    * absent. Returns (key_col, key_row, tile_d). One shuffle.
+    */
+  def focalD(spark: SparkSession, layer: DataFrame, meta: RasterMeta)
+            (kernel: (Array[Double], Int, Int) => Array[Double]): DataFrame = {
+    import spark.implicits._
+    val tc = meta.tileCols; val tr = meta.tileRows
+    val lc = meta.layoutCols; val lr = meta.layoutRows
+    val tiles = layer.select(col("key_col"), col("key_row"), col("tile_d"))
+      .as[(Int, Int, Array[Double])]
+    // (targetKc, targetKr, dc, dr, strip): dc/dr locate the SOURCE
+    // relative to the target, so the receiver can place the strip
+    // without knowing the sender
+    val fragments = tiles.flatMap { case (kc, kr, tile) =>
+      for {
+        dc <- -1 to 1; dr <- -1 to 1
+        tkc = kc + dc if tkc >= 0 && tkc < lc
+        tkr = kr + dr if tkr >= 0 && tkr < lr
+      } yield {
+        // source-local cell range this (dc, dr) neighbor needs
+        val xs = dc match { case 1 => tc - 1 to tc - 1; case 0 => 0 until tc; case _ => 0 to 0 }
+        val ys = dr match { case 1 => tr - 1 to tr - 1; case 0 => 0 until tr; case _ => 0 to 0 }
+        val strip =
+          if (dc == 0 && dr == 0) tile // self: full payload, no copy
+          else {
+            val out = Array.ofDim[Double](xs.size * ys.size)
+            var o = 0
+            ys.foreach { y => xs.foreach { x => out(o) = tile(y * tc + x); o += 1 } }
+            out
+          }
+        // dc/dr seen FROM the target: source sits at (-dc, -dr)
+        (tkc, tkr, -dc, -dr, strip)
+      }
+    }
+    fragments.groupByKey(f => (f._1, f._2))
+      .mapGroups { (key: (Int, Int), it) =>
+        val (kc, kr) = key
+        val es = tc + 2
+        val ext = Array.fill(es * (tr + 2))(Double.NaN)
+        var hasSelf = false
+        it.foreach { case (_, _, dc, dr, strip) =>
+          if (dc == 0 && dr == 0) hasSelf = true
+          // placement of the strip from the neighbor at (dc, dr)
+          val x0 = dc match { case -1 => 0; case 0 => 1; case _ => tc + 1 }
+          val y0 = dr match { case -1 => 0; case 0 => 1; case _ => tr + 1 }
+          val w = if (dc == 0) tc else 1
+          var o = 0
+          while (o < strip.length) {
+            ext((y0 + o / w) * es + (x0 + o % w)) = strip(o)
+            o += 1
+          }
+        }
+        if (hasSelf) (kc, kr, kernel(ext, tc, tr))
+        else (kc, kr, null: Array[Double]) // halo for an absent tile
+      }
+      .filter(_._3 != null)
+      .toDF("key_col", "key_row", "tile_d")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.sources.TileCatalog.RasterMeta
+
+/** Focal halo-exchange operators vs a brute-force whole-raster
+  * reference (single flat array, no tiling) — proves the strip
+  * emission/placement reconstructs exactly the neighborhoods a
+  * monolithic implementation sees, including across tile borders,
+  * at raster edges, and around NaN pockets.
+  */
+class FocalSpec extends AnyFunSuite with SparkSpec {
+
+  private val lc = 3; private val lr = 2; private val ts = 8
+  private val W = lc * ts; private val H = lr * ts
+
+  private def value(gc: Int, gr: Int): Double =
+    if (gc == 5 && gr == 5) Double.NaN // interior NaN pocket
+    else if (gc == 8 && gr == 0) Double.NaN // NaN on a tile border
+    else gc * 0.5 + gr * 1.25
+
+  private lazy val meta = RasterMeta("t", 0, "ConusAlbers", "double",
+    0, 0, W, H, ts, ts, lc, lr)
+
+  private lazy val layer = {
+    import spark.implicits._
+    val tiles = for (kc <- 0 until lc; kr <- 0 until lr) yield {
+      (kc, kr, Array.tabulate(ts * ts)(i =>
+        value(kc * ts + i % ts, kr * ts + i / ts)))
+    }
+    tiles.toDF("key_col", "key_row", "tile_d")
+  }
+
+  private def collectGrid(df: org.apache.spark.sql.DataFrame): Array[Double] = {
+    val out = Array.fill(W * H)(Double.NaN)
+    df.collect().foreach { r =>
+      val kc = r.getInt(0); val kr = r.getInt(1)
+      val t = r.getSeq[Double](2)
+      for (i <- t.indices)
+        out((kr * ts + i / ts) * W + kc * ts + i % ts) = t(i)
+    }
+    out
+  }
+
+  private def assertGridEqual(got: Array[Double], want: Array[Double]): Unit =
+    for (gr <- 0 until H; gc <- 0 until W) {
+      val g = got(gr * W + gc); val w = want(gr * W + gc)
+      assert((g.isNaN && w.isNaN) || math.abs(g - w) < 1e-12,
+        s"cell ($gc,$gr): got $g want $w")
+    }
+
+  test("focalMeanD == brute force (tile borders, edges, NaN pockets)") {
+    val want = Array.tabulate(W * H) { idx =>
+      val gc = idx % W; val gr = idx / W
+      var s = 0.0; var c = 0
+      for (dy <- -1 to 1; dx <- -1 to 1) {
+        val x = gc + dx; val y = gr + dy
+        if (x >= 0 && x < W && y >= 0 && y < H && !value(x, y).isNaN) {
+          s += value(x, y); c += 1
+        }
+      }
+      if (c > 0) s / c else Double.NaN
+    }
+    assertGridEqual(collectGrid(Focal.focalMeanD(spark, layer, meta)), want)
+  }
+
+  test("hornSlopeD == brute force; NaN wherever the window is incomplete") {
+    val cell = 2.0
+    val want = Array.tabulate(W * H) { idx =>
+      val gc = idx % W; val gr = idx / W
+      val vs = for (dy <- -1 to 1; dx <- -1 to 1) yield {
+        val x = gc + dx; val y = gr + dy
+        if (x >= 0 && x < W && y >= 0 && y < H) value(x, y) else Double.NaN
+      }
+      if (vs.exists(_.isNaN)) Double.NaN
+      else {
+        val Seq(a, b, c, d, _, f, g, h, i) = vs
+        val dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * cell)
+        val dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8 * cell)
+        math.toDegrees(math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy)))
+      }
+    }
+    assertGridEqual(collectGrid(Focal.hornSlopeD(spark, layer, meta, cell)), want)
+  }
+
+  test("focalD tolerates missing tiles: halo for an absent tile emits nothing") {
+    import org.apache.spark.sql.functions._
+    val holey = layer.filter(!(col("key_col") === 1 && col("key_row") === 0))
+    val out = Focal.focalMeanD(spark, holey, meta)
+    assert(out.count() == lc * lr - 1)
+    // cells adjacent to the hole see fewer neighbors, never wrong ones
+    val grid = collectGrid(out)
+    val gc = ts - 1; val gr = 3 // right edge of tile (0,0), beside the hole
+    var s = 0.0; var c = 0
+    for (dy <- -1 to 1; dx <- -1 to 1) {
+      val x = gc + dx; val y = gr + dy
+      val inHole = x >= ts && x < 2 * ts && y < ts
+      if (x >= 0 && x < W && y >= 0 && y < H && !inHole && !value(x, y).isNaN) {
+        s += value(x, y); c += 1
+      }
+    }
+    assert(math.abs(grid(gr * W + gc) - s / c) < 1e-12)
+  }
+}
