@@ -1399,6 +1399,25 @@ object SparkEntry {
       .orderBy("key_col", "key_row")
   }
 
+  /** Frequency spectrum with Good–Turing smoothing
+    * ([[graft.pipeline.Stats.frequencySpectrum]]) over orders-per-
+    * customer — a non-degenerate count-of-counts (many customers share
+    * small order counts, so n_{r+1} is populated and r* is real).
+    */
+  private def qFreqSpectrum(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.frequencySpectrum(
+      graft.pipeline.Par.spread(t(s, dir, "orders")), "o_custkey")
+      .orderBy("r")
+
+  /** Nucleus (top-p) vocabulary
+    * ([[graft.pipeline.TextAnalysis.nucleusVocabulary]]): cumulative
+    * share via the distributed prefix-sum primitive, p = 0.9.
+    */
+  private def qNucleusVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.nucleusVocabulary(
+      graft.pipeline.Par.spread(t(s, dir, "documents")), "text", p = 0.9)
+      .orderBy(col("cnt").desc, col("token"))
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1489,6 +1508,8 @@ object SparkEntry {
     "q86_temperature_mix" -> (qTemperatureMix(_, _)),
     "q87_stream_join" -> (qStreamJoin(_, _)),
     "q88_focal_mean" -> (qFocalMean(_, _)),
+    "q89_freq_spectrum" -> (qFreqSpectrum(_, _)),
+    "q90_nucleus_vocab" -> (qNucleusVocab(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2630,6 +2651,32 @@ object SparkEntry {
          |FROM cells c LEFT JOIN fm f ON f.tgc = c.gc AND f.tgr = c.gr
          |GROUP BY 1, 2 ORDER BY key_col, key_row""".stripMargin
     },
+
+    // q89: Good–Turing r* = (r+1) n_{r+1} / n_r over the
+    // orders-per-customer spectrum
+    "q89_freq_spectrum" ->
+      """WITH tf AS (SELECT o_custkey, count(*) AS r FROM orders GROUP BY 1),
+        |spec AS (SELECT r, count(*) AS n_r FROM tf GROUP BY 1)
+        |SELECT s.r, s.n_r,
+        |       round(((s.r + 1) * COALESCE(n1.n_r, 0))::DOUBLE / s.n_r, 4) AS r_star
+        |FROM spec s LEFT JOIN spec n1 ON n1.r = s.r + 1
+        |ORDER BY s.r""".stripMargin,
+
+    // q90: keep a token iff the cumulative share of strictly
+    // higher-ranked tokens (cnt desc, token) is still < p
+    "q90_nucleus_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM tf),
+        |cum AS (
+        |  SELECT token, cnt,
+        |    COALESCE(sum(cnt) OVER (ORDER BY cnt DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM tf)
+        |SELECT token, cnt, round((pre + cnt)::DOUBLE / total, 6) AS cum_share
+        |FROM cum, tot
+        |WHERE pre < 0.9 * total
+        |ORDER BY cnt DESC, token""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

@@ -190,6 +190,31 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
   }
 
+  /** Nucleus (top-p) vocabulary: the smallest prefix of the
+    * frequency-ranked vocabulary whose cumulative token share reaches
+    * `p` — a token survives iff the share of strictly higher-ranked
+    * tokens is still < p. The rank order (cnt desc, token) is total,
+    * so the cut is deterministic on any engine.
+    *
+    * Scale shape: the cumulative sum runs through
+    * [[Prefix.withPrefixSum]] (range partition + per-partition
+    * offsets) — no single-partition global window at any vocabulary
+    * size, unlike the rank-then-cut a window cumsum would need.
+    */
+  def nucleusVocabulary(df: DataFrame, textCol: String,
+                        p: Double = 0.95): DataFrame = {
+    val tf = df.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("neg_cnt", -col("cnt"))
+    val tot = tf.agg(sum(col("cnt")).as("total"))
+    Prefix.withPrefixSum(tf, Seq("neg_cnt", "token"), "cnt")
+      .crossJoin(broadcast(tot))
+      .filter(col("prefix") < lit(p) * col("total"))
+      .select(col("token"), col("cnt"),
+        round((col("prefix") + col("cnt")).cast("double") / col("total"), 6)
+          .as("cum_share"))
+  }
+
   /** Quality metrics per document: token count, mean token length,
     * stopword ratio, punctuation ratio, and a boolean-ish keep flag —
     * the standard cheap pre-filters of web-scale corpus cleaning.

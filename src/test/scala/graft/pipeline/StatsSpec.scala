@@ -1,0 +1,34 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StatsSpec extends AnyFunSuite with SparkSpec {
+
+  test("frequencySpectrum: known count-of-counts and Good-Turing r*") {
+    import spark.implicits._
+    // keys: a,a,a  b,b  c,c  d  e  -> r=1:{d,e}=2, r=2:{b,c}=2, r=3:{a}=1
+    val df = Seq("a", "a", "a", "b", "b", "c", "c", "d", "e").toDF("k")
+    val got = Stats.frequencySpectrum(df, "k").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((2L, 2.0)))  // r*=(1+1)*n_2/n_1 = 2*2/2
+    assert(got(2L) == ((2L, 1.5)))  // (2+1)*1/2
+    assert(got(3L) == ((1L, 0.0)))  // n_4 absent
+  }
+
+  test("nucleusVocabulary: deterministic cut at p, ranked share order") {
+    import spark.implicits._
+    // token counts: x=5, y=3, z=1, w=1 (total 10); p=0.8 keeps x,y
+    // (pre(x)=0, pre(y)=5, pre(z)=8 = 0.8*10 -> excluded: strict <)
+    val df = Seq("x x x x x y y y z w").toDF("text")
+    val out = TextAnalysis.nucleusVocabulary(df, "text", p = 0.8)
+      .orderBy(col("cnt").desc, col("token")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("x", 5L, 0.5), ("y", 3L, 0.8)))
+    // p=1.0 keeps the whole vocabulary; last cum_share is exactly 1
+    val all = TextAnalysis.nucleusVocabulary(df, "text", p = 1.0)
+      .orderBy(col("cnt").desc, col("token")).collect()
+    assert(all.length == 4 && all.last.getDouble(2) == 1.0)
+  }
+}
