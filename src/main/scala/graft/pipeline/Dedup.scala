@@ -306,14 +306,16 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 5, w: Int = 4, seed: Int = 7): DataFrame = {
     val toks = s"split($textCol, ' ')"
-    // positional (NOT distinct) k-gram hashes, in document order
+    // docs shorter than one full window (w+k-1 tokens) contribute no
+    // fingerprints; filtering on the CHEAP token count (not the hash
+    // array) matters because Catalyst pushes the filter below the
+    // projection — a size(hs) predicate would re-hash every shingle a
+    // second time inside the pushed-down Filter
     val hs =
-      s"""CASE WHEN size($toks) >= $k THEN
-         |  transform(sequence(1, size($toks) - ${k - 1}),
-         |    i -> graft_md5hi60(concat('$seed:', concat_ws(' ', slice($toks, i, $k)))))
-         |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
-    df.select(col(idCol).as("doc"), expr(hs).as("hs"))
-      .filter(size(col("hs")) >= w)
+      s"""transform(sequence(1, size($toks) - ${k - 1}),
+         |  i -> graft_md5hi60(concat('$seed:', concat_ws(' ', slice($toks, i, $k)))))""".stripMargin
+    df.filter(expr(s"size($toks) >= ${w + k - 1}"))
+      .select(col(idCol).as("doc"), expr(hs).as("hs"))
       .select(col("doc"),
         explode(array_distinct(expr(
           s"transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w)))")))
