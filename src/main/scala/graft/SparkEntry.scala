@@ -1399,6 +1399,33 @@ object SparkEntry {
       .orderBy("key_col", "key_row")
   }
 
+  /** Focal → zonal composition: Horn percent slope derived from the
+    * `slope` surface via halo exchange
+    * ([[graft.operators.Focal.hornSlopePercentD]]), then the
+    * reference's grouped-average zonal kernel over the AOI with nlcd
+    * as the grouping raster — a derived layer flows into
+    * [[graft.operators.Zonal.groupedAverage]] exactly like a catalog
+    * layer (NODATA→0-but-counted rule applies to the NaN border/pocket
+    * cells the derivative cannot compute). Per-cell values rounded to
+    * 4 dp on both engines; percent slope uses only IEEE-exact ops, so
+    * the rounding sees bit-identical inputs.
+    */
+  private def qFocalZonal(s: SparkSession, dir: String): DataFrame = {
+    val (path, spec, metas) = zonalCtx(s, dir)
+    val slopeMeta = metas("slope")
+    val full = new org.locationtech.jts.geom.GeometryFactory()
+      .toGeometry(slopeMeta.layout.extent.toEnvelope)
+    val dem = graft.sources.TileCatalog.readLayer(s, path, slopeMeta, full)
+    val grad = graft.operators.Focal.hornSlopePercentD(s, dem, slopeMeta, cellSize = 1.0)
+      .withColumn("tile_d", expr("transform(tile_d, v -> round(v, 4))"))
+    val aoi = graft.sources.ZonalFixture.aoi(spec)
+    graft.operators.Zonal.groupedAverage(s, slopeMeta.layout,
+      zonalLayers(s, path, metas, Seq("nlcd"), aoi),
+      graft.operators.Zonal.Layer(slopeMeta.copy(rasterId = "horn"), grad), aoi)
+      .select(valsKey.as("vals"), round(col("avg_v"), 6).as("avg_v"))
+      .orderBy("vals")
+  }
+
   /** Frequency spectrum with Good–Turing smoothing
     * ([[graft.pipeline.Stats.frequencySpectrum]]) over orders-per-
     * customer — a non-degenerate count-of-counts (many customers share
@@ -1510,6 +1537,7 @@ object SparkEntry {
     "q88_focal_mean" -> (qFocalMean(_, _)),
     "q89_freq_spectrum" -> (qFreqSpectrum(_, _)),
     "q90_nucleus_vocab" -> (qNucleusVocab(_, _)),
+    "q91_focal_zonal" -> (qFocalZonal(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2677,6 +2705,62 @@ object SparkEntry {
         |FROM cum, tot
         |WHERE pre < 0.9 * total
         |ORDER BY cnt DESC, token""".stripMargin,
+
+    // q91: Horn percent slope recomputed from raw tiles (9-neighbor
+    // pivot; the x/y signs are the SOURCE shift, so neighbor (-1,-1)
+    // of a center is the source shifted by (+1,+1)), then the zonal
+    // grouped average over the AOI mask with the reference's
+    // NODATA→0-but-counted rule. Pure-arithmetic slope (no atan), so
+    // per-cell doubles are bit-identical before the 4 dp rounding.
+    "q91_focal_zonal" -> {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+      val spec = graft.sources.ZonalFixture.specFor(sfDir)
+      val ts = spec.tileSize
+      val w = spec.layoutCols * ts; val h = spec.layoutRows * ts
+      s"""WITH cells AS (
+         |  SELECT key_col * $ts + (i - 1) % $ts AS gc,
+         |         key_row * $ts + (i - 1) // $ts AS gr,
+         |         tile_d[i] AS v
+         |  FROM ${zfp("tiles/raster_id=slope/zoom=0")},
+         |       generate_series(1, ${ts * ts}) t(i)),
+         |win AS (
+         |  SELECT gc + dx.x AS tgc, gr + dy.y AS tgr, dx.x AS x, dy.y AS y, v
+         |  FROM cells, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)),
+         |horn AS (
+         |  SELECT tgc, tgr,
+         |    max(CASE WHEN x = 1  AND y = 1  THEN v END) AS a,
+         |    max(CASE WHEN x = 0  AND y = 1  THEN v END) AS b,
+         |    max(CASE WHEN x = -1 AND y = 1  THEN v END) AS c,
+         |    max(CASE WHEN x = 1  AND y = 0  THEN v END) AS d,
+         |    max(CASE WHEN x = -1 AND y = 0  THEN v END) AS f,
+         |    max(CASE WHEN x = 1  AND y = -1 THEN v END) AS g,
+         |    max(CASE WHEN x = 0  AND y = -1 THEN v END) AS h,
+         |    max(CASE WHEN x = -1 AND y = -1 THEN v END) AS i,
+         |    count(*) AS n9, bool_or(isnan(v)) AS bad
+         |  FROM win
+         |  WHERE tgc BETWEEN 0 AND ${w - 1} AND tgr BETWEEN 0 AND ${h - 1}
+         |  GROUP BY 1, 2),
+         |fm AS (
+         |  SELECT tgc AS gc, tgr AS gr,
+         |    round(100 * sqrt(
+         |      (((c + 2*f + i) - (a + 2*d + g)) / 8.0) * (((c + 2*f + i) - (a + 2*d + g)) / 8.0) +
+         |      (((g + 2*h + i) - (a + 2*b + c)) / 8.0) * (((g + 2*h + i) - (a + 2*b + c)) / 8.0)), 4) AS fm
+         |  FROM horn WHERE n9 = 9 AND NOT bad),
+         |m AS (
+         |  SELECT key_col, key_row, idx,
+         |         key_col * $ts + idx % $ts AS gc,
+         |         key_row * $ts + idx // $ts AS gr
+         |  FROM ${zfp("mask_aoi.parquet")}),
+         |cls AS (
+         |  SELECT m.gc, m.gr, COALESCE(n.tile_i[m.idx + 1], -2147483648) AS k
+         |  FROM m LEFT JOIN (SELECT key_col, key_row, tile_i
+         |                    FROM ${zfp("tiles/raster_id=nlcd/zoom=0")}) n
+         |    USING (key_col, key_row))
+         |SELECT 'List(' || k || ')' AS vals,
+         |       round(sum(COALESCE(f.fm, 0)) / count(*), 6) AS avg_v
+         |FROM cls LEFT JOIN fm f ON f.gc = cls.gc AND f.gr = cls.gr
+         |GROUP BY 1 ORDER BY vals""".stripMargin
+    },
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

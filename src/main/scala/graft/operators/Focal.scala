@@ -61,6 +61,21 @@ object Focal {
     */
   def hornSlopeD(spark: SparkSession, layer: DataFrame, meta: RasterMeta,
                  cellSize: Double): DataFrame =
+    hornKernel(spark, layer, meta, cellSize)(
+      grad => math.toDegrees(math.atan(grad)))
+
+  /** Horn's slope as PERCENT (100 · rise/run) — the reference's own
+    * `us-percent-slope` convention. Unlike the degrees form this uses
+    * only IEEE-exact operations (+, ×, /, sqrt), so per-cell values
+    * are bit-identical on any engine evaluating the same expression —
+    * which is what lets q91 gate the focal→zonal composition exactly.
+    */
+  def hornSlopePercentD(spark: SparkSession, layer: DataFrame, meta: RasterMeta,
+                        cellSize: Double): DataFrame =
+    hornKernel(spark, layer, meta, cellSize)(grad => 100 * grad)
+
+  private def hornKernel(spark: SparkSession, layer: DataFrame, meta: RasterMeta,
+                         cellSize: Double)(finish: Double => Double): DataFrame =
     focalD(spark, layer, meta) { (ext, tc, tr) =>
       val es = tc + 2
       val out = Array.fill(tc * tr)(Double.NaN)
@@ -78,7 +93,7 @@ object Focal {
             val dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * cellSize)
             val dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8 * cellSize)
             out((y - 1) * tc + (x - 1)) =
-              math.toDegrees(math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy)))
+              finish(math.sqrt(dzdx * dzdx + dzdy * dzdy))
           }
           x += 1
         }

@@ -84,6 +84,16 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     assertGridEqual(collectGrid(Focal.hornSlopeD(spark, layer, meta, cell)), want)
   }
 
+  test("hornSlopePercentD == 100 * tan(hornSlopeD degrees)") {
+    val deg = collectGrid(Focal.hornSlopeD(spark, layer, meta, 2.0))
+    val pct = collectGrid(Focal.hornSlopePercentD(spark, layer, meta, 2.0))
+    for (i <- deg.indices) {
+      assert(deg(i).isNaN == pct(i).isNaN)
+      if (!deg(i).isNaN)
+        assert(math.abs(pct(i) - 100 * math.tan(math.toRadians(deg(i)))) < 1e-9)
+    }
+  }
+
   test("focalD tolerates missing tiles: halo for an absent tile emits nothing") {
     import org.apache.spark.sql.functions._
     val holey = layer.filter(!(col("key_col") === 1 && col("key_row") === 0))
