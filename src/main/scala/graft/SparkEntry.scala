@@ -1445,6 +1445,70 @@ object SparkEntry {
       graft.pipeline.Par.spread(t(s, dir, "documents")), "text", p = 0.9)
       .orderBy(col("cnt").desc, col("token"))
 
+  /** Salted skew join ([[graft.operators.SkewJoin.saltedJoin]]): the
+    * salt spreads each fact key over 8 buckets and replicates the dim
+    * side — the oracle is the PLAIN join, proving salting is
+    * result-invariant.
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice"))
+    val dim = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedJoin(fact, dim, "k", buckets = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Local map algebra ([[graft.operators.MapAlgebra.localCombineInt]]):
+    * cell-wise composite class (nlcd × soil, NODATA-aware) via a
+    * codegen'd `zip_with` over the align join, then the class
+    * histogram.
+    */
+  private def qMapAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val (path, spec, metas) = zonalCtx(s, dir)
+    val full = new org.locationtech.jts.geom.GeometryFactory()
+      .toGeometry(metas("nlcd").layout.extent.toEnvelope)
+    val n = graft.sources.TileCatalog.readLayer(s, path, metas("nlcd"), full)
+    val so = graft.sources.TileCatalog.readLayer(s, path, metas("soil"), full)
+    val ts2 = spec.tileSize * spec.tileSize
+    val composite = graft.operators.MapAlgebra.localCombineInt(n, so,
+      s"(x, y) -> CASE WHEN y = ${graft.raster.NoData.INT} THEN -1 ELSE x * 100 + y END",
+      ts2)
+    graft.operators.MapAlgebra.cellHistogram(composite)
+      .orderBy("v")
+  }
+
+  /** Streaming global exact dedup
+    * ([[graft.streaming.EventStreams.dedupStreamExact]]): first
+    * occurrence per (user_id, event_type) across micro-batches ≡
+    * batch DISTINCT.
+    */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val name = s"q94_dedup_${streamGateN.incrementAndGet()}"
+    val q = startNarrow(s)(
+      EventStreams.dedupStreamExact(mem.toDF(), Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start())
+    try {
+      evs.grouped(math.max(1, evs.length / 2 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name).orderBy("user_id", "event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1538,6 +1602,9 @@ object SparkEntry {
     "q89_freq_spectrum" -> (qFreqSpectrum(_, _)),
     "q90_nucleus_vocab" -> (qNucleusVocab(_, _)),
     "q91_focal_zonal" -> (qFocalZonal(_, _)),
+    "q92_salted_join" -> (qSaltedJoin(_, _)),
+    "q93_map_algebra" -> (qMapAlgebra(_, _)),
+    "q94_stream_dedup" -> (qStreamDedup(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2761,6 +2828,35 @@ object SparkEntry {
          |FROM cls LEFT JOIN fm f ON f.gc = cls.gc AND f.gr = cls.gr
          |GROUP BY 1 ORDER BY vals""".stripMargin
     },
+
+    // q92: the oracle is the UNSALTED join — salting must be
+    // result-invariant
+    "q92_salted_join" ->
+      """SELECT o.o_orderpriority,
+        |       count(*) AS cnt,
+        |       round(sum(l.l_extendedprice), 2) AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // q93: cell-wise composite class from raw tiles
+    "q93_map_algebra" -> {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+      val spec = graft.sources.ZonalFixture.specFor(sfDir)
+      val ts2 = spec.tileSize * spec.tileSize
+      s"""WITH n AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=nlcd/zoom=0")}),
+         |s AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=soil/zoom=0")})
+         |SELECT CASE WHEN s.tile_i[i] = -2147483648 THEN -1
+         |            ELSE n.tile_i[i] * 100 + s.tile_i[i] END AS v,
+         |       count(*) AS cnt
+         |FROM n JOIN s USING (key_col, key_row),
+         |     generate_series(1, $ts2) t(i)
+         |GROUP BY 1 ORDER BY v""".stripMargin
+    },
+
+    // q94: streaming global dedup == batch DISTINCT
+    "q94_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

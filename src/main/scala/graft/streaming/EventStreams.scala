@@ -99,6 +99,15 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming GLOBAL exact dedup: first occurrence of each key ever
+    * seen — semantically `SELECT DISTINCT keyCols` over the whole
+    * stream, which is what makes it oracle-gateable (q94). State grows
+    * with distinct keys (unbounded horizon); [[dedupStream]] is the
+    * bounded-state scale path when a duplicate horizon exists.
+    */
+  def dedupStreamExact(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.dropDuplicates(keyCols)
+
   /** Watermarked stream–stream inner join: match right events to left
     * events of the same key within `withinSeconds` AFTER the left
     * event. Both sides carry watermarks and the join has a bounded
