@@ -1509,6 +1509,23 @@ object SparkEntry {
     s.table(name).orderBy("user_id", "event_type")
   }
 
+  /** PageRank ([[graft.pipeline.Graph.pageRank]]) over the symmetric
+    * customer↔supplier bipartite graph (ids disambiguated 2c / 2s+1),
+    * 3 fixed iterations — the oracle unrolls the identical iterations
+    * in SQL, so the Pregel-style relational loop is hash-gated.
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val bp = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val e = bp.select(col("c").as("src"), col("s").as("dst"))
+      .union(bp.select(col("s").as("src"), col("c").as("dst")))
+    graft.pipeline.Graph.pageRank(e, "src", "dst", iterations = 3)
+      .select(col("id"), round(col("r"), 6).as("rank"))
+      .orderBy("id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1605,6 +1622,7 @@ object SparkEntry {
     "q92_salted_join" -> (qSaltedJoin(_, _)),
     "q93_map_algebra" -> (qMapAlgebra(_, _)),
     "q94_stream_dedup" -> (qStreamDedup(_, _)),
+    "q95_pagerank" -> (qPageRank(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2770,7 +2788,7 @@ object SparkEntry {
         |  FROM tf)
         |SELECT token, cnt, round((pre + cnt)::DOUBLE / total, 6) AS cum_share
         |FROM cum, tot
-        |WHERE pre < 0.9 * total
+        |WHERE pre < 0.9::DOUBLE * total
         |ORDER BY cnt DESC, token""".stripMargin,
 
     // q91: Horn percent slope recomputed from raw tiles (9-neighbor
@@ -2857,6 +2875,34 @@ object SparkEntry {
     "q94_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // q95: the same 3 PageRank iterations unrolled; every double
+    // literal cast (DuckDB parses bare 0.85 as DECIMAL) and the base
+    // written as (1 - d) so both engines compute identical doubles
+    "q95_pagerank" -> {
+      def c(i: Int, r: String) =
+        s"""c$i AS (
+           |  SELECT e.dst AS id, sum($r.r / deg.outdeg) AS s
+           |  FROM e JOIN deg USING (src) JOIN $r ON $r.id = e.src
+           |  GROUP BY 1),
+           |r$i AS (
+           |  SELECT n.id,
+           |    (1::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE * COALESCE(c$i.s, 0::DOUBLE) AS r
+           |  FROM nodes n LEFT JOIN c$i USING (id))""".stripMargin
+      s"""WITH bp AS (
+         |  SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM bp
+         |      UNION SELECT s AS src, c AS dst FROM bp),
+         |nodes AS (SELECT DISTINCT src AS id FROM e
+         |          UNION SELECT DISTINCT dst FROM e),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT id, 1::DOUBLE AS r FROM nodes),
+         |${c(1, "r0")},
+         |${c(2, "r1")},
+         |${c(3, "r2")}
+         |SELECT id, round(r, 6) AS rank FROM r3 ORDER BY id""".stripMargin
+    },
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

@@ -121,4 +121,43 @@ object Graph {
       System.err.println(s"[graft] connectedComponents: NOT converged after $maxIter rounds")
     labels.withColumnRenamed("group_id", "__g")
   }
+
+  /** PageRank, simple form (fixed iterations, no dangling-mass
+    * redistribution — a dangling node simply contributes nothing and
+    * every node keeps the (1−d) base):
+    *
+    *   rank₀(v) = 1;  rank_{t+1}(v) = (1−d) + d·Σ_{(u,v)∈E} rank_t(u)/outdeg(u)
+    *
+    * The Pregel shape done as plain relational ops: one
+    * edges⋈deg⋈rank join + per-destination sum per iteration — the
+    * same two-shuffle round a vertex-program framework would run, with
+    * `localCheckpoint` cutting lineage so plan size stays O(1) in
+    * iterations and every round's shuffle is keyed by vertex id
+    * (co-partitioned across rounds). Deterministic given the fixed
+    * iteration count, so an engine-independent oracle can unroll the
+    * same iterations in SQL.
+    */
+  def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val base = 1 - damping
+    var rank = nodes.withColumn("r", lit(1.0))
+    var i = 0
+    while (i < iterations) {
+      val contrib = edges.join(deg, "src")
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("r") / col("outdeg")).as("s"))
+        .withColumnRenamed("dst", "id")
+      rank = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    rank
+  }
 }

@@ -73,6 +73,32 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pageRank: hand-computed 2-iteration values on a 3-node graph") {
+    import spark.implicits._
+    // A -> B, A -> C, B -> C, C -> A; outdeg A=2, B=1, C=1
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")).toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", iterations = 2, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // iter1 (all ranks 1): A = .15+.85*1 = 1.0; B = .15+.85*0.5 = .575;
+    //                      C = .15+.85*(0.5+1) = 1.425
+    // iter2: A = .15+.85*1.425 = 1.36125; B = .15+.85*0.5 = .575;
+    //        C = .15+.85*(.5+.575) = 1.06375
+    assert(math.abs(got("A") - 1.36125) < 1e-12)
+    assert(math.abs(got("B") - 0.575) < 1e-12)
+    assert(math.abs(got("C") - 1.06375) < 1e-12)
+    // total mass with no dangling nodes is conserved at N
+    assert(math.abs(got.values.sum - 3.0) < 1e-12)
+  }
+
+  test("pageRank: dangling node contributes nothing, sinks keep base rank") {
+    import spark.implicits._
+    val edges = Seq(("x", "y")).toDF("s", "d") // y is dangling
+    val got = Graph.pageRank(edges, "s", "d", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("x") - 0.15) < 1e-12) // no in-edges
+    assert(math.abs(got("y") - (0.15 + 0.85 * 0.15)) < 1e-12)
+  }
+
   test("packGreedy: contiguous bins, offsets, boundary-crossing doc starts its bin") {
     import spark.implicits._
     val df = Seq((1L, 100), (2L, 900), (3L, 100), (4L, 50)).toDF("id", "n")
