@@ -1526,6 +1526,20 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Focal majority ([[graft.operators.Focal.focalMajorityI]]) over
+    * the soil layer (NODATA stripe exercises the no-vote and
+    * partial-vote paths), then the class histogram.
+    */
+  private def qFocalMajority(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, metas) = zonalCtx(s, dir)
+    val full = new org.locationtech.jts.geom.GeometryFactory()
+      .toGeometry(metas("soil").layout.extent.toEnvelope)
+    val soil = graft.sources.TileCatalog.readLayer(s, path, metas("soil"), full)
+    graft.operators.MapAlgebra.cellHistogram(
+      graft.operators.Focal.focalMajorityI(s, soil, metas("soil")))
+      .orderBy("v")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1623,6 +1637,7 @@ object SparkEntry {
     "q93_map_algebra" -> (qMapAlgebra(_, _)),
     "q94_stream_dedup" -> (qStreamDedup(_, _)),
     "q95_pagerank" -> (qPageRank(_, _)),
+    "q96_focal_majority" -> (qFocalMajority(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2902,6 +2917,39 @@ object SparkEntry {
          |${c(2, "r1")},
          |${c(3, "r2")}
          |SELECT id, round(r, 6) AS rank FROM r3 ORDER BY id""".stripMargin
+    },
+
+    // q96: 9-neighbor vote per cell — NODATA never votes, ties break
+    // to the smallest class, vote-less cells stay NODATA
+    "q96_focal_majority" -> {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+      val spec = graft.sources.ZonalFixture.specFor(sfDir)
+      val ts = spec.tileSize
+      val w = spec.layoutCols * ts; val h = spec.layoutRows * ts
+      s"""WITH cells AS (
+         |  SELECT key_col * $ts + (i - 1) % $ts AS gc,
+         |         key_row * $ts + (i - 1) // $ts AS gr,
+         |         tile_i[i] AS v
+         |  FROM ${zfp("tiles/raster_id=soil/zoom=0")},
+         |       generate_series(1, ${ts * ts}) t(i)),
+         |nbr AS (
+         |  SELECT gc + dx.x AS tgc, gr + dy.y AS tgr, v
+         |  FROM cells, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
+         |  WHERE v <> -2147483648),
+         |votes AS (
+         |  SELECT tgc, tgr, v, count(*) AS c
+         |  FROM nbr
+         |  WHERE tgc BETWEEN 0 AND ${w - 1} AND tgr BETWEEN 0 AND ${h - 1}
+         |  GROUP BY 1, 2, 3),
+         |maj AS (
+         |  SELECT tgc AS gc, tgr AS gr, v FROM (
+         |    SELECT tgc, tgr, v,
+         |           row_number() OVER (PARTITION BY tgc, tgr ORDER BY c DESC, v) AS rn
+         |    FROM votes)
+         |  WHERE rn = 1)
+         |SELECT COALESCE(m.v, -2147483648) AS v, count(*) AS cnt
+         |FROM cells c LEFT JOIN maj m USING (gc, gr)
+         |GROUP BY 1 ORDER BY v""".stripMargin
     },
   )
 

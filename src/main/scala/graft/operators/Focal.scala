@@ -74,6 +74,55 @@ object Focal {
                         cellSize: Double): DataFrame =
     hornKernel(spark, layer, meta, cellSize)(grad => 100 * grad)
 
+  /** 3×3 focal majority (mode) for CATEGORICAL int layers — the
+    * classic classification-smoothing filter. Ties break to the
+    * smallest class value (deterministic on any engine); NODATA cells
+    * and out-of-raster cells don't vote; a cell with no data neighbor
+    * stays NODATA. Int classes ride the double halo machinery exactly
+    * (every int < 2^53 is an exact double).
+    */
+  def focalMajorityI(spark: SparkSession, layer: DataFrame, meta: RasterMeta): DataFrame = {
+    import graft.raster.NoData
+    val asD = layer.select(col("key_col"), col("key_row"),
+      expr(s"transform(tile_i, x -> CASE WHEN x = ${NoData.INT} " +
+        "THEN CAST('NaN' AS DOUBLE) ELSE CAST(x AS DOUBLE) END)").as("tile_d"))
+    val maj = focalD(spark, asD, meta) { (ext, tc, tr) =>
+      val es = tc + 2
+      val out = Array.fill(tc * tr)(Double.NaN)
+      val votes = scala.collection.mutable.HashMap.empty[Double, Int]
+      var y = 1
+      while (y <= tr) {
+        var x = 1
+        while (x <= tc) {
+          votes.clear()
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              val v = ext((y + dy) * es + (x + dx))
+              if (!v.isNaN) votes(v) = votes.getOrElse(v, 0) + 1
+              dx += 1
+            }
+            dy += 1
+          }
+          if (votes.nonEmpty) {
+            var bestV = Double.NaN; var bestC = -1
+            votes.foreach { case (v, c) =>
+              if (c > bestC || (c == bestC && v < bestV)) { bestV = v; bestC = c }
+            }
+            out((y - 1) * tc + (x - 1)) = bestV
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    maj.select(col("key_col"), col("key_row"),
+      expr(s"transform(tile_d, v -> CASE WHEN isnan(v) THEN ${NoData.INT} " +
+        "ELSE CAST(v AS INT) END)").as("tile_i"))
+  }
+
   private def hornKernel(spark: SparkSession, layer: DataFrame, meta: RasterMeta,
                          cellSize: Double)(finish: Double => Double): DataFrame =
     focalD(spark, layer, meta) { (ext, tc, tr) =>

@@ -94,6 +94,34 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("focalMajorityI == brute force with smallest-class tie-break") {
+    import graft.raster.NoData
+    import spark.implicits._
+    def cls(gc: Int, gr: Int): Int =
+      if ((gc + gr) % 7 == 3) NoData.INT else (gc * 3 + gr * 5) / 4 % 4
+    val tiles = for (kc <- 0 until lc; kr <- 0 until lr) yield {
+      (kc, kr, Array.tabulate(ts * ts)(i => cls(kc * ts + i % ts, kr * ts + i / ts)))
+    }
+    val layer = tiles.toDF("key_col", "key_row", "tile_i")
+    val got = Focal.focalMajorityI(spark, layer, meta).collect()
+      .flatMap { r =>
+        val kc = r.getInt(0); val kr = r.getInt(1); val t = r.getSeq[Int](2)
+        t.indices.map(i => (kc * ts + i % ts, kr * ts + i / ts) -> t(i))
+      }.toMap
+    for (gr <- 0 until H; gc <- 0 until W) {
+      val votes = scala.collection.mutable.HashMap.empty[Int, Int]
+      for (dy <- -1 to 1; dx <- -1 to 1) {
+        val x = gc + dx; val y = gr + dy
+        if (x >= 0 && x < W && y >= 0 && y < H && cls(x, y) != NoData.INT)
+          votes(cls(x, y)) = votes.getOrElse(cls(x, y), 0) + 1
+      }
+      val want =
+        if (votes.isEmpty) NoData.INT
+        else votes.toSeq.map { case (v, c) => (-c, v) }.min._2
+      assert(got((gc, gr)) == want, s"cell ($gc,$gr)")
+    }
+  }
+
   test("focalD tolerates missing tiles: halo for an absent tile emits nothing") {
     import org.apache.spark.sql.functions._
     val holey = layer.filter(!(col("key_col") === 1 && col("key_row") === 0))
