@@ -1540,6 +1540,20 @@ object SparkEntry {
       .orderBy("v")
   }
 
+  /** D8 flow direction ([[graft.operators.Focal.d8FlowDirectionD]])
+    * over the slope surface, then the direction-code histogram. The
+    * NaN pocket exercises NODATA centers and non-receiving neighbors.
+    */
+  private def qFlowDirection(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, metas) = zonalCtx(s, dir)
+    val full = new org.locationtech.jts.geom.GeometryFactory()
+      .toGeometry(metas("slope").layout.extent.toEnvelope)
+    val dem = graft.sources.TileCatalog.readLayer(s, path, metas("slope"), full)
+    graft.operators.MapAlgebra.cellHistogram(
+      graft.operators.Focal.d8FlowDirectionD(s, dem, metas("slope")))
+      .orderBy("v")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1638,6 +1652,7 @@ object SparkEntry {
     "q94_stream_dedup" -> (qStreamDedup(_, _)),
     "q95_pagerank" -> (qPageRank(_, _)),
     "q96_focal_majority" -> (qFocalMajority(_, _)),
+    "q97_flow_direction" -> (qFlowDirection(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2950,6 +2965,65 @@ object SparkEntry {
          |SELECT COALESCE(m.v, -2147483648) AS v, count(*) AS cnt
          |FROM cells c LEFT JOIN maj m USING (gc, gr)
          |GROUP BY 1 ORDER BY v""".stripMargin
+    },
+
+    // q97: D8 — drops recomputed with the identical IEEE arithmetic
+    // ((z - z_n)/dist, sqrt(2) diagonals); missing/NODATA neighbors
+    // coalesce to -1 which can never win a positive comparison; the
+    // CASE order IS the kernel's E,SE,S,SW,W,NW,N,NE tie-break
+    "q97_flow_direction" -> {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+      val spec = graft.sources.ZonalFixture.specFor(sfDir)
+      val ts = spec.tileSize
+      val w = spec.layoutCols * ts; val h = spec.layoutRows * ts
+      s"""WITH cells AS (
+         |  SELECT key_col * $ts + (i - 1) % $ts AS gc,
+         |         key_row * $ts + (i - 1) // $ts AS gr,
+         |         tile_d[i] AS v
+         |  FROM ${zfp("tiles/raster_id=slope/zoom=0")},
+         |       generate_series(1, ${ts * ts}) t(i)),
+         |nbr AS (
+         |  SELECT gc + dx.x AS tgc, gr + dy.y AS tgr, dx.x AS x, dy.y AS y, v
+         |  FROM cells, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
+         |  WHERE NOT isnan(v) AND NOT (dx.x = 0 AND dy.y = 0)),
+         |piv AS (
+         |  SELECT tgc AS gc, tgr AS gr,
+         |    max(CASE WHEN x = -1 AND y = 0  THEN v END) AS ve,
+         |    max(CASE WHEN x = -1 AND y = -1 THEN v END) AS vse,
+         |    max(CASE WHEN x = 0  AND y = -1 THEN v END) AS vs,
+         |    max(CASE WHEN x = 1  AND y = -1 THEN v END) AS vsw,
+         |    max(CASE WHEN x = 1  AND y = 0  THEN v END) AS vw,
+         |    max(CASE WHEN x = 1  AND y = 1  THEN v END) AS vnw,
+         |    max(CASE WHEN x = 0  AND y = 1  THEN v END) AS vn,
+         |    max(CASE WHEN x = -1 AND y = 1  THEN v END) AS vne
+         |  FROM nbr
+         |  WHERE tgc BETWEEN 0 AND ${w - 1} AND tgr BETWEEN 0 AND ${h - 1}
+         |  GROUP BY 1, 2),
+         |d AS (
+         |  SELECT c.gc, c.gr, c.v AS e,
+         |    COALESCE(c.v - p.ve, -1::DOUBLE) AS de,
+         |    COALESCE((c.v - p.vse) / sqrt(2::DOUBLE), -1::DOUBLE) AS dse,
+         |    COALESCE(c.v - p.vs, -1::DOUBLE) AS ds,
+         |    COALESCE((c.v - p.vsw) / sqrt(2::DOUBLE), -1::DOUBLE) AS dsw,
+         |    COALESCE(c.v - p.vw, -1::DOUBLE) AS dw,
+         |    COALESCE((c.v - p.vnw) / sqrt(2::DOUBLE), -1::DOUBLE) AS dnw,
+         |    COALESCE(c.v - p.vn, -1::DOUBLE) AS dn,
+         |    COALESCE((c.v - p.vne) / sqrt(2::DOUBLE), -1::DOUBLE) AS dne
+         |  FROM cells c LEFT JOIN piv p USING (gc, gr)),
+         |dir AS (
+         |  SELECT gc, gr,
+         |    CASE WHEN isnan(e) THEN -2147483648
+         |         WHEN greatest(de, dse, ds, dsw, dw, dnw, dn, dne) <= 0 THEN 0
+         |         WHEN de  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 1
+         |         WHEN dse = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 2
+         |         WHEN ds  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 4
+         |         WHEN dsw = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 8
+         |         WHEN dw  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 16
+         |         WHEN dnw = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32
+         |         WHEN dn  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64
+         |         ELSE 128 END::INTEGER AS v
+         |  FROM d)
+         |SELECT v, count(*) AS cnt FROM dir GROUP BY 1 ORDER BY v""".stripMargin
     },
   )
 

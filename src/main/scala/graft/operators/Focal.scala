@@ -123,6 +123,55 @@ object Focal {
         "ELSE CAST(v AS INT) END)").as("tile_i"))
   }
 
+  /** D8 flow direction (O'Callaghan & Mark 1984; ESRI code convention
+    * E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128) — the hydrology
+    * kernel of the reference's own domain (Model My Watershed): each
+    * cell flows to its steepest-descent neighbor, drop = (z − z_n)/dist
+    * with dist √2 on diagonals. Pits/flats (no positive drop) → 0;
+    * NODATA centers stay NODATA; NODATA / out-of-raster neighbors
+    * never receive flow. Ties break to the FIRST direction in the
+    * E,SE,S,SW,W,NW,N,NE scan — deterministic, and all arithmetic is
+    * IEEE-exact (÷, √2), so an oracle recomputes codes bit-identically.
+    */
+  def d8FlowDirectionD(spark: SparkSession, layer: DataFrame, meta: RasterMeta): DataFrame = {
+    import graft.raster.NoData
+    val s2 = math.sqrt(2.0)
+    val rel = Array((1, 0, 1.0), (1, 1, s2), (0, 1, 1.0), (-1, 1, s2),
+      (-1, 0, 1.0), (-1, -1, s2), (0, -1, 1.0), (1, -1, s2))
+    val codes = Array(1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0)
+    val dirs = focalD(spark, layer, meta) { (ext, tc, tr) =>
+      val es = tc + 2
+      val out = Array.fill(tc * tr)(Double.NaN)
+      var y = 1
+      while (y <= tr) {
+        var x = 1
+        while (x <= tc) {
+          val e = ext(y * es + x)
+          if (!e.isNaN) {
+            var best = 0.0; var bestCode = 0.0
+            var i = 0
+            while (i < 8) {
+              val (rx, ry, dist) = rel(i)
+              val n = ext((y + ry) * es + (x + rx))
+              if (!n.isNaN) {
+                val drop = (e - n) / dist
+                if (drop > best) { best = drop; bestCode = codes(i) }
+              }
+              i += 1
+            }
+            out((y - 1) * tc + (x - 1)) = bestCode
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    dirs.select(col("key_col"), col("key_row"),
+      expr(s"transform(tile_d, v -> CASE WHEN isnan(v) THEN ${NoData.INT} " +
+        "ELSE CAST(v AS INT) END)").as("tile_i"))
+  }
+
   private def hornKernel(spark: SparkSession, layer: DataFrame, meta: RasterMeta,
                          cellSize: Double)(finish: Double => Double): DataFrame =
     focalD(spark, layer, meta) { (ext, tc, tr) =>

@@ -122,6 +122,40 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d8FlowDirectionD == brute force incl. ties, pits, NODATA") {
+    import graft.raster.NoData
+    val s2 = math.sqrt(2.0)
+    val rel = Seq((1, 0, 1.0), (1, 1, s2), (0, 1, 1.0), (-1, 1, s2),
+      (-1, 0, 1.0), (-1, -1, s2), (0, -1, 1.0), (1, -1, s2))
+    val codes = Seq(1, 2, 4, 8, 16, 32, 64, 128)
+    val got = Focal.d8FlowDirectionD(spark, layer, meta).collect()
+      .flatMap { r =>
+        val kc = r.getInt(0); val kr = r.getInt(1); val t = r.getSeq[Int](2)
+        t.indices.map(i => (kc * ts + i % ts, kr * ts + i / ts) -> t(i))
+      }.toMap
+    for (gr <- 0 until H; gc <- 0 until W) {
+      val e = value(gc, gr)
+      val want =
+        if (e.isNaN) NoData.INT
+        else {
+          var best = 0.0; var bestCode = 0
+          for (((rx, ry, dist), code) <- rel.zip(codes)) {
+            val x = gc + rx; val y = gr + ry
+            if (x >= 0 && x < W && y >= 0 && y < H && !value(x, y).isNaN) {
+              val drop = (e - value(x, y)) / dist
+              if (drop > best) { best = drop; bestCode = code }
+            }
+          }
+          bestCode
+        }
+      assert(got((gc, gr)) == want, s"cell ($gc,$gr)")
+    }
+    // surface = gc·0.5 + gr·1.25: the N drop (1.25) beats NW
+    // ((0.5+1.25)/√2 ≈ 1.24), so interior flow heads N — sanity that
+    // codes aren't flipped
+    assert(got((10, 10)) == 64)
+  }
+
   test("focalD tolerates missing tiles: halo for an absent tile emits nothing") {
     import org.apache.spark.sql.functions._
     val holey = layer.filter(!(col("key_col") === 1 && col("key_row") === 0))
