@@ -1554,6 +1554,30 @@ object SparkEntry {
       .orderBy("v")
   }
 
+  /** Collocation mining by lift
+    * ([[graft.pipeline.TextAnalysis.collocations]]).
+    */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(
+      graft.pipeline.Par.spread(t(s, dir, "documents")), "text", minCount = 5)
+      .orderBy("w1", "w2")
+
+  /** Bloom-filtered join ([[graft.pipeline.Bloom.bloomJoin]]): the
+    * fact side is pre-screened by a Bloom filter of the (selective)
+    * dim keys before the shuffle; the oracle is the PLAIN join —
+    * zero false negatives makes the optimization result-invariant.
+    */
+  private def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "part").filter(col("p_partkey") % 20 === 0)
+      .select(col("p_partkey").as("k"), col("p_type"))
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("k"), col("l_quantity"))
+    graft.pipeline.Bloom.bloomJoin(fact, dim, "k", expectedItems = 100000L)
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy("p_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1653,6 +1677,8 @@ object SparkEntry {
     "q95_pagerank" -> (qPageRank(_, _)),
     "q96_focal_majority" -> (qFocalMajority(_, _)),
     "q97_flow_direction" -> (qFlowDirection(_, _)),
+    "q98_collocations" -> (qCollocations(_, _)),
+    "q99_bloom_join" -> (qBloomJoin(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3025,6 +3051,34 @@ object SparkEntry {
          |  FROM d)
          |SELECT v, count(*) AS cnt FROM dir GROUP BY 1 ORDER BY v""".stripMargin
     },
+
+    // q98: lift = N·c(xy)/(c(x)·c(y)) — integer products + one double
+    // division, no log
+    "q98_collocations" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |       FROM tok, generate_series(1, 100000) s(i)
+        |       WHERE i + 1 <= len(t)),
+        |bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |uc AS (SELECT w, count(*) AS c
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |       GROUP BY 1),
+        |n AS (SELECT sum(c) AS n_tokens FROM uc)
+        |SELECT w1, w2, c_xy,
+        |       round((n_tokens * c_xy)::DOUBLE / (x.c * y.c), 4) AS lift
+        |FROM bc JOIN uc x ON x.w = bc.w1 JOIN uc y ON y.w = bc.w2, n
+        |ORDER BY w1, w2""".stripMargin,
+
+    // q99: the oracle is the UNFILTERED join — the Bloom pre-screen
+    // must be result-invariant (zero false negatives)
+    "q99_bloom_join" ->
+      """SELECT p.p_type,
+        |       count(*) AS cnt,
+        |       round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_partkey % 20 = 0
+        |GROUP BY 1 ORDER BY p_type""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

@@ -45,4 +45,24 @@ object Bloom {
       if (s != null && bcast.value.mightContainString(s)) 1 else 0)
     incoming.withColumn("maybe_member", mightContain(col(keyCol).cast("string")))
   }
+
+  /** Bloom-filtered join: pre-screen the fact side with a Bloom filter
+    * of the dim keys BEFORE the shuffle join, so rows that cannot
+    * match never enter the exchange — the classic shuffle reduction
+    * for selective joins (the row-level analog of Spark's plan-side
+    * runtime bloom pushdown). False positives only waste a probe; zero
+    * false negatives means the result is EXACTLY the plain join, which
+    * is what the q99 gate pins.
+    */
+  def bloomJoin(fact: DataFrame, dim: DataFrame, key: String,
+                expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // build on the STRING form: screen() probes mightContainString, and
+    // spark's bloomFilter on a numeric column hashes the numeric —
+    // mixed types would never match
+    val bf = build(dim.select(col(key).cast("string").as(key)), key,
+      expectedItems, fpp)
+    screen(fact, key, bf).filter(col("maybe_member") === 1)
+      .drop("maybe_member")
+      .join(dim, key)
+  }
 }

@@ -190,6 +190,38 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
   }
 
+  /** Collocation mining by LIFT — the log-free monotone transform of
+    * PMI: lift(x,y) = N·c(x,y) / (c(x)·c(y)), ranking exactly like
+    * exp(PMI) while using only integer products and one double
+    * division (IEEE-exact on any engine — no libm `log`, whose
+    * last-ulp differences would make a cross-engine hash gate flaky).
+    *
+    * Scale shape: one bigram aggregation (the corpus-sized shuffle),
+    * two joins against the unigram counts (vocabulary-sized, broadcast
+    * in practice), one 1-row total.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5): DataFrame = {
+    val toks = s"split($textCol, ' ')"
+    val bigrams = df.select(explode(expr(
+      s"""CASE WHEN size($toks) >= 2 THEN
+         |  transform(sequence(1, size($toks) - 1),
+         |    i -> named_struct('w1', element_at($toks, i), 'w2', element_at($toks, i + 1)))
+         |ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END""".stripMargin))
+      .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = df.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n_tokens"))
+    bc.join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round((col("n_tokens") * col("c_xy")).cast("double")
+          / (col("c_x") * col("c_y")), 4).as("lift"))
+  }
+
   /** Nucleus (top-p) vocabulary: the smallest prefix of the
     * frequency-ranked vocabulary whose cumulative token share reaches
     * `p` — a token survives iff the share of strictly higher-ranked

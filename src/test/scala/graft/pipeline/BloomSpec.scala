@@ -32,4 +32,17 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => Option(r.getString(0)) -> r.getInt(1)).toMap
     assert(got(Some("a")) == 1 && got(None) == 0)
   }
+
+  test("bloomJoin == plain join (numeric keys; zero false negatives)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val fact = spark.range(5000).toDF("k").withColumn("v", col("k") * 2)
+    val dim = spark.range(100).toDF("k").filter($"k" % 7 === 0)
+      .withColumn("name", concat(lit("d"), $"k"))
+    val got = Bloom.bloomJoin(fact, dim, "k", expectedItems = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = fact.join(dim, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(want.nonEmpty && got == want)
+  }
 }

@@ -17,6 +17,17 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == ((1L, 0.0)))  // n_4 absent
   }
 
+  test("collocations: lift from known counts; min-count filter") {
+    import spark.implicits._
+    // "a b" x3 (c_a=4 incl. the stray, c_b=3, N=12) -> lift = 12*3/(4*3) = 3.0
+    val df = Seq("a b a b", "a b c d", "a x y z").toDF("text")
+    val got = TextAnalysis.collocations(df, "text", minCount = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(("a", "b")) == ((3L, 3.0)))
+    assert(got.size == 1) // every other bigram is below minCount
+  }
+
   test("nucleusVocabulary: deterministic cut at p, ranked share order") {
     import spark.implicits._
     // token counts: x=5, y=3, z=1, w=1 (total 10); p=0.8 keeps x,y
