@@ -1578,6 +1578,28 @@ object SparkEntry {
       .orderBy("p_type")
   }
 
+  /** Derived-layer zonal: grouped count by the (nlcd, D8-flow-dir)
+    * tuple over the AOI — the second grouping raster is COMPUTED
+    * ([[graft.operators.Focal.d8FlowDirectionD]]), not read, and flows
+    * through [[graft.operators.Zonal.groupedCount]] exactly like a
+    * catalog layer (NODATA sentinel participates in keys).
+    */
+  private def qDerivedZonal(s: SparkSession, dir: String): DataFrame = {
+    val (path, spec, metas) = zonalCtx(s, dir)
+    val slopeMeta = metas("slope")
+    val full = new org.locationtech.jts.geom.GeometryFactory()
+      .toGeometry(slopeMeta.layout.extent.toEnvelope)
+    val dem = graft.sources.TileCatalog.readLayer(s, path, slopeMeta, full)
+    val flow = graft.operators.Focal.d8FlowDirectionD(s, dem, slopeMeta)
+    val aoi = graft.sources.ZonalFixture.aoi(spec)
+    val layers = zonalLayers(s, path, metas, Seq("nlcd"), aoi) :+
+      graft.operators.Zonal.Layer(
+        slopeMeta.copy(rasterId = "flowdir", cellType = "int"), flow)
+    graft.operators.Zonal.groupedCount(s, slopeMeta.layout, layers, aoi)
+      .select(valsKey.as("vals"), col("cnt"))
+      .orderBy("vals")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1679,6 +1701,7 @@ object SparkEntry {
     "q97_flow_direction" -> (qFlowDirection(_, _)),
     "q98_collocations" -> (qCollocations(_, _)),
     "q99_bloom_join" -> (qBloomJoin(_, _)),
+    "q100_derived_zonal" -> (qDerivedZonal(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -1729,6 +1752,65 @@ object SparkEntry {
     val d = s"${System.getProperty("java.io.tmpdir")}/graft_zonal_" +
       s"${spec.layoutCols}x${spec.layoutRows}x${spec.tileSize}"
     s"read_parquet('$d/$rel/*.parquet')"
+  }
+
+  /** Shared D8 flow-direction CTE chain (q97, q100): per-cell
+    * steepest-descent direction codes recomputed from the raw slope
+    * tiles with the kernel's exact arithmetic and tie-break order.
+    * Produces CTEs `cells` (gc, gr, v) and `dir` (gc, gr, v=code).
+    */
+  private def d8Ctes(): String = {
+    val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+    val spec = graft.sources.ZonalFixture.specFor(sfDir)
+    val ts = spec.tileSize
+    val w = spec.layoutCols * ts; val h = spec.layoutRows * ts
+    s"""cells AS (
+       |  SELECT key_col * $ts + (i - 1) % $ts AS gc,
+       |         key_row * $ts + (i - 1) // $ts AS gr,
+       |         tile_d[i] AS v
+       |  FROM ${zfp("tiles/raster_id=slope/zoom=0")},
+       |       generate_series(1, ${ts * ts}) t(i)),
+       |nbr AS (
+       |  SELECT gc + dx.x AS tgc, gr + dy.y AS tgr, dx.x AS x, dy.y AS y, v
+       |  FROM cells, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
+       |  WHERE NOT isnan(v) AND NOT (dx.x = 0 AND dy.y = 0)),
+       |piv AS (
+       |  SELECT tgc AS gc, tgr AS gr,
+       |    max(CASE WHEN x = -1 AND y = 0  THEN v END) AS ve,
+       |    max(CASE WHEN x = -1 AND y = -1 THEN v END) AS vse,
+       |    max(CASE WHEN x = 0  AND y = -1 THEN v END) AS vs,
+       |    max(CASE WHEN x = 1  AND y = -1 THEN v END) AS vsw,
+       |    max(CASE WHEN x = 1  AND y = 0  THEN v END) AS vw,
+       |    max(CASE WHEN x = 1  AND y = 1  THEN v END) AS vnw,
+       |    max(CASE WHEN x = 0  AND y = 1  THEN v END) AS vn,
+       |    max(CASE WHEN x = -1 AND y = 1  THEN v END) AS vne
+       |  FROM nbr
+       |  WHERE tgc BETWEEN 0 AND ${w - 1} AND tgr BETWEEN 0 AND ${h - 1}
+       |  GROUP BY 1, 2),
+       |d AS (
+       |  SELECT c.gc, c.gr, c.v AS e,
+       |    COALESCE(c.v - p.ve, -1::DOUBLE) AS de,
+       |    COALESCE((c.v - p.vse) / sqrt(2::DOUBLE), -1::DOUBLE) AS dse,
+       |    COALESCE(c.v - p.vs, -1::DOUBLE) AS ds,
+       |    COALESCE((c.v - p.vsw) / sqrt(2::DOUBLE), -1::DOUBLE) AS dsw,
+       |    COALESCE(c.v - p.vw, -1::DOUBLE) AS dw,
+       |    COALESCE((c.v - p.vnw) / sqrt(2::DOUBLE), -1::DOUBLE) AS dnw,
+       |    COALESCE(c.v - p.vn, -1::DOUBLE) AS dn,
+       |    COALESCE((c.v - p.vne) / sqrt(2::DOUBLE), -1::DOUBLE) AS dne
+       |  FROM cells c LEFT JOIN piv p USING (gc, gr)),
+       |dir AS (
+       |  SELECT gc, gr,
+       |    CASE WHEN isnan(e) THEN -2147483648
+       |         WHEN greatest(de, dse, ds, dsw, dw, dnw, dn, dne) <= 0 THEN 0
+       |         WHEN de  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 1
+       |         WHEN dse = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 2
+       |         WHEN ds  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 4
+       |         WHEN dsw = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 8
+       |         WHEN dw  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 16
+       |         WHEN dnw = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32
+       |         WHEN dn  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64
+       |         ELSE 128 END::INTEGER AS v
+       |  FROM d)""".stripMargin
   }
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
@@ -2997,60 +3079,9 @@ object SparkEntry {
     // ((z - z_n)/dist, sqrt(2) diagonals); missing/NODATA neighbors
     // coalesce to -1 which can never win a positive comparison; the
     // CASE order IS the kernel's E,SE,S,SW,W,NW,N,NE tie-break
-    "q97_flow_direction" -> {
-      val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
-      val spec = graft.sources.ZonalFixture.specFor(sfDir)
-      val ts = spec.tileSize
-      val w = spec.layoutCols * ts; val h = spec.layoutRows * ts
-      s"""WITH cells AS (
-         |  SELECT key_col * $ts + (i - 1) % $ts AS gc,
-         |         key_row * $ts + (i - 1) // $ts AS gr,
-         |         tile_d[i] AS v
-         |  FROM ${zfp("tiles/raster_id=slope/zoom=0")},
-         |       generate_series(1, ${ts * ts}) t(i)),
-         |nbr AS (
-         |  SELECT gc + dx.x AS tgc, gr + dy.y AS tgr, dx.x AS x, dy.y AS y, v
-         |  FROM cells, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
-         |  WHERE NOT isnan(v) AND NOT (dx.x = 0 AND dy.y = 0)),
-         |piv AS (
-         |  SELECT tgc AS gc, tgr AS gr,
-         |    max(CASE WHEN x = -1 AND y = 0  THEN v END) AS ve,
-         |    max(CASE WHEN x = -1 AND y = -1 THEN v END) AS vse,
-         |    max(CASE WHEN x = 0  AND y = -1 THEN v END) AS vs,
-         |    max(CASE WHEN x = 1  AND y = -1 THEN v END) AS vsw,
-         |    max(CASE WHEN x = 1  AND y = 0  THEN v END) AS vw,
-         |    max(CASE WHEN x = 1  AND y = 1  THEN v END) AS vnw,
-         |    max(CASE WHEN x = 0  AND y = 1  THEN v END) AS vn,
-         |    max(CASE WHEN x = -1 AND y = 1  THEN v END) AS vne
-         |  FROM nbr
-         |  WHERE tgc BETWEEN 0 AND ${w - 1} AND tgr BETWEEN 0 AND ${h - 1}
-         |  GROUP BY 1, 2),
-         |d AS (
-         |  SELECT c.gc, c.gr, c.v AS e,
-         |    COALESCE(c.v - p.ve, -1::DOUBLE) AS de,
-         |    COALESCE((c.v - p.vse) / sqrt(2::DOUBLE), -1::DOUBLE) AS dse,
-         |    COALESCE(c.v - p.vs, -1::DOUBLE) AS ds,
-         |    COALESCE((c.v - p.vsw) / sqrt(2::DOUBLE), -1::DOUBLE) AS dsw,
-         |    COALESCE(c.v - p.vw, -1::DOUBLE) AS dw,
-         |    COALESCE((c.v - p.vnw) / sqrt(2::DOUBLE), -1::DOUBLE) AS dnw,
-         |    COALESCE(c.v - p.vn, -1::DOUBLE) AS dn,
-         |    COALESCE((c.v - p.vne) / sqrt(2::DOUBLE), -1::DOUBLE) AS dne
-         |  FROM cells c LEFT JOIN piv p USING (gc, gr)),
-         |dir AS (
-         |  SELECT gc, gr,
-         |    CASE WHEN isnan(e) THEN -2147483648
-         |         WHEN greatest(de, dse, ds, dsw, dw, dnw, dn, dne) <= 0 THEN 0
-         |         WHEN de  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 1
-         |         WHEN dse = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 2
-         |         WHEN ds  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 4
-         |         WHEN dsw = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 8
-         |         WHEN dw  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 16
-         |         WHEN dnw = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32
-         |         WHEN dn  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64
-         |         ELSE 128 END::INTEGER AS v
-         |  FROM d)
-         |SELECT v, count(*) AS cnt FROM dir GROUP BY 1 ORDER BY v""".stripMargin
-    },
+    "q97_flow_direction" ->
+      s"""WITH ${d8Ctes()}
+         |SELECT v, count(*) AS cnt FROM dir GROUP BY 1 ORDER BY v""".stripMargin,
 
     // q98: lift = N·c(xy)/(c(x)·c(y)) — integer products + one double
     // division, no log
@@ -3079,6 +3110,28 @@ object SparkEntry {
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE p.p_partkey % 20 = 0
         |GROUP BY 1 ORDER BY p_type""".stripMargin,
+
+    // q100: the D8 chain feeds a two-raster zonal grouped count —
+    // derived flow-dir codes group exactly like a catalog layer
+    "q100_derived_zonal" -> {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+      val spec = graft.sources.ZonalFixture.specFor(sfDir)
+      val ts = spec.tileSize
+      s"""WITH ${d8Ctes()},
+         |m AS (
+         |  SELECT key_col, key_row, idx,
+         |         key_col * $ts + idx % $ts AS gc,
+         |         key_row * $ts + idx // $ts AS gr
+         |  FROM ${zfp("mask_aoi.parquet")}),
+         |nl AS (SELECT key_col, key_row, tile_i
+         |       FROM ${zfp("tiles/raster_id=nlcd/zoom=0")})
+         |SELECT 'List(' || COALESCE(nl.tile_i[m.idx + 1], -2147483648)
+         |    || ', ' || f.v || ')' AS vals,
+         |  COUNT(*) AS cnt
+         |FROM m LEFT JOIN nl USING (key_col, key_row)
+         |       JOIN dir f ON f.gc = m.gc AND f.gr = m.gr
+         |GROUP BY 1 ORDER BY vals""".stripMargin
+    },
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
