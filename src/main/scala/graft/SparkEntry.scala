@@ -1475,7 +1475,7 @@ object SparkEntry {
     val so = graft.sources.TileCatalog.readLayer(s, path, metas("soil"), full)
     val ts2 = spec.tileSize * spec.tileSize
     val composite = graft.operators.MapAlgebra.localCombineInt(n, so,
-      s"(x, y) -> CASE WHEN y = ${graft.raster.NoData.INT} THEN -1 ELSE x * 100 + y END",
+      (x, y) => if (y == graft.raster.NoData.INT) -1 else x * 100 + y,
       ts2)
     graft.operators.MapAlgebra.cellHistogram(composite)
       .orderBy("v")

@@ -89,26 +89,37 @@ object Focal {
     val maj = focalD(spark, asD, meta) { (ext, tc, tr) =>
       val es = tc + 2
       val out = Array.fill(tc * tr)(Double.NaN)
-      val votes = scala.collection.mutable.HashMap.empty[Double, Int]
+      // a window holds ≤ 9 distinct values: two 9-slot arrays with a
+      // linear scan beat a per-cell HashMap by ~3× (measured at sf0.1)
+      val vs = new Array[Double](9)
+      val cs = new Array[Int](9)
       var y = 1
       while (y <= tr) {
         var x = 1
         while (x <= tc) {
-          votes.clear()
+          var n = 0
           var dy = -1
           while (dy <= 1) {
             var dx = -1
             while (dx <= 1) {
               val v = ext((y + dy) * es + (x + dx))
-              if (!v.isNaN) votes(v) = votes.getOrElse(v, 0) + 1
+              if (!v.isNaN) {
+                var i = 0
+                while (i < n && vs(i) != v) i += 1
+                if (i < n) cs(i) += 1 else { vs(n) = v; cs(n) = 1; n += 1 }
+              }
               dx += 1
             }
             dy += 1
           }
-          if (votes.nonEmpty) {
-            var bestV = Double.NaN; var bestC = -1
-            votes.foreach { case (v, c) =>
-              if (c > bestC || (c == bestC && v < bestV)) { bestV = v; bestC = c }
+          if (n > 0) {
+            var bestV = vs(0); var bestC = cs(0)
+            var i = 1
+            while (i < n) {
+              if (cs(i) > bestC || (cs(i) == bestC && vs(i) < bestV)) {
+                bestV = vs(i); bestC = cs(i)
+              }
+              i += 1
             }
             out((y - 1) * tc + (x - 1)) = bestV
           }

@@ -15,21 +15,36 @@ import graft.raster.NoData
   */
 object MapAlgebra {
 
-  /** Cell-wise combination of two int layers: `lambda` is a SQL
-    * two-argument lambda (e.g. `(x, y) -> x * 100 + y`) evaluated over
+  /** Cell-wise combination of two int layers: `f` runs over
     * NODATA-filled aligned tiles. Missing tiles become constant NODATA
     * tiles of `tileCells` cells, mirroring the reference's
     * `IntConstantTile(NODATA, …)` fill.
+    *
+    * The kernel is a typed `map` (a tight JVM loop per tile), not a
+    * `zip_with` SQL lambda: Spark's higher-order functions interpret
+    * the lambda per ELEMENT, which measured ~4× slower over 6.3M cells
+    * — per-tile JVM kernels are this engine's pattern for all raster
+    * compute (cf. Focal), with Catalyst handling everything between
+    * the kernels.
     */
-  def localCombineInt(a: DataFrame, b: DataFrame, lambda: String,
+  def localCombineInt(a: DataFrame, b: DataFrame, f: (Int, Int) => Int,
                       tileCells: Int): DataFrame = {
-    val nod = s"array_repeat(${NoData.INT}, $tileCells)"
+    val spark = a.sparkSession
+    import spark.implicits._
     a.select(col("key_col"), col("key_row"), col("tile_i").as("__ta"))
       .join(b.select(col("key_col"), col("key_row"), col("tile_i").as("__tb")),
         Seq("key_col", "key_row"), "full_outer")
-      .select(col("key_col"), col("key_row"),
-        expr(s"zip_with(coalesce(__ta, $nod), coalesce(__tb, $nod), $lambda)")
-          .as("tile_i"))
+      .select(col("key_col"), col("key_row"), col("__ta"), col("__tb"))
+      .as[(Int, Int, Array[Int], Array[Int])]
+      .map { case (kc, kr, ta0, tb0) =>
+        val ta = if (ta0 == null) Array.fill(tileCells)(NoData.INT) else ta0
+        val tb = if (tb0 == null) Array.fill(tileCells)(NoData.INT) else tb0
+        val out = new Array[Int](ta.length)
+        var i = 0
+        while (i < ta.length) { out(i) = f(ta(i), tb(i)); i += 1 }
+        (kc, kr, out)
+      }
+      .toDF("key_col", "key_row", "tile_i")
   }
 
   /** Cell-value histogram of an int layer: explode + count — the

@@ -156,6 +156,47 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     assert(got((10, 10)) == 64)
   }
 
+  test("focalD property: random layouts (non-square tiles, holes) == brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 0 until 5) {
+      val tc = 3 + rnd.nextInt(6); val tr = 3 + rnd.nextInt(6)
+      val lc2 = 1 + rnd.nextInt(3); val lr2 = 1 + rnd.nextInt(3)
+      val w = lc2 * tc; val h = lr2 * tr
+      val m = RasterMeta(s"t$trial", 0, "ConusAlbers", "double",
+        0, 0, w, h, tc, tr, lc2, lr2)
+      val vals = Array.tabulate(w * h)(i =>
+        if (rnd.nextInt(10) == 0) Double.NaN else rnd.nextDouble() * 100)
+      val present = (for (kc <- 0 until lc2; kr <- 0 until lr2) yield (kc, kr))
+        .filter(_ => rnd.nextInt(5) != 0) // ~20% of tiles missing
+      val layer = present.map { case (kc, kr) =>
+        (kc, kr, Array.tabulate(tc * tr)(i =>
+          vals((kr * tr + i / tc) * w + kc * tc + i % tc)))
+      }.toDF("key_col", "key_row", "tile_d")
+      def at(gc: Int, gr: Int): Double = {
+        val in = gc >= 0 && gc < w && gr >= 0 && gr < h
+        if (!in || !present.contains((gc / tc, gr / tr))) Double.NaN
+        else vals(gr * w + gc)
+      }
+      val got = Focal.focalMeanD(spark, layer, m).collect()
+        .flatMap { r =>
+          val kc = r.getInt(0); val kr = r.getInt(1); val t = r.getSeq[Double](2)
+          t.indices.map(i => (kc * tc + i % tc, kr * tr + i / tc) -> t(i))
+        }.toMap
+      assert(got.size == present.size * tc * tr)
+      got.foreach { case ((gc, gr), g) =>
+        var s = 0.0; var c = 0
+        for (dy <- -1 to 1; dx <- -1 to 1) {
+          val v = at(gc + dx, gr + dy)
+          if (!v.isNaN) { s += v; c += 1 }
+        }
+        val want = if (c > 0) s / c else Double.NaN
+        assert((g.isNaN && want.isNaN) || math.abs(g - want) < 1e-12,
+          s"trial $trial cell ($gc,$gr): got $g want $want")
+      }
+    }
+  }
+
   test("focalD tolerates missing tiles: halo for an absent tile emits nothing") {
     import org.apache.spark.sql.functions._
     val holey = layer.filter(!(col("key_col") === 1 && col("key_row") === 0))

@@ -14,7 +14,7 @@ class MapAlgebraSpec extends AnyFunSuite with SparkSpec {
     val b = Seq((0, 0, Array(10, 20, 30, 40))) // tile (1,0) missing
       .toDF("key_col", "key_row", "tile_i")
     val out = MapAlgebra.localCombineInt(a, b,
-      s"(x, y) -> CASE WHEN x = ${NoData.INT} OR y = ${NoData.INT} THEN -1 ELSE x + y END",
+      (x, y) => if (x == NoData.INT || y == NoData.INT) -1 else x + y,
       tileCells = 4)
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Int](2).toSeq)).toMap
     assert(out((0, 0)) == Seq(11, 22, 33, 44))
