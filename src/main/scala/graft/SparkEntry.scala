@@ -1600,6 +1600,20 @@ object SparkEntry {
       .orderBy("vals")
   }
 
+  /** Time-series gap fill ([[graft.operators.GapFill.resampleFfill]]):
+    * per-user hourly grid over the view stream, latest-in-bucket pick,
+    * forward fill.
+    */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GapFill.resampleFfill(
+      Tables.events(s, dir).filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+      "user_id", "ts", "value", "event_id")
+      .select(col("user_id"),
+        date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        round(col("value"), 2).as("v"))
+      .orderBy("user_id", "h")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1702,6 +1716,7 @@ object SparkEntry {
     "q98_collocations" -> (qCollocations(_, _)),
     "q99_bloom_join" -> (qBloomJoin(_, _)),
     "q100_derived_zonal" -> (qDerivedZonal(_, _)),
+    "q101_gap_fill" -> (qGapFill(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3132,6 +3147,29 @@ object SparkEntry {
          |       JOIN dir f ON f.gc = m.gc AND f.gr = m.gr
          |GROUP BY 1 ORDER BY vals""".stripMargin
     },
+
+    // q101: hourly resample + forward fill; latest-in-bucket via the
+    // same (ts desc, event_id desc) rank both engines compute
+    "q101_gap_fill" ->
+      """WITH ev AS (SELECT user_id, ts, value, event_id FROM events
+        |            WHERE event_type = 'view'),
+        |hourly AS (
+        |  SELECT user_id, h, value AS v FROM (
+        |    SELECT user_id, date_trunc('hour', ts) AS h, value,
+        |           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |span AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |                date_trunc('hour', max(ts)) AS h1 FROM ev GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |         FROM span)
+        |SELECT g.user_id AS user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS h,
+        |       round(last_value(hr.v IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v
+        |FROM grid g LEFT JOIN hourly hr
+        |  ON hr.user_id = g.user_id AND hr.h = g.h
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
