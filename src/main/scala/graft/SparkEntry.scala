@@ -1614,6 +1614,24 @@ object SparkEntry {
         round(col("value"), 2).as("v"))
       .orderBy("user_id", "h")
 
+  /** Arbitrary GROUPING SETS (beyond the q38 rollup / q62 cube
+    * shapes): two non-hierarchical sets + grand total in ONE Expand —
+    * a single pass over the scan, not a UNION of three aggregations.
+    * `grouping()` flags disambiguate NULL-as-group from NULL-as-total.
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs_v")
+    s.sql(
+      """SELECT o_orderpriority AS prio, o_orderstatus AS status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders_gs_v
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_prio, g_status, prio, status""".stripMargin)
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1717,6 +1735,7 @@ object SparkEntry {
     "q99_bloom_join" -> (qBloomJoin(_, _)),
     "q100_derived_zonal" -> (qDerivedZonal(_, _)),
     "q101_gap_fill" -> (qGapFill(_, _)),
+    "q102_grouping_sets" -> (qGroupingSets(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3170,6 +3189,17 @@ object SparkEntry {
         |FROM grid g LEFT JOIN hourly hr
         |  ON hr.user_id = g.user_id AND hr.h = g.h
         |ORDER BY 1, 2""".stripMargin,
+
+    // q102: same sets, same grouping() flags
+    "q102_grouping_sets" ->
+      """SELECT o_orderpriority AS prio, o_orderstatus AS status,
+        |       grouping(o_orderpriority)::BIGINT AS g_prio,
+        |       grouping(o_orderstatus)::BIGINT AS g_status,
+        |       COUNT(*) AS cnt,
+        |       SUM(ROUND(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_prio, g_status, prio, status""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
