@@ -134,6 +134,73 @@ object Focal {
         "ELSE CAST(v AS INT) END)").as("tile_i"))
   }
 
+  /** Aspect (downslope orientation, degrees clockwise from north,
+    * 0–360; flat cells → −1): `atan2` of the Horn gradients. Spec-
+    * gated only — `atan2`/trig are libm calls whose last-ulp results
+    * differ across engines, so no cross-engine hash oracle exists for
+    * them (same documented reason the degree-form slope is spec-only).
+    */
+  def aspectD(spark: SparkSession, layer: DataFrame, meta: RasterMeta,
+              cellSize: Double): DataFrame =
+    hornGradients(spark, layer, meta, cellSize) { (dzdx, dzdy) =>
+      if (dzdx == 0.0 && dzdy == 0.0) -1.0
+      else {
+        // ESRI convention: direction the surface FACES (downslope)
+        val a = math.toDegrees(math.atan2(dzdy, -dzdx))
+        val c = if (a > 90.0) 360.0 - a + 90.0 else 90.0 - a
+        if (c == 360.0) 0.0 else c
+      }
+    }
+
+  /** Hillshade (Horn gradients + sun position; standard GDAL/ESRI
+    * formula, output 0–255). Spec-gated only (trig — see [[aspectD]]).
+    */
+  def hillshadeD(spark: SparkSession, layer: DataFrame, meta: RasterMeta,
+                 cellSize: Double, azimuthDeg: Double = 315.0,
+                 altitudeDeg: Double = 45.0): DataFrame = {
+    val zenith = math.toRadians(90.0 - altitudeDeg)
+    val azimuth = math.toRadians(360.0 - azimuthDeg + 90.0)
+    hornGradients(spark, layer, meta, cellSize) { (dzdx, dzdy) =>
+      val slope = math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))
+      val aspect =
+        if (dzdx == 0.0 && dzdy == 0.0) 0.0 else math.atan2(dzdy, -dzdx)
+      val shade = math.cos(zenith) * math.cos(slope) +
+        math.sin(zenith) * math.sin(slope) * math.cos(azimuth - aspect)
+      math.max(0.0, 255.0 * shade)
+    }
+  }
+
+  /** Shared Horn-gradient frame: computes (dzdx, dzdy) per complete
+    * 3×3 window and applies `finish`; incomplete/NODATA windows → NaN.
+    */
+  private def hornGradients(spark: SparkSession, layer: DataFrame,
+                            meta: RasterMeta, cellSize: Double)(
+      finish: (Double, Double) => Double): DataFrame =
+    focalD(spark, layer, meta) { (ext, tc, tr) =>
+      val es = tc + 2
+      val out = Array.fill(tc * tr)(Double.NaN)
+      var y = 1
+      while (y <= tr) {
+        var x = 1
+        while (x <= tc) {
+          val a = ext((y - 1) * es + (x - 1)); val b = ext((y - 1) * es + x)
+          val c = ext((y - 1) * es + (x + 1)); val d = ext(y * es + (x - 1))
+          val f = ext(y * es + (x + 1)); val g = ext((y + 1) * es + (x - 1))
+          val h = ext((y + 1) * es + x); val i = ext((y + 1) * es + (x + 1))
+          val e = ext(y * es + x)
+          if (!(a.isNaN || b.isNaN || c.isNaN || d.isNaN || e.isNaN ||
+            f.isNaN || g.isNaN || h.isNaN || i.isNaN)) {
+            val dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * cellSize)
+            val dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8 * cellSize)
+            out((y - 1) * tc + (x - 1)) = finish(dzdx, dzdy)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
   /** D8 flow direction (O'Callaghan & Mark 1984; ESRI code convention
     * E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128) — the hydrology
     * kernel of the reference's own domain (Model My Watershed): each
@@ -185,31 +252,8 @@ object Focal {
 
   private def hornKernel(spark: SparkSession, layer: DataFrame, meta: RasterMeta,
                          cellSize: Double)(finish: Double => Double): DataFrame =
-    focalD(spark, layer, meta) { (ext, tc, tr) =>
-      val es = tc + 2
-      val out = Array.fill(tc * tr)(Double.NaN)
-      var y = 1
-      while (y <= tr) {
-        var x = 1
-        while (x <= tc) {
-          val a = ext((y - 1) * es + (x - 1)); val b = ext((y - 1) * es + x)
-          val c = ext((y - 1) * es + (x + 1)); val d = ext(y * es + (x - 1))
-          val f = ext(y * es + (x + 1)); val g = ext((y + 1) * es + (x - 1))
-          val h = ext((y + 1) * es + x); val i = ext((y + 1) * es + (x + 1))
-          val e = ext(y * es + x)
-          if (!(a.isNaN || b.isNaN || c.isNaN || d.isNaN || e.isNaN ||
-            f.isNaN || g.isNaN || h.isNaN || i.isNaN)) {
-            val dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * cellSize)
-            val dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8 * cellSize)
-            out((y - 1) * tc + (x - 1)) =
-              finish(math.sqrt(dzdx * dzdx + dzdy * dzdy))
-          }
-          x += 1
-        }
-        y += 1
-      }
-      out
-    }
+    hornGradients(spark, layer, meta, cellSize)((dzdx, dzdy) =>
+      finish(math.sqrt(dzdx * dzdx + dzdy * dzdy)))
 
   /** Halo-exchange skeleton: apply `kernel(extendedFrame, tc, tr)` to
     * every tile of a double layer; the extended frame is (tr+2)×(tc+2)

@@ -122,6 +122,39 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("aspectD: plane surfaces face the known downslope direction") {
+    import spark.implicits._
+    // z = gc  (rises east)  -> faces west (270);  z = gr (rises south,
+    // row-down) -> faces north (0)
+    def plane(f: (Int, Int) => Double) = {
+      val tiles = for (kc <- 0 until lc; kr <- 0 until lr) yield {
+        (kc, kr, Array.tabulate(ts * ts)(i =>
+          f(kc * ts + i % ts, kr * ts + i / ts)))
+      }
+      tiles.toDF("key_col", "key_row", "tile_d")
+    }
+    val west = collectGrid(Focal.aspectD(spark, plane((gc, _) => gc.toDouble), meta, 1.0))
+    val north = collectGrid(Focal.aspectD(spark, plane((_, gr) => gr.toDouble), meta, 1.0))
+    val flat = collectGrid(Focal.aspectD(spark, plane((_, _) => 5.0), meta, 1.0))
+    // interior cells only (borders are NaN: incomplete window)
+    assert(math.abs(west((3) * W + 3) - 270.0) < 1e-9)
+    assert(math.abs(north((3) * W + 3) - 0.0) < 1e-9)
+    assert(flat((3) * W + 3) == -1.0)
+  }
+
+  test("hillshadeD: flat ground lit by sun altitude; range clamped to [0, 255]") {
+    import spark.implicits._
+    val tiles = for (kc <- 0 until lc; kr <- 0 until lr) yield {
+      (kc, kr, Array.fill(ts * ts)(7.0))
+    }
+    val flat = tiles.toDF("key_col", "key_row", "tile_d")
+    val hs = collectGrid(Focal.hillshadeD(spark, flat, meta, 1.0, altitudeDeg = 45.0))
+    // flat surface: shade = cos(zenith) = cos(45°) -> 255/sqrt(2)
+    assert(math.abs(hs(3 * W + 3) - 255.0 / math.sqrt(2.0)) < 1e-9)
+    val real = collectGrid(Focal.hillshadeD(spark, layer, meta, 2.0))
+    real.filter(!_.isNaN).foreach(v => assert(v >= 0.0 && v <= 255.0))
+  }
+
   test("d8FlowDirectionD == brute force incl. ties, pits, NODATA") {
     import graft.raster.NoData
     val s2 = math.sqrt(2.0)
