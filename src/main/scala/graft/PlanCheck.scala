@@ -20,7 +20,8 @@ object PlanCheck {
   private val eagerConstruction =
     Set("q50_sketches", "q72_stream_sessionize", "q73_ann_recall",
       "q79_stream_window", "q80_bloom_screen", "q81_pq_recall",
-      "q87_stream_join", "q94_stream_dedup", "q95_pagerank")
+      "q87_stream_join", "q94_stream_dedup", "q95_pagerank",
+      "q103_ivfpq_recall")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()

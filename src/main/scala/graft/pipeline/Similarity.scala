@@ -262,9 +262,12 @@ object Similarity {
     * the same plans rather than M sequential jobs.
     */
   def pqSubvectors(df: DataFrame, idCol: String, vecCol: String,
-                   m: Int, dsub: Int): DataFrame = {
+                   m: Int, dsub: Int, normalize: Boolean = true): DataFrame = {
     val v0 = toDouble(col(vecCol))
-    val unit = transform(v0, x => x / sqrt(dot(v0, v0)))
+    // normalize for whole-vector PQ (dot ≡ cosine); RESIDUAL vectors
+    // (IVF-PQ) must pass normalize = false — a residual is not a
+    // direction, and renormalizing it breaks v = centroid + residual
+    val unit = if (normalize) transform(v0, x => x / sqrt(dot(v0, v0))) else v0
     df.select(col(idCol).as("id"), unit.as("v"))
       .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
       .select(col("id"), col("m"),
@@ -279,12 +282,13 @@ object Similarity {
     * Returns `(m, cid, cv)`.
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-              m: Int = 8, ksub: Int = 16, iters: Int = 3): DataFrame = {
+              m: Int = 8, ksub: Int = 16, iters: Int = 3,
+              normalize: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    val sub = pqSubvectors(df, idCol, vecCol, m, dsub).persist()
+    val sub = pqSubvectors(df, idCol, vecCol, m, dsub, normalize).persist()
     val initIds = sub.select(col("id")).distinct().orderBy(col("id")).limit(ksub)
       .withColumn("cid",
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -329,8 +333,9 @@ object Similarity {
     * integers; this (not the vectors) is what search joins against.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-               codebook: DataFrame, m: Int = 8): DataFrame =
-    pqAssign(pqSubvectors(df, idCol, vecCol, m, dim / m), codebook)
+               codebook: DataFrame, m: Int = 8,
+               normalize: Boolean = true): DataFrame =
+    pqAssign(pqSubvectors(df, idCol, vecCol, m, dim / m, normalize), codebook)
       .select(col("id"), col("m"), col("cid").as("code"))
 
   /** ADC top-k: per query, a lookup table `q_m · cv` over (m, cid) —
@@ -394,5 +399,75 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** IVF-PQ (Jégou, Douze & Schmid 2011) — the canonical billion-scale
+    * ANN layout, composing this engine's coarse quantizer and product
+    * quantizer: vectors are L2-normalized and assigned to a k-means
+    * cell; PQ codebooks are trained on RESIDUALS (v − centroid, NOT
+    * renormalized — a residual is a correction, not a direction); a
+    * query probes its `nProbe` nearest cells and scores candidates as
+    *
+    *   score(q, x) ≈ dot(q, centroid_cell(x)) + ADC_q(code(x))
+    *
+    * — coarse term exact (k·d doubles, broadcast), residual term via
+    * the per-query lookup table — then reranks an exact shortlist.
+    * Candidates arrive through an equi-join on cell ids, the LUT is
+    * Q·M·ksub broadcast rows, and full vectors appear only in the
+    * rerank: the search touches (codes + cells), never the corpus
+    * vectors. Fully deterministic (seeded init, lowest-id ties).
+    */
+  def ivfPqTopKRerank(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                      queryIds: Column, kCells: Int = 16, nProbe: Int = 4,
+                      m: Int = 8, ksub: Int = 16, k: Int = 10,
+                      shortlist: Int = 100, trainSample: Int = 1024,
+                      coarseIters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = kmeansCentroids(df, idCol, vecCol, kCells, coarseIters)
+      .localCheckpoint()
+    val vecs = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("v", transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))))
+    val assigned = ivfAssignDf(vecs, "id", "v", cents, "cid", "cv")
+      .localCheckpoint()
+    val res = assigned
+      .join(broadcast(cents.withColumnRenamed("cid", "cell")), Seq("cell"))
+      .select(col("id"), zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+      .localCheckpoint()
+    val cb = pqTrain(res.orderBy("id").limit(trainSample), "id", "rv", dim,
+      m, ksub, normalize = false)
+    val enc = pqEncode(res, "id", "rv", dim, cb, m, normalize = false)
+    // query probes: nProbe nearest cells, coarse term = dot(q, centroid)
+    val q = assigned.filter(queryIds)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+      .localCheckpoint()
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("coarse", dot(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("coarse").desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"), col("coarse"))
+    // per-query ADC lookup table against the residual codebooks
+    val lut = pqSubvectors(q, "query_id", "qv", m, dim / m, normalize = false)
+      .withColumnRenamed("id", "query_id")
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("cid").as("code"),
+        dot(col("sv"), col("cv")).as("part"))
+    val cand = probes
+      .join(assigned.select(col("id"), col("cell")), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .join(enc, Seq("id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg((first(col("coarse")) + sum(col("part"))).as("approx"))
+    val sl = cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("approx").desc, col("id"))))
+      .filter(col("rank") <= shortlist)
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    // rerank against the normalized query frame (cosine is
+    // scale-invariant, so normalization does not change it); queryIds
+    // was already applied on the assigned frame's `id`
+    pqRerank(sl, df, q.select(col("query_id").as(idCol), col("qv").as(vecCol)),
+      idCol, vecCol, k)
   }
 }

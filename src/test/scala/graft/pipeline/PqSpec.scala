@@ -80,4 +80,23 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == exact.map { case (q, r, n) => (q, r, n) })
   }
+
+  test("ivfPq with all cells probed + full shortlist == brute force exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = clustered(30).toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 3)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nProbe = kCells (no coarse pruning) and shortlist >= corpus:
+    // every candidate survives to the EXACT rerank, so the composed
+    // search must reproduce brute force including rank order
+    val got = Similarity.ivfPqTopKRerank(df, "vec_id", "embedding", dim = 8,
+      queryIds = col("id") < 4, kCells = 4, nProbe = 4, m = 2, ksub = 4,
+      k = 3, shortlist = 30)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact)
+  }
 }
