@@ -1662,6 +1662,28 @@ object SparkEntry {
         (col("recall") >= floor).as("meets_floor"))
   }
 
+  /** Statistical aggregate suite: stddev/variance, correlation,
+    * covariance, OLS regression slope/intercept per group. The time
+    * regressor is CENTERED (days since 2024-01-01) before aggregation:
+    * raw epoch seconds (~1.7e9) would make the co-moment sums
+    * cancellation-dominated, where engine-order float noise reaches
+    * the rounded digits — centered, the error is ~1e-9 against 1e-5
+    * rounding.
+    */
+  private def qStatsAgg(s: SparkSession, dir: String): DataFrame = {
+    val x = (col("ts").cast("double") - lit(1704067200.0)) / lit(86400.0)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"), x.as("x"))
+      .groupBy("event_type")
+      .agg(round(stddev_samp(col("value")), 5).as("sd"),
+        round(var_samp(col("value")), 5).as("var"),
+        round(corr(col("value"), col("x")), 5).as("c"),
+        round(covar_samp(col("value"), col("x")), 5).as("cov"),
+        round(regr_slope(col("value"), col("x")), 5).as("slope"),
+        round(regr_intercept(col("value"), col("x")), 5).as("icept"))
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1767,6 +1789,7 @@ object SparkEntry {
     "q101_gap_fill" -> (qGapFill(_, _)),
     "q102_grouping_sets" -> (qGroupingSets(_, _)),
     "q103_ivfpq_recall" -> (qIvfPqRecall(_, _)),
+    "q104_stats_agg" -> (qStatsAgg(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3225,6 +3248,20 @@ object SparkEntry {
     // internals; the gated contract is the floor and meets_floor=true
     "q103_ivfpq_recall" ->
       "SELECT 'ivfpq_rerank_top10' AS method, 0.55 AS floor, true AS meets_floor",
+
+    // q104: same centered regressor (days since 2024-01-01); epoch()
+    // returns fractional seconds = Spark's timestamp->double cast
+    "q104_stats_agg" ->
+      """SELECT event_type,
+        |  round(stddev_samp(value), 5) AS sd,
+        |  round(var_samp(value), 5) AS var,
+        |  round(corr(value, x), 5) AS c,
+        |  round(covar_samp(value, x), 5) AS cov,
+        |  round(regr_slope(value, x), 5) AS slope,
+        |  round(regr_intercept(value, x), 5) AS icept
+        |FROM (SELECT event_type, value,
+        |        (epoch(ts) - 1704067200.0) / 86400.0 AS x FROM events)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // q102: same sets, same grouping() flags
     "q102_grouping_sets" ->
