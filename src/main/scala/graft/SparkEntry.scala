@@ -1684,6 +1684,23 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Built-in `session_window` sessionization — the THIRD session API
+    * next to the batch window-function build (q23) and the streaming
+    * flatMapGroupsWithState build (q72). Note the boundary semantics:
+    * session windows merge on OVERLAP, so a gap of exactly the window
+    * size starts a NEW session (`>= gap`), unlike q23's `> gap` rule —
+    * the oracle encodes session_window's own rule.
+    */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start", "n_events")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1790,6 +1807,7 @@ object SparkEntry {
     "q102_grouping_sets" -> (qGroupingSets(_, _)),
     "q103_ivfpq_recall" -> (qIvfPqRecall(_, _)),
     "q104_stats_agg" -> (qStatsAgg(_, _)),
+    "q105_session_window" -> (qSessionWindow(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3262,6 +3280,27 @@ object SparkEntry {
         |FROM (SELECT event_type, value,
         |        (epoch(ts) - 1704067200.0) / 86400.0 AS x FROM events)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q105: session_window's merge-on-overlap rule (>= gap starts a
+    // new session) on raw fractional-second timestamps
+    "q105_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch(ts) AS sec FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, ts, sec,
+        |         CASE WHEN lag(sec) OVER w IS NULL
+        |              OR sec - lag(sec) OVER w >= 3600 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM m)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start, n_events""".stripMargin,
 
     // q102: same sets, same grouping() flags
     "q102_grouping_sets" ->
