@@ -1701,6 +1701,73 @@ object SparkEntry {
         col("n_events"))
       .orderBy("user_id", "session_start", "n_events")
 
+  /** Misra–Gries heavy-hitters gate
+    * ([[graft.pipeline.Stats.misraGries]]): k=199 counters over the
+    * whitespace tokens of `documents.text`, threshold n/200.
+    * Engine-computed pass booleans, q50/q80-style — every gated
+    * condition is a THEOREM of the sketch (holds for any partitioning
+    * of the token stream), so the rows are deterministic even though
+    * the sketch's surviving-key set is not; the `value` column carries
+    * only data-derived quantities the oracle recomputes. All
+    * comparisons are integer arithmetic (`cnt·200 > n`,
+    * `(cnt−est)·200 ≤ n`) — no doubles, so the DuckDB DECIMAL-literal
+    * divergence cannot bite.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 199
+    val toks = graft.pipeline.Par.spread(t(s, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("tok"))
+    // exact counts (the shuffle the sketch avoids) are the gate's
+    // yardstick only; localCheckpoint so the three condition counts
+    // below reuse one materialization
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val mg = graft.pipeline.Stats.misraGries(toks, "tok", k)
+      .withColumnRenamed("k", "tok")
+    val joined = exact.join(mg, Seq("tok"), "left")
+      .select(col("tok"), col("cnt"), coalesce(col("est"), lit(0L)).as("est"))
+      .localCheckpoint()
+    val n = joined.agg(sum(col("cnt"))).head.getLong(0)
+    val heavy = joined.filter(col("cnt") * (k + 1) > n)
+    val nHeavy = heavy.count()
+    val missedHeavy = heavy.filter(col("est") === 0L).count()
+    val overestimates = joined.filter(col("est") > col("cnt")).count()
+    val errOverBound = joined.filter((col("cnt") - col("est")) * (k + 1) > n).count()
+    Seq(
+      ("error_bound", n / (k + 1), errOverBound == 0L),
+      ("heavy_hitters", nHeavy, missedHeavy == 0L),
+      ("max_overestimate", 0L, overestimates == 0L),
+      ("total_tokens", n, n > 0L))
+      .toDF("metric", "value", "pass")
+      .orderBy("metric")
+  }
+
+  /** Z-order layout gate ([[graft.operators.Zorder]]): Morton codes
+    * over a dense 256×256 key grid (tile-catalog-shaped keys derived
+    * from lineitem — the fixture's real tile grid is only 2×2 at the
+    * gate SF), aggregated per aligned 8×8 quadtree block
+    * (blockBits=3). The per-block rows make the locality claim
+    * INSPECTABLE data: each z_block's key bbox is ≤ 8 wide in both
+    * axes and its z-range is contained in the block's 64 consecutive
+    * codes — i.e. a bbox scan over a z-sorted catalog reads contiguous
+    * runs. Bit-exact integer arithmetic end to end; the oracle replays
+    * the same spread/interleave in SQL.
+    */
+  private def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val keys = t(s, dir, "lineitem").select(
+      (col("l_orderkey") % 256).cast("int").as("kx"),
+      (col("l_partkey") % 256).cast("int").as("ky"))
+    graft.operators.Zorder.zIndexed(keys, "kx", "ky", blockBits = 3)
+      .groupBy(col("z_block"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+        min(col("kx").cast("long")).as("col_min"),
+        max(col("kx").cast("long")).as("col_max"),
+        min(col("ky").cast("long")).as("row_min"),
+        max(col("ky").cast("long")).as("row_max"))
+      .orderBy("z_block")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1808,6 +1875,8 @@ object SparkEntry {
     "q103_ivfpq_recall" -> (qIvfPqRecall(_, _)),
     "q104_stats_agg" -> (qStatsAgg(_, _)),
     "q105_session_window" -> (qSessionWindow(_, _)),
+    "q106_heavy_hitters" -> (qHeavyHitters(_, _)),
+    "q107_zorder_layout" -> (qZorderLayout(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3312,6 +3381,43 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         |ORDER BY g_prio, g_status, prio, status""".stripMargin,
+
+    // q106: every gated condition is a theorem of the Misra–Gries
+    // sketch, so the oracle pins pass=true and recomputes the
+    // data-derived values (integer arithmetic only)
+    "q106_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM toks),
+        |tf AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+        |SELECT 'error_bound' AS metric, (SELECT n // 200 FROM tot)::BIGINT AS value, true AS pass
+        |UNION ALL
+        |SELECT 'heavy_hitters', (SELECT COUNT(*) FROM tf, tot WHERE cnt * 200 > n)::BIGINT, true
+        |UNION ALL
+        |SELECT 'max_overestimate', 0::BIGINT, true
+        |UNION ALL
+        |SELECT 'total_tokens', (SELECT n FROM tot)::BIGINT, true
+        |ORDER BY metric""".stripMargin,
+
+    // q107: the same 16-bit spread/interleave replayed in SQL
+    // (0xFFFF, 0x00FF00FF, 0x0F0F0F0F, 0x33333333, 0x55555555)
+    "q107_zorder_layout" ->
+      """WITH k AS (SELECT (l_orderkey % 256)::BIGINT AS x,
+        |                  (l_partkey % 256)::BIGINT AS y FROM lineitem),
+        |s1 AS (SELECT x, y, x & 65535 AS xa, y & 65535 AS ya FROM k),
+        |s2 AS (SELECT *, (xa | (xa << 8)) & 16711935 AS xb,
+        |               (ya | (ya << 8)) & 16711935 AS yb FROM s1),
+        |s3 AS (SELECT *, (xb | (xb << 4)) & 252645135 AS xc,
+        |               (yb | (yb << 4)) & 252645135 AS yc FROM s2),
+        |s4 AS (SELECT *, (xc | (xc << 2)) & 858993459 AS xd,
+        |               (yc | (yc << 2)) & 858993459 AS yd FROM s3),
+        |s5 AS (SELECT *, (xd | (xd << 1)) & 1431655765 AS xe,
+        |               (yd | (yd << 1)) & 1431655765 AS ye FROM s4),
+        |z AS (SELECT x, y, xe | (ye << 1) AS z FROM s5)
+        |SELECT z >> 6 AS z_block, COUNT(*) AS n_keys,
+        |       MIN(z) AS z_min, MAX(z) AS z_max,
+        |       MIN(x) AS col_min, MAX(x) AS col_max,
+        |       MIN(y) AS row_min, MAX(y) AS row_max
+        |FROM z GROUP BY 1 ORDER BY z_block""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

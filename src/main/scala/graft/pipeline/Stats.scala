@@ -26,4 +26,58 @@ object Stats {
         round(((col("r") + 1) * coalesce(col("n_r1"), lit(0L)))
           .cast("double") / col("n_r"), 4).as("r_star"))
   }
+
+  /** Misra–Gries heavy-hitters summary (Misra & Gries 1982; the
+    * deterministic frequent-items sketch Space-Saving descends from)
+    * over a key expression: `(k, est)` for keys surviving a k-counter
+    * streaming summary. Returned estimates depend on partitioning;
+    * the classical GUARANTEES do not, and are what callers gate on:
+    *
+    *  - completeness: every key with true count `> n/(k+1)` appears —
+    *    if it beats the global threshold it beats `n_p/(k+1)` in at
+    *    least one partition (pigeonhole over `Σ n_p = n`), and
+    *    per-partition MG never evicts such a key;
+    *  - underestimate-only: a partition's surviving counter is ≤ its
+    *    true in-partition count, so the merged sum never exceeds the
+    *    exact global count;
+    *  - bounded error: each partition decrements any key ≤ `n_p/(k+1)`
+    *    times, so `exact − est ≤ Σ_p n_p/(k+1) = n/(k+1)`.
+    *
+    * Scale shape — the point of the sketch: the raw key stream is
+    * NEVER shuffled. One `mapPartitions` pass holds O(k) memory per
+    * task and emits ≤ k rows per partition; the merge `groupBy` runs
+    * over ≤ k×partitions rows. An exact heavy-hitter count on the same
+    * data would shuffle every distinct key; at 100 TB with a skewed
+    * token distribution that is the difference between a metadata-
+    * sized job and a corpus-sized one.
+    */
+  def misraGries(df: DataFrame, keySql: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr(s"CAST(($keySql) AS STRING) AS k").as[String]
+      .mapPartitions { it =>
+        val counters = new java.util.HashMap[String, Long](k * 2)
+        it.foreach { key =>
+          if (key != null) {
+            val cur = counters.get(key)
+            if (cur != 0L) counters.put(key, cur + 1)
+            else if (counters.size < k) counters.put(key, 1L)
+            else {
+              // decrement-all, dropping zeros: O(k) but amortized O(1)
+              // per input (each trigger consumes k+1 prior increments)
+              val itr = counters.entrySet().iterator()
+              while (itr.hasNext) {
+                val e = itr.next()
+                if (e.getValue == 1L) itr.remove()
+                else e.setValue(e.getValue - 1)
+              }
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        counters.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+      }
+      .toDF("k", "est")
+      .groupBy("k").agg(sum(col("est")).as("est"))
+  }
 }

@@ -42,4 +42,41 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       .orderBy(col("cnt").desc, col("token")).collect()
     assert(all.length == 4 && all.last.getDouble(2) == 1.0)
   }
+
+  test("misraGries: single partition, k large enough -> exact counts") {
+    import spark.implicits._
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("k").coalesce(1)
+    val got = Stats.misraGries(df, "k", k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // no decrement ever triggers: the sketch IS the exact counter
+    assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("misraGries: guarantees hold on a skewed stream across partitionings") {
+    import spark.implicits._
+    // 1000 'hot' + uniform tail of 400 distinct cold keys x2; k=9
+    // -> threshold n/10 = 180: 'hot' must always survive
+    val rnd = new scala.util.Random(42)
+    val stream = rnd.shuffle(
+      Seq.fill(1000)("hot") ++ (0 until 400).flatMap(i => Seq(s"c$i", s"c$i")))
+    val n = stream.size.toLong
+    val k = 9
+    for (parts <- Seq(1, 4, 32)) {
+      val df = stream.toDF("k").repartition(parts)
+      val mg = Stats.misraGries(df, "k", k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // completeness: every key above n/(k+1) survives
+      exact.filter { case (_, c) => c * (k + 1) > n }.keys
+        .foreach(h => assert(mg.contains(h), s"parts=$parts lost heavy $h"))
+      // underestimate-only + bounded error, for every key
+      exact.foreach { case (key, c) =>
+        val est = mg.getOrElse(key, 0L)
+        assert(est <= c, s"parts=$parts overestimated $key")
+        assert((c - est) * (k + 1) <= n, s"parts=$parts error bound $key")
+      }
+      // output only contains real keys
+      mg.keys.foreach(key => assert(exact.contains(key)))
+    }
+  }
 }
