@@ -29,6 +29,15 @@ import graft.raster.{Extent, Layout}
   * parquet row-group min/max stats — the same two-level pruning the
   * reference gets from `reader.query(...).where(Intersects(shape))`
   * (Utils.scala:241-248), but entirely via Catalyst.
+  *
+  * Writers lay tiles out in Z-ORDER ([[graft.operators.Zorder]],
+  * gated q107): rows are sorted by the Morton code of
+  * (key_col, key_row) before hitting parquet, so every row group
+  * covers an aligned square-ish block with TIGHT key min/max stats —
+  * a bbox scan prunes to O(few) contiguous runs instead of one thin
+  * stripe per key_row. At fixture scale this is one in-memory sort; a
+  * 100 TB ingest would `repartitionByRange` on the same code first
+  * (one range shuffle at write time, prepaying every later scan).
   */
 object TileCatalog {
 
@@ -55,14 +64,21 @@ object TileCatalog {
     JsonMethods.parse(json).extract[Map[String, RasterMeta]]
   }
 
+  /** Z-order the tile rows before writing (see object scaladoc). */
+  private def zSorted(df: DataFrame): DataFrame =
+    df.withColumn("__z",
+        graft.operators.Zorder.morton(col("key_col"), col("key_row")))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+
   /** Ingest one int-typed raster layer (tests / fixtures). */
   def writeIntLayer(spark: SparkSession, path: String, meta: RasterMeta,
                     tiles: Seq[(Int, Int, Array[Int])]): Unit = {
     import spark.implicits._
-    tiles.toDF("key_col", "key_row", "tile_i")
-      .withColumn("tile_d", lit(null).cast("array<double>"))
-      .withColumn("raster_id", lit(meta.rasterId))
-      .withColumn("zoom", lit(meta.zoom))
+    zSorted(tiles.toDF("key_col", "key_row", "tile_i")
+        .withColumn("tile_d", lit(null).cast("array<double>"))
+        .withColumn("raster_id", lit(meta.rasterId))
+        .withColumn("zoom", lit(meta.zoom)))
       .write.mode("append").partitionBy("raster_id", "zoom")
       .parquet(s"$path/tiles")
   }
@@ -71,11 +87,11 @@ object TileCatalog {
   def writeDoubleLayer(spark: SparkSession, path: String, meta: RasterMeta,
                        tiles: Seq[(Int, Int, Array[Double])]): Unit = {
     import spark.implicits._
-    tiles.toDF("key_col", "key_row", "tile_d")
-      .withColumn("tile_i", lit(null).cast("array<int>"))
-      .withColumn("raster_id", lit(meta.rasterId))
-      .withColumn("zoom", lit(meta.zoom))
-      .select("key_col", "key_row", "tile_i", "tile_d", "raster_id", "zoom")
+    zSorted(tiles.toDF("key_col", "key_row", "tile_d")
+        .withColumn("tile_i", lit(null).cast("array<int>"))
+        .withColumn("raster_id", lit(meta.rasterId))
+        .withColumn("zoom", lit(meta.zoom))
+        .select("key_col", "key_row", "tile_i", "tile_d", "raster_id", "zoom"))
       .write.mode("append").partitionBy("raster_id", "zoom")
       .parquet(s"$path/tiles")
   }
@@ -147,10 +163,10 @@ object TileCatalog {
           }.toDF("key_col", "key_row", "tile_d")
           .withColumn("tile_i", lit(null).cast("array<int>"))
       }
-    out
-      .withColumn("raster_id", lit(meta.rasterId))
-      .withColumn("zoom", lit(meta.zoom + 1))
-      .select("key_col", "key_row", "tile_i", "tile_d", "raster_id", "zoom")
+    zSorted(out
+        .withColumn("raster_id", lit(meta.rasterId))
+        .withColumn("zoom", lit(meta.zoom + 1))
+        .select("key_col", "key_row", "tile_i", "tile_d", "raster_id", "zoom"))
       .write.mode("append").partitionBy("raster_id", "zoom")
       .parquet(s"$path/tiles")
     meta.copy(zoom = meta.zoom + 1,
@@ -210,10 +226,10 @@ object TileCatalog {
           fill(key, it, arr, (i, v) => arr(i) = v)
         }.toDF("key_col", "key_row", "tile_d")
           .withColumn("tile_i", lit(null).cast("array<int>"))
-    out
-      .withColumn("raster_id", lit(meta.rasterId))
-      .withColumn("zoom", lit(meta.zoom))
-      .select("key_col", "key_row", "tile_i", "tile_d", "raster_id", "zoom")
+    zSorted(out
+        .withColumn("raster_id", lit(meta.rasterId))
+        .withColumn("zoom", lit(meta.zoom))
+        .select("key_col", "key_row", "tile_i", "tile_d", "raster_id", "zoom"))
       .write.mode("append").partitionBy("raster_id", "zoom")
       .parquet(s"$path/tiles")
   }
