@@ -1768,6 +1768,33 @@ object SparkEntry {
       .orderBy("z_block")
   }
 
+  /** Broadcast point-in-polygon join gate
+    * ([[graft.operators.SpatialJoin]]): 60 deterministic axis-aligned
+    * rectangles (so the generic JTS STRtree + prepared-`covers` path
+    * has an exactly SQL-expressible oracle), points derived from
+    * lineitem at half-integer coordinates — never on a rectangle edge,
+    * so open-vs-closed boundary semantics cannot diverge. Output is
+    * per-polygon count + point-id checksum; rectangles containing no
+    * point are absent in both engines (inner-join semantics).
+    */
+  private def qSpatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val polys = (0L until 60L).map { i =>
+      val x0 = (i * 37) % 900; val y0 = (i * 53) % 900
+      val w = 60 + (i % 5) * 20; val h = 40 + (i % 7) * 15
+      i -> gf.toGeometry(
+        new org.locationtech.jts.geom.Envelope(x0, x0 + w, y0, y0 + h))
+    }
+    val pts = t(s, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("pid"),
+      ((col("l_orderkey") % 1000) + 0.5).as("x"),
+      ((col("l_partkey") % 1000) + 0.5).as("y"))
+    graft.operators.SpatialJoin.pointInPolygon(pts, "pid", "x", "y", polys)
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n_points"), sum(col("point_id")).as("sum_pid"))
+      .orderBy("poly_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1877,6 +1904,7 @@ object SparkEntry {
     "q105_session_window" -> (qSessionWindow(_, _)),
     "q106_heavy_hitters" -> (qHeavyHitters(_, _)),
     "q107_zorder_layout" -> (qZorderLayout(_, _)),
+    "q108_spatial_join" -> (qSpatialJoin(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3418,6 +3446,21 @@ object SparkEntry {
         |       MIN(x) AS col_min, MAX(x) AS col_max,
         |       MIN(y) AS row_min, MAX(y) AS row_max
         |FROM z GROUP BY 1 ORDER BY z_block""".stripMargin,
+
+    // q108: rectangles make the JTS containment SQL-expressible; the
+    // half-integer point coordinates keep every point strictly off
+    // rectangle boundaries
+    "q108_spatial_join" ->
+      """WITH p AS (SELECT l_orderkey * 10 + l_linenumber AS pid,
+        |                  (l_orderkey % 1000) + 0.5 AS x,
+        |                  (l_partkey % 1000) + 0.5 AS y FROM lineitem),
+        |r AS (SELECT i AS poly_id,
+        |             (i * 37) % 900 AS x0, (i * 53) % 900 AS y0,
+        |             60 + (i % 5) * 20 AS w, 40 + (i % 7) * 15 AS h
+        |      FROM generate_series(0, 59) t(i))
+        |SELECT poly_id, COUNT(*) AS n_points, SUM(pid)::BIGINT AS sum_pid
+        |FROM p JOIN r ON x > x0 AND x < x0 + w AND y > y0 AND y < y0 + h
+        |GROUP BY 1 ORDER BY poly_id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
