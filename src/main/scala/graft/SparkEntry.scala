@@ -1795,6 +1795,24 @@ object SparkEntry {
       .orderBy("poly_id")
   }
 
+  /** Table-diff gate ([[graft.pipeline.TableDiff]]): snapshot B is
+    * documents with two deterministic perturbations (doc_id%200==7
+    * rows modified, doc_id%250==3 rows dropped); the checksum diff
+    * must surface exactly the buckets those rows hash into, with both
+    * sides' digests. The row hash is the q49 md5 construction, so the
+    * oracle reproduces every digest hex-exactly.
+    */
+  private def qTableDiff(s: SparkSession, dir: String): DataFrame = {
+    val rowSql = "concat(cast(doc_id AS string), ':', text)"
+    val docs = graft.pipeline.Par.spread(t(s, dir, "documents"))
+    val b = docs.filter(col("doc_id") % 250 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 200 === 7, concat(col("text"), lit("!")))
+          .otherwise(col("text")))
+    graft.pipeline.TableDiff.diff(docs, b, rowSql, buckets = 64)
+      .orderBy("bucket")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1905,6 +1923,7 @@ object SparkEntry {
     "q106_heavy_hitters" -> (qHeavyHitters(_, _)),
     "q107_zorder_layout" -> (qZorderLayout(_, _)),
     "q108_spatial_join" -> (qSpatialJoin(_, _)),
+    "q109_table_diff" -> (qTableDiff(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3461,6 +3480,25 @@ object SparkEntry {
         |SELECT poly_id, COUNT(*) AS n_points, SUM(pid)::BIGINT AS sum_pid
         |FROM p JOIN r ON x > x0 AND x < x0 + w AND y > y0 AND y < y0 + h
         |GROUP BY 1 ORDER BY poly_id""".stripMargin,
+
+    // q109: same md5 row hash, same perturbations, same bucket fold
+    "q109_table_diff" ->
+      """WITH a AS (SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT AS h
+        |           FROM documents),
+        |b0 AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 200 = 7 THEN text || '!' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 250 <> 3),
+        |b AS (SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT AS h
+        |      FROM b0),
+        |ca AS (SELECT h % 64 AS bucket, COUNT(*) AS n, bit_xor(h) AS x FROM a GROUP BY 1),
+        |cb AS (SELECT h % 64 AS bucket, COUNT(*) AS n, bit_xor(h) AS x FROM b GROUP BY 1)
+        |SELECT bucket,
+        |       COALESCE(ca.n, 0)::BIGINT AS a_rows, COALESCE(cb.n, 0)::BIGINT AS b_rows,
+        |       COALESCE(ca.x, 0)::BIGINT AS a_xor, COALESCE(cb.x, 0)::BIGINT AS b_xor
+        |FROM ca FULL OUTER JOIN cb USING (bucket)
+        |WHERE COALESCE(ca.n, 0) <> COALESCE(cb.n, 0)
+        |   OR COALESCE(ca.x, 0) <> COALESCE(cb.x, 0)
+        |ORDER BY bucket""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
