@@ -1813,6 +1813,22 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Skyline gate ([[graft.operators.Skyline]]): the
+    * (quantity, price) Pareto front of lineitem — cheapest price at
+    * every quantity level not beaten by a smaller quantity. The
+    * engine runs the distributed staircase (per-x reduction +
+    * range-partitioned running min); the oracle runs the textbook
+    * independent algorithm (NOT EXISTS dominance over the per-x
+    * minima). Raw doubles pass through untouched on both sides — min
+    * of exact values needs no rounding.
+    */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline.paretoFront2D(
+      t(s, dir, "lineitem")
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y")),
+      "x", "y")
+      .orderBy("x")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1924,6 +1940,7 @@ object SparkEntry {
     "q107_zorder_layout" -> (qZorderLayout(_, _)),
     "q108_spatial_join" -> (qSpatialJoin(_, _)),
     "q109_table_diff" -> (qTableDiff(_, _)),
+    "q110_skyline" -> (qSkyline(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3499,6 +3516,16 @@ object SparkEntry {
         |WHERE COALESCE(ca.n, 0) <> COALESCE(cb.n, 0)
         |   OR COALESCE(ca.x, 0) <> COALESCE(cb.x, 0)
         |ORDER BY bucket""".stripMargin,
+
+    // q110: textbook dominance check over the per-x minima (the only
+    // front candidates) — an algorithm independent of the engine's
+    // staircase scan
+    "q110_skyline" ->
+      """WITH c AS (SELECT l_quantity AS x, MIN(l_extendedprice) AS y
+        |           FROM lineitem GROUP BY 1)
+        |SELECT x, y FROM c p
+        |WHERE NOT EXISTS (SELECT 1 FROM c q WHERE q.x < p.x AND q.y <= p.y)
+        |ORDER BY x""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

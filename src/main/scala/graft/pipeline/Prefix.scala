@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object Prefix {
 
-  private val reserved = Seq("__pid", "__off", "pos", "prefix")
+  private val reserved = Seq("__pid", "__off", "pos", "prefix", "prefix_min")
 
   /** 0 ⇒ the session's `spark.sql.shuffle.partitions` — the knob the
     * deployment already sizes to its data volume.
@@ -80,5 +80,38 @@ object Prefix {
       .withColumn("prefix",
         coalesce(sum(col(valueCol)).over(w), lit(0L)) + col("__off"))
       .drop("__pid", "__off")
+  }
+
+  /** Adds `prefix_min` (exclusive running MINIMUM of `valueCol` as
+    * double under `orderCols`' total order; NULL when no preceding
+    * row) — min is a monoid like sum, so the same two-pass shape
+    * applies: per-partition mins fold into exclusive cross-partition
+    * offsets, `least` (null-skipping) merges the local window min with
+    * the offset. The running-min scan is what sort-based skyline /
+    * staircase algorithms need ([[graft.operators.Skyline]]).
+    */
+  def withPrefixMin(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                    partitions: Int = 0): DataFrame = {
+    val r0 = ranged(df, orderCols, partitions)
+    val r = r0.withColumn("__v", col(valueCol).cast("double")).localCheckpoint()
+    val mins = r.groupBy(col("__pid")).agg(min(col("__v")).as("m"))
+      .collect()
+      .map(x => (x.getInt(0), if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+    val sorted = mins.sortBy(_._1)
+    // exclusive scan with the min monoid (None = empty prefix)
+    val excl = sorted.map(_._2)
+      .scanLeft(Option.empty[Double]) {
+        case (None, b) => b
+        case (a, None) => a
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+      }.init
+    val offDf = df.sparkSession
+      .createDataFrame(sorted.map(_._1).zip(excl).toSeq)
+      .toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    r.join(broadcast(offDf), "__pid")
+      .withColumn("prefix_min", least(min(col("__v")).over(w), col("__off")))
+      .drop("__pid", "__off", "__v")
   }
 }
