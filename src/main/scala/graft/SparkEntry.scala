@@ -1829,6 +1829,28 @@ object SparkEntry {
       "x", "y")
       .orderBy("x")
 
+  /** Incremental-maintenance gate ([[graft.pipeline.Incremental]]):
+    * events split deterministically 80/20 into base and delta batches,
+    * each aggregated independently, states merged — the result must
+    * equal the oracle's ONE-PASS aggregation over everything. Measures
+    * are a row count and integer cents (`round(value·100)`), so the
+    * monoid identity `agg(base ∪ delta) = merge(agg(base), agg(delta))`
+    * is gated exactly, with no float-summation-order slack.
+    */
+  private def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("event_type")
+    val sums = Seq("cents")
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val base = ev.filter(col("user_id") % 10 < 8)
+    val delta = ev.filter(col("user_id") % 10 >= 8)
+    graft.pipeline.Incremental.merge(
+      graft.pipeline.Incremental.countSumState(base, keys, sums),
+      graft.pipeline.Incremental.countSumState(delta, keys, sums),
+      keys, sums)
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1941,6 +1963,7 @@ object SparkEntry {
     "q108_spatial_join" -> (qSpatialJoin(_, _)),
     "q109_table_diff" -> (qTableDiff(_, _)),
     "q110_skyline" -> (qSkyline(_, _)),
+    "q111_incremental_agg" -> (qIncrementalAgg(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3526,6 +3549,13 @@ object SparkEntry {
         |SELECT x, y FROM c p
         |WHERE NOT EXISTS (SELECT 1 FROM c q WHERE q.x < p.x AND q.y <= p.y)
         |ORDER BY x""".stripMargin,
+
+    // q111: the oracle aggregates base ∪ delta in ONE pass — the
+    // merged two-batch state must land on the identical integers
+    "q111_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       SUM(ROUND(value * 100)::BIGINT)::BIGINT AS cents
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
