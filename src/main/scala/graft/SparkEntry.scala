@@ -1851,6 +1851,20 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** TWA gate ([[graft.operators.Twap]]): per-user time-weighted
+    * average of `value` over the irregular event series — the
+    * piecewise-constant integral / span, deterministic under the
+    * (ts, event_id) total order. Same fractional-second timestamp
+    * arithmetic as q104/q105 (Spark double cast ≡ DuckDB epoch()).
+    */
+  private def qTwap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Twap.timeWeightedAvg(
+      Tables.events(s, dir), "user_id", "ts", "value",
+      Seq("ts", "event_id"))
+      .select(col("user_id"), round(col("twa"), 4).as("twa"),
+        round(col("span_sec"), 3).as("span_sec"), col("n_events"))
+      .orderBy("user_id")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1964,6 +1978,7 @@ object SparkEntry {
     "q109_table_diff" -> (qTableDiff(_, _)),
     "q110_skyline" -> (qSkyline(_, _)),
     "q111_incremental_agg" -> (qIncrementalAgg(_, _)),
+    "q112_twap" -> (qTwap(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3556,6 +3571,18 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |       SUM(ROUND(value * 100)::BIGINT)::BIGINT AS cents
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q112: identical lead-window formulation; epoch(ts) ≡ Spark's
+    // timestamp→double cast (the q104/q105 equivalence)
+    "q112_twap" ->
+      """WITH e AS (SELECT user_id, epoch(ts) AS sec, value, event_id FROM events),
+        |d AS (SELECT user_id, value,
+        |        lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) - sec AS dt
+        |      FROM e)
+        |SELECT user_id, ROUND(SUM(value * dt) / SUM(dt), 4) AS twa,
+        |       ROUND(COALESCE(SUM(dt), 0), 3) AS span_sec,
+        |       COUNT(*) AS n_events
+        |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
