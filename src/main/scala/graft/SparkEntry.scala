@@ -1865,6 +1865,30 @@ object SparkEntry {
         round(col("span_sec"), 3).as("span_sec"), col("n_events"))
       .orderBy("user_id")
 
+  /** Count-min sketch gate ([[graft.pipeline.Stats.countMinSketch]]):
+    * 4×1024 counters over document tokens, probed with the 30 most
+    * frequent tokens (the q69 deterministic top-k rule). Because the
+    * hashes are md5-derived, the oracle rebuilds the ENTIRE sketch
+    * and must land on identical estimates — plus the
+    * overestimate-only theorem as an explicit gated boolean.
+    */
+  private def qCountMin(s: SparkSession, dir: String): DataFrame = {
+    val depth = 4; val width = 1024
+    val toks = graft.pipeline.Par.spread(t(s, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = graft.pipeline.Stats.countMinSketch(toks, "tok", depth, width)
+      .localCheckpoint()
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    val probes = exact.orderBy(col("exact").desc, col("tok")).limit(30)
+      .localCheckpoint()
+    graft.pipeline.Stats
+      .cmsEstimate(sketch, probes.select(col("tok").as("k")), depth, width)
+      .join(probes.withColumnRenamed("tok", "k"), Seq("k"))
+      .select(col("k").as("token"), col("est"), col("exact"),
+        (col("est") >= col("exact")).as("ge_exact"))
+      .orderBy("token")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -1979,6 +2003,7 @@ object SparkEntry {
     "q110_skyline" -> (qSkyline(_, _)),
     "q111_incremental_agg" -> (qIncrementalAgg(_, _)),
     "q112_twap" -> (qTwap(_, _)),
+    "q113_count_min" -> (qCountMin(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3583,6 +3608,25 @@ object SparkEntry {
         |       ROUND(COALESCE(SUM(dt), 0), 3) AS span_sec,
         |       COUNT(*) AS n_events
         |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // q113: the whole sketch rebuilt from scratch — md5 cell hashes
+    // make every counter engine-independent
+    "q113_count_min" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS k FROM documents),
+        |cells AS (SELECT k, r,
+        |            ('0x' || substr(md5(r::VARCHAR || ':' || k), 1, 15))::BIGINT % 1024 AS c
+        |          FROM toks, generate_series(0, 3) t(r)),
+        |sk AS (SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+        |tf AS (SELECT k, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        |probes AS (SELECT k, cnt AS exact FROM tf ORDER BY cnt DESC, k LIMIT 30),
+        |pc AS (SELECT p.k, p.exact, t.r,
+        |         ('0x' || substr(md5(t.r::VARCHAR || ':' || p.k), 1, 15))::BIGINT % 1024 AS c
+        |       FROM probes p, generate_series(0, 3) t(r)),
+        |est AS (SELECT pc.k, pc.exact, MIN(sk.cnt) AS est
+        |        FROM pc JOIN sk ON sk.r = pc.r AND sk.c = pc.c GROUP BY 1, 2)
+        |SELECT k AS token, est::BIGINT AS est, exact::BIGINT AS exact,
+        |       est >= exact AS ge_exact
+        |FROM est ORDER BY token""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

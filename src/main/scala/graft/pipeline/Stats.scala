@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level statistical operators. */
@@ -80,4 +80,44 @@ object Stats {
       .toDF("k", "est")
       .groupBy("k").agg(sum(col("est")).as("est"))
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) — the
+    * OVERESTIMATE-only dual of [[misraGries]]: `depth` hash rows of
+    * `width` counters; a key's estimate is the MIN of its cells, so
+    * `est ≥ exact` always (every occurrence increments every one of
+    * the key's cells) and the slack is other keys colliding into them
+    * (E[slack] = n/width per row, and min-of-depth rows needs ALL
+    * rows' collisions to be large simultaneously).
+    *
+    * Hashes are md5-derived (`row:key` prefixing, the engine's q49
+    * construction), so the whole sketch is deterministic and
+    * cross-engine reproducible — the q113 gate hash-matches the
+    * COUNTERS themselves, not just bounds.
+    *
+    * Scale shape: the build is one partial-aggregated groupBy whose
+    * key space is capped at depth×width cells — map-side combine
+    * collapses each task's contribution to ≤ depth×width rows no
+    * matter how many tokens stream through, and the merged sketch is
+    * kilobytes. Point queries broadcast the sketch.
+    */
+  def countMinSketch(df: DataFrame, keySql: String,
+                     depth: Int, width: Int): DataFrame =
+    df.selectExpr(s"CAST(($keySql) AS STRING) AS k")
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"), cmsCell(col("r"), col("k"), width).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+
+  /** Point-query `probes` (column `k`) against a built sketch:
+    * `(k, est)`, est = min over the key's depth cells. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+                  depth: Int, width: Int): DataFrame =
+    probes.select(col("k"))
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c", cmsCell(col("r"), col("k"), width))
+      .join(broadcast(sketch), Seq("r", "c"))
+      .groupBy("k").agg(min(col("cnt")).as("est"))
+
+  private def cmsCell(r: Column, k: Column, width: Int): Column =
+    conv(substring(md5(concat(r.cast("string"), lit(":"), k)), 1, 15), 16, 10)
+      .cast("long") % width
 }

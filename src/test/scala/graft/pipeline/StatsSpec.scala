@@ -79,4 +79,25 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       mg.keys.foreach(key => assert(exact.contains(key)))
     }
   }
+
+  test("countMinSketch: overestimate-only; exact when collision-free; partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val stream = (0 until 300).map(_ => s"t${rnd.nextInt(40)}")
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 8)) {
+      val df = stream.toDF("k").repartition(parts)
+      val sketch = Stats.countMinSketch(df, "k", depth = 4, width = 2048)
+      val probes = exact.keys.toSeq.toDF("k")
+      val est = Stats.cmsEstimate(sketch, probes, depth = 4, width = 2048)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (key, c) =>
+        assert(est(key) >= c, s"parts=$parts underestimated $key")
+      }
+      // 40 keys x 4 rows into 2048 cells: some row is collision-free
+      // for most keys, so min-of-rows lands exactly for at least 90%
+      val exactHits = exact.count { case (key, c) => est(key) == c }
+      assert(exactHits >= 36, s"parts=$parts only $exactHits exact")
+    }
+  }
 }
