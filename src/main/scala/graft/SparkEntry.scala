@@ -1889,6 +1889,27 @@ object SparkEntry {
       .orderBy("token")
   }
 
+  /** Time-RANGE window gate (the frame class q58's ROWS suite does
+    * not cover): per event, how many events and how many cents the
+    * same user produced in the PRECEDING HOUR — `RANGE BETWEEN
+    * 3600000000 PRECEDING AND CURRENT ROW` over exact integer
+    * microseconds (`unix_micros` ≡ DuckDB `epoch_us`), summing exact
+    * integer cents, so equal-timestamp peers and frame edges cannot
+    * diverge between engines.
+    */
+  private def qRangeWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("cnt_1h", count(lit(1)).over(w))
+      .withColumn("cents_1h", sum(col("cents")).over(w))
+      .select(col("event_id"), col("cnt_1h"), col("cents_1h"))
+      .orderBy("event_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2004,6 +2025,7 @@ object SparkEntry {
     "q111_incremental_agg" -> (qIncrementalAgg(_, _)),
     "q112_twap" -> (qTwap(_, _)),
     "q113_count_min" -> (qCountMin(_, _)),
+    "q114_range_window" -> (qRangeWindow(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3627,6 +3649,17 @@ object SparkEntry {
         |SELECT k AS token, est::BIGINT AS est, exact::BIGINT AS exact,
         |       est >= exact AS ge_exact
         |FROM est ORDER BY token""".stripMargin,
+
+    // q114: identical RANGE frame over epoch_us ≡ unix_micros
+    "q114_range_window" ->
+      """SELECT event_id,
+        |       COUNT(*) OVER w AS cnt_1h,
+        |       (SUM(cents) OVER w)::BIGINT AS cents_1h
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |             ROUND(value * 100)::BIGINT AS cents FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
