@@ -22,9 +22,11 @@ object PlanCheck {
       "q79_stream_window", "q80_bloom_screen", "q81_pq_recall",
       "q87_stream_join", "q94_stream_dedup", "q95_pagerank",
       "q103_ivfpq_recall",
-      // q106 runs the gate-condition counts, q110's Prefix collects
-      // range-partition mins, q113 localCheckpoints the sketch
-      "q106_heavy_hitters", "q110_skyline", "q113_count_min")
+      // q106 runs the gate-condition counts, q110/q115's Prefix
+      // collects range-partition offsets, q113 localCheckpoints the
+      // sketch
+      "q106_heavy_hitters", "q110_skyline", "q113_count_min",
+      "q115_equidepth_hist")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()

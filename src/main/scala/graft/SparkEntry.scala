@@ -1910,6 +1910,29 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Equi-depth histogram gate: 16 buckets of (count, min, max) over
+    * lineitem prices, bucket = ⌊pos·16/n⌋ under the (price, row-id)
+    * total order — global position from
+    * [[graft.pipeline.Prefix.withGlobalPosition]]'s range-partition
+    * machinery (never a single-task window; the oracle's
+    * ROW_NUMBER() OVER () is exactly what the engine refuses to
+    * plan). Integer bucket arithmetic; raw double min/max pass
+    * through untouched.
+    */
+  private def qEquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val li = t(s, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      col("l_extendedprice").as("v"))
+    val n = li.count()
+    graft.pipeline.Prefix.withGlobalPosition(li, Seq("v", "id"))
+      // DIV, not `/`: Column./ is double division even on longs
+      .groupBy(expr(s"pos * $k DIV $n").as("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("v_min"),
+        max(col("v")).as("v_max"))
+      .orderBy("bucket")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2026,6 +2049,7 @@ object SparkEntry {
     "q112_twap" -> (qTwap(_, _)),
     "q113_count_min" -> (qCountMin(_, _)),
     "q114_range_window" -> (qRangeWindow(_, _)),
+    "q115_equidepth_hist" -> (qEquidepthHist(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3660,6 +3684,18 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    // q115: the oracle uses the single-window formulation the engine
+    // deliberately avoids; same total order, same integer buckets
+    "q115_equidepth_hist" ->
+      """WITH p AS (SELECT l_extendedprice AS v,
+        |             ROW_NUMBER() OVER (ORDER BY l_extendedprice,
+        |               l_orderkey * 10 + l_linenumber) - 1 AS pos,
+        |             COUNT(*) OVER () AS n
+        |           FROM lineitem)
+        |SELECT (pos * 16) // n AS bucket, COUNT(*) AS cnt,
+        |       MIN(v) AS v_min, MAX(v) AS v_max
+        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
