@@ -1933,6 +1933,35 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Re-aggregatable sketch state gate: per-(type, day) DataSketches
+    * HLL states unioned up to per-type must give the IDENTICAL
+    * estimate as sketching each type directly — register-max merge is
+    * exactly associative/commutative, so slicing a 100 TB
+    * distinct-count cube by day and re-rolling it is lossless (the
+    * property `approx_count_distinct`'s opaque partial state provides
+    * only inside one query). Second boolean: the estimate lands
+    * within 5% of the exact NDV. Oracle pins both booleans and
+    * recomputes the exact NDV.
+    */
+  private def qSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val direct = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"),
+        countDistinct(col("user_id")).as("exact_ndv"))
+    merged.join(direct, Seq("event_type"))
+      .select(col("event_type"), col("exact_ndv"),
+        (col("est_merged") === col("est_direct")).as("merge_lossless"),
+        (abs(col("est_merged") - col("exact_ndv")) <=
+          greatest(col("exact_ndv") * 0.05, lit(2))).as("within_bound"))
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2050,6 +2079,7 @@ object SparkEntry {
     "q113_count_min" -> (qCountMin(_, _)),
     "q114_range_window" -> (qRangeWindow(_, _)),
     "q115_equidepth_hist" -> (qEquidepthHist(_, _)),
+    "q116_sketch_merge" -> (qSketchMerge(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3696,6 +3726,14 @@ object SparkEntry {
         |SELECT (pos * 16) // n AS bucket, COUNT(*) AS cnt,
         |       MIN(v) AS v_min, MAX(v) AS v_max
         |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // q116: both gated conditions are engine-side theorems (exact
+    // merge associativity; measured-with-margin error bound on fixed
+    // data); the oracle recomputes the exact NDV
+    "q116_sketch_merge" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_ndv,
+        |       true AS merge_lossless, true AS within_bound
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
