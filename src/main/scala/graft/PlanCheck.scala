@@ -26,7 +26,9 @@ object PlanCheck {
       // collects range-partition offsets, q113 localCheckpoints the
       // sketch
       "q106_heavy_hitters", "q110_skyline", "q113_count_min",
-      "q115_equidepth_hist")
+      "q115_equidepth_hist",
+      // q117's pointer-doubling rounds run during construction
+      "q117_hierarchy")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()

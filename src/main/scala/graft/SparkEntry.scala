@@ -1962,6 +1962,20 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Hierarchy gate ([[graft.operators.Hierarchy]]): a deterministic
+    * forest over customer keys (parent = k DIV 7; k < 7 are roots)
+    * resolved to (id, root, depth) by log-round pointer doubling; the
+    * oracle is DuckDB's REAL `WITH RECURSIVE` — row-at-a-time
+    * recursion versus the engine's doubling must agree exactly.
+    */
+  private def qHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "customer").select(
+      col("c_custkey").as("id"),
+      when(col("c_custkey") >= 7, expr("c_custkey DIV 7")).as("parent"))
+    graft.operators.Hierarchy.resolveRoots(nodes, "id", "parent")
+      .orderBy("id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2080,6 +2094,7 @@ object SparkEntry {
     "q114_range_window" -> (qRangeWindow(_, _)),
     "q115_equidepth_hist" -> (qEquidepthHist(_, _)),
     "q116_sketch_merge" -> (qSketchMerge(_, _)),
+    "q117_hierarchy" -> (qHierarchy(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3734,6 +3749,17 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_ndv,
         |       true AS merge_lossless, true AS within_bound
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q117: actual row-at-a-time recursion vs the engine's doubling
+    "q117_hierarchy" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT c_custkey AS id, c_custkey AS root, 0::BIGINT AS depth
+        |  FROM customer WHERE c_custkey < 7
+        |  UNION ALL
+        |  SELECT c.c_custkey, r.root, r.depth + 1
+        |  FROM customer c JOIN r ON c.c_custkey // 7 = r.id
+        |  WHERE c.c_custkey >= 7)
+        |SELECT id, root, depth FROM r ORDER BY id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
