@@ -1727,7 +1727,7 @@ object SparkEntry {
     val joined = exact.join(mg, Seq("tok"), "left")
       .select(col("tok"), col("cnt"), coalesce(col("est"), lit(0L)).as("est"))
       .localCheckpoint()
-    val n = joined.agg(sum(col("cnt"))).head.getLong(0)
+    val n = joined.agg(sum(col("cnt"))).head().getLong(0)
     val heavy = joined.filter(col("cnt") * (k + 1) > n)
     val nHeavy = heavy.count()
     val missedHeavy = heavy.filter(col("est") === 0L).count()
@@ -1782,8 +1782,8 @@ object SparkEntry {
     val polys = (0L until 60L).map { i =>
       val x0 = (i * 37) % 900; val y0 = (i * 53) % 900
       val w = 60 + (i % 5) * 20; val h = 40 + (i % 7) * 15
-      i -> gf.toGeometry(
-        new org.locationtech.jts.geom.Envelope(x0, x0 + w, y0, y0 + h))
+      i -> gf.toGeometry(new org.locationtech.jts.geom.Envelope(
+        x0.toDouble, (x0 + w).toDouble, y0.toDouble, (y0 + h).toDouble))
     }
     val pts = t(s, dir, "lineitem").select(
       (col("l_orderkey") * 10 + col("l_linenumber")).as("pid"),
