@@ -1976,6 +1976,26 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Sketch→exact composition gate (the production top-k pattern
+    * SCALE.md describes): Misra–Gries candidates (k=9999 ⇒ threshold
+    * n/10000, far below any top-30 count, so completeness GUARANTEES
+    * every true top-30 token is a candidate), then exact counts of
+    * candidate rows only, then top-30. The oracle is the plain
+    * one-pass exact top-30 — the composition must reproduce it
+    * row-for-row. Only candidate-key rows ever reach the exact
+    * count's shuffle; the full-vocabulary shuffle never happens.
+    */
+  private def qSketchTopK(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.pipeline.Par.spread(t(s, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cand = graft.pipeline.Stats.misraGries(toks, "tok", 9999)
+      .select(col("k").as("tok"))
+    toks.join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(30)
+      .select(col("tok").as("token"), col("cnt"))
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2095,6 +2115,7 @@ object SparkEntry {
     "q115_equidepth_hist" -> (qEquidepthHist(_, _)),
     "q116_sketch_merge" -> (qSketchMerge(_, _)),
     "q117_hierarchy" -> (qHierarchy(_, _)),
+    "q118_sketch_topk" -> (qSketchTopK(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3760,6 +3781,15 @@ object SparkEntry {
         |  FROM customer c JOIN r ON c.c_custkey // 7 = r.id
         |  WHERE c.c_custkey >= 7)
         |SELECT id, root, depth FROM r ORDER BY id""".stripMargin,
+
+    // q118: the plain one-pass exact top-30 — the sketch→verify
+    // composition must reproduce it exactly
+    "q118_sketch_topk" ->
+      """SELECT token, cnt FROM (
+        |  SELECT token, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token)
+        |ORDER BY cnt DESC, token LIMIT 30""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
