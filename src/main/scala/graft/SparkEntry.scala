@@ -1996,6 +1996,28 @@ object SparkEntry {
       .select(col("tok").as("token"), col("cnt"))
   }
 
+  /** Cohort-retention gate: users bucketed by first-seen week, then
+    * distinct active users per (cohort_week, week_offset) — the
+    * classic retention matrix. All-integer epoch-day arithmetic
+    * (`DIV`), so both engines land on identical buckets; the shape is
+    * one user-keyed min-aggregation, a broadcast join of the
+    * user→cohort map back onto events, and one matrix-sized count
+    * distinct.
+    */
+  private def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    // explicit FLOOR on both sides: DuckDB's double→BIGINT cast
+    // ROUNDS where Spark's truncates — floor is the only shared exact
+    // bucketing
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      floor(col("ts").cast("double") / 86400).cast("long").as("dd"))
+    val first = ev.groupBy("user_id").agg(min(col("dd")).as("d0"))
+    ev.join(broadcast(first), Seq("user_id"))
+      .groupBy(expr("d0 DIV 7").as("cohort_week"),
+        expr("(dd - d0) DIV 7").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2116,6 +2138,7 @@ object SparkEntry {
     "q116_sketch_merge" -> (qSketchMerge(_, _)),
     "q117_hierarchy" -> (qHierarchy(_, _)),
     "q118_sketch_topk" -> (qSketchTopK(_, _)),
+    "q119_cohort_retention" -> (qCohortRetention(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3790,6 +3813,15 @@ object SparkEntry {
         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |  GROUP BY token)
         |ORDER BY cnt DESC, token LIMIT 30""".stripMargin,
+
+    // q119: same integer epoch-day buckets (// is DuckDB's DIV)
+    "q119_cohort_retention" ->
+      """WITH e AS (SELECT user_id, FLOOR(epoch(ts) / 86400)::BIGINT AS dd FROM events),
+        |f AS (SELECT user_id, MIN(dd) AS d0 FROM e GROUP BY 1)
+        |SELECT d0 // 7 AS cohort_week, (dd - d0) // 7 AS week_offset,
+        |       COUNT(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
