@@ -2018,6 +2018,28 @@ object SparkEntry {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Null-aware anti-join gate — `NOT IN (subquery)` three-valued
+    * logic, the corner where a LeftAnti rewrite is WRONG and Spark
+    * must plan a null-aware anti join: a clean list behaves like
+    * anti-join; one NULL in the list makes `x NOT IN (...)` UNKNOWN
+    * for every x, so the branch returns zero rows. Both branches
+    * gated against DuckDB executing the identical ANSI SQL.
+    */
+  private def qNullAwareAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("v_orders")
+    t(s, dir, "customer").createOrReplaceTempView("v_customer")
+    s.sql(
+      """SELECT 'clean_list' AS branch, COUNT(*) AS n FROM v_orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM v_customer WHERE c_custkey % 3 = 0)
+        |UNION ALL
+        |SELECT 'null_in_list' AS branch, COUNT(*) AS n FROM v_orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
+        |   FROM v_customer WHERE c_custkey % 3 = 0)
+        |ORDER BY branch""".stripMargin)
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2139,6 +2161,7 @@ object SparkEntry {
     "q117_hierarchy" -> (qHierarchy(_, _)),
     "q118_sketch_topk" -> (qSketchTopK(_, _)),
     "q119_cohort_retention" -> (qCohortRetention(_, _)),
+    "q120_null_aware_anti" -> (qNullAwareAntiJoin(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3822,6 +3845,18 @@ object SparkEntry {
         |       COUNT(DISTINCT e.user_id) AS active_users
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // q120: identical ANSI SQL — NOT IN three-valued logic
+    "q120_null_aware_anti" ->
+      """SELECT 'clean_list' AS branch, COUNT(*) AS n FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+        |UNION ALL
+        |SELECT 'null_in_list' AS branch, COUNT(*) AS n FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
+        |   FROM customer WHERE c_custkey % 3 = 0)
+        |ORDER BY branch""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
