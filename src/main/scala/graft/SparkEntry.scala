@@ -2040,6 +2040,19 @@ object SparkEntry {
         |ORDER BY branch""".stripMargin)
   }
 
+  /** Single-pass profiler gate ([[graft.pipeline.Profile]]): five
+    * lineitem columns profiled in ONE scan + one aggregation
+    * (count/nulls/exact NDV/min/max each); the oracle is the naive
+    * five-scan UNION. Numeric-only so min/max stay doubles — no
+    * engine-specific string formatting in the hash.
+    */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Profile.numericProfile(
+      t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount"))
+      .orderBy("column_name")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2162,6 +2175,7 @@ object SparkEntry {
     "q118_sketch_topk" -> (qSketchTopK(_, _)),
     "q119_cohort_retention" -> (qCohortRetention(_, _)),
     "q120_null_aware_anti" -> (qNullAwareAntiJoin(_, _)),
+    "q121_profile" -> (qProfile(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3857,6 +3871,17 @@ object SparkEntry {
         |  (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
         |   FROM customer WHERE c_custkey % 3 = 0)
         |ORDER BY branch""".stripMargin,
+
+    // q121: the naive per-column formulation the one-pass operator
+    // replaces
+    "q121_profile" -> Seq("l_orderkey", "l_partkey", "l_quantity",
+      "l_extendedprice", "l_discount").map { c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         |  COUNT(DISTINCT $c) AS ndv,
+         |  MIN($c)::DOUBLE AS min_v, MAX($c)::DOUBLE AS max_v
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
