@@ -2053,6 +2053,25 @@ object SparkEntry {
         "l_discount"))
       .orderBy("column_name")
 
+  /** Event-sequence transition gate: the Markov bigram matrix of
+    * per-user event timelines — count of (event_type → next
+    * event_type) pairs under the (us, event_id) total order, the
+    * building block of next-action models and funnel discovery. One
+    * user-keyed lead window + one matrix-sized aggregation.
+    */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type", "next_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2176,6 +2195,7 @@ object SparkEntry {
     "q119_cohort_retention" -> (qCohortRetention(_, _)),
     "q120_null_aware_anti" -> (qNullAwareAntiJoin(_, _)),
     "q121_profile" -> (qProfile(_, _)),
+    "q122_transitions" -> (qTransitions(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3882,6 +3902,19 @@ object SparkEntry {
          |  MIN($c)::DOUBLE AS min_v, MAX($c)::DOUBLE AS max_v
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    // q122: identical lead window under the (epoch_us, event_id)
+    // total order
+    "q122_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  epoch_us(ts) AS us FROM events),
+        |t AS (SELECT event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS next_type
+        |      FROM e)
+        |SELECT event_type, next_type, COUNT(*) AS cnt
+        |FROM t WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
