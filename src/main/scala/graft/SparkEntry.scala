@@ -2072,6 +2072,27 @@ object SparkEntry {
       .orderBy("event_type", "next_type")
   }
 
+  /** Gaps-and-islands gate: longest consecutive-day activity streak
+    * per user via the classic `day − row_number` island key —
+    * consecutive days share a constant difference, so islands fall
+    * out of one user-keyed window plus two aggregations, all integer
+    * arithmetic (the q119 FLOOR-day buckets).
+    */
+  private def qStreaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(col("ts").cast("double") / 86400).cast("long").as("dd"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dd"))
+    days.withColumn("island", col("dd") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("max_streak"), sum(col("len")).as("n_active_days"))
+      .orderBy("user_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2196,6 +2217,7 @@ object SparkEntry {
     "q120_null_aware_anti" -> (qNullAwareAntiJoin(_, _)),
     "q121_profile" -> (qProfile(_, _)),
     "q122_transitions" -> (qTransitions(_, _)),
+    "q123_streaks" -> (qStreaks(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3915,6 +3937,18 @@ object SparkEntry {
         |SELECT event_type, next_type, COUNT(*) AS cnt
         |FROM t WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    // q123: the identical day - row_number island key
+    "q123_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             FLOOR(epoch(ts) / 86400)::BIGINT AS dd FROM events),
+        |i AS (SELECT user_id, dd,
+        |        dd - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dd) AS island
+        |      FROM d),
+        |g AS (SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, MAX(len) AS max_streak,
+        |       SUM(len)::BIGINT AS n_active_days
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
