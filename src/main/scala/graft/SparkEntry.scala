@@ -2093,6 +2093,28 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Robust-statistics gate: median absolute deviation per group,
+    * composed from two [[graft.operators.ExactPercentiles]] passes
+    * (median, then median of |v − median|). Values are integer CENTS,
+    * so every interpolated median is an exact half-integer and the
+    * whole chain — including the middle unrounded median the
+    * deviations subtract — is bit-exact in both engines, with no
+    * round() slack anywhere.
+    */
+  private def qMad(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag").as("r1"),
+      round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val med = graft.operators.ExactPercentiles
+      .exact(li, Seq("r1"), "v", Seq("med" -> 0.5))
+    val dev = li.join(broadcast(med), Seq("r1"))
+      .select(col("r1"), abs(col("v") - col("med")).as("d"))
+    graft.operators.ExactPercentiles
+      .exact(dev, Seq("r1"), "d", Seq("mad" -> 0.5))
+      .join(med, Seq("r1"))
+      .select(col("r1"), col("med").as("median_cents"), col("mad").as("mad_cents"))
+      .orderBy("r1")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2218,6 +2240,7 @@ object SparkEntry {
     "q121_profile" -> (qProfile(_, _)),
     "q122_transitions" -> (qTransitions(_, _)),
     "q123_streaks" -> (qStreaks(_, _)),
+    "q124_mad" -> (qMad(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3949,6 +3972,18 @@ object SparkEntry {
         |SELECT user_id, MAX(len) AS max_streak,
         |       SUM(len)::BIGINT AS n_active_days
         |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // q124: integer cents make both medians exact half-integers —
+    // quantile_cont's interpolation cannot diverge
+    "q124_mad" ->
+      """WITH c AS (SELECT l_returnflag AS r1,
+        |             ROUND(l_extendedprice * 100)::BIGINT AS v FROM lineitem),
+        |m AS (SELECT r1, quantile_cont(v, 0.5) AS med FROM c GROUP BY 1),
+        |d AS (SELECT c.r1, ABS(c.v - m.med) AS dev
+        |      FROM c JOIN m ON c.r1 = m.r1)
+        |SELECT r1, ANY_VALUE(med) AS median_cents,
+        |       quantile_cont(dev, 0.5) AS mad_cents
+        |FROM d JOIN m USING (r1) GROUP BY r1 ORDER BY r1""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
