@@ -27,8 +27,9 @@ object PlanCheck {
       // sketch
       "q106_heavy_hitters", "q110_skyline", "q113_count_min",
       "q115_equidepth_hist",
-      // q117's pointer-doubling rounds run during construction
-      "q117_hierarchy")
+      // q117's pointer-doubling rounds run during construction;
+      // q125 runs a full MemoryStream query
+      "q117_hierarchy", "q125_stream_incremental")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()

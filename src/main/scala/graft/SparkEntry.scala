@@ -2115,6 +2115,44 @@ object SparkEntry {
       .orderBy("r1")
   }
 
+  /** Fifth stream ≡ batch gate: [[graft.pipeline.Incremental]] as the
+    * streaming aggregation discipline — each micro-batch's
+    * countSumState merges into the running state via foreachBatch,
+    * and the final state must equal the one-pass batch aggregation
+    * (q111's oracle, verbatim). This is the production shape for
+    * maintaining a rollup off a stream without stateful operators:
+    * the sink table IS the monoid state.
+    */
+  private def qStreamIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val keys = Seq("event_type"); val sums = Seq("cents")
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    var state: Option[DataFrame] = None
+    val mergeBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+      val st = graft.pipeline.Incremental.countSumState(
+        batch.select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")), keys, sums)
+      state = Some(state.fold(st)(prev =>
+        graft.pipeline.Incremental.merge(prev, st, keys, sums))
+        .localCheckpoint())
+    }
+    val q = startNarrow(s)(
+      mem.toDF().writeStream.outputMode("append").foreachBatch(mergeBatch).start())
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    state.get.orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2241,6 +2279,7 @@ object SparkEntry {
     "q122_transitions" -> (qTransitions(_, _)),
     "q123_streaks" -> (qStreaks(_, _)),
     "q124_mad" -> (qMad(_, _)),
+    "q125_stream_incremental" -> (qStreamIncremental(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -3984,6 +4023,13 @@ object SparkEntry {
         |SELECT r1, ANY_VALUE(med) AS median_cents,
         |       quantile_cont(dev, 0.5) AS mad_cents
         |FROM d JOIN m USING (r1) GROUP BY r1 ORDER BY r1""".stripMargin,
+
+    // q125: q111's one-pass oracle verbatim — the streamed monoid
+    // state must land on the identical integers
+    "q125_stream_incremental" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       SUM(ROUND(value * 100)::BIGINT)::BIGINT AS cents
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
