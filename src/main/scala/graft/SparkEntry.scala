@@ -2153,6 +2153,29 @@ object SparkEntry {
     state.get.orderBy("event_type")
   }
 
+  /** SCD Type-2 gate — the warehouse dimension-versioning pattern:
+    * treat each user's event_type stream as an attribute history,
+    * drop runs of consecutive identical values (lag filter), then
+    * assign `[valid_from, valid_to)` with lead over the surviving
+    * change rows (NULL valid_to = current version). Two user-keyed
+    * windows sharing one exchange; integer microseconds throughout.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val hist = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type").as("attr"),
+        unix_micros(col("ts")).as("us"))
+    val changes = hist
+      .withColumn("prev", lag(col("attr"), 1).over(w))
+      .filter(col("prev").isNull || col("attr") =!= col("prev"))
+    changes
+      .withColumn("valid_to", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("attr"), col("us").as("valid_from"),
+        col("valid_to"))
+      .orderBy("user_id", "valid_from")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2280,6 +2303,7 @@ object SparkEntry {
     "q123_streaks" -> (qStreaks(_, _)),
     "q124_mad" -> (qMad(_, _)),
     "q125_stream_incremental" -> (qStreamIncremental(_, _)),
+    "q126_scd2" -> (qScd2(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4030,6 +4054,22 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |       SUM(ROUND(value * 100)::BIGINT)::BIGINT AS cents
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q126: identical lag-filter + lead-interval formulation; the
+    // second window runs over the SURVIVING change rows only
+    "q126_scd2" ->
+      """WITH h AS (SELECT user_id, event_id, event_type AS attr,
+        |                  epoch_us(ts) AS us FROM events),
+        |c AS (SELECT * FROM (
+        |        SELECT user_id, event_id, attr, us,
+        |               lag(attr) OVER (PARTITION BY user_id
+        |                 ORDER BY us, event_id) AS prev
+        |        FROM h)
+        |      WHERE prev IS NULL OR attr <> prev)
+        |SELECT user_id, attr, us AS valid_from,
+        |       lead(us) OVER (PARTITION BY user_id
+        |         ORDER BY us, event_id) AS valid_to
+        |FROM c ORDER BY user_id, valid_from""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
