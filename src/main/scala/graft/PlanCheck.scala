@@ -29,7 +29,9 @@ object PlanCheck {
       "q115_equidepth_hist",
       // q117's pointer-doubling rounds run during construction;
       // q125 runs a full MemoryStream query
-      "q117_hierarchy", "q125_stream_incremental")
+      "q117_hierarchy", "q125_stream_incremental",
+      // q127 draws + collects the sample twice during construction
+      "q127_weighted_sample")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()

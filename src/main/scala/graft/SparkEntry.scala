@@ -2176,6 +2176,39 @@ object SparkEntry {
       .orderBy("user_id", "valid_from")
   }
 
+  /** Weighted-sampling gate ([[graft.pipeline.Sampling
+    * .weightedSample]], Efraimidis–Spirakis A-ES): structural pass
+    * booleans (q50-style — the priorities involve libm `pow`, so key
+    * values are not cross-engine-hashable): exact sample size,
+    * rerun determinism, zero-weight exclusion, and the weight lift
+    * that makes the sampler WEIGHTED (mean sampled weight strictly
+    * above the corpus mean on this fixed data). The oracle pins the
+    * booleans and recomputes the corpus row count.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 100
+    val docs = graft.pipeline.Par.spread(t(s, dir, "documents"))
+      .select(col("doc_id"), size(split(col("text"), " ")).as("w"))
+      .localCheckpoint()
+    def draw() = graft.pipeline.Sampling
+      .weightedSample(docs, "doc_id", "w", k, seed = 7)
+      .select(col("doc_id"), col("w"))
+    val s1 = draw().collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s2 = draw().collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val corpusRows = docs.count()
+    val meanAll = docs.agg(avg(col("w"))).head().getDouble(0)
+    val meanSample = s1.values.map(_.toDouble).sum / s1.size
+    Seq(
+      ("corpus_rows", corpusRows, corpusRows > k),
+      ("deterministic", k.toLong, s1 == s2),
+      ("sample_size", k.toLong, s1.size == k),
+      ("weight_lift", 1L, meanSample > meanAll),
+      ("zero_weight_excluded", 0L, s1.values.forall(_ > 0)))
+      .toDF("metric", "value", "pass")
+      .orderBy("metric")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2304,6 +2337,7 @@ object SparkEntry {
     "q124_mad" -> (qMad(_, _)),
     "q125_stream_incremental" -> (qStreamIncremental(_, _)),
     "q126_scd2" -> (qScd2(_, _)),
+    "q127_weighted_sample" -> (qWeightedSample(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4070,6 +4104,15 @@ object SparkEntry {
         |       lead(us) OVER (PARTITION BY user_id
         |         ORDER BY us, event_id) AS valid_to
         |FROM c ORDER BY user_id, valid_from""".stripMargin,
+
+    // q127: structural booleans pinned; corpus_rows recomputed
+    "q127_weighted_sample" ->
+      """SELECT 'corpus_rows' AS metric, COUNT(*)::BIGINT AS value, true AS pass FROM documents
+        |UNION ALL SELECT 'deterministic', 100::BIGINT, true
+        |UNION ALL SELECT 'sample_size', 100::BIGINT, true
+        |UNION ALL SELECT 'weight_lift', 1::BIGINT, true
+        |UNION ALL SELECT 'zero_weight_excluded', 0::BIGINT, true
+        |ORDER BY metric""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

@@ -140,4 +140,30 @@ object Sampling {
         round(col("npow") / col("total_pow"), 6).as("weight"),
         round(col("npow") / col("total_pow") * epochSize, 0).cast("long").as("epoch_docs"))
   }
+
+  /** Fixed-size weighted sample WITHOUT replacement — Efraimidis &
+    * Spirakis (2006) A-ES: each row draws priority `u^(1/w)` with `u`
+    * uniform in (0,1] from the row's md5 hash (deterministic, no RNG
+    * state), and the k highest priorities are the sample; inclusion
+    * probability is proportional to weight in the without-replacement
+    * sense. Zero/negative weights are excluded by definition
+    * (their priority would be 0).
+    *
+    * Deterministic given (data, seed) — reruns return the identical
+    * sample — but the priority involves libm `pow`, so cross-engine
+    * gates must be STRUCTURAL (q50-style pass booleans), not key
+    * hashes: size, determinism, zero-weight exclusion, weight lift.
+    *
+    * Scale shape: map-only priority computation + TakeOrdered
+    * (per-partition k-heaps, never a global sort).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Int = 0): DataFrame = {
+    val u = (keyHash(idCol, seed) + 1).cast("double") / SPACE
+    df.filter(col(weightCol) > 0)
+      .withColumn("__pri", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("__pri").desc, col(idCol))
+      .limit(k)
+      .drop("__pri")
+  }
 }

@@ -116,4 +116,20 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     // epoch budget follows the weights
     assert(rows.values.map(_._3).sum >= 998 && rows.values.map(_._3).sum <= 1002)
   }
+
+  test("weightedSample: size, determinism, zero-weight exclusion, weight bias") {
+    import spark.implicits._
+    // 500 light rows (w=1), 20 heavy rows (w=1000), 10 zero-weight
+    val df = ((1L to 500L).map((_, 1)) ++ (1001L to 1020L).map((_, 1000)) ++
+      (2001L to 2010L).map((_, 0))).toDF("id", "w")
+    def draw() = Sampling.weightedSample(df.repartition(8), "id", "w", k = 50, seed = 3)
+      .collect().map(r => r.getLong(0)).toSet
+    val s1 = draw()
+    assert(s1.size == 50)
+    assert(s1 == draw()) // deterministic rerun
+    assert(s1.forall(_ < 2001L)) // zero weights never selected
+    // w=1000 rows have priority u^(1/1000) ~ 1: virtually all 20 in
+    val heavyIn = s1.count(id => id >= 1001L && id <= 1020L)
+    assert(heavyIn >= 18, s"only $heavyIn of 20 heavy rows sampled")
+  }
 }
