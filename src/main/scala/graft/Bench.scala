@@ -56,12 +56,25 @@ object Bench {
       val b = materialize(n)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // round-4 lesson: the driver captures only the last ~2 KB of stdout,
+    // so the full per-query map (127 entries of 9-decimal doubles) made
+    // the summary line unparseable. Emit the full map to BENCH_FULL.json
+    // on disk, and print a SHORT (<1 KB) summary as the LAST stdout line:
+    // 3-decimal seconds, plus only the 5 slowest queries inline.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // numeric sf (parsed from the dir name) + the dir itself
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val nFail = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$nFail,"queries":$slowest,"sf":$sfNum,"sf_dir":"$sfDir","queries_full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -1,8 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Resilient to the driver's wall-clock budget (round-4 lesson: the
+  * snapshot produced an empty CORRECTNESS artifact): oracle_sql.json is
+  * written FIRST (it depends only on source, not on query runs), the
+  * shared zonal fixtures are built once up front, and independent
+  * queries run on a bounded thread pool so a partial/aborted run still
+  * leaves every finished query's parquet on disk.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     // driver contract: exactly (sfDir, outDir). Extra args are a
@@ -13,19 +22,15 @@ object Verify {
     // this run computes against (SparkEntry.zfp)
     sys.props("graft.verify.sfdir") = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      // FAIR lets the pool's concurrent queries share executor threads
+      // instead of FIFO-serializing behind one wide stage
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
     GraftSession.printConfiguration(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -42,6 +47,34 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // shared fixture (zonal tile layers + oracle mask dumps) built once,
+    // not lazily inside the first zonal query on some pool thread
+    graft.sources.ZonalFixture.ensureMasks(spark, sfDir)
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    val poolN = sys.env.getOrElse("SPARK_GRAFT_VERIFY_POOL", "4").toInt
+    val pool = Executors.newFixedThreadPool(poolN)
+    names.foreach { name =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            // per-query cloned session: shares the SparkContext (and
+            // executor threads) but isolates runtime conf and temp
+            // views, so concurrent queries can't race on the
+            // shuffle-partition toggle or view registration
+            val sess = spark.newSession()
+            SparkEntry.queries(name)(sess, sfDir).coalesce(1)
+              .write.mode("overwrite").parquet(s"$outDir/$name")
+            println(s"[verify] $name ok")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(4, TimeUnit.HOURS)
     spark.stop()
   }
 }
