@@ -50,6 +50,13 @@ object Service {
   class MissingVectorCRSException extends Exception
   class InvalidOperationException(op: String)
     extends Exception(s"Invalid operationType: $op")
+  /** The reference threads the request's zoom into the catalog read
+    * (WebServer.scala:16 → Utils.scala:50-57, `LayerId(rasterId, zoom)`)
+    * and fails when that layer id is absent; graft surfaces the same
+    * condition as a typed 400 instead of a raw read failure.
+    */
+  class UnknownZoomException(id: String, zoom: Int)
+    extends Exception(s"Unknown zoom $zoom for raster: $id")
 
   private implicit val fmts: Formats = DefaultFormats
 
@@ -57,9 +64,26 @@ object Service {
   final case class Catalog(spark: SparkSession, path: String) {
     lazy val metas: Map[String, TileCatalog.RasterMeta] = TileCatalog.readMeta(path)
 
-    def layers(ids: Seq[String], aoi: org.locationtech.jts.geom.Geometry): Seq[Zonal.Layer] =
+    /** Per-zoom meta resolution (reference Utils.scala:50-57 builds
+      * `LayerId(rasterId, zoom)` from the request): no requested zoom ⇒
+      * the raster's base entry; a requested zoom must name a stored
+      * pyramid level (`id@zoom` key, or the base entry's own zoom) else
+      * the typed [[UnknownZoomException]].
+      */
+    def meta(id: String, zoom: Option[Int] = None): TileCatalog.RasterMeta = {
+      val base = metas.getOrElse(id, throw new IllegalArgumentException(s"Unknown raster: $id"))
+      zoom match {
+        case None => base
+        case Some(z) if z == base.zoom => base
+        case Some(z) =>
+          metas.getOrElse(TileCatalog.metaKey(id, z), throw new UnknownZoomException(id, z))
+      }
+    }
+
+    def layers(ids: Seq[String], aoi: org.locationtech.jts.geom.Geometry,
+               zoom: Option[Int] = None): Seq[Zonal.Layer] =
       ids.map { id =>
-        val m = metas.getOrElse(id, throw new IllegalArgumentException(s"Unknown raster: $id"))
+        val m = meta(id, zoom)
         Zonal.Layer(m, TileCatalog.readLayer(spark, path, m, aoi))
       }
 
@@ -68,8 +92,8 @@ object Service {
       * layouts too, Geoprocessing.scala:345) — reject mixed grids
       * instead of silently zipping pixels from different places.
       */
-    def layout(ids: Seq[String]): graft.raster.Layout = {
-      val layouts = ids.map(id => metas(id).layout).distinct
+    def layout(ids: Seq[String], zoom: Option[Int] = None): graft.raster.Layout = {
+      val layouts = ids.map(id => meta(id, zoom).layout).distinct
       require(layouts.size == 1,
         s"rasters must share one layout, got ${layouts.size}: ${ids.mkString(", ")}")
       layouts.head
@@ -85,6 +109,7 @@ object Service {
     case _: MissingVectorException => Some("Missing vector input")
     case _: MissingVectorCRSException => Some("Missing vectorCRS")
     case e: InvalidOperationException => Some(e.getMessage)
+    case e: UnknownZoomException => Some(e.getMessage)
     case e: graft.geom.UnknownCrsException => Some(e.getMessage)
     case e: graft.geom.MalformedGeoJsonException =>
       Some(s"Malformed GeoJSON: ${e.getMessage}")
@@ -128,35 +153,36 @@ object Service {
     val req = JsonMethods.parse(requestJson).extract[PostRequest]
     val in = req.input
     val o = opts(in.pixelIsArea)
+    val z = in.zoom
     val result: JValue = in.operationType match {
       case "RasterGroupedCount" =>
         val aoi = aoiOf(in)
-        val layers = cat.layers(in.rasters, aoi)
-        toJ(Render.toResultInt(Zonal.groupedCount(cat.spark, cat.layout(in.rasters), layers, aoi, o)))
+        val layers = cat.layers(in.rasters, aoi, z)
+        toJ(Render.toResultInt(Zonal.groupedCount(cat.spark, cat.layout(in.rasters, z), layers, aoi, o)))
       case "RasterGroupedCountMany" =>
         val aois = aoisOf(in)
         val union = GeomOps.unionAll(aois)
-        val layers = cat.layers(in.rasters, union)
-        val df = Zonal.groupedCountMany(cat.spark, cat.layout(in.rasters), layers, aois, o)
+        val layers = cat.layers(in.rasters, union, z)
+        val df = Zonal.groupedCountMany(cat.spark, cat.layout(in.rasters, z), layers, aois, o)
         JArray(Render.toResultManyInt(df, aois.size).map(toJ).toList)
       case "RasterGroupedAverage" =>
         val target = in.targetRaster.getOrElse(throw new MissingTargetRasterException)
         val aoi = aoiOf(in)
-        val groups = cat.layers(in.rasters, aoi)
-        val t = cat.layers(Seq(target), aoi).head
+        val groups = cat.layers(in.rasters, aoi, z)
+        val t = cat.layers(Seq(target), aoi, z).head
         toJD(Render.toResultDouble(
-          Zonal.groupedAverage(cat.spark, cat.layout(Seq(target)), groups, t, aoi, o)))
+          Zonal.groupedAverage(cat.spark, cat.layout(Seq(target), z), groups, t, aoi, o)))
       case "RasterSummary" =>
         val aoi = aoiOf(in)
-        val layers = cat.layers(in.rasters, aoi)
+        val layers = cat.layers(in.rasters, aoi, z)
         val rows = Render.toResultSummary(
-          Zonal.summary(cat.spark, cat.layout(in.rasters), layers, aoi, o))
+          Zonal.summary(cat.spark, cat.layout(in.rasters, z), layers, aoi, o))
         JArray(rows.map(m => JObject(m.map { case (k, v) => k -> (JDouble(v): JValue) }.toList)).toList)
       case "RasterLinesJoin" =>
         val aoi = aoiOf(in)
         val lines = linesOf(in, aoi)
-        val layers = cat.layers(in.rasters, aoi)
-        toJ(Render.toResultInt(Zonal.linesJoin(cat.spark, cat.layout(in.rasters), layers, lines)))
+        val layers = cat.layers(in.rasters, aoi, z)
+        toJ(Render.toResultInt(Zonal.linesJoin(cat.spark, cat.layout(in.rasters, z), layers, lines)))
       case other => throw new InvalidOperationException(other)
     }
     JsonMethods.compact(JsonMethods.render(JObject("result" -> result)))

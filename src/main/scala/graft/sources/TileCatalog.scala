@@ -52,10 +52,18 @@ object TileCatalog {
 
   private implicit val fmts: Formats = DefaultFormats
 
+  /** meta.json key for one (raster, zoom) level: plain raster id at the
+    * base zoom 0 (backward compatible — single-zoom catalogs keep plain
+    * keys), `id@zoom` for overview levels. The old `rasterId -> meta`
+    * keying silently dropped all but one zoom of a pyramid.
+    */
+  def metaKey(rasterId: String, zoom: Int): String =
+    if (zoom == 0) rasterId else s"$rasterId@$zoom"
+
   def writeMeta(path: String, metas: Seq[RasterMeta]): Unit = {
     val f = new java.io.File(path)
     f.mkdirs()
-    val json = Serialization.writePretty(metas.map(m => m.rasterId -> m).toMap)
+    val json = Serialization.writePretty(metas.map(m => metaKey(m.rasterId, m.zoom) -> m).toMap)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/meta.json"), json)
   }
 

@@ -168,6 +168,14 @@ object ZonalFixture {
       TileCatalog.buildOverview(spark, dir, allMeta("nlcd"))
       TileCatalog.buildOverview(spark, dir, allMeta("soil"))
     }
+    // persist the zoom=1 metas (keys `nlcd@1`/`soil@1`) so the service
+    // API can resolve a request's zoom against this catalog; idempotent
+    // rewrite also upgrades fixtures built before per-zoom metas
+    if (!allMeta.contains(TileCatalog.metaKey("nlcd", 1))) {
+      val z1s = Seq("nlcd", "soil").map(id => allMeta(id).copy(zoom = 1,
+        layoutCols = allMeta(id).layoutCols / 2, layoutRows = allMeta(id).layoutRows / 2))
+      TileCatalog.writeMeta(dir, (allMeta.values ++ z1s).toSeq)
+    }
     val z1 = allMeta("nlcd").copy(zoom = 1,
       layoutCols = spec.layoutCols / 2, layoutRows = spec.layoutRows / 2)
     val z1Layout = z1.layout

@@ -146,6 +146,48 @@ class ServiceSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(nested("huc2")("avg_slope")("List(0)") - 5.0) < 1e-12)
   }
 
+  test("request zoom resolves the overview level; unknown zoom is a typed 400") {
+    // separate catalog dir: overview build appends tiles + rewrites
+    // meta.json, and the shared `cat` must stay single-zoom
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-zoom").toString
+    def m(id: String) = RasterMeta(id, 0, "ConusAlbers", "int", 0, 0, 8, 8, 4, 4, 2, 2)
+    def tiles(f: (Int, Int) => Int) =
+      for (kc <- 0 to 1; kr <- 0 to 1)
+        yield (kc, kr, Array.tabulate(16)(i => f(kc * 4 + i % 4, kr * 4 + i / 4)))
+    TileCatalog.writeIntLayer(spark, dir, m("nlcd"), tiles((gc, _) => gc / 2))
+    TileCatalog.writeIntLayer(spark, dir, m("soil"), tiles((_, gr) => gr / 4))
+    val z1s = Seq("nlcd", "soil").map(id =>
+      TileCatalog.buildOverview(spark, dir, m(id)))
+    TileCatalog.writeMeta(dir, Seq(m("nlcd"), m("soil")) ++ z1s)
+    val zcat = Service.Catalog(spark, dir)
+
+    def reqAt(zoom: Int) =
+      s"""{"input": {"operationType": "RasterGroupedCount",
+         |  "rasters": ["nlcd", "soil"], "zoom": $zoom,
+         |  "polygonCRS": "ConusAlbers", "rasterCRS": "ConusAlbers",
+         |  "polygon": ["$aoiJson"]}}""".stripMargin
+
+    // zoom=1: 4×4 grid of 2-unit cells over the same extent; parent
+    // cell (c,r) samples child (2c,2r) ⇒ nlcd=(2c)/2=c, soil=(2r)/4.
+    // The same computation through the engine directly is the oracle.
+    val resp1 = JsonMethods.parse(Service.run(zcat, reqAt(1)))
+    val got = (resp1 \ "result").extract[Map[String, Int]]
+    val aoi = graft.geom.GeomOps.toAoi(
+      aoiJson.replace("\\\"", "\""), graft.geom.Projections.ConusAlbers,
+      graft.geom.Projections.ConusAlbers)
+    val expect = graft.operators.Render.toResultInt(
+      graft.operators.Zonal.groupedCount(spark, z1s.head.layout,
+        zcat.layers(Seq("nlcd", "soil"), aoi, Some(1)), aoi))
+    assert(got == expect && got.nonEmpty)
+    // zoom=0 still resolves the base level (different grid ⇒ more px)
+    val got0 = (JsonMethods.parse(Service.run(zcat, reqAt(0))) \ "result")
+      .extract[Map[String, Int]]
+    assert(got0.values.sum == 36)
+    // unknown zoom: typed error with the 400-surface message
+    val e = intercept[Service.UnknownZoomException](Service.run(zcat, reqAt(7)))
+    assert(Service.errorMessage(e).contains("Unknown zoom 7 for raster: nlcd"))
+  }
+
   test("LatLng polygon reprojects to the raster grid") {
     // a ConusAlbers catalog whose extent is the projection of a LatLng
     // box would need real coordinates; here assert the pipeline at
