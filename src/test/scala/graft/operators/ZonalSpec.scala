@@ -207,6 +207,28 @@ class ZonalSpec extends AnyFunSuite with SparkSpec {
     assert(!rows.keys.exists(k => k._1 == 1 && k._2 == "lines_cb"))
   }
 
+  test("envelope fast-path rejects disjoint (tile, shape) pairs without JTS") {
+    // 12 single-cell shapes, each interior to exactly one of the 4
+    // tiles ⇒ 12 × 3 = 36 (tile, shape) pairs must take the envelope
+    // rejection, and each shape still masks exactly its one cell
+    val cells = Seq((0, 0), (3, 1), (5, 2), (7, 3), (1, 5), (6, 6),
+      (2, 3), (4, 4), (7, 7), (0, 7), (5, 0), (3, 6))
+    val shapes = cells.map { case (gc, gr) =>
+      square(gc + 0.1, gr + 0.1, gc + 0.9, gr + 0.9)
+    }
+    val before = Zonal.envSkips.get()
+    val df = Zonal.groupedCountMany(spark, layout, Seq(layer("ca")), shapes)
+    val rows = df.collect().map(r =>
+      (r.getInt(0), r.getSeq[Int](1).head) -> r.getLong(2)).toMap
+    assert(Zonal.envSkips.get() - before == 36)
+    // ca = gc (no picked cell hits the (2,2) NODATA hole): shape i
+    // masks one cell of value gc
+    cells.zipWithIndex.foreach { case ((gc, _), si) =>
+      assert(rows((si, gc)) == 1L, s"shape $si")
+    }
+    assert(rows.values.sum == cells.size)
+  }
+
   test("pixelIsArea widens the mask (reference pixelIsArea=true rasters)") {
     val tiny = square(2.6, 2.6, 2.9, 2.9)
     val point = Zonal.groupedCount(spark, layout, Seq(layer("ca")), tiny)
