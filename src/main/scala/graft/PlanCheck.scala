@@ -31,7 +31,11 @@ object PlanCheck {
       // q125 runs a full MemoryStream query
       "q117_hierarchy", "q125_stream_incremental",
       // q127 draws + collects the sample twice during construction
-      "q127_weighted_sample")
+      "q127_weighted_sample",
+      // q51 counts the edge list (and collects it under the union-find
+      // threshold); q128 runs the distributed propagate rounds; q99
+      // builds the Bloom filter eagerly (df.stat.bloomFilter is a job)
+      "q51_dedup_groups", "q99_bloom_join", "q128_cc_distributed")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()

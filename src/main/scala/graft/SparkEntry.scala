@@ -2209,6 +2209,24 @@ object SparkEntry {
       .orderBy("metric")
   }
 
+  /** q51's clustering forced down the DISTRIBUTED min-label path:
+    * localEdgeThreshold=0 bypasses the union-find fast path, so the
+    * driver gate pins [[graft.pipeline.Graph]]'s pointer-jumping
+    * propagate() rounds — not just the small-graph collect path the
+    * size-adaptive default takes at test scale — against the same
+    * recursive-CTE oracle as q51.
+    */
+  private def qCcDistributed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val edges = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 12, bands = 4)
+    graft.pipeline.Graph.connectedComponents(
+      docs.select(col("doc_id")), "doc_id", edges, "doc_a", "doc_b",
+      localEdgeThreshold = 0L)
+      .select(col("doc").as("doc_id"), col("group_id"))
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2338,6 +2356,7 @@ object SparkEntry {
     "q125_stream_incremental" -> (qStreamIncremental(_, _)),
     "q126_scd2" -> (qScd2(_, _)),
     "q127_weighted_sample" -> (qWeightedSample(_, _)),
+    "q128_cc_distributed" -> (qCcDistributed(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4113,6 +4132,25 @@ object SparkEntry {
         |UNION ALL SELECT 'weight_lift', 1::BIGINT, true
         |UNION ALL SELECT 'zero_weight_excluded', 0::BIGINT, true
         |ORDER BY metric""".stripMargin,
+
+    // q128: identical fixpoint to q51 (min label in component) — the
+    // engine side differs only in which CC implementation computes it
+    "q128_cc_distributed" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
+         |)
+         |SELECT doc AS doc_id, MIN(lbl) AS group_id
+         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
