@@ -35,7 +35,9 @@ object PlanCheck {
       // q51 counts the edge list (and collects it under the union-find
       // threshold); q128 runs the distributed propagate rounds; q99
       // builds the Bloom filter eagerly (df.stat.bloomFilter is a job)
-      "q51_dedup_groups", "q99_bloom_join", "q128_cc_distributed")
+      "q51_dedup_groups", "q99_bloom_join", "q128_cc_distributed",
+      // q129 builds 4 bloom filters + runs the FN/FP counts eagerly
+      "q129_bloom_shards")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()

@@ -2227,6 +2227,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Sharded Bloom screen gate ([[graft.pipeline.Bloom.buildSharded]] /
+    * `screenSharded`): 3 key-hash shards over the q80 corpus, checked
+    * for the properties sharding must preserve — zero false negatives
+    * (a member's own-shard filter always contains it) and a bounded
+    * false-positive rate — alongside the single-filter screen. The
+    * counts are structural booleans (q127's gate shape): FP bit
+    * patterns differ between one filter and three, so raw flag
+    * equality is not the invariant; no-false-negatives is.
+    */
+  private def qBloomShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fpp = 0.02
+    val docs = t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("k"))
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0).localCheckpoint()
+    val incoming = docs
+    val corpusKeys = corpus.select(col("k")).distinct().localCheckpoint()
+    val nCorpus = corpus.count()
+    val single = graft.pipeline.Bloom.screen(incoming, "k",
+      graft.pipeline.Bloom.build(corpus, "k", nCorpus, fpp))
+    val sharded = graft.pipeline.Bloom.screenSharded(incoming, "k",
+      graft.pipeline.Bloom.buildSharded(corpus, "k", shards = 3, nCorpus, fpp))
+    def fn(scr: DataFrame) = scr.join(corpusKeys, Seq("k"), "left_semi")
+      .filter(col("maybe_member") === 0).count()
+    def fp(scr: DataFrame) = scr.join(corpusKeys, Seq("k"), "left_anti")
+      .filter(col("maybe_member") === 1).count()
+    val nonMembers = incoming.join(corpusKeys, Seq("k"), "left_anti").count()
+    val bound = (5 * fpp * nonMembers + 10).toLong
+    val (fnS, fnSh, fpSh) = (fn(single), fn(sharded), fp(sharded))
+    Seq(
+      ("corpus_rows", nCorpus, nCorpus > 0),
+      ("false_neg_sharded", fnSh, fnSh == 0L),
+      ("false_neg_single", fnS, fnS == 0L),
+      ("fp_sharded_bounded", if (fpSh <= bound) 1L else 0L, fpSh <= bound))
+      .toDF("metric", "value", "pass")
+      .orderBy("metric")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2357,6 +2394,7 @@ object SparkEntry {
     "q126_scd2" -> (qScd2(_, _)),
     "q127_weighted_sample" -> (qWeightedSample(_, _)),
     "q128_cc_distributed" -> (qCcDistributed(_, _)),
+    "q129_bloom_shards" -> (qBloomShards(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4151,6 +4189,17 @@ object SparkEntry {
          |)
          |SELECT doc AS doc_id, MIN(lbl) AS group_id
          |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // q129: corpus_rows recomputed; the FN counts are pinned to the
+    // guaranteed 0 and the FP bound to its pass sentinel
+    "q129_bloom_shards" ->
+      """SELECT 'corpus_rows' AS metric,
+        |       (SELECT COUNT(*) FROM documents WHERE doc_id % 50 <> 0)::BIGINT AS value,
+        |       true AS pass
+        |UNION ALL SELECT 'false_neg_sharded', 0::BIGINT, true
+        |UNION ALL SELECT 'false_neg_single', 0::BIGINT, true
+        |UNION ALL SELECT 'fp_sharded_bounded', 1::BIGINT, true
+        |ORDER BY metric""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

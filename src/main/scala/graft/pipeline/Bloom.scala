@@ -46,6 +46,45 @@ object Bloom {
     incoming.withColumn("maybe_member", mightContain(col(keyCol).cast("string")))
   }
 
+  /** Sharded corpus filters — the documented fallback when one filter
+    * outgrows broadcast size (object scaladoc): corpus keys partition
+    * into `shards` disjoint subsets by Catalyst `hash` (Murmur3) mod
+    * shards, one filter per shard. Because the shard is a pure function
+    * of the key, a corpus key always lands in — and is always probed
+    * against — exactly one filter, so the zero-false-negative guarantee
+    * survives sharding. Each per-shard build is the same distributed
+    * treeAggregate as [[build]]; the corpus is persisted across the
+    * `shards` passes so the key projection is computed once.
+    */
+  def buildSharded(corpus: DataFrame, keyCol: String, shards: Int,
+                   expectedItems: Long, fpp: Double = 0.03): Seq[BloomFilter] = {
+    require(shards >= 1, "need at least one shard")
+    val keyed = corpus.select(col(keyCol).cast("string").as("__k"))
+      .withColumn("__shard", pmod(hash(col("__k")), lit(shards)))
+      .persist()
+    // bloomFilter is an action, so every filter is materialized before
+    // the unpersist runs
+    try (0 until shards).map(i =>
+      build(keyed.filter(col("__shard") === i), "__k",
+        math.max(expectedItems / shards, 1L), fpp))
+    finally keyed.unpersist()
+  }
+
+  /** Probe the sharded filters: each row computes its key's shard with
+    * the SAME Catalyst hash expression the build used and probes only
+    * that shard's filter. Broadcast ships the filter array once per
+    * executor; flags mean the same as [[screen]]'s.
+    */
+  def screenSharded(incoming: DataFrame, keyCol: String,
+                    filters: Seq[BloomFilter]): DataFrame = {
+    val bcast = incoming.sparkSession.sparkContext.broadcast(filters.toArray)
+    val mightContain = udf((s: String, shard: Int) =>
+      if (s != null && bcast.value(shard).mightContainString(s)) 1 else 0)
+    val k = col(keyCol).cast("string")
+    incoming.withColumn("maybe_member",
+      mightContain(k, pmod(hash(k), lit(filters.size))))
+  }
+
   /** Bloom-filtered join: pre-screen the fact side with a Bloom filter
     * of the dim keys BEFORE the shuffle join, so rows that cannot
     * match never enter the exchange — the classic shuffle reduction
