@@ -26,6 +26,12 @@ object Rasterizer {
     * intersects the polygon (used for low-res rasters,
     * CHANGELOG.md:110-113). `includePartial` only matters for
     * PixelIsArea: `false` keeps only cells fully inside.
+    *
+    * `includePartial=false` with `pixelIsArea=false` is deliberately
+    * identical to plain center-sampling — a sampled POINT is never
+    * "partial", so the flag has nothing to subtract. This mirrors
+    * GeoTrellis, whose includePartial is consulted only on the
+    * PixelIsArea branch; RasterizerSpec pins the equivalence.
     */
   final case class Options(includePartial: Boolean = true, pixelIsArea: Boolean = false)
   val DEFAULT: Options = Options()

@@ -132,6 +132,20 @@ class RasterizerSpec extends AnyFunSuite {
     assert(lineCells(gf.createLineString()) == Set.empty)
   }
 
+  test("includePartial=false with PixelIsPoint is plain center-sampling (GeoTrellis parity)") {
+    // a sampled point is never "partial": the flag only subtracts on
+    // the PixelIsArea branch, so with pixelIsArea=false both flag
+    // values must produce identical masks — on a boundary-crossing
+    // polygon where the PixelIsArea branch WOULD differ
+    val g = poly((1.4, 1.4), (6.6, 1.4), (6.6, 6.6), (1.4, 6.6), (1.4, 1.4))
+    val point = cells(g, Options(includePartial = true, pixelIsArea = false))
+    val noPartial = cells(g, Options(includePartial = false, pixelIsArea = false))
+    assert(noPartial == point && point.nonEmpty)
+    // sanity: the same flag flip DOES change the PixelIsArea result
+    assert(cells(g, Options(includePartial = false, pixelIsArea = true)) !=
+      cells(g, Options(includePartial = true, pixelIsArea = true)))
+  }
+
   test("property: center scanline equals JTS point-in-polygon on random convex polygons") {
     // independent per-cell oracle: PreparedGeometry.contains(center).
     // Random doubles never place a center exactly on an edge, so the
