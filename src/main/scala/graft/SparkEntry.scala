@@ -1374,12 +1374,13 @@ object SparkEntry {
       .orderBy("k", "l_id", "r_id")
   }
 
-  /** Focal mean via tile halo exchange
-    * ([[graft.operators.Focal.focalMeanD]]): each tile ships only its
-    * payload + O(perimeter) border strips through ONE shuffle; the 3×3
-    * kernel runs tile-locally on the assembled extended frame. Gated
-    * as per-tile stats of the focal surface (per-cell values rounded
-    * to 4 dp on both engines before aggregation).
+  /** Focal statistics via tile halo exchange
+    * ([[graft.operators.Focal.focalSumCountD]] — same one-shuffle halo
+    * assembly as `focalMeanD`, but the exact-integer (sum, count)
+    * plane): each tile ships only its payload + O(perimeter) border
+    * strips; the 3×3 kernel runs tile-locally on the assembled
+    * extended frame. Gated as per-tile integer stats of the focal
+    * surface — zero float-rounding slack.
     */
   private def qFocalMean(s: SparkSession, dir: String): DataFrame = {
     val (path, _, metas) = zonalCtx(s, dir)
@@ -1387,15 +1388,20 @@ object SparkEntry {
     val full = new org.locationtech.jts.geom.GeometryFactory()
       .toGeometry(meta.layout.extent.toEnvelope)
     val layer = graft.sources.TileCatalog.readLayer(s, path, meta, full)
-    val focal = graft.operators.Focal.focalMeanD(s, layer, meta)
-    focal.select(col("key_col"), col("key_row"), explode(col("tile_d")).as("v"))
+    // exact-integer focal plane (ADVICE r4): s·16+c packing, where s is
+    // the neighbor sum of floor(v·1e4 + 0.5) — order-independent, so no
+    // rounded-hash boundary can flip. mean > 25 ⇔ s > 25·1e4·c exactly.
+    val enc = graft.operators.Focal.focalSumCountD(s, layer, meta, scale = 10000.0)
+    enc.select(col("key_col"), col("key_row"), explode(col("tile_d")).as("e"))
+      .select(col("key_col"), col("key_row"),
+        when(!isnan(col("e")), floor(col("e") / 16).cast("long")).as("s"),
+        when(!isnan(col("e")), pmod(col("e"), lit(16.0)).cast("long")).as("c"))
       .groupBy("key_col", "key_row")
       .agg(count(lit(1)).as("n_cells"),
-        count(when(!isnan(col("v")), lit(1))).as("n_data"),
-        sum(when(!isnan(col("v")) && round(col("v"), 4) > 25.0, 1L)
-          .otherwise(0L)).as("cnt_hi"),
-        round(sum(when(isnan(col("v")), 0.0).otherwise(round(col("v"), 4))), 2)
-          .as("sum_fm"))
+        count(col("s")).as("n_data"),
+        sum(when(col("s") > lit(250000L) * col("c"), 1L).otherwise(0L)).as("cnt_hi"),
+        coalesce(sum(col("s")), lit(0L)).as("sum_scaled"),
+        coalesce(sum(col("c")), lit(0L)).as("sum_n"))
       .orderBy("key_col", "key_row")
   }
 
@@ -1509,10 +1515,13 @@ object SparkEntry {
     s.table(name).orderBy("user_id", "event_type")
   }
 
-  /** PageRank ([[graft.pipeline.Graph.pageRank]]) over the symmetric
-    * customer↔supplier bipartite graph (ids disambiguated 2c / 2s+1),
-    * 3 fixed iterations — the oracle unrolls the identical iterations
-    * in SQL, so the Pregel-style relational loop is hash-gated.
+  /** PageRank ([[graft.pipeline.Graph.pageRankFixed]], the fixed-point
+    * variant — integer ranks make the gate order-independent where the
+    * double variant's per-destination float sums could flip a rounded
+    * hash) over the symmetric customer↔supplier bipartite graph (ids
+    * disambiguated 2c / 2s+1), 3 fixed iterations — the oracle unrolls
+    * the identical integer iterations in SQL, so the Pregel-style
+    * relational loop is hash-gated.
     */
   private def qPageRank(s: SparkSession, dir: String): DataFrame = {
     val bp = t(s, dir, "orders").join(t(s, dir, "lineitem"),
@@ -1521,8 +1530,8 @@ object SparkEntry {
       .distinct()
     val e = bp.select(col("c").as("src"), col("s").as("dst"))
       .union(bp.select(col("s").as("src"), col("c").as("dst")))
-    graft.pipeline.Graph.pageRank(e, "src", "dst", iterations = 3)
-      .select(col("id"), round(col("r"), 6).as("rank"))
+    graft.pipeline.Graph.pageRankFixed(e, "src", "dst", iterations = 3)
+      .select(col("id"), col("r").as("rank_fp"))
       .orderBy("id")
   }
 
@@ -3561,12 +3570,14 @@ object SparkEntry {
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 600 SECOND
         |ORDER BY k, l_id, r_id""".stripMargin,
 
-    // q88: the oracle recomputes the focal mean from raw tiles by a
+    // q88: the oracle recomputes the focal plane from raw tiles by a
     // 9-shift explode + group (fine at gate scale; the engine's halo
-    // exchange is the scale path). Per-cell fm rounded to 4 dp on both
-    // sides before any aggregation, so engine-order ulp noise cannot
-    // surface; NaN centers with zero data neighbors are NULL here and
-    // NaN in the engine, excluded from all three data aggregates.
+    // exchange is the scale path). Arithmetic is EXACT on both sides
+    // (ADVICE r4): per-cell floor(v·1e4+0.5) is a pure function of the
+    // identical stored double, and everything after is integer sums —
+    // no float reduction order can flip the hash. NaN centers with
+    // zero data neighbors are NULL here / NaN in the engine, excluded
+    // from the data aggregates.
     "q88_focal_mean" -> {
       val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
       val spec = graft.sources.ZonalFixture.specFor(sfDir)
@@ -3578,20 +3589,23 @@ object SparkEntry {
          |         tile_d[i] AS v
          |  FROM ${zfp("tiles/raster_id=slope/zoom=0")},
          |       generate_series(1, ${ts * ts}) t(i)),
+         |sv AS (
+         |  SELECT gc, gr, floor(v * 10000 + 0.5)::BIGINT AS s
+         |  FROM cells WHERE NOT isnan(v)),
          |nbr AS (
-         |  SELECT gc + dx.x AS tgc, gr + dy.y AS tgr, v
-         |  FROM cells, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
-         |  WHERE NOT isnan(v)),
+         |  SELECT gc + dx.x AS tgc, gr + dy.y AS tgr, s
+         |  FROM sv, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)),
          |fm AS (
-         |  SELECT tgc, tgr, round(avg(v), 4) AS fm
+         |  SELECT tgc, tgr, sum(s)::BIGINT AS s, count(*)::BIGINT AS c
          |  FROM nbr
          |  WHERE tgc BETWEEN 0 AND ${w - 1} AND tgr BETWEEN 0 AND ${h - 1}
          |  GROUP BY 1, 2)
          |SELECT (c.gc // $ts)::INTEGER AS key_col, (c.gr // $ts)::INTEGER AS key_row,
          |  count(*) AS n_cells,
-         |  count(f.fm) AS n_data,
-         |  sum(CASE WHEN f.fm > 25.0 THEN 1 ELSE 0 END)::BIGINT AS cnt_hi,
-         |  round(sum(COALESCE(f.fm, 0)), 2) AS sum_fm
+         |  count(f.s) AS n_data,
+         |  sum(CASE WHEN f.s > 250000 * f.c THEN 1 ELSE 0 END)::BIGINT AS cnt_hi,
+         |  COALESCE(sum(f.s), 0)::BIGINT AS sum_scaled,
+         |  COALESCE(sum(f.c), 0)::BIGINT AS sum_n
          |FROM cells c LEFT JOIN fm f ON f.tgc = c.gc AND f.tgr = c.gr
          |GROUP BY 1, 2 ORDER BY key_col, key_row""".stripMargin
     },
@@ -3692,12 +3706,21 @@ object SparkEntry {
       val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
       val spec = graft.sources.ZonalFixture.specFor(sfDir)
       val ts2 = spec.tileSize * spec.tileSize
+      // FULL OUTER with NODATA-filled absent sides, mirroring
+      // localCombineInt exactly (an absent s-tile cell is NODATA → -1;
+      // an absent n-tile cell is NODATA, whose ×100+y wraps in 32-bit
+      // JVM arithmetic — reproduced via the mod-2^32 re-center). The
+      // current fixture writes both layers over the full grid, so this
+      // only hardens the gate against future non-identical key sets.
       s"""WITH n AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=nlcd/zoom=0")}),
          |s AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=soil/zoom=0")})
-         |SELECT CASE WHEN s.tile_i[i] = -2147483648 THEN -1
-         |            ELSE n.tile_i[i] * 100 + s.tile_i[i] END AS v,
+         |SELECT CASE WHEN s.tile_i[i] IS NULL OR s.tile_i[i] = -2147483648 THEN -1
+         |            ELSE ((((COALESCE(n.tile_i[i], -2147483648)::BIGINT * 100
+         |                      + s.tile_i[i]) + 2147483648) % 4294967296
+         |                   + 4294967296) % 4294967296 - 2147483648)::INTEGER
+         |       END AS v,
          |       count(*) AS cnt
-         |FROM n JOIN s USING (key_col, key_row),
+         |FROM n FULL OUTER JOIN s USING (key_col, key_row),
          |     generate_series(1, $ts2) t(i)
          |GROUP BY 1 ORDER BY v""".stripMargin
     },
@@ -3710,15 +3733,20 @@ object SparkEntry {
     // q95: the same 3 PageRank iterations unrolled; every double
     // literal cast (DuckDB parses bare 0.85 as DECIMAL) and the base
     // written as (1 - d) so both engines compute identical doubles
+    // q95: the same 3 iterations unrolled in FIXED-POINT integers
+    // (rank = BIGINT multiples of 1e-12; `//` floor-div mirrors Spark's
+    // `div` on the all-positive operands) — integer sums are
+    // order-independent, so the gate cannot flip at a float rounding
+    // boundary the way a rounded double rank could (ADVICE r4)
     "q95_pagerank" -> {
       def c(i: Int, r: String) =
         s"""c$i AS (
-           |  SELECT e.dst AS id, sum($r.r / deg.outdeg) AS s
+           |  SELECT e.dst AS id, sum($r.r // deg.outdeg)::BIGINT AS s
            |  FROM e JOIN deg USING (src) JOIN $r ON $r.id = e.src
            |  GROUP BY 1),
            |r$i AS (
            |  SELECT n.id,
-           |    (1::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE * COALESCE(c$i.s, 0::DOUBLE) AS r
+           |    (150000000000 + (85 * COALESCE(c$i.s, 0)) // 100)::BIGINT AS r
            |  FROM nodes n LEFT JOIN c$i USING (id))""".stripMargin
       s"""WITH bp AS (
          |  SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
@@ -3728,11 +3756,11 @@ object SparkEntry {
          |nodes AS (SELECT DISTINCT src AS id FROM e
          |          UNION SELECT DISTINCT dst FROM e),
          |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
-         |r0 AS (SELECT id, 1::DOUBLE AS r FROM nodes),
+         |r0 AS (SELECT id, 1000000000000::BIGINT AS r FROM nodes),
          |${c(1, "r0")},
          |${c(2, "r1")},
          |${c(3, "r2")}
-         |SELECT id, round(r, 6) AS rank FROM r3 ORDER BY id""".stripMargin
+         |SELECT id, r AS rank_fp FROM r3 ORDER BY id""".stripMargin
     },
 
     // q96: 9-neighbor vote per cell — NODATA never votes, ties break

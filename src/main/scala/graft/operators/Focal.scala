@@ -55,6 +55,45 @@ object Focal {
       out
     }
 
+  /** 3×3 focal (sum, count) plane in ONE halo exchange, with values
+    * scaled to integers first: each non-NODATA neighbor contributes
+    * floor(v·scale + 0.5) to an integer sum s and 1 to the data count
+    * c; the output cell packs s·16 + c (c ≤ 9) into a double. The
+    * scaling is a pure per-value function of the stored double and the
+    * sum is over ≤ 9 integers, so the plane is EXACT and
+    * order-independent — the bit-stable focal statistic a hash-exact
+    * gate can pin (q88), where a float mean's summation order can flip
+    * a rounding boundary. Exactness needs |v|·scale·9·16 < 2⁵³; cells
+    * with no data neighbors stay NaN.
+    */
+  def focalSumCountD(spark: SparkSession, layer: DataFrame, meta: RasterMeta,
+                     scale: Double = 10000.0): DataFrame =
+    focalD(spark, layer, meta) { (ext, tc, tr) =>
+      val es = tc + 2
+      val out = Array.fill(tc * tr)(Double.NaN)
+      var y = 1
+      while (y <= tr) {
+        var x = 1
+        while (x <= tc) {
+          var s = 0.0; var c = 0
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              val v = ext((y + dy) * es + (x + dx))
+              if (!v.isNaN) { s += math.floor(v * scale + 0.5); c += 1 }
+              dx += 1
+            }
+            dy += 1
+          }
+          if (c > 0) out((y - 1) * tc + (x - 1)) = s * 16 + c
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
   /** Horn's slope (ESRI/GDAL formula): gradient from the 3×3 window
     * with 1-2-1 weights, slope in degrees. NaN if any of the nine
     * cells is missing (honest NODATA propagation for a derivative).

@@ -24,7 +24,11 @@ object Hierarchy {
   /** Resolve `(id, root, depth)` for every node. `parentCol` NULL
     * marks a root. Cycles never terminate pointer chasing — `maxIter`
     * bounds rounds (2^maxIter depth) and unresolved rows are reported
-    * with the deepest ancestor found so far.
+    * with the deepest ancestor found so far. A node whose parent id is
+    * ABSENT from the input set is kept, terminating at the dangling id
+    * (root = the missing ancestor, depth = steps to it) — the left
+    * join below reports such rows instead of silently dropping them;
+    * callers wanting strictness can assert root ∈ ids.
     */
   def resolveRoots(nodes: DataFrame, idCol: String, parentCol: String,
                    maxIter: Int = 20): DataFrame = {
@@ -38,10 +42,10 @@ object Hierarchy {
     while (moving > 0 && i < maxIter) {
       val jump = state.select(col("id").as("j_id"), col("anc").as("j_anc"),
         col("depth").as("j_depth"))
-      val next = state.join(jump, col("anc") === col("j_id"))
-        .select(col("id"), col("j_anc").as("anc"),
-          (col("depth") + col("j_depth")).as("depth"),
-          (col("j_depth") > 0).as("moved"))
+      val next = state.join(jump, col("anc") === col("j_id"), "left")
+        .select(col("id"), coalesce(col("j_anc"), col("anc")).as("anc"),
+          (col("depth") + coalesce(col("j_depth"), lit(0L))).as("depth"),
+          coalesce(col("j_depth") > 0, lit(false)).as("moved"))
         .localCheckpoint()
       moving = next.filter(col("moved")).count()
       state = next.select(col("id"), col("anc"), col("depth"))

@@ -160,4 +160,42 @@ object Graph {
     }
     rank
   }
+
+  /** Fixed-point PageRank: identical dataflow to [[pageRank]] (same
+    * joins, same shuffles, same rounds) but ranks are BIGINT multiples
+    * of 1/`scale`, each contribution is the integral division
+    * `r div outdeg`, and the damping step is the exact rational
+    * `(dampNum·s) div dampDen` — all-integer arithmetic, so the result
+    * is independent of partial-aggregation order. This is what lets a
+    * hash-exact oracle pin the iteration (q95): the double variant's
+    * per-destination float sums depend on summation order, and a
+    * rounded-hash gate on them can flip at a rounding boundary.
+    * Magnitudes: Σ ranks ≈ n·scale, so dampNum·s needs
+    * n·scale·dampNum < 2⁶³ — at scale 10¹² that holds to ~10⁸ nodes;
+    * shrink `scale` for bigger graphs.
+    */
+  def pageRankFixed(edges0: DataFrame, srcCol: String, dstCol: String,
+                    iterations: Int = 3, dampNum: Long = 85,
+                    dampDen: Long = 100,
+                    scale: Long = 1000000000000L): DataFrame = {
+    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    var rank = nodes.withColumn("r", lit(scale))
+    var i = 0
+    while (i < iterations) {
+      val contrib = edges.join(deg, "src")
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("s"))
+        .withColumnRenamed("dst", "id")
+      rank = nodes.join(contrib, Seq("id"), "left")
+        .selectExpr("id", s"$base + ($dampNum * coalesce(s, 0L)) div $dampDen AS r")
+        .localCheckpoint()
+      i += 1
+    }
+    rank
+  }
 }

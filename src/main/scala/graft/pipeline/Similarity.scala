@@ -290,6 +290,9 @@ object Similarity {
     val dsub = dim / m
     val sub = pqSubvectors(df, idCol, vecCol, m, dsub, normalize).persist()
     val initIds = sub.select(col("id")).distinct().orderBy(col("id")).limit(ksub)
+      // partition-less window is fine HERE: the frame is already
+      // limit(ksub)-bounded, so the expected `WindowExec: No Partition
+      // Defined` warning covers ≤ ksub rows, not the corpus
       .withColumn("cid",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("id"))).cast("long") - 1)

@@ -186,6 +186,9 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(maxSize)
+    // partition-less window is fine HERE: the frame is already
+    // limit(maxSize)-bounded, so the expected `WindowExec: No Partition
+    // Defined` warning covers ≤ maxSize rows, not the corpus
     top.withColumn("token_id",
       row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
   }

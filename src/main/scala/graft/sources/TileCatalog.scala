@@ -72,10 +72,18 @@ object TileCatalog {
     JsonMethods.parse(json).extract[Map[String, RasterMeta]]
   }
 
-  /** Z-order the tile rows before writing (see object scaladoc). */
+  /** Z-order the tile rows before writing (see object scaladoc):
+    * range-partition on the Morton code FIRST, then sort within
+    * partitions — so every output file covers one contiguous,
+    * non-overlapping z-range with tight min/max stats. Without the
+    * range exchange a multi-partition input yields per-file ordering
+    * but overlapping z-ranges across files, and row-group pruning
+    * loses most of its selectivity (ADVICE r4).
+    */
   private def zSorted(df: DataFrame): DataFrame =
     df.withColumn("__z",
         graft.operators.Zorder.morton(col("key_col"), col("key_row")))
+      .repartitionByRange(col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
 

@@ -19,6 +19,20 @@ class HierarchySpec extends AnyFunSuite with SparkSpec {
       5L -> ((1L, 2L)), 6L -> ((1L, 3L)), 7L -> ((2L, 1L))))
   }
 
+  test("resolveRoots: dangling parent is reported as terminal, not dropped") {
+    import spark.implicits._
+    // 10's parent 99 is absent from the node set; 11 hangs below 10.
+    // Both must survive resolution, terminating at the missing id 99.
+    val nodes = Seq(
+      (1L, None), (2L, Some(1L)), (10L, Some(99L)), (11L, Some(10L)))
+      .toDF("id", "parent")
+    val got = Hierarchy.resolveRoots(nodes, "id", "parent")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ((1L, 0L)), 2L -> ((1L, 1L)),
+      10L -> ((99L, 1L)), 11L -> ((99L, 2L))))
+  }
+
   test("resolveRoots: deep chain closes in log rounds; property vs reference walk") {
     import spark.implicits._
     // 300-node chain under maxIter 12 (2^12 >> 300): pointer doubling
