@@ -2273,6 +2273,30 @@ object SparkEntry {
       .orderBy("metric")
   }
 
+  /** MERGE INTO / CDC apply ([[graft.pipeline.Snapshot.applyChanges]]):
+    * a deterministic changelog over the orders snapshot — updates,
+    * deletes, inserts, and conflicting multi-change keys where the
+    * greatest sequence wins (U@1 overridden by D@2; D@1 resurrected by
+    * U@2) — folded via one max_by net-effect reduction + one
+    * full-outer join. Oracle replays the same changelog relationally.
+    */
+  private def qMergeApply(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey").cast("long").as("k"),
+      col("o_custkey").cast("long").as("cust"),
+      expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+    def ch(cond: Column, seq: Long, op: String, k: Column, cents: Column) =
+      base.filter(cond).select(k.as("k"), lit(seq).as("seq"), lit(op).as("op"),
+        col("cust"), cents.as("cents"))
+    val changes =
+      ch(col("k") % 3 === 0, 1, "U", col("k"), col("cents") + 100)
+        .unionByName(ch(col("k") % 3 === 1, 1, "D", col("k"), col("cents")))
+        .unionByName(ch(col("k") % 6 === 0, 2, "D", col("k"), col("cents")))
+        .unionByName(ch(col("k") % 6 === 4, 2, "U", col("k"), col("cents") + 200))
+        .unionByName(ch(col("k") % 7 === 0, 1, "U", -col("k"), col("k")))
+    graft.pipeline.Snapshot.applyChanges(base, changes, Seq("k"), "seq", "op")
+      .orderBy("k")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2404,6 +2428,7 @@ object SparkEntry {
     "q127_weighted_sample" -> (qWeightedSample(_, _)),
     "q128_cc_distributed" -> (qCcDistributed(_, _)),
     "q129_bloom_shards" -> (qBloomShards(_, _)),
+    "q130_merge_apply" -> (qMergeApply(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4228,6 +4253,29 @@ object SparkEntry {
         |UNION ALL SELECT 'false_neg_single', 0::BIGINT, true
         |UNION ALL SELECT 'fp_sharded_bounded', 1::BIGINT, true
         |ORDER BY metric""".stripMargin,
+
+    // q130: the same changelog replayed relationally — last change per
+    // key by row_number, then the full-outer merge with D filtered
+    "q130_merge_apply" ->
+      """WITH t AS (SELECT o_orderkey::BIGINT AS k, o_custkey::BIGINT AS cust,
+        |                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |ch AS (
+        |  SELECT k, 1 AS seq, 'U' AS op, cust, cents + 100 AS cents FROM t WHERE k % 3 = 0
+        |  UNION ALL SELECT k, 1, 'D', cust, cents FROM t WHERE k % 3 = 1
+        |  UNION ALL SELECT k, 2, 'D', cust, cents FROM t WHERE k % 6 = 0
+        |  UNION ALL SELECT k, 2, 'U', cust, cents + 200 FROM t WHERE k % 6 = 4
+        |  UNION ALL SELECT -k, 1, 'U', cust, k FROM t WHERE k % 7 = 0),
+        |net AS (
+        |  SELECT k, op, cust, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(t.k, n.k) AS k,
+        |       CASE WHEN n.k IS NOT NULL THEN n.cust ELSE t.cust END AS cust,
+        |       CASE WHEN n.k IS NOT NULL THEN n.cents ELSE t.cents END AS cents
+        |FROM t FULL OUTER JOIN net n ON t.k = n.k
+        |WHERE n.k IS NULL OR n.op <> 'D'
+        |ORDER BY k""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

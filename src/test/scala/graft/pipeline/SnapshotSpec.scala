@@ -35,4 +35,21 @@ class SnapshotSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
     assert(got == Set(("a", 2L, "a2"), ("b", 1L, "b5"), ("c", 1L, "c1")))
   }
+
+  test("applyChanges: update, delete, insert, last-change-wins, resurrect") {
+    import spark.implicits._
+    val target = Seq(("a", 10L), ("b", 20L), ("c", 30L), ("d", 40L))
+      .toDF("key", "v")
+    val changes = Seq(
+      ("a", 1L, "U", 11L),              // plain update
+      ("b", 1L, "D", 0L),               // delete
+      ("c", 1L, "U", 31L), ("c", 2L, "D", 0L), // update then delete → gone
+      ("d", 1L, "D", 0L), ("d", 2L, "U", 42L), // delete then update → resurrect
+      ("e", 1L, "U", 50L),              // insert (key absent from target)
+      ("z", 1L, "D", 0L))               // delete of absent key → no row
+      .toDF("key", "seq", "op", "v")
+    val got = Snapshot.applyChanges(target, changes, Seq("key"), "seq", "op")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 11L, "d" -> 42L, "e" -> 50L))
+  }
 }
