@@ -2297,6 +2297,32 @@ object SparkEntry {
       .orderBy("k")
   }
 
+  /** Topographic Position Index ([[graft.operators.Focal.focalTpiD]]):
+    * ridge/valley/flat classification from the sign of the scaled TPI
+    * numerator d = vi·c − Σring — exact integers end to end (q88's
+    * gate discipline), one halo-exchange shuffle.
+    */
+  private def qFocalTpi(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, metas) = zonalCtx(s, dir)
+    val meta = metas("slope")
+    val full = new org.locationtech.jts.geom.GeometryFactory()
+      .toGeometry(meta.layout.extent.toEnvelope)
+    val layer = graft.sources.TileCatalog.readLayer(s, path, meta, full)
+    val enc = graft.operators.Focal.focalTpiD(s, layer, meta)
+    enc.select(col("key_col"), col("key_row"), explode(col("tile_d")).as("e"))
+      .select(col("key_col"), col("key_row"),
+        when(!isnan(col("e")), floor(col("e") / 16).cast("long")).as("d"),
+        when(!isnan(col("e")), pmod(col("e"), lit(16.0)).cast("long")).as("c"))
+      .groupBy("key_col", "key_row")
+      .agg(count(lit(1)).as("n_cells"), count(col("d")).as("n_defined"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_ridge"),
+        sum(when(col("d") < 0, 1L).otherwise(0L)).as("n_valley"),
+        sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_flat"),
+        coalesce(sum(col("d")), lit(0L)).as("sum_d"),
+        coalesce(sum(col("c")), lit(0L)).as("sum_n"))
+      .orderBy("key_col", "key_row")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2429,6 +2455,7 @@ object SparkEntry {
     "q128_cc_distributed" -> (qCcDistributed(_, _)),
     "q129_bloom_shards" -> (qBloomShards(_, _)),
     "q130_merge_apply" -> (qMergeApply(_, _)),
+    "q131_focal_tpi" -> (qFocalTpi(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4276,6 +4303,46 @@ object SparkEntry {
         |FROM t FULL OUTER JOIN net n ON t.k = n.k
         |WHERE n.k IS NULL OR n.op <> 'D'
         |ORDER BY k""".stripMargin,
+
+    // q131: TPI numerator recomputed from raw tiles by the 8-shift
+    // ring explode — exact integer arithmetic both sides (q88 pattern)
+    "q131_focal_tpi" -> {
+      val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+      val spec = graft.sources.ZonalFixture.specFor(sfDir)
+      val ts = spec.tileSize
+      val w = spec.layoutCols * ts; val h = spec.layoutRows * ts
+      s"""WITH cells AS (
+         |  SELECT key_col * $ts + (i - 1) % $ts AS gc,
+         |         key_row * $ts + (i - 1) // $ts AS gr,
+         |         tile_d[i] AS v
+         |  FROM ${zfp("tiles/raster_id=slope/zoom=0")},
+         |       generate_series(1, ${ts * ts}) t(i)),
+         |sv AS (
+         |  SELECT gc, gr, floor(v * 10000 + 0.5)::BIGINT AS s
+         |  FROM cells WHERE NOT isnan(v)),
+         |nbr AS (
+         |  SELECT gc + dx.x AS tgc, gr + dy.y AS tgr, s
+         |  FROM sv, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
+         |  WHERE NOT (dx.x = 0 AND dy.y = 0)),
+         |ring AS (
+         |  SELECT tgc, tgr, sum(s)::BIGINT AS rs, count(*)::BIGINT AS c
+         |  FROM nbr
+         |  WHERE tgc BETWEEN 0 AND ${w - 1} AND tgr BETWEEN 0 AND ${h - 1}
+         |  GROUP BY 1, 2),
+         |tpi AS (
+         |  SELECT v.gc, v.gr, v.s * r.c - r.rs AS d, r.c
+         |  FROM sv v JOIN ring r ON r.tgc = v.gc AND r.tgr = v.gr)
+         |SELECT (c.gc // $ts)::INTEGER AS key_col, (c.gr // $ts)::INTEGER AS key_row,
+         |  count(*) AS n_cells,
+         |  count(t.d) AS n_defined,
+         |  sum(CASE WHEN t.d > 0 THEN 1 ELSE 0 END)::BIGINT AS n_ridge,
+         |  sum(CASE WHEN t.d < 0 THEN 1 ELSE 0 END)::BIGINT AS n_valley,
+         |  sum(CASE WHEN t.d = 0 THEN 1 ELSE 0 END)::BIGINT AS n_flat,
+         |  COALESCE(sum(t.d), 0)::BIGINT AS sum_d,
+         |  COALESCE(sum(t.c), 0)::BIGINT AS sum_n
+         |FROM cells c LEFT JOIN tpi t ON t.gc = c.gc AND t.gr = c.gr
+         |GROUP BY 1, 2 ORDER BY key_col, key_row""".stripMargin
+    },
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

@@ -94,6 +94,52 @@ object Focal {
       out
     }
 
+  /** Topographic Position Index plane (Weiss 2001: center minus the
+    * mean of its ring neighbors — ridge/valley/flat classification),
+    * in the exact-integer encoding of [[focalSumCountD]]: with
+    * vi = floor(v·scale + 0.5), each cell with a non-NODATA center and
+    * c ≥ 1 data ring-neighbors emits d·16 + c where
+    * d = vi(center)·c − Σ vi(neighbors) — the TPI numerator scaled by
+    * c·scale, so sign(d) classifies ridge (>0) / valley (<0) / flat
+    * (=0) without ever dividing. Same one-shuffle halo exchange;
+    * NODATA centers and isolated cells stay NaN. Exactness needs
+    * |v|·scale·8·16 < 2⁵³.
+    */
+  def focalTpiD(spark: SparkSession, layer: DataFrame, meta: RasterMeta,
+                scale: Double = 10000.0): DataFrame =
+    focalD(spark, layer, meta) { (ext, tc, tr) =>
+      val es = tc + 2
+      val out = Array.fill(tc * tr)(Double.NaN)
+      var y = 1
+      while (y <= tr) {
+        var x = 1
+        while (x <= tc) {
+          val cv = ext(y * es + x)
+          if (!cv.isNaN) {
+            var s = 0.0; var c = 0
+            var dy = -1
+            while (dy <= 1) {
+              var dx = -1
+              while (dx <= 1) {
+                if (dx != 0 || dy != 0) {
+                  val v = ext((y + dy) * es + (x + dx))
+                  if (!v.isNaN) { s += math.floor(v * scale + 0.5); c += 1 }
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (c > 0)
+              out((y - 1) * tc + (x - 1)) =
+                (math.floor(cv * scale + 0.5) * c - s) * 16 + c
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
   /** Horn's slope (ESRI/GDAL formula): gradient from the 3×3 window
     * with 1-2-1 weights, slope in degrees. NaN if any of the nine
     * cells is missing (honest NODATA propagation for a derivative).
