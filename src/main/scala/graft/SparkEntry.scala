@@ -2323,6 +2323,31 @@ object SparkEntry {
       .orderBy("key_col", "key_row")
   }
 
+  /** Image perceptual hashing ([[graft.pipeline.Multimodal.imageAHash]])
+    * over q71's synthetic PNG corpus: REAL ImageIO decode → 8×8
+    * nearest-neighbor aHash, all-integer, so the oracle recomputes the
+    * exact 64-bit fingerprints arithmetically from the generation
+    * formula (the perceptual-hash analog of q71's pixel sums).
+    */
+  private def qImageAHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.pipeline.Par.spread(
+      t(s, dir, "documents").select(col("doc_id"))).as[Long]
+    val assets = docs.mapPartitions(_.map { id =>
+      val w = 4 + (id % 13).toInt
+      val h = 4 + (id % 7).toInt
+      val base = (id % 64).toInt
+      graft.pipeline.Multimodal.Asset(id, "image",
+        graft.pipeline.Multimodal.encodePng(w, h, (x, y) =>
+          ((base + 3 * x + 5 * y) << 16) | ((base + 2 * x + 7 * y) << 8) |
+            (base + x + y)))
+    })
+    graft.pipeline.Multimodal.imageAHash(assets).toDF()
+      .select(col("asset_id").as("doc_id"), col("hash_hi"), col("hash_lo"),
+        col("n_bits"))
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2456,6 +2481,7 @@ object SparkEntry {
     "q129_bloom_shards" -> (qBloomShards(_, _)),
     "q130_merge_apply" -> (qMergeApply(_, _)),
     "q131_focal_tpi" -> (qFocalTpi(_, _)),
+    "q132_image_ahash" -> (qImageAHash(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4343,6 +4369,28 @@ object SparkEntry {
          |FROM cells c LEFT JOIN tpi t ON t.gc = c.gc AND t.gr = c.gr
          |GROUP BY 1, 2 ORDER BY key_col, key_row""".stripMargin
     },
+
+    // q132: PNG round-trips losslessly (q71), so the aHash fingerprint
+    // is recomputable arithmetically: gray(x,y) = 3·base + 6x + 13y at
+    // the 8×8 nearest-neighbor sample grid, bit j set iff 64·g > Σg
+    "q132_image_ahash" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h,
+        |         doc_id % 64 AS base
+        |  FROM documents),
+        |samp AS (
+        |  SELECT id, j,
+        |         3 * base + 6 * ((j % 8) * w // 8) + 13 * ((j // 8) * h // 8) AS g
+        |  FROM ids, generate_series(0, 63) t(j)),
+        |tot AS (SELECT id, sum(g)::BIGINT AS total FROM samp GROUP BY 1),
+        |bits AS (
+        |  SELECT s.id, s.j, CASE WHEN 64 * s.g > t.total THEN 1 ELSE 0 END AS b
+        |  FROM samp s JOIN tot t USING (id))
+        |SELECT id AS doc_id,
+        |  sum(CASE WHEN j >= 32 THEN b::BIGINT << (j - 32) ELSE 0 END)::BIGINT AS hash_hi,
+        |  sum(CASE WHEN j < 32 THEN b::BIGINT << j ELSE 0 END)::BIGINT AS hash_lo,
+        |  sum(b)::BIGINT AS n_bits
+        |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

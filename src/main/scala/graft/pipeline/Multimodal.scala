@@ -213,6 +213,53 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash) image fingerprint — the classic
+    * perceptual near-dup signature: decode, 8×8 nearest-neighbor
+    * downsample (sample the pixel at (⌊bx·w/8⌋, ⌊by·h/8⌋) — integer
+    * index arithmetic, no interpolation, so the hash is bit-stable on
+    * every engine), gray = r+g+b per sample, bit (by·8+bx) set iff
+    * 64·gray > Σgray (strict — the mean itself hashes 0). Returned
+    * split as hi/lo 32-bit halves in BIGINTs (a full 64-bit hash could
+    * set bit 63 and read as negative) plus the popcount; band the
+    * halves through the SimHash bucket join for candidate pairs.
+    * Corrupt blobs → all-null, never a throw. Map-only, no shuffle.
+    */
+  final case class AHash(asset_id: Long, hash_hi: Option[Long],
+      hash_lo: Option[Long], n_bits: Option[Long])
+
+  def imageAHash(assets: Dataset[Asset]): Dataset[AHash] = {
+    implicit val enc = Encoders.product[AHash]
+    assets.mapPartitions { it =>
+      it.map { a =>
+        decodePixels(a.content) match {
+          case None => AHash(a.asset_id, None, None, None)
+          case Some((w, h, px)) =>
+            val g = new Array[Long](64)
+            var total = 0L
+            var j = 0
+            while (j < 64) {
+              val sx = (j % 8) * w / 8
+              val sy = (j / 8) * h / 8
+              val p = px(sy * w + sx)
+              g(j) = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              total += g(j)
+              j += 1
+            }
+            var hi = 0L; var lo = 0L; var n = 0L
+            j = 0
+            while (j < 64) {
+              if (64L * g(j) > total) {
+                if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+                n += 1
+              }
+              j += 1
+            }
+            AHash(a.asset_id, Some(hi), Some(lo), Some(n))
+        }
+      }
+    }
+  }
+
   /** Real audio decode → exact sample statistics: format header
     * (sample rate, channels) plus frame count and Σ|sample| (integers —
     * bit-stable under any partitioning), via the JDK's
