@@ -37,7 +37,9 @@ object PlanCheck {
       // builds the Bloom filter eagerly (df.stat.bloomFilter is a job)
       "q51_dedup_groups", "q99_bloom_join", "q128_cc_distributed",
       // q129 builds 4 bloom filters + runs the FN/FP counts eagerly
-      "q129_bloom_shards")
+      "q129_bloom_shards",
+      // q133 localCheckpoints the decoded image hashes
+      "q133_image_neardup")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()

@@ -2329,7 +2329,8 @@ object SparkEntry {
     * exact 64-bit fingerprints arithmetically from the generation
     * formula (the perceptual-hash analog of q71's pixel sums).
     */
-  private def qImageAHash(s: SparkSession, dir: String): DataFrame = {
+  /** Shared by q132/q133: decode the synthetic PNG corpus and hash. */
+  private def imageHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = graft.pipeline.Par.spread(
       t(s, dir, "documents").select(col("doc_id"))).as[Long]
@@ -2345,7 +2346,45 @@ object SparkEntry {
     graft.pipeline.Multimodal.imageAHash(assets).toDF()
       .select(col("asset_id").as("doc_id"), col("hash_hi"), col("hash_lo"),
         col("n_bits"))
-      .orderBy("doc_id")
+  }
+
+  private def qImageAHash(s: SparkSession, dir: String): DataFrame =
+    imageHashes(s, dir).orderBy("doc_id")
+
+  /** Image near-dup pairs — the perceptual-hash dedup composition:
+    * band the 64-bit aHash into 4×16-bit bands (pigeonhole: Hamming ≤ 3
+    * guarantees one clean band; here same-shape images hash identically
+    * since the base offset cancels in the mean threshold), candidate
+    * pairs from the band equi-join, exact Hamming verify by
+    * `bit_count(xor)` only on candidates — never an all-pairs compare.
+    */
+  private def qImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = imageHashes(s, dir).localCheckpoint()
+    val banded = hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+      .select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"), expr("hash_lo & 65535").as("bkey")),
+        struct(lit(1).as("band"), expr("shiftright(hash_lo, 16) & 65535").as("bkey")),
+        struct(lit(2).as("band"), expr("hash_hi & 65535").as("bkey")),
+        struct(lit(3).as("band"), expr("shiftright(hash_hi, 16) & 65535").as("bkey"))))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(hashes.select(col("doc_id").as("doc_a"), col("hash_hi").as("ha"),
+        col("hash_lo").as("la")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"), col("hash_hi").as("hb"),
+        col("hash_lo").as("lb")), "doc_b")
+      .withColumn("hamming",
+        expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("doc_a") + col("doc_b")).as("id_checksum"))
+      .orderBy("hamming")
   }
 
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
@@ -2482,6 +2521,7 @@ object SparkEntry {
     "q130_merge_apply" -> (qMergeApply(_, _)),
     "q131_focal_tpi" -> (qFocalTpi(_, _)),
     "q132_image_ahash" -> (qImageAHash(_, _)),
+    "q133_image_neardup" -> (qImageNearDup(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4391,6 +4431,45 @@ object SparkEntry {
         |  sum(CASE WHEN j < 32 THEN b::BIGINT << j ELSE 0 END)::BIGINT AS hash_lo,
         |  sum(b)::BIGINT AS n_bits
         |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // q133: same fingerprints, then the identical 4×16-bit banding,
+    // candidate equi-join, and bit_count(xor) Hamming verify
+    "q133_image_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h,
+        |         doc_id % 64 AS base
+        |  FROM documents),
+        |samp AS (
+        |  SELECT id, j,
+        |         3 * base + 6 * ((j % 8) * w // 8) + 13 * ((j // 8) * h // 8) AS g
+        |  FROM ids, generate_series(0, 63) t(j)),
+        |tot AS (SELECT id, sum(g)::BIGINT AS total FROM samp GROUP BY 1),
+        |bits AS (
+        |  SELECT s.id, s.j, CASE WHEN 64 * s.g > t.total THEN 1 ELSE 0 END AS b
+        |  FROM samp s JOIN tot t USING (id)),
+        |hashes AS (
+        |  SELECT id AS doc_id,
+        |    sum(CASE WHEN j >= 32 THEN b::BIGINT << (j - 32) ELSE 0 END)::BIGINT AS hash_hi,
+        |    sum(CASE WHEN j < 32 THEN b::BIGINT << j ELSE 0 END)::BIGINT AS hash_lo
+        |  FROM bits GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, hash_lo & 65535 AS bkey FROM hashes
+        |  UNION ALL SELECT doc_id, 1, (hash_lo >> 16) & 65535 FROM hashes
+        |  UNION ALL SELECT doc_id, 2, hash_hi & 65535 FROM hashes
+        |  UNION ALL SELECT doc_id, 3, (hash_hi >> 16) & 65535 FROM hashes),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    (bit_count(xor(x.hash_hi, y.hash_hi))
+        |     + bit_count(xor(x.hash_lo, y.hash_lo)))::BIGINT AS hamming
+        |  FROM cands c JOIN hashes x ON x.doc_id = c.doc_a
+        |               JOIN hashes y ON y.doc_id = c.doc_b)
+        |SELECT hamming, count(*) AS n_pairs, sum(doc_a + doc_b)::BIGINT AS id_checksum
+        |FROM ham WHERE hamming <= 3
+        |GROUP BY 1 ORDER BY hamming""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
