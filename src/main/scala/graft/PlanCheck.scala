@@ -39,7 +39,9 @@ object PlanCheck {
       // q129 builds 4 bloom filters + runs the FN/FP counts eagerly
       "q129_bloom_shards",
       // q133 localCheckpoints the decoded image hashes
-      "q133_image_neardup")
+      "q133_image_neardup",
+      // q134 runs a full MemoryStream left-outer-join query
+      "q134_stream_left_join")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()

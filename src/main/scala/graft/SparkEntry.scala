@@ -2387,6 +2387,59 @@ object SparkEntry {
       .orderBy("hamming")
   }
 
+  /** SEVENTH stream≡batch gate — stream-stream LEFT OUTER join
+    * ([[graft.streaming.EventStreams.streamStreamLeftJoin]]): unmatched
+    * view events must emit exactly once with null purchase columns,
+    * which only happens when the watermark proves no match can still
+    * arrive — two far-future sentinel rounds on BOTH sides push the
+    * watermark past every real row's expiry before the compare, and a
+    * second round forces the post-advance microbatch that performs the
+    * eviction. Oracle: the identical batch LEFT JOIN.
+    */
+  private def qStreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .filter(col("event_type").isin("view", "purchase"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx = s.sqlContext
+    val lmem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val rmem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val name = s"q134_ljoin_${streamGateN.incrementAndGet()}"
+    val joined = EventStreams.streamStreamLeftJoin(
+      lmem.toDF(), rmem.toDF(),
+      "user_id", withinSeconds = 600, watermark = "30 minutes")
+    val q = startNarrow(s)(joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start())
+    try {
+      evs.grouped(math.max(1, evs.length / 2 + 1)).foreach { chunk =>
+        lmem.addData(chunk.filter(_.event_type == "view").toSeq)
+        rmem.addData(chunk.filter(_.event_type == "purchase").toSeq)
+        q.processAllAvailable()
+      }
+      // sentinel rounds: horizon + 2·(600 s window + 30 min watermark)
+      // flushes every real left row; the second, later round forces the
+      // eviction microbatch that emits the outer nulls
+      val horizon = if (evs.isEmpty) 0L else evs.iterator.map(_.ts.getTime).max
+      Seq(1, 2).foreach { round =>
+        val sts = new java.sql.Timestamp(horizon + round * 2 * (600L + 1800L) * 1000)
+        lmem.addData(Seq(EventStreams.Event(-round.toLong, sts, -1L, "view", 0.0)))
+        rmem.addData(Seq(EventStreams.Event(-round.toLong, sts, -1L, "purchase", 0.0)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+      .filter(col("k") >= 0)
+      .select(col("k"), col("l_id"), col("r_id"),
+        date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts"),
+        date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts"))
+      .orderBy("k", "l_id", "r_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2522,6 +2575,7 @@ object SparkEntry {
     "q131_focal_tpi" -> (qFocalTpi(_, _)),
     "q132_image_ahash" -> (qImageAHash(_, _)),
     "q133_image_neardup" -> (qImageNearDup(_, _)),
+    "q134_stream_left_join" -> (qStreamLeftJoin(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4431,6 +4485,18 @@ object SparkEntry {
         |  sum(CASE WHEN j < 32 THEN b::BIGINT << j ELSE 0 END)::BIGINT AS hash_lo,
         |  sum(b)::BIGINT AS n_bits
         |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // q134: the batch LEFT JOIN the streaming left-outer join must
+    // converge to once the watermark has flushed every pending row
+    "q134_stream_left_join" ->
+      """SELECT l.user_id AS k, l.event_id AS l_id, r.event_id AS r_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts,
+        |       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') l
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 600 SECOND
+        |ORDER BY k, l_id, r_id""".stripMargin,
 
     // q133: same fingerprints, then the identical 4×16-bit banding,
     // candidate equi-join, and bit_count(xor) Hamming verify

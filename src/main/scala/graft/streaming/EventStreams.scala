@@ -116,7 +116,26 @@ object EventStreams {
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
                        withinSeconds: Long = 600,
-                       watermark: String = "10 minutes"): DataFrame = {
+                       watermark: String = "10 minutes"): DataFrame =
+    streamStreamJoinType(left, right, key, withinSeconds, watermark, "inner")
+
+  /** Watermarked stream–stream LEFT OUTER join: same bounded-state
+    * shape as [[streamStreamJoin]], but a left event with no match
+    * emits once with null right columns WHEN the watermark passes
+    * `l_ts + withinSeconds` — i.e. when the engine can prove no match
+    * can still arrive. State eviction and outer-row completeness both
+    * hang on that proof, which is why the gate (q134) must push the
+    * watermark past every real row (sentinels) before comparing to the
+    * batch left join.
+    */
+  def streamStreamLeftJoin(left: DataFrame, right: DataFrame, key: String,
+                           withinSeconds: Long = 600,
+                           watermark: String = "10 minutes"): DataFrame =
+    streamStreamJoinType(left, right, key, withinSeconds, watermark, "left_outer")
+
+  private def streamStreamJoinType(left: DataFrame, right: DataFrame,
+                                   key: String, withinSeconds: Long,
+                                   watermark: String, joinType: String): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col(key).as("k"), col("ts").as("l_ts"),
         col("event_id").as("l_id"))
@@ -126,7 +145,8 @@ object EventStreams {
     l.join(r,
       l("k") === r("k") &&
         r("r_ts") >= l("l_ts") &&
-        r("r_ts") <= l("l_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+        r("r_ts") <= l("l_ts") + expr(s"INTERVAL $withinSeconds SECONDS"),
+      joinType)
       .select(l("k"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 }
