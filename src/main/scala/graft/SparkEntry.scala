@@ -2440,6 +2440,21 @@ object SparkEntry {
       .orderBy("k", "l_id", "r_id")
   }
 
+  /** Fixed-point EWMA ([[graft.operators.TimeSeries.ewmaFixed]]),
+    * α = 3/10, per-user over the event sequence (ordered by event_id —
+    * unique, so both engines sort identically). A true recurrence no
+    * window frame expresses; the integer fold with floored division is
+    * exactly replayed by the oracle's recursive CTE.
+    */
+  private def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT) * 100").as("v"))
+    graft.operators.TimeSeries.ewmaFixed(e, "user_id", "event_id", "event_id",
+      "v", alphaNum = 3, alphaDen = 10)
+      .select(col("k").as("user_id"), col("tid").as("event_id"), col("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2576,6 +2591,7 @@ object SparkEntry {
     "q132_image_ahash" -> (qImageAHash(_, _)),
     "q133_image_neardup" -> (qImageNearDup(_, _)),
     "q134_stream_left_join" -> (qStreamLeftJoin(_, _)),
+    "q135_ewma" -> (qEwma(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4497,6 +4513,23 @@ object SparkEntry {
         |  ON l.user_id = r.user_id
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 600 SECOND
         |ORDER BY k, l_id, r_id""".stripMargin,
+
+    // q135: the identical integer recurrence replayed as a recursive
+    // CTE (integer `//` truncates toward zero like JVM /; event_id
+    // order is unique)
+    "q135_ewma" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) * 100 AS v,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS n
+        |  FROM events),
+        |ew AS (
+        |  SELECT user_id, event_id, n, v AS s FROM seq WHERE n = 1
+        |  UNION ALL
+        |  SELECT q.user_id, q.event_id, q.n, e.s + (3 * (q.v - e.s)) // 10
+        |  FROM ew e JOIN seq q ON q.user_id = e.user_id AND q.n = e.n + 1)
+        |SELECT user_id, event_id, s AS ewma FROM ew
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // q133: same fingerprints, then the identical 4×16-bit banding,
     // candidate equi-join, and bit_count(xor) Hamming verify

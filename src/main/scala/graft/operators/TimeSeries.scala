@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Per-key sequential time-series recurrences. Unlike the window-
+  * function suite (q58) these are true RECURRENCES — each output
+  * depends on the previous output, which no frame-based window can
+  * express — so the engine shape is one shuffle on the key and a
+  * per-key in-memory fold, the same contract as sessionization: a
+  * key's series must fit an executor (time-bounded series do; shard
+  * the key by epoch otherwise).
+  */
+object TimeSeries {
+
+  /** Fixed-point exponential moving average, α = alphaNum/alphaDen:
+    *
+    *   s₁ = v₁;  sₜ = sₜ₋₁ + ⌊alphaNum·(vₜ − sₜ₋₁) / alphaDen⌋
+    *
+    * over INTEGER values (scale floats beforehand with a pure per-row
+    * function, e.g. `floor(value·100 + 0.5)·100`). All arithmetic is
+    * integer with JVM `/` (truncating toward zero, matching DuckDB's
+    * integer `//`), so the
+    * trajectory is exactly reproducible by a recursive-CTE oracle —
+    * the float recurrence would drift by summation-order ulps and
+    * could not be hash-gated (q135).
+    *
+    * Emits one row per input row: (key, orderTieId, ewma). One shuffle
+    * on `keyCol`; the per-key sort is in-memory over that key's rows.
+    */
+  def ewmaFixed(df: DataFrame, keyCol: String, orderCol: String,
+                tieCol: String, valueCol: String,
+                alphaNum: Long, alphaDen: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(alphaDen > 0 && alphaNum >= 0 && alphaNum <= alphaDen,
+      "alpha must be a rational in [0, 1]")
+    df.select(col(keyCol).cast("long").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(tieCol).cast("long").as("tid"),
+        col(valueCol).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var s = 0L
+        rows.iterator.zipWithIndex.map { case ((_, _, tid, v), i) =>
+          s = if (i == 0) v else s + alphaNum * (v - s) / alphaDen
+          (k, tid, s)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("k", "tid", "ewma")
+  }
+}
