@@ -2455,6 +2455,17 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** SRP / hyperplane-LSH sketches over the embeddings table
+    * ([[graft.pipeline.Similarity.srpSketch]]) — the exact-arithmetic
+    * ANN index family (vs the recall-bound IVF/PQ gates): quantized
+    * integer dots against parity-hash hyperplanes, recomputed
+    * bit-for-bit by the oracle.
+    */
+  private def qSrpSketch(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Similarity.srpSketch(
+      graft.pipeline.Par.spread(t(s, dir, "embeddings")), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -2592,6 +2603,7 @@ object SparkEntry {
     "q133_image_neardup" -> (qImageNearDup(_, _)),
     "q134_stream_left_join" -> (qStreamLeftJoin(_, _)),
     "q135_ewma" -> (qEwma(_, _)),
+    "q136_srp_sketch" -> (qSrpSketch(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4530,6 +4542,26 @@ object SparkEntry {
         |  FROM ew e JOIN seq q ON q.user_id = e.user_id AND q.n = e.n + 1)
         |SELECT user_id, event_id, s AS ewma FROM ew
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // q136: quantize → parity-hash ±1 hyperplanes → integer dots →
+    // sign bits, recomputed arithmetically (float→double is lossless,
+    // everything after is BIGINT). 64 = the testdata embedding dim
+    // (constant across scale factors; generate_series needs a literal)
+    "q136_srp_sketch" ->
+      """WITH q AS (
+        |  SELECT vec_id, j,
+        |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings, generate_series(1, 64) t(j)),
+        |d AS (
+        |  SELECT vec_id, h,
+        |    sum(CASE WHEN (j::BIGINT * 1103515245 + h * 12345) % 97 % 2 = 0
+        |             THEN qv ELSE -qv END)::BIGINT AS dot
+        |  FROM q, generate_series(0, 31) s(h)
+        |  GROUP BY 1, 2)
+        |SELECT vec_id,
+        |  sum(CASE WHEN dot > 0 THEN 1::BIGINT << h ELSE 0 END)::BIGINT AS sketch,
+        |  sum(CASE WHEN dot > 0 THEN 1 ELSE 0 END)::BIGINT AS n_bits
+        |FROM d GROUP BY 1 ORDER BY vec_id""".stripMargin,
 
     // q133: same fingerprints, then the identical 4×16-bit banding,
     // candidate equi-join, and bit_count(xor) Hamming verify

@@ -473,4 +473,44 @@ object Similarity {
     pqRerank(sl, df, q.select(col("query_id").as(idCol), col("qv").as(vecCol)),
       idCol, vecCol, k)
   }
+
+  /** Signed-random-projection (hyperplane LSH / embedding SimHash)
+    * sketches: bit h of the sketch is the SIGN of the embedding's dot
+    * product with pseudo-random ±1 hyperplane h. Cosine-similar
+    * vectors agree on most bits (Goemans–Williamson: P[agree] =
+    * 1 − θ/π), so banding the sketch gives ANN candidates exactly like
+    * the text SimHash path (q15) — the third indexable ANN family next
+    * to IVF and PQ.
+    *
+    * Everything is EXACT integer arithmetic, so unlike the recall-
+    * bound ANN gates this one is hash-exact (q136): embeddings
+    * quantize per element as floor(double(x)·scale + 0.5) (a pure
+    * function of the stored float — float→double is lossless), the
+    * hyperplane sign at (index j, plane h) is the parity of a small
+    * integer hash, and the dot is a sequential integer fold inside one
+    * codegen'd projection. Map-only, no shuffle, no UDF.
+    */
+  def srpSketch(df: DataFrame, idCol: String, vecCol: String,
+                bits: Int = 32, quantScale: Double = 1000.0): DataFrame = {
+    require(bits >= 1 && bits <= 63, "bits must fit one signed long")
+    val qv = expr(
+      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale + 0.5) AS BIGINT))")
+    val dots = (0 until bits).map { h =>
+      expr(
+        s"""aggregate(
+           |  transform(sequence(1, size(__qv)),
+           |    j -> IF((CAST(j AS BIGINT) * 1103515245 + ${h * 12345}) % 97 % 2 = 0,
+           |            element_at(__qv, j), -element_at(__qv, j))),
+           |  0L, (a, x) -> a + x)""".stripMargin).as(s"__d$h")
+    }
+    val sketch = (0 until bits).map(h =>
+        when(col(s"__d$h") > 0, lit(1L << h)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val nBits = (0 until bits).map(h =>
+        when(col(s"__d$h") > 0, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    df.withColumn("__qv", qv)
+      .select(col(idCol) +: dots: _*)
+      .select(col(idCol), sketch.as("sketch"), nBits.as("n_bits"))
+  }
 }
