@@ -816,15 +816,29 @@ object SparkEntry {
     val union = graft.geom.GeomOps.unionAll(shapes)
     val shared = Seq("nlcd", "soil", "slope").map(id =>
       id -> zonalLayers(s, path, metas, Seq(id), union).head).toMap
-    Zonal.multiBatch(s, metas("nlcd").layout, shared, shapes,
+    val raw = Zonal.multiBatch(s, metas("nlcd").layout, shared, shapes,
       graft.sources.ZonalFixture.streamLines(spec),
       Seq(
         Zonal.BatchCount("nlcd_soil", Seq("nlcd", "soil")),
+        Zonal.BatchCount("cnt_soil", Seq("soil")),
         Zonal.BatchAverage("avg_slope", Seq("soil"), "slope"),
         Zonal.BatchLines("nlcd_streams", Seq("nlcd"))))
-      // counts are integral (round is identity); averages round at 6
-      // like q31, so the DuckDB oracle can hash-match v
+    // counts are integral (round is identity). The average is gated as
+    // exact integer CENTS: one group's true mean (90093/3200 at sf0.01)
+    // sits exactly on the 1e-6 round-half boundary, so ROUND(avg, 6)
+    // flips with FP summation order on either side. avg * count * 100
+    // undoes the division — it equals the non-NaN cents sum to ~1e-5,
+    // which ROUND recovers exactly and order-independently; the count
+    // comes from the engine's own cnt_soil rows (themselves gated).
+    val cnts = raw.filter(col("op_label") === "cnt_soil")
+      .select(col("shape_id").as("c_sid"), col("k").as("c_k"), col("v").as("c_n"))
+    val avgCents = raw.filter(col("op_label") === "avg_slope")
+      .join(cnts, col("shape_id") === col("c_sid") && col("k") === col("c_k"))
+      .select(col("shape_id"), col("op_label"), col("k"),
+        round(col("v") * col("c_n") * 100).as("v"))
+    raw.filter(col("op_label") =!= "avg_slope")
       .select(col("shape_id"), col("op_label"), col("k"), round(col("v"), 6).as("v"))
+      .union(avgCents)
       .orderBy("shape_id", "op_label", "k")
   }
 
@@ -2323,6 +2337,45 @@ object SparkEntry {
       .orderBy("key_col", "key_row")
   }
 
+  /** Shared q137/q138 gate shape: per-cell trig kernels cannot be
+    * recomputed in DuckDB (libm last-ulp differs across engines), so
+    * the oracle reads a fixture plane computed from the slope formula
+    * by the SAME JVM libm ([[graft.sources.ZonalFixture.aspectValue]])
+    * — bit-identical doubles, independent code path — and both sides
+    * aggregate with only exact operations on those bits: per-degree
+    * FLOOR buckets with counts and FLOOR(v·1e6) micro-sums.
+    */
+  private def focalTrigGate(s: SparkSession, dir: String,
+      kernel: (SparkSession, DataFrame, graft.sources.TileCatalog.RasterMeta) => DataFrame): DataFrame = {
+    val (path, _, metas) = zonalCtx(s, dir)
+    val meta = metas("slope")
+    val full = new org.locationtech.jts.geom.GeometryFactory()
+      .toGeometry(meta.layout.extent.toEnvelope)
+    val layer = graft.sources.TileCatalog.readLayer(s, path, meta, full)
+    kernel(s, layer, meta)
+      .select(explode(col("tile_d")).as("v"))
+      .select(
+        when(isnan(col("v")), lit(-999L))
+          .otherwise(floor(col("v")).cast("long")).as("bucket"),
+        when(isnan(col("v")), lit(0L))
+          .otherwise(floor(col("v") * 1e6).cast("long")).as("micro"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), sum(col("micro")).as("sum_micro"))
+      .orderBy("bucket")
+  }
+
+  /** Aspect ([[graft.operators.Focal.aspectD]]) through the
+    * FLOOR-bucket trig gate. */
+  private def qFocalAspect(s: SparkSession, dir: String): DataFrame =
+    focalTrigGate(s, dir, (ss, l, m) =>
+      graft.operators.Focal.aspectD(ss, l, m, cellSize = 1.0))
+
+  /** Hillshade ([[graft.operators.Focal.hillshadeD]], default sun)
+    * through the FLOOR-bucket trig gate. */
+  private def qHillshade(s: SparkSession, dir: String): DataFrame =
+    focalTrigGate(s, dir, (ss, l, m) =>
+      graft.operators.Focal.hillshadeD(ss, l, m, cellSize = 1.0))
+
   /** Image perceptual hashing ([[graft.pipeline.Multimodal.imageAHash]])
     * over q71's synthetic PNG corpus: REAL ImageIO decode → 8×8
     * nearest-neighbor aHash, all-integer, so the oracle recomputes the
@@ -2604,6 +2657,8 @@ object SparkEntry {
     "q134_stream_left_join" -> (qStreamLeftJoin(_, _)),
     "q135_ewma" -> (qEwma(_, _)),
     "q136_srp_sketch" -> (qSrpSketch(_, _)),
+    "q137_focal_aspect" -> (qFocalAspect(_, _)),
+    "q138_hillshade" -> (qHillshade(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -2656,64 +2711,6 @@ object SparkEntry {
     s"read_parquet('$d/$rel/*.parquet')"
   }
 
-  /** Shared D8 flow-direction CTE chain (q97, q100): per-cell
-    * steepest-descent direction codes recomputed from the raw slope
-    * tiles with the kernel's exact arithmetic and tie-break order.
-    * Produces CTEs `cells` (gc, gr, v) and `dir` (gc, gr, v=code).
-    */
-  private def d8Ctes(): String = {
-    val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
-    val spec = graft.sources.ZonalFixture.specFor(sfDir)
-    val ts = spec.tileSize
-    val w = spec.layoutCols * ts; val h = spec.layoutRows * ts
-    s"""cells AS (
-       |  SELECT key_col * $ts + (i - 1) % $ts AS gc,
-       |         key_row * $ts + (i - 1) // $ts AS gr,
-       |         tile_d[i] AS v
-       |  FROM ${zfp("tiles/raster_id=slope/zoom=0")},
-       |       generate_series(1, ${ts * ts}) t(i)),
-       |nbr AS (
-       |  SELECT gc + dx.x AS tgc, gr + dy.y AS tgr, dx.x AS x, dy.y AS y, v
-       |  FROM cells, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
-       |  WHERE NOT isnan(v) AND NOT (dx.x = 0 AND dy.y = 0)),
-       |piv AS (
-       |  SELECT tgc AS gc, tgr AS gr,
-       |    max(CASE WHEN x = -1 AND y = 0  THEN v END) AS ve,
-       |    max(CASE WHEN x = -1 AND y = -1 THEN v END) AS vse,
-       |    max(CASE WHEN x = 0  AND y = -1 THEN v END) AS vs,
-       |    max(CASE WHEN x = 1  AND y = -1 THEN v END) AS vsw,
-       |    max(CASE WHEN x = 1  AND y = 0  THEN v END) AS vw,
-       |    max(CASE WHEN x = 1  AND y = 1  THEN v END) AS vnw,
-       |    max(CASE WHEN x = 0  AND y = 1  THEN v END) AS vn,
-       |    max(CASE WHEN x = -1 AND y = 1  THEN v END) AS vne
-       |  FROM nbr
-       |  WHERE tgc BETWEEN 0 AND ${w - 1} AND tgr BETWEEN 0 AND ${h - 1}
-       |  GROUP BY 1, 2),
-       |d AS (
-       |  SELECT c.gc, c.gr, c.v AS e,
-       |    COALESCE(c.v - p.ve, -1::DOUBLE) AS de,
-       |    COALESCE((c.v - p.vse) / sqrt(2::DOUBLE), -1::DOUBLE) AS dse,
-       |    COALESCE(c.v - p.vs, -1::DOUBLE) AS ds,
-       |    COALESCE((c.v - p.vsw) / sqrt(2::DOUBLE), -1::DOUBLE) AS dsw,
-       |    COALESCE(c.v - p.vw, -1::DOUBLE) AS dw,
-       |    COALESCE((c.v - p.vnw) / sqrt(2::DOUBLE), -1::DOUBLE) AS dnw,
-       |    COALESCE(c.v - p.vn, -1::DOUBLE) AS dn,
-       |    COALESCE((c.v - p.vne) / sqrt(2::DOUBLE), -1::DOUBLE) AS dne
-       |  FROM cells c LEFT JOIN piv p USING (gc, gr)),
-       |dir AS (
-       |  SELECT gc, gr,
-       |    CASE WHEN isnan(e) THEN -2147483648
-       |         WHEN greatest(de, dse, ds, dsw, dw, dnw, dn, dne) <= 0 THEN 0
-       |         WHEN de  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 1
-       |         WHEN dse = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 2
-       |         WHEN ds  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 4
-       |         WHEN dsw = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 8
-       |         WHEN dw  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 16
-       |         WHEN dnw = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32
-       |         WHEN dn  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64
-       |         ELSE 128 END::INTEGER AS v
-       |  FROM d)""".stripMargin
-  }
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
   def oracleSql: Map[String, String] = Map(
@@ -3058,36 +3055,48 @@ object SparkEntry {
          |       LEFT JOIN s USING (key_col, key_row)
          |GROUP BY 1 ORDER BY vals""".stripMargin,
 
+    // reads the per-pixel value planes (ZonalFixture.writePlane), not
+    // the tile arrays: the tile_i[idx+1]-after-join form wedges the
+    // driver's DuckDB 1.0.0 planner
     "q34_zonal_multi" ->
       s"""WITH ms AS (SELECT * FROM ${zfp("mask_shapes.parquet")}),
          |ml AS (SELECT * FROM ${zfp("mask_lines_shapes.parquet")}),
-         |n AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=nlcd/zoom=0")}),
-         |s AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=soil/zoom=0")}),
-         |t AS (SELECT key_col, key_row, tile_d FROM ${zfp("tiles/raster_id=slope/zoom=0")}),
+         |n AS (SELECT key_col, key_row, idx, v FROM ${zfp("plane_nlcd.parquet")}),
+         |s AS (SELECT key_col, key_row, idx, v FROM ${zfp("plane_soil.parquet")}),
+         |t AS (SELECT key_col, key_row, idx, v FROM ${zfp("plane_slope.parquet")}),
          |cnt_op AS (
          |  SELECT m.shape_id, 'nlcd_soil' AS op_label,
-         |    'List(' || COALESCE(n.tile_i[m.idx + 1], -2147483648)
-         |      || ', ' || COALESCE(s.tile_i[m.idx + 1], -2147483648) || ')' AS k,
+         |    'List(' || COALESCE(n.v, -2147483648)
+         |      || ', ' || COALESCE(s.v, -2147483648) || ')' AS k,
          |    CAST(COUNT(*) AS DOUBLE) AS v
-         |  FROM ms m LEFT JOIN n USING (key_col, key_row)
-         |            LEFT JOIN s USING (key_col, key_row)
+         |  FROM ms m LEFT JOIN n USING (key_col, key_row, idx)
+         |            LEFT JOIN s USING (key_col, key_row, idx)
+         |  GROUP BY 1, 3),
+         |cnt_soil_op AS (
+         |  SELECT m.shape_id, 'cnt_soil' AS op_label,
+         |    'List(' || COALESCE(s.v, -2147483648) || ')' AS k,
+         |    CAST(COUNT(*) AS DOUBLE) AS v
+         |  FROM ms m LEFT JOIN s USING (key_col, key_row, idx)
          |  GROUP BY 1, 3),
          |avg_op AS (
+         |  -- the avg op is gated as exact non-NaN CENTS (avg * n * 100
+         |  -- on the engine side): one group's true mean sits exactly on
+         |  -- the 1e-6 round-half boundary, see qZonalMulti
          |  SELECT m.shape_id, 'avg_slope' AS op_label,
-         |    'List(' || COALESCE(s.tile_i[m.idx + 1], -2147483648) || ')' AS k,
-         |    ROUND(SUM(CASE WHEN t.tile_d[m.idx + 1] IS NULL
-         |                     OR isnan(t.tile_d[m.idx + 1]) THEN 0.0
-         |                   ELSE t.tile_d[m.idx + 1] END) / COUNT(*), 6) AS v
-         |  FROM ms m LEFT JOIN s USING (key_col, key_row)
-         |            LEFT JOIN t USING (key_col, key_row)
+         |    'List(' || COALESCE(s.v, -2147483648) || ')' AS k,
+         |    CAST(SUM(CASE WHEN t.v IS NULL OR isnan(t.v) THEN 0
+         |                  ELSE ROUND(t.v * 100)::BIGINT END) AS DOUBLE) AS v
+         |  FROM ms m LEFT JOIN s USING (key_col, key_row, idx)
+         |            LEFT JOIN t USING (key_col, key_row, idx)
          |  GROUP BY 1, 3),
          |lines_op AS (
          |  SELECT m.shape_id, 'nlcd_streams' AS op_label,
-         |    'List(' || COALESCE(n.tile_i[m.idx + 1], -2147483648) || ')' AS k,
+         |    'List(' || COALESCE(n.v, -2147483648) || ')' AS k,
          |    CAST(COUNT(*) AS DOUBLE) AS v
-         |  FROM ml m LEFT JOIN n USING (key_col, key_row)
+         |  FROM ml m LEFT JOIN n USING (key_col, key_row, idx)
          |  GROUP BY 1, 3)
          |SELECT * FROM cnt_op
+         |UNION ALL SELECT * FROM cnt_soil_op
          |UNION ALL SELECT * FROM avg_op
          |UNION ALL SELECT * FROM lines_op
          |ORDER BY shape_id, op_label, k""".stripMargin,
@@ -3996,13 +4005,14 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY v""".stripMargin
     },
 
-    // q97: D8 — drops recomputed with the identical IEEE arithmetic
-    // ((z - z_n)/dist, sqrt(2) diagonals); missing/NODATA neighbors
-    // coalesce to -1 which can never win a positive comparison; the
-    // CASE order IS the kernel's E,SE,S,SW,W,NW,N,NE tie-break
+    // q97: D8 — the oracle plane is recomputed from the slope formula
+    // with the identical IEEE arithmetic ((z - z_n)/dist, sqrt(2)
+    // diagonals, -1 for missing/NODATA neighbors, E,SE,S,SW,W,NW,N,NE
+    // tie-break) in ZonalFixture.d8DirValue; previously an in-DuckDB
+    // CTE chain that 1.0.0 planned catastrophically
     "q97_flow_direction" ->
-      s"""WITH ${d8Ctes()}
-         |SELECT v, count(*) AS cnt FROM dir GROUP BY 1 ORDER BY v""".stripMargin,
+      s"""SELECT v, count(*) AS cnt FROM ${zfp("plane_d8dir.parquet")}
+         |GROUP BY 1 ORDER BY v""".stripMargin,
 
     // q98: lift = N·c(xy)/(c(x)·c(y)) — integer products + one double
     // division, no log
@@ -4038,19 +4048,18 @@ object SparkEntry {
       val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
       val spec = graft.sources.ZonalFixture.specFor(sfDir)
       val ts = spec.tileSize
-      s"""WITH ${d8Ctes()},
-         |m AS (
+      s"""WITH m AS (
          |  SELECT key_col, key_row, idx,
          |         key_col * $ts + idx % $ts AS gc,
          |         key_row * $ts + idx // $ts AS gr
          |  FROM ${zfp("mask_aoi.parquet")}),
-         |nl AS (SELECT key_col, key_row, tile_i
-         |       FROM ${zfp("tiles/raster_id=nlcd/zoom=0")})
-         |SELECT 'List(' || COALESCE(nl.tile_i[m.idx + 1], -2147483648)
+         |nl AS (SELECT key_col, key_row, idx, v FROM ${zfp("plane_nlcd.parquet")})
+         |SELECT 'List(' || COALESCE(nl.v, -2147483648)
          |    || ', ' || f.v || ')' AS vals,
          |  COUNT(*) AS cnt
-         |FROM m LEFT JOIN nl USING (key_col, key_row)
-         |       JOIN dir f ON f.gc = m.gc AND f.gr = m.gr
+         |FROM m LEFT JOIN nl USING (key_col, key_row, idx)
+         |       JOIN ${zfp("plane_d8dir.parquet")} f
+         |         ON f.gc = m.gc AND f.gr = m.gr
          |GROUP BY 1 ORDER BY vals""".stripMargin
     },
 
@@ -4562,6 +4571,25 @@ object SparkEntry {
         |  sum(CASE WHEN dot > 0 THEN 1::BIGINT << h ELSE 0 END)::BIGINT AS sketch,
         |  sum(CASE WHEN dot > 0 THEN 1 ELSE 0 END)::BIGINT AS n_bits
         |FROM d GROUP BY 1 ORDER BY vec_id""".stripMargin,
+
+    // q137/q138: trig kernels — the oracle reads the fixture planes
+    // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)
+    // and both sides aggregate with exact FLOOR ops only
+    "q137_focal_aspect" ->
+      s"""SELECT CASE WHEN isnan(v) THEN -999 ELSE FLOOR(v)::BIGINT END AS bucket,
+         |  COUNT(*) AS cnt,
+         |  CAST(SUM(CASE WHEN isnan(v) THEN 0
+         |                ELSE FLOOR(v * 1000000)::BIGINT END) AS BIGINT) AS sum_micro
+         |FROM ${zfp("plane_aspect.parquet")}
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q138_hillshade" ->
+      s"""SELECT CASE WHEN isnan(v) THEN -999 ELSE FLOOR(v)::BIGINT END AS bucket,
+         |  COUNT(*) AS cnt,
+         |  CAST(SUM(CASE WHEN isnan(v) THEN 0
+         |                ELSE FLOOR(v * 1000000)::BIGINT END) AS BIGINT) AS sum_micro
+         |FROM ${zfp("plane_hillshade.parquet")}
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // q133: same fingerprints, then the identical 4×16-bit banding,
     // candidate equi-join, and bit_count(xor) Hamming verify

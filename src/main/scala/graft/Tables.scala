@@ -15,15 +15,31 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` is written with parquet TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects outright. We read nanos as a raw long
-    * (legacy conf, set in [[GraftSession]]) and truncate to
-    * microsecond precision — exactly what DuckDB does when it loads
-    * the same file, so oracle comparisons stay bit-identical.
+  /** `events.ts` has shipped in two encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (read as a raw long under
+    * the legacy conf set in [[GraftSession]], then truncated to
+    * micros — matching what DuckDB does on the same file) and plain
+    * `timestamp[us]` (read as TIMESTAMP or TIMESTAMP_NTZ depending on
+    * the reader). Branch on the actual parquet type so a fixture
+    * regeneration can't silently break every events-table query; the
+    * normalized output is always `ts TIMESTAMP` at micro precision
+    * under the UTC session.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long fixture
+        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case TimestampType => raw
+      case TimestampNTZType => // UTC session ⇒ wall clock == instant
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet encoding $other — expected " +
+            "long (nanos), timestamp, or timestamp_ntz")
+    }
+  }
 }
 
 /** One SparkSession configuration for every graft entrypoint. */

@@ -70,6 +70,12 @@ object Verify {
             println(s"[verify] $name ok")
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            // leave a durable per-query marker so the driver's artifact
+            // records an `err` row instead of a silently-missing entry
+            // (round-5 lesson: "{}" vs "27 err" is the whole signal)
+            try Files.writeString(Paths.get(s"$outDir/$name.err.txt"),
+              s"${e.getClass.getName}: ${e.getMessage}\n")
+            catch { case _: Throwable => () }
           }
       })
     }

@@ -41,6 +41,89 @@ object ZonalFixture {
     if (gc % 997 == 3 && gr % 991 == 5) Double.NaN
     else (gc % 100) * 0.31 + (gr % 100) * 0.17
 
+  /** D8 steepest-descent code at a cell, recomputed directly from the
+    * slope *formula* (not the engine's Focal kernel) with the kernel's
+    * exact IEEE arithmetic: drop = (z - z_n) / dist, sqrt(2) on
+    * diagonals, missing/NaN neighbors as -1 (can never win a positive
+    * comparison), flat/pit → 0, tie-break order E,SE,S,SW,W,NW,N,NE →
+    * codes 1,2,4,8,16,32,64,128. This plane feeds the q97/q100 oracles;
+    * it used to be recomputed inside DuckDB as a 5-CTE chain, which
+    * DuckDB 1.0.0 plans so badly it ran 45+ min at sf0.01 — dumping it
+    * as parquet keeps the oracle independent of the engine (same
+    * arithmetic, different implementation) at negligible cost.
+    */
+  /** Horn 3×3 gradient frame over the slope *formula* (independent
+    * direct scan vs the engine's tiled halo exchange; identical window
+    * arithmetic): any NaN / out-of-raster neighbor → NaN.
+    */
+  private def hornFinish(gc: Int, gr: Int, w: Int, h: Int)(
+      finish: (Double, Double) => Double): Double = {
+    def v(x: Int, y: Int): Double =
+      if (x < 0 || x >= w || y < 0 || y >= h) Double.NaN else slopeValue(x, y)
+    val a = v(gc - 1, gr - 1); val b = v(gc, gr - 1); val c = v(gc + 1, gr - 1)
+    val d = v(gc - 1, gr); val e = v(gc, gr); val f = v(gc + 1, gr)
+    val g = v(gc - 1, gr + 1); val hh = v(gc, gr + 1); val i = v(gc + 1, gr + 1)
+    if (a.isNaN || b.isNaN || c.isNaN || d.isNaN || e.isNaN ||
+      f.isNaN || g.isNaN || hh.isNaN || i.isNaN) Double.NaN
+    else {
+      val dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8 * 1.0)
+      val dzdy = ((g + 2 * hh + i) - (a + 2 * b + c)) / (8 * 1.0)
+      finish(dzdx, dzdy)
+    }
+  }
+
+  /** Aspect plane value (ESRI convention, mirrors Focal.aspectD): trig
+    * goes through the JVM's libm — the same libm the engine calls in
+    * the same Verify JVM, so per-cell doubles are bit-identical, while
+    * DuckDB never recomputes trig (its libm may differ in the last
+    * ulp): the oracle reads this plane and compares exact FLOOR-based
+    * aggregates of the identical bits.
+    */
+  def aspectValue(gc: Int, gr: Int, w: Int, h: Int): Double =
+    hornFinish(gc, gr, w, h) { (dzdx, dzdy) =>
+      if (dzdx == 0.0 && dzdy == 0.0) -1.0
+      else {
+        val a = math.toDegrees(math.atan2(dzdy, -dzdx))
+        val c = if (a > 90.0) 360.0 - a + 90.0 else 90.0 - a
+        if (c == 360.0) 0.0 else c
+      }
+    }
+
+  /** Hillshade plane value (GDAL/ESRI formula, default sun — mirrors
+    * Focal.hillshadeD; same bit-identity argument as [[aspectValue]]).
+    */
+  def hillshadeValue(gc: Int, gr: Int, w: Int, h: Int): Double = {
+    val zenith = math.toRadians(90.0 - 45.0)
+    val azimuth = math.toRadians(360.0 - 315.0 + 90.0)
+    hornFinish(gc, gr, w, h) { (dzdx, dzdy) =>
+      val slope = math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))
+      val aspect =
+        if (dzdx == 0.0 && dzdy == 0.0) 0.0 else math.atan2(dzdy, -dzdx)
+      val shade = math.cos(zenith) * math.cos(slope) +
+        math.sin(zenith) * math.sin(slope) * math.cos(azimuth - aspect)
+      math.max(0.0, 255.0 * shade)
+    }
+  }
+
+  def d8DirValue(gc: Int, gr: Int, w: Int, h: Int): Int = {
+    val e = slopeValue(gc, gr)
+    if (java.lang.Double.isNaN(e)) NoData.INT
+    else {
+      val s2 = math.sqrt(2.0)
+      def drop(dx: Int, dy: Int, dist: Double): Double = {
+        val (x, y) = (gc + dx, gr + dy)
+        val v = if (x < 0 || x >= w || y < 0 || y >= h) Double.NaN
+                else slopeValue(x, y)
+        if (java.lang.Double.isNaN(v)) -1.0 else (e - v) / dist
+      }
+      val ds = Array(
+        drop(1, 0, 1.0), drop(1, 1, s2), drop(0, 1, 1.0), drop(-1, 1, s2),
+        drop(-1, 0, 1.0), drop(-1, -1, s2), drop(0, -1, 1.0), drop(1, -1, s2))
+      val g = ds.max
+      if (g <= 0.0) 0 else 1 << ds.indexWhere(_ == g)
+    }
+  }
+
   /** Generate (idempotent per JVM tmpdir): distributed tile build via
     * spark.range over tile keys, formulas evaluated per cell.
     */
@@ -83,7 +166,8 @@ object ZonalFixture {
     // mask_aoi is renamed into place LAST, so its _SUCCESS implies all
     // masks; the z1 check upgrades fixtures built before overviews
     if (new java.io.File(s"$dir/mask_aoi.parquet/_SUCCESS").exists() &&
-      new java.io.File(s"$dir/mask_aoi_z1.parquet/_SUCCESS").exists()) return dir
+      new java.io.File(s"$dir/mask_aoi_z1.parquet/_SUCCESS").exists() &&
+      new java.io.File(s"$dir/plane_hillshade.parquet/_SUCCESS").exists()) return dir
     val spec = specFor(sfDir)
     import spark.implicits._
     val layout = metas(spec).head.layout
@@ -188,6 +272,44 @@ object ZonalFixture {
       buf
     }.toDF("key_col", "key_row", "idx")
       .write.mode("overwrite").parquet(s"$dir/mask_aoi_z1.parquet")
+
+    // Per-pixel value planes, straight from the pure value formulas
+    // (independent of the TileCatalog encoding the engine reads), so
+    // the q34/q100 oracles can equi-join (key_col,key_row,idx) instead
+    // of indexing 64K-element list columns through mask joins — the
+    // list-indexing form wedges DuckDB 1.0.0 (45+ min / 45 GB at
+    // sf0.01, the likely cause of two rounds of empty driver
+    // correctness artifacts).
+    def writePlane[T: org.apache.spark.sql.Encoder](name: String,
+        f: (Int, Int) => T)(implicit
+        te: org.apache.spark.sql.Encoder[(Int, Int, Int, T)]): Unit =
+      keys.toDS().flatMap { case (kc, kr) =>
+        (0 until ts * ts).iterator.map { i =>
+          (kc, kr, i, f(kc * ts + i % ts, kr * ts + i / ts))
+        }
+      }.toDF("key_col", "key_row", "idx", "v")
+        .write.mode("overwrite").parquet(s"$dir/plane_$name.parquet")
+    writePlane[Int]("nlcd", nlcdValue)
+    writePlane[Int]("soil", soilValue)
+    writePlane[Double]("slope", slopeValue)
+
+    // Derived-kernel planes on global cells (q97/q100 d8dir;
+    // q137/q138 aspect/hillshade); written after the value planes,
+    // checked by the idempotence gate
+    val (gw, gh) = (spec.layoutCols * ts, spec.layoutRows * ts)
+    def writeGlobalPlane[T: org.apache.spark.sql.Encoder](name: String,
+        f: (Int, Int) => T)(implicit
+        te: org.apache.spark.sql.Encoder[(Int, Int, T)]): Unit =
+      keys.toDS().flatMap { case (kc, kr) =>
+        (0 until ts * ts).iterator.map { i =>
+          val gc = kc * ts + i % ts; val gr = kr * ts + i / ts
+          (gc, gr, f(gc, gr))
+        }
+      }.toDF("gc", "gr", "v")
+        .write.mode("overwrite").parquet(s"$dir/plane_$name.parquet")
+    writeGlobalPlane[Int]("d8dir", d8DirValue(_, _, gw, gh))
+    writeGlobalPlane[Double]("aspect", aspectValue(_, _, gw, gh))
+    writeGlobalPlane[Double]("hillshade", hillshadeValue(_, _, gw, gh))
 
     // the AOI mask moves into place LAST: its _SUCCESS is the
     // all-masks-written marker the idempotence check reads
