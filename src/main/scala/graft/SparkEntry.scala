@@ -2493,6 +2493,69 @@ object SparkEntry {
       .orderBy("k", "l_id", "r_id")
   }
 
+  /** EIGHTH stream≡batch gate — stream-stream FULL OUTER join
+    * ([[graft.streaming.EventStreams.streamStreamFullOuterJoin]]):
+    * both outer directions at once — unmatched views emit with null
+    * purchase columns AND unmatched purchases emit with null view
+    * columns, each only after the watermark proves no match can
+    * arrive. Same sentinel discipline as q134; oracle: the identical
+    * batch FULL JOIN with the key coalesced across sides.
+    */
+  private def qStreamFullJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .filter(col("event_type").isin("view", "purchase"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx = s.sqlContext
+    val lmem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val rmem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val name = s"q140_fjoin_${streamGateN.incrementAndGet()}"
+    val joined = EventStreams.streamStreamFullOuterJoin(
+      lmem.toDF(), rmem.toDF(),
+      "user_id", withinSeconds = 600, watermark = "30 minutes")
+    val q = startNarrow(s)(joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start())
+    try {
+      evs.grouped(math.max(1, evs.length / 2 + 1)).foreach { chunk =>
+        lmem.addData(chunk.filter(_.event_type == "view").toSeq)
+        rmem.addData(chunk.filter(_.event_type == "purchase").toSeq)
+        q.processAllAvailable()
+      }
+      val horizon = if (evs.isEmpty) 0L else evs.iterator.map(_.ts.getTime).max
+      Seq(1, 2).foreach { round =>
+        val sts = new java.sql.Timestamp(horizon + round * 2 * (600L + 1800L) * 1000)
+        lmem.addData(Seq(EventStreams.Event(-round.toLong, sts, -1L, "view", 0.0)))
+        rmem.addData(Seq(EventStreams.Event(-round.toLong, sts, -1L, "purchase", 0.0)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+      .filter(col("k") >= 0)
+      .select(col("k"), col("l_id"), col("r_id"),
+        date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts"),
+        date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts"))
+      .orderBy("k", "l_id", "r_id")
+  }
+
+  /** BM25 lexical retrieval ([[graft.pipeline.Retrieval.bm25TopK]]):
+    * benchmark docs (doc_id % 100 == 0, q53's contamination split) as
+    * queries against the remaining corpus; top-5 per query by integer
+    * micro-BM25 through the inverted-index join.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.pipeline.Retrieval.bm25TopK(
+      docs.filter(col("doc_id") % 100 =!= 0),
+      docs.filter(col("doc_id") % 100 === 0),
+      "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Fixed-point EWMA ([[graft.operators.TimeSeries.ewmaFixed]]),
     * α = 3/10, per-user over the event sequence (ordered by event_id —
     * unique, so both engines sort identically). A true recurrence no
@@ -2659,6 +2722,8 @@ object SparkEntry {
     "q136_srp_sketch" -> (qSrpSketch(_, _)),
     "q137_focal_aspect" -> (qFocalAspect(_, _)),
     "q138_hillshade" -> (qHillshade(_, _)),
+    "q139_bm25" -> (qBm25(_, _)),
+    "q140_stream_full_join" -> (qStreamFullJoin(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4571,6 +4636,55 @@ object SparkEntry {
         |  sum(CASE WHEN dot > 0 THEN 1::BIGINT << h ELSE 0 END)::BIGINT AS sketch,
         |  sum(CASE WHEN dot > 0 THEN 1 ELSE 0 END)::BIGINT AS n_bits
         |FROM d GROUP BY 1 ORDER BY vec_id""".stripMargin,
+
+    // q139: same inverted-index BM25, micro-integer scores — ln is
+    // quantized to idf6 immediately, the double chain is written in
+    // the IDENTICAL literal order as Retrieval.bm25TopK (same tree ⇒
+    // same IEEE bits ⇒ same floor), per-term scores floor to BIGINT
+    // before the order-insensitive integer sum
+    "q139_bm25" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
+        |qs AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id % 100 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+        |dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM toks),
+        |post AS (
+        |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+        |  GROUP BY 1, 2),
+        |stats AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS total FROM dl),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(floor(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS idf6
+        |  FROM (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY 1), stats),
+        |qt AS (
+        |  SELECT DISTINCT query_id, term
+        |  FROM (SELECT query_id, unnest(string_split(text, ' ')) AS term FROM qs)),
+        |scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    SUM(CAST(floor((i.idf6 * (p.tf * 2.2)) /
+        |          (p.tf + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.total AS DOUBLE) / s.n))))
+        |          + 0.5) AS BIGINT)) AS score_micro,
+        |    COUNT(*)::BIGINT AS n_terms
+        |  FROM qt q JOIN post p USING (term) JOIN idf i USING (term)
+        |       JOIN dl d ON d.doc_id = p.doc_id, stats s
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score_micro, n_terms
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score_micro DESC, doc_id) AS rnk FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q140: the batch FULL JOIN the streaming full-outer must equal
+    // once the watermark has flushed both directions
+    "q140_stream_full_join" ->
+      """SELECT COALESCE(l.user_id, r.user_id) AS k,
+        |       l.event_id AS l_id, r.event_id AS r_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts,
+        |       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') l
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 600 SECOND
+        |ORDER BY k, l_id, r_id""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

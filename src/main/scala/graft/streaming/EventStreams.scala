@@ -133,6 +133,21 @@ object EventStreams {
                            watermark: String = "10 minutes"): DataFrame =
     streamStreamJoinType(left, right, key, withinSeconds, watermark, "left_outer")
 
+  /** Watermarked stream–stream FULL OUTER join: both directions of the
+    * outer guarantee at once — an unmatched left event emits with null
+    * right columns when the watermark passes `l_ts + withinSeconds`,
+    * and an unmatched right event emits with null LEFT columns when
+    * the watermark passes `r_ts` (a right row's join window is
+    * `[r_ts - within, r_ts]` in left-time, so its no-match proof needs
+    * the left watermark past r_ts). Same bounded state as the inner
+    * form; the key column is coalesced across sides since either may
+    * be null-extended.
+    */
+  def streamStreamFullOuterJoin(left: DataFrame, right: DataFrame, key: String,
+                                withinSeconds: Long = 600,
+                                watermark: String = "10 minutes"): DataFrame =
+    streamStreamJoinType(left, right, key, withinSeconds, watermark, "full_outer")
+
   private def streamStreamJoinType(left: DataFrame, right: DataFrame,
                                    key: String, withinSeconds: Long,
                                    watermark: String, joinType: String): DataFrame = {
@@ -147,6 +162,9 @@ object EventStreams {
         r("r_ts") >= l("l_ts") &&
         r("r_ts") <= l("l_ts") + expr(s"INTERVAL $withinSeconds SECONDS"),
       joinType)
-      .select(l("k"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+      // coalesce: under full_outer either side may be null-extended;
+      // for inner/left_outer l.k is always present so this is identity
+      .select(coalesce(l("k"), r("k")).as("k"),
+        col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 }

@@ -91,6 +91,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream full-outer join emits both unmatched directions after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val bdf = buys.toDF().toDF("user_id", "ts", "event_id")
+    val q = EventStreams.streamStreamFullOuterJoin(cdf, bdf, "user_id",
+      withinSeconds = 300, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("fsjoin").outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(100), 100L), (2L, ts(100), 101L))
+      buys.addData((1L, ts(102), 200L), // matches click 100
+        (3L, ts(102), 201L)) // right-only user: must null-extend left
+      q.processAllAvailable()
+      // push the watermark far past every row's expiry on both sides,
+      // then one more batch to force the eviction that emits outers
+      Seq(1, 2).foreach { r =>
+        clicks.addData((99L, ts(2000 + r * 100), 900L + r))
+        buys.addData((99L, ts(2000 + r * 100), 950L + r))
+        q.processAllAvailable()
+      }
+      val got = spark.table("fsjoin").filter($"k" < 90).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(got == Set(
+        (1L, 100L, 200L), // matched pair
+        (2L, 101L, -1L),  // left-only click
+        (3L, -1L, 201L))) // right-only buy
+    } finally q.stop()
+  }
+
   test("the same transform runs in batch mode (unified API)") {
     import spark.implicits._
     val batch = Seq((ts(1), "click", 1.0), (ts(2), "click", 2.0))
