@@ -2556,6 +2556,53 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** NINTH stream≡batch gate — stream–static enrichment join
+    * ([[graft.streaming.EventStreams.streamStaticEnrich]]): the
+    * stateless shape (no watermark, no state) — each streamed event
+    * broadcast-joins a static per-user dimension computed in batch
+    * (first-seen day + event count) and must emit exactly once.
+    * Oracle: the identical batch LEFT JOIN.
+    */
+  private def qStreamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val events = Tables.events(s, dir)
+    val dim = events.groupBy("user_id")
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("first_day"),
+        count(lit(1)).as("user_n"))
+    val evs = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val name = s"q141_enrich_${streamGateN.incrementAndGet()}"
+    val enriched = EventStreams.streamStaticEnrich(
+      mem.toDF().select(col("event_id"), col("user_id")), dim, "user_id")
+    val q = startNarrow(s)(enriched.writeStream.format("memory")
+      .queryName(name).outputMode("append").start())
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+      .select(col("event_id"), col("user_id"), col("first_day"), col("user_n"))
+      .orderBy("event_id")
+  }
+
+  /** Unigram Shannon entropy
+    * ([[graft.pipeline.TextAnalysis.unigramEntropy]]) in integer
+    * micro-nats over the documents corpus — the information-density
+    * quality signal through the q139 quantized-ln discipline.
+    */
+  private def qEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.unigramEntropy(
+      t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Fixed-point EWMA ([[graft.operators.TimeSeries.ewmaFixed]]),
     * α = 3/10, per-user over the event sequence (ordered by event_id —
     * unique, so both engines sort identically). A true recurrence no
@@ -2724,6 +2771,8 @@ object SparkEntry {
     "q138_hillshade" -> (qHillshade(_, _)),
     "q139_bm25" -> (qBm25(_, _)),
     "q140_stream_full_join" -> (qStreamFullJoin(_, _)),
+    "q141_stream_static_enrich" -> (qStreamStaticEnrich(_, _)),
+    "q142_entropy" -> (qEntropy(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4685,6 +4734,33 @@ object SparkEntry {
         |  ON l.user_id = r.user_id
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 600 SECOND
         |ORDER BY k, l_id, r_id""".stripMargin,
+
+    // q141: the batch LEFT JOIN the stateless stream-static enrich
+    // must equal row-for-row
+    "q141_stream_static_enrich" ->
+      """WITH dim AS (
+        |  SELECT user_id, strftime(MIN(ts), '%Y-%m-%d') AS first_day,
+        |         COUNT(*)::BIGINT AS user_n
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, d.first_day, d.user_n
+        |FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+        |ORDER BY e.event_id""".stripMargin,
+
+    // q142: same quantized-ln micro-nat arithmetic as q139 — every ln
+    // is floored to an integer before any aggregation or division
+    "q142_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  WHERE term <> ''
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, SUM(tf)::BIGINT AS n_tokens,
+        |  CAST(floor(ln(CAST(SUM(tf) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |    - CAST(floor(CAST(SUM(tf * CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |                 / SUM(tf) + 0.5) AS BIGINT) AS entropy_micro
+        |FROM tf GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

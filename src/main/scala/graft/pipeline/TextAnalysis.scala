@@ -303,6 +303,37 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** Shannon unigram entropy per document, in integer MICRO-NATS —
+    * the information-density quality signal (near-zero entropy =
+    * degenerate repetition, the gibberish/boilerplate end of the
+    * quality spectrum; complements [[repetitionMetrics]]' top-bigram
+    * fraction). H = ln(n) − (1/n)·Σ tf·ln(tf) over the term-frequency
+    * distribution.
+    *
+    * Exactness follows the q139 micro-integer discipline: each libm
+    * `ln` is quantized to micro-nats the moment it is computed
+    * (floor(ln(tf)·1e6 + 0.5) — tf is a small integer, so both
+    * engines see identical inputs), the weighted sum is a BIGINT
+    * (order-insensitive), and the single division S/n happens once on
+    * exact integers with an immediate floor. Two term-keyed
+    * aggregations, no joins, no window — scale shape identical to the
+    * TF stage of [[tfIdfTopTerms]].
+    */
+  def unigramEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(expr(
+          "tf * CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"))
+          .as("s_tf_ln"))
+      .select(col(idCol), col("n_tokens"), expr(
+        "CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) " +
+          "- CAST(floor(CAST(s_tf_ln AS DOUBLE) / n_tokens + 0.5) AS BIGINT)")
+        .as("entropy_micro"))
+  }
+
   /** Gopher-style document-quality rules (Rae et al. 2021, "Scaling
     * Language Models", table A1 — the public heuristics every web
     * corpus clean starts from): word-count band, mean-word-length

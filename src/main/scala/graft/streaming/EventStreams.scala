@@ -148,6 +148,20 @@ object EventStreams {
                                 watermark: String = "10 minutes"): DataFrame =
     streamStreamJoinType(left, right, key, withinSeconds, watermark, "full_outer")
 
+  /** Stream–static enrichment join: each micro-batch of the streaming
+    * side broadcast-joins a STATIC dimension — completely stateless
+    * (no watermark, no join state; every stream row emits exactly
+    * once, null-extended if its key is absent), and the static side
+    * is re-resolved per batch, so a slowly-changing dimension picks
+    * up updates between batches. The third stream-join shape next to
+    * the watermarked stream–stream family: at 100 TB of stream this
+    * is the plan for "attach user/document metadata on ingest" —
+    * dimension broadcast, stream never shuffles.
+    */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+                         key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   private def streamStreamJoinType(left: DataFrame, right: DataFrame,
                                    key: String, withinSeconds: Long,
                                    watermark: String, joinType: String): DataFrame = {

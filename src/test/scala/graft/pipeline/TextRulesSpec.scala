@@ -31,6 +31,26 @@ class TextRulesSpec extends AnyFunSuite with SparkSpec {
     assert(d3.map(_._3).toSeq == Seq("other", "common"))
   }
 
+  test("unigramEntropy: hand-computed micro-nats on uniform and degenerate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),      // uniform over 4: H = ln(4)
+      (2L, "x x x x"),      // degenerate: H = 0
+      (3L, "a a b")         // H = ln(3) - (2·ln2)/3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ln6(x: Double) = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    // replay the exact quantized arithmetic, not the real-valued H
+    // doc 1: four tf=1 terms, ln(1)=0 ⇒ S=0 ⇒ H = ln6(4)
+    assert(got(1L) == ((4L, ln6(4))))
+    // doc 2: one tf=4 term ⇒ S = 4·ln6(4) ⇒ H = ln6(4) − ln6(4) = 0
+    assert(got(2L) == ((4L, 0L)))
+    assert(got(3L) == ((3L, ln6(3) - math.floor(2.0 * ln6(2) / 3 + 0.5).toLong)))
+    // ordering sanity: uniform > mixed > degenerate
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
+  }
+
   test("gopherRules: each rule flips on its own boundary; keep is the conjunction") {
     import spark.implicits._
     val ok = (("word " * 30).trim + " the a of")            // 33 words, all pass

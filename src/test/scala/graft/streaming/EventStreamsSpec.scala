@@ -124,6 +124,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrich: stateless broadcast join, null-extended misses") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("event_id", "user_id")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = EventStreams.streamStaticEnrich(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, 1L), (11L, 3L)) // user 3 not in dim
+      q.processAllAvailable()
+      mem.addData((12L, 2L)) // second batch re-joins the dim
+      q.processAllAvailable()
+      val got = spark.table("enrich").collect().map { r =>
+        val t = r.fieldIndex("tier")
+        (r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("event_id")),
+          if (r.isNullAt(t)) "-" else r.getString(t))
+      }.toSet
+      assert(got == Set((1L, 10L, "gold"), (3L, 11L, "-"), (2L, 12L, "silver")))
+    } finally q.stop()
+  }
+
   test("the same transform runs in batch mode (unified API)") {
     import spark.implicits._
     val batch = Seq((ts(1), "click", 1.0), (ts(2), "click", 2.0))
