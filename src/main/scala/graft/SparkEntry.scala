@@ -2603,6 +2603,111 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Semi-structured VARIANT ingestion (Spark 4's native path for the
+    * open-schema `props` column): `parse_json` → typed `variant_get`
+    * extraction, `try_variant_get` null-on-missing semantics, and
+    * `schema_of_variant` shape profiling — the modern replacement for
+    * string-path `get_json_object` at corpus scale (parse once,
+    * extract many, binary-encoded). The oracle recomputes every
+    * aggregate from DuckDB's JSON functions; the schema-count column
+    * compares COUNT(DISTINCT) of each engine's own shape string.
+    */
+  private def qVariantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), expr("parse_json(props)").as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("m"),
+        expr("schema_of_variant(v)").as("sch"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_missing"),
+        countDistinct(col("sch")).as("n_schemas"))
+      .orderBy("event_type")
+
+  /** Theta-sketch distinct-count states (DataSketches via Spark 4
+    * builtins) — the set-ALGEBRA sketch next to q116's HLL (union
+    * only): per-day sketches union-merged ≡ the direct sketch, plus a
+    * cross-type INTERSECTION (theta's distinguishing capability).
+    * Below the sketch's nominal-entries threshold (4096 ≫ the 1.5k
+    * users here) every theta sketch is EXACT — all retained hashes,
+    * θ = 1 — and union/intersection of exact sketches stays exact, so
+    * the gate pins estimates against exact COUNT(DISTINCT)s, not
+    * bounds.
+    */
+  private def qThetaSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(col("event_type"), expr("to_date(ts)").as("day"))
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    val rerolled = daily.groupBy("event_type")
+      .agg(expr("theta_sketch_estimate(theta_union_agg(sk))").as("ndv_rerolled"))
+    val perType = ev.groupBy("event_type")
+      .agg(expr("theta_sketch_estimate(theta_sketch_agg(user_id))").as("ndv_direct"),
+        countDistinct(col("user_id")).as("ndv_exact"))
+      .join(rerolled, "event_type")
+      .select(col("event_type").as("scope"), col("ndv_exact"),
+        col("ndv_direct"), col("ndv_rerolled"))
+    val interEst = ev.filter(col("event_type").isin("view", "purchase"))
+      .groupBy("event_type").agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      .agg(expr("theta_sketch_estimate(theta_intersection_agg(sk))").as("est"))
+    val interExact = ev.filter(col("event_type") === "view")
+      .select(col("user_id")).distinct()
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct(), "user_id")
+      .agg(count(lit(1)).as("ndv_exact"))
+    val inter = interExact.crossJoin(interEst)
+      .select(lit("view_x_purchase").as("scope"), col("ndv_exact"),
+        col("est").as("ndv_direct"), col("est").as("ndv_rerolled"))
+    perType.union(inter)
+      .withColumn("exact_below_k",
+        col("ndv_direct") === col("ndv_exact") &&
+          col("ndv_rerolled") === col("ndv_exact"))
+      .orderBy("scope")
+  }
+
+  /** Exact top-k through the `approx_top_k` sketch: with
+    * maxItemsTracked ≥ NDV the sketch tracks every item exactly, so
+    * its top-3 must equal the exact top-3 (re-sorted (count desc,
+    * item) — the k-boundary counts are unique in this fixture, checked
+    * sf0.01 and sf0.1).
+    */
+  private def qApproxTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+
+  /** Exact distinct counting via bitmap aggregates — the dense-int-ID
+    * pattern where a 32k-bit bitmap per (group, bucket) replaces a
+    * count-distinct shuffle of the raw rows: `bitmap_bucket_number` /
+    * `bitmap_bit_position` / `bitmap_construct_agg`, with per-day
+    * states OR-merged (`bitmap_or_agg` — lossless, exactly
+    * re-aggregatable like q111's monoids). All three paths (exact,
+    * direct bitmap, re-rolled bitmap) must agree exactly.
+    */
+  private def qBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val direct = ev.groupBy(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("ndv_bitmap"))
+    val rerolled = ev.groupBy(col("event_type"), expr("to_date(ts)").as("day"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("ndv_rerolled"))
+    ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("ndv_exact"))
+      .join(direct, "event_type").join(rerolled, "event_type")
+      .select(col("event_type"), col("ndv_exact"), col("ndv_bitmap"),
+        col("ndv_rerolled"))
+      .orderBy("event_type")
+  }
+
   /** Fixed-point EWMA ([[graft.operators.TimeSeries.ewmaFixed]]),
     * α = 3/10, per-user over the event sequence (ordered by event_id —
     * unique, so both engines sort identically). A true recurrence no
@@ -2773,6 +2878,10 @@ object SparkEntry {
     "q140_stream_full_join" -> (qStreamFullJoin(_, _)),
     "q141_stream_static_enrich" -> (qStreamStaticEnrich(_, _)),
     "q142_entropy" -> (qEntropy(_, _)),
+    "q143_variant_extract" -> (qVariantExtract(_, _)),
+    "q144_theta_sketch" -> (qThetaSketch(_, _)),
+    "q145_approx_topk" -> (qApproxTopK(_, _)),
+    "q146_bitmap_distinct" -> (qBitmapDistinct(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4761,6 +4870,54 @@ object SparkEntry {
         |                 / SUM(tf) + 0.5) AS BIGINT) AS entropy_micro
         |FROM tf GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // q143: DuckDB's JSON functions recompute every VARIANT aggregate;
+    // n_missing = COUNT(*) because '$.missing' is absent from every
+    // props object; n_schemas compares each engine's own COUNT(DISTINCT
+    // shape-string) — both data-derived
+    "q143_variant_extract" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+        |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(*)::BIGINT AS n_missing,
+        |  COUNT(DISTINCT json_structure(props))::BIGINT AS n_schemas
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q144: below nominal entries every theta sketch is exact, so all
+    // three estimate columns equal exact COUNT(DISTINCT)s — including
+    // the intersection scope
+    "q144_theta_sketch" ->
+      """SELECT event_type AS scope,
+        |  COUNT(DISTINCT user_id)::BIGINT AS ndv_exact,
+        |  COUNT(DISTINCT user_id)::BIGINT AS ndv_direct,
+        |  COUNT(DISTINCT user_id)::BIGINT AS ndv_rerolled,
+        |  true AS exact_below_k
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT 'view_x_purchase', i.n, i.n, i.n, true
+        |FROM (SELECT COUNT(*)::BIGINT AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')) i
+        |ORDER BY scope""".stripMargin,
+
+    // q145: with maxItemsTracked ≥ NDV the top-k sketch is exact; the
+    // k-boundary counts are unique in this fixture (checked sf0.01 and
+    // sf0.1), so the exact top-3 is the unique answer
+    "q145_approx_topk" ->
+      """SELECT event_type AS item, COUNT(*)::BIGINT AS cnt
+        |FROM events GROUP BY 1
+        |ORDER BY cnt DESC, item LIMIT 3""".stripMargin,
+
+    // q146: bitmaps are exact by construction; all three paths are the
+    // same COUNT(DISTINCT)
+    "q146_bitmap_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id)::BIGINT AS ndv_exact,
+        |  COUNT(DISTINCT user_id)::BIGINT AS ndv_bitmap,
+        |  COUNT(DISTINCT user_id)::BIGINT AS ndv_rerolled
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)
