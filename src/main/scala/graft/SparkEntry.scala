@@ -2708,6 +2708,18 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Chi-square independence screen
+    * ([[graft.pipeline.Stats.chiSquare]]): event_type × weekday
+    * contingency — the full grid with zero cells materialized,
+    * per-cell expectations and χ² contributions in exact micro-units
+    * (no libm anywhere; Spark's 1-based `dayofweek` shifted to match
+    * DuckDB's 0-based dow).
+    */
+  private def qChiSquare(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.chiSquare(Tables.events(s, dir),
+      col("event_type"), expr("CAST(dayofweek(ts) - 1 AS BIGINT)"))
+      .orderBy("a", "b")
+
   /** Fixed-point EWMA ([[graft.operators.TimeSeries.ewmaFixed]]),
     * α = 3/10, per-user over the event sequence (ordered by event_id —
     * unique, so both engines sort identically). A true recurrence no
@@ -2882,6 +2894,7 @@ object SparkEntry {
     "q144_theta_sketch" -> (qThetaSketch(_, _)),
     "q145_approx_topk" -> (qApproxTopK(_, _)),
     "q146_bitmap_distinct" -> (qBitmapDistinct(_, _)),
+    "q147_chi_square" -> (qChiSquare(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4918,6 +4931,29 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id)::BIGINT AS ndv_bitmap,
         |  COUNT(DISTINCT user_id)::BIGINT AS ndv_rerolled
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q147: identical literal chain — e = ra·cb/n, (o−e)²/e — over
+    // exact integer margins; zero cells materialized by the margin
+    // cross join exactly like the engine
+    "q147_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type AS a, dayofweek(ts)::BIGINT AS b,
+        |         COUNT(*)::BIGINT AS o
+        |  FROM events GROUP BY 1, 2),
+        |ra AS (SELECT a, SUM(o)::BIGINT AS ra FROM cells GROUP BY 1),
+        |cb AS (SELECT b, SUM(o)::BIGINT AS cb FROM cells GROUP BY 1),
+        |n AS (SELECT SUM(o)::BIGINT AS n FROM cells),
+        |grid AS (
+        |  SELECT ra.a, cb.b, ra.ra, cb.cb, COALESCE(c.o, 0)::BIGINT AS o
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cells c ON c.a = ra.a AND c.b = cb.b)
+        |SELECT a, b, o,
+        |  CAST(floor((CAST(ra AS DOUBLE) * cb) / n.n * 1000000.0 + 0.5) AS BIGINT) AS e_micro,
+        |  CAST(floor((o - (CAST(ra AS DOUBLE) * cb) / n.n) *
+        |    (o - (CAST(ra AS DOUBLE) * cb) / n.n) / ((CAST(ra AS DOUBLE) * cb) / n.n)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+        |FROM grid, n
+        |ORDER BY a, b""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

@@ -27,6 +27,43 @@ object Stats {
           .cast("double") / col("n_r"), 4).as("r_star"))
   }
 
+  /** Pearson chi-square contingency analysis of two low-cardinality
+    * categorical columns — the feature-association screen (is
+    * event_type independent of weekday? does domain predict quality
+    * band?) run before stratifying or rebalancing a corpus. Returns
+    * the FULL r×c contingency grid (absent combinations materialized
+    * with o = 0 — they still contribute their expectation) with
+    * per-cell expected counts and chi-square contributions in
+    * micro-units; Σ chi2_micro / 1e6 is the statistic against the
+    * χ²((r−1)(c−1)) distribution.
+    *
+    * Scale shape: one groupBy of the raw rows builds the observed
+    * cells; everything after operates on ≤ r·c rows (margins are
+    * broadcast, the grid is a broadcast cross of two margin tables) —
+    * a 100 TB input costs exactly one count-aggregation pass.
+    * Exactness: no libm anywhere — e = ra·cb/n and (o−e)²/e are
+    * IEEE-exact double chains over exact integers, evaluated in the
+    * identical literal order by the oracle, floored to micro-integers
+    * per cell.
+    */
+  def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum(col("o")).as("ra"))
+    val cb = cells.groupBy("b").agg(sum(col("o")).as("cb"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    broadcast(ra).crossJoin(broadcast(cb))
+      .join(cells, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("o"),
+        expr("CAST(floor((CAST(ra AS DOUBLE) * cb) / n * 1000000.0 + 0.5) AS BIGINT)")
+          .as("e_micro"),
+        expr("CAST(floor((o - (CAST(ra AS DOUBLE) * cb) / n) * " +
+          "(o - (CAST(ra AS DOUBLE) * cb) / n) / ((CAST(ra AS DOUBLE) * cb) / n) " +
+          "* 1000000.0 + 0.5) AS BIGINT)").as("chi2_micro"))
+  }
+
   /** Misra–Gries heavy-hitters summary (Misra & Gries 1982; the
     * deterministic frequent-items sketch Space-Saving descends from)
     * over a key expression: `(k, est)` for keys surviving a k-counter

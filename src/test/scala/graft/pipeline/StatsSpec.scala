@@ -43,6 +43,31 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(all.length == 4 && all.last.getDouble(2) == 1.0)
   }
 
+  test("chiSquare: hand-computed 2x2 grid incl. a materialized zero cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // observed: (x,0)=3, (x,1)=1, (y,0)=0 (absent!), (y,1)=4 → n=8
+    val df = (Seq.fill(3)(("x", 0L)) ++ Seq(("x", 1L)) ++ Seq.fill(4)(("y", 1L)))
+      .toDF("a", "b")
+    val got = Stats.chiSquare(df, col("a"), col("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 4) // zero cell (y,0) materialized
+    def cell(o: Long, ra: Long, cb: Long): (Long, Long) = {
+      val e = ra.toDouble * cb / 8
+      (math.floor(e * 1e6 + 0.5).toLong,
+        math.floor((o - e) * (o - e) / e * 1e6 + 0.5).toLong)
+    }
+    assert(got(("x", 0L)) == ((3L, cell(3, 4, 3)._1, cell(3, 4, 3)._2)))
+    assert(got(("y", 0L)) == ((0L, cell(0, 4, 3)._1, cell(0, 4, 3)._2)))
+    assert(got(("x", 1L)) == ((1L, cell(1, 4, 5)._1, cell(1, 4, 5)._2)))
+    assert(got(("y", 1L)) == ((4L, cell(4, 4, 5)._1, cell(4, 4, 5)._2)))
+    // chi2 total for this table: e.g. x0: e=1.5 c=1.5; y0: e=1.5 c=1.5;
+    // x1: e=2.5 c=0.9; y1: e=2.5 c=0.9 → Σ=4.8
+    val total = got.values.map(_._3).sum
+    assert(total == 4800000L)
+  }
+
   test("misraGries: single partition, k large enough -> exact counts") {
     import spark.implicits._
     val df = Seq("a", "a", "a", "b", "b", "c").toDF("k").coalesce(1)
