@@ -39,10 +39,14 @@ object Retrieval {
                textCol: String, k: Int = 5): DataFrame = {
     val toks = corpus.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("toks"))
-    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    val post = toks.select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    // dl rides the postings aggregation (one value per doc, `first` is
+    // deterministic) — a separate doc_id join would be corpus-sized at
+    // scale where every other join here is broadcast
+    val post = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
     val idf = post.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("term"), expr(
@@ -51,7 +55,7 @@ object Retrieval {
     val qt = queries
       .select(col(idCol).as("query_id"), explode(split(col(textCol), " ")).as("term"))
       .distinct()
-    val scored = qt.join(post, "term").join(idf, "term").join(dl, "doc_id")
+    val scored = qt.join(post, "term").join(idf, "term")
       .crossJoin(broadcast(stats))
       // identical literal order to the DuckDB oracle: every double op
       // here is IEEE-exact-rounded, so same tree ⇒ same bits ⇒ floor
