@@ -30,6 +30,26 @@ class TablesSpec extends SparkSpec {
     assert(df.limit(5).count() > 0)
   }
 
+  test("driver-owned table contracts the gates depend on (drift tripwire)") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists(),
+      s"driver testdata not present at $sfDir")
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(Set("doc_id", "text", "lang", "source").subsetOf(docs.columns.toSet),
+      s"documents drifted: ${docs.columns.toSet}")
+    assert(docs.schema("text").dataType == StringType)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    assert(Set("vec_id", "embedding").subsetOf(emb.columns.toSet),
+      s"embeddings drifted: ${emb.columns.toSet}")
+    // the ANN family quantizes via CAST(embedding[j] AS DOUBLE), which
+    // tolerates float OR double elements — but must stay an array
+    assert(emb.schema("embedding").dataType.isInstanceOf[ArrayType],
+      s"embedding no longer an array: ${emb.schema("embedding").dataType}")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    assert(Set[DataType](TimestampType, TimestampNTZType, DateType)
+      .contains(li.schema("l_shipdate").dataType),
+      s"l_shipdate encoding drifted: ${li.schema("l_shipdate").dataType}")
+  }
+
   test("events loader still accepts the legacy nanos-as-long encoding") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_events_legacy").toString
