@@ -2720,6 +2720,48 @@ object SparkEntry {
       col("event_type"), expr("CAST(dayofweek(ts) - 1 AS BIGINT)"))
       .orderBy("a", "b")
 
+  /** Domain vocabulary-overlap matrix
+    * ([[graft.pipeline.TextAnalysis.vocabularyJaccard]]) over the 20
+    * document sources — exact set sizes and micro-Jaccard per pair.
+    */
+  private def qVocabJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.vocabularyJaccard(
+      t(s, dir, "documents"), "source", "text")
+      .orderBy("da", "db")
+
+  /** MAD-rule outlier screen ([[graft.pipeline.Stats.madOutliers]])
+    * over lineitem price cents per returnflag — the gate aggregates
+    * the row-level flags (count, outlier count, outlier cents sum)
+    * so the 4×-scaled exact-integer comparison is pinned end to end.
+    */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag").as("r1"),
+      round(col("l_extendedprice") * 100).cast("long").as("v"))
+    graft.pipeline.Stats.madOutliers(li, Seq("r1"), "v", k = 3)
+      .groupBy("r1")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(col("is_outlier"), col("v")).otherwise(0L)).as("outlier_cents"))
+      .orderBy("r1")
+  }
+
+  /** Linear-interpolation resampling
+    * ([[graft.operators.GapFill.resampleInterp]]) of per-user view
+    * values (integer cents) onto the hourly grid — q101's numeric
+    * complement, micro-exact through the shared anchor arithmetic.
+    */
+  private def qInterp(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GapFill.resampleInterp(
+      Tables.events(s, dir).filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_id")),
+      "user_id", "ts", "cents", "event_id")
+      .select(col("user_id"),
+        date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("interp_micro"))
+      .orderBy("user_id", "h")
+
   /** Fixed-point EWMA ([[graft.operators.TimeSeries.ewmaFixed]]),
     * α = 3/10, per-user over the event sequence (ordered by event_id —
     * unique, so both engines sort identically). A true recurrence no
@@ -2895,6 +2937,9 @@ object SparkEntry {
     "q145_approx_topk" -> (qApproxTopK(_, _)),
     "q146_bitmap_distinct" -> (qBitmapDistinct(_, _)),
     "q147_chi_square" -> (qChiSquare(_, _)),
+    "q148_vocab_jaccard" -> (qVocabJaccard(_, _)),
+    "q149_mad_outliers" -> (qMadOutliers(_, _)),
+    "q150_interp" -> (qInterp(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4954,6 +4999,84 @@ object SparkEntry {
         |    * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
         |FROM grid, n
         |ORDER BY a, b""".stripMargin,
+
+    // q148: exact set arithmetic; the one division mirrors the
+    // engine's literal chain
+    "q148_vocab_jaccard" ->
+      """WITH dv AS (
+        |  SELECT DISTINCT source AS d, term
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  WHERE term <> ''),
+        |sizes AS (SELECT d, COUNT(*)::BIGINT AS nv FROM dv GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.d AS da, b.d AS db, COUNT(*)::BIGINT AS inter
+        |  FROM dv a JOIN dv b ON a.term = b.term AND a.d < b.d
+        |  GROUP BY 1, 2)
+        |SELECT p.da, p.db, p.inter, sa.nv AS na, sb.nv AS nb,
+        |  (sa.nv + sb.nv - p.inter)::BIGINT AS uni,
+        |  CAST(floor(CAST(p.inter AS DOUBLE) / (sa.nv + sb.nv - p.inter) * 1000000.0 + 0.5) AS BIGINT) AS jaccard_micro
+        |FROM pairs p JOIN sizes sa ON sa.d = p.da JOIN sizes sb ON sb.d = p.db
+        |ORDER BY da, db""".stripMargin,
+
+    // q149: q124's exact median/MAD (integer cents ⇒ half/quarter-
+    // integers), flag compared at 4× scale on exact BIGINTs
+    "q149_mad_outliers" ->
+      """WITH c AS (SELECT l_returnflag AS r1,
+        |             ROUND(l_extendedprice * 100)::BIGINT AS v FROM lineitem),
+        |m AS (SELECT r1, quantile_cont(v, 0.5) AS med FROM c GROUP BY 1),
+        |d AS (SELECT c.r1, c.v, ABS(c.v - m.med) AS dev
+        |      FROM c JOIN m ON c.r1 = m.r1),
+        |md AS (SELECT r1, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.r1, COUNT(*) AS n,
+        |  SUM(CASE WHEN CAST(4 * d.dev AS BIGINT) > 3 * CAST(4 * md.mad AS BIGINT)
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |  SUM(CASE WHEN CAST(4 * d.dev AS BIGINT) > 3 * CAST(4 * md.mad AS BIGINT)
+        |           THEN d.v ELSE 0 END)::BIGINT AS outlier_cents
+        |FROM d JOIN md USING (r1)
+        |GROUP BY d.r1 ORDER BY r1""".stripMargin,
+
+    // q150: identical union+window anchor pick (event-at-instant
+    // counts as prev via the g sort key, next is strictly later) and
+    // identical interpolation chain on exact BIGINT cents and micros
+    "q150_interp" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tu,
+        |         CAST(round(value * 100) AS BIGINT) AS v, event_id
+        |  FROM events WHERE event_type = 'view'),
+        |grid AS (
+        |  SELECT user_id,
+        |    epoch_us(unnest(generate_series(date_trunc('hour', t0),
+        |                                    date_trunc('hour', t1),
+        |                                    INTERVAL 1 HOUR))) AS tu
+        |  FROM (SELECT user_id, min(ts) AS t0, max(ts) AS t1
+        |        FROM events WHERE event_type = 'view' GROUP BY 1)),
+        |u AS (
+        |  SELECT user_id, tu, v, 0 AS g, event_id AS tie FROM ev
+        |  UNION ALL
+        |  SELECT user_id, tu, NULL, 1, NULL FROM grid),
+        |a AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN g = 0 THEN v END IGNORE NULLS) OVER wa AS pv,
+        |    last_value(CASE WHEN g = 0 THEN tu END IGNORE NULLS) OVER wa AS pt
+        |  FROM u WINDOW wa AS (PARTITION BY user_id ORDER BY tu, g, tie
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN g = 0 THEN v END IGNORE NULLS) OVER wd AS nv,
+        |    last_value(CASE WHEN g = 0 THEN tu END IGNORE NULLS) OVER wd AS nt
+        |  FROM a WINDOW wd AS (PARTITION BY user_id
+        |    ORDER BY tu DESC, g DESC, tie DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id,
+        |  strftime(make_timestamp(tu), '%Y-%m-%d %H:%M:%S') AS h,
+        |  CASE WHEN pv IS NULL THEN CAST(nv * 1000000 AS BIGINT)
+        |       WHEN nv IS NULL THEN CAST(pv * 1000000 AS BIGINT)
+        |       ELSE CAST(floor(1000000.0 * (pv + (nv - pv) *
+        |         (CAST(tu - pt AS DOUBLE) / (nt - pt))) + 0.5) AS BIGINT)
+        |  END AS interp_micro
+        |FROM b WHERE g = 1
+        |ORDER BY user_id, h""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

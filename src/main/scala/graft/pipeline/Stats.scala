@@ -64,6 +64,34 @@ object Stats {
           "* 1000000.0 + 0.5) AS BIGINT)").as("chi2_micro"))
   }
 
+  /** Robust outlier flagging by the MAD rule — flag x where
+    * |x − median| > k · MAD (the filter that survives the outliers it
+    * hunts, unlike mean/stddev which the outliers drag). Input values
+    * must be INTEGERS (cents discipline): then the group median is an
+    * exact half-integer and the MAD an exact quarter-integer, so the
+    * flag compares `4·|x − med| > k · 4·MAD` on exact BIGINTs — no
+    * tolerance, cross-engine deterministic.
+    *
+    * Scale shape: two [[graft.operators.ExactPercentiles]] passes
+    * (range-partitioned sorts, the q44/q124 declared-exact class) and
+    * broadcast joins of the per-group statistics back to the rows —
+    * the row table shuffles only for its two sorts, and the flags
+    * themselves are a map-only projection.
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 3): DataFrame = {
+    import graft.operators.ExactPercentiles
+    val gcols = groupCols.map(col)
+    val med = ExactPercentiles.exact(df, groupCols, valueCol, Seq("med" -> 0.5))
+    val dev = df.join(broadcast(med), groupCols)
+      .select(gcols ++ Seq(col(valueCol), col("med"),
+        abs(col(valueCol) - col("med")).as("dev")): _*)
+    val mad = ExactPercentiles.exact(dev, groupCols, "dev", Seq("mad" -> 0.5))
+    dev.join(broadcast(mad), groupCols)
+      .withColumn("is_outlier",
+        expr(s"CAST(4 * dev AS BIGINT) > $k * CAST(4 * mad AS BIGINT)"))
+  }
+
   /** Misra–Gries heavy-hitters summary (Misra & Gries 1982; the
     * deterministic frequent-items sketch Space-Saving descends from)
     * over a key expression: `(k, est)` for keys surviving a k-counter

@@ -334,6 +334,41 @@ object TextAnalysis {
         .as("entropy_micro"))
   }
 
+  /** Pairwise vocabulary Jaccard between domains — the redundancy
+    * matrix behind corpus-mixing decisions (two sources with
+    * near-identical vocabularies add diversity the mixture weights
+    * should know about; complements q66's size-based domain mix).
+    * Output: one row per ordered pair (da < db) sharing ≥ 1 term, with
+    * exact set sizes and `jaccard_micro = floor(|∩|·1e6/|∪| + 0.5)` —
+    * integer set arithmetic end to end, one deterministic division.
+    *
+    * Scale shape: the (domain, term) vocabulary sets come from one
+    * distinct aggregation; the intersection is a TERM-keyed self-join
+    * (per-term fanout ≤ #domains containing the term, so cost is
+    * Σ_term deg(term)² — the standard co-occurrence bound, never
+    * all-docs × all-docs). For domain counts where D² per term is too
+    * fat, the MinHash machinery (`Dedup.minhashSignatures`) estimates
+    * the same matrix; this exact form is for the tens-of-domains
+    * regime a mixture plan actually has.
+    */
+  def vocabularyJaccard(df: DataFrame, domainCol: String,
+                        textCol: String): DataFrame = {
+    val dv = df.select(col(domainCol).as("d"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val sizes = dv.groupBy("d").agg(count(lit(1)).as("nv"))
+    dv.as("a").join(dv.as("b"),
+        col("a.term") === col("b.term") && col("a.d") < col("b.d"))
+      .groupBy(col("a.d").as("da"), col("b.d").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("d").as("da"), col("nv").as("na"))), "da")
+      .join(broadcast(sizes.select(col("d").as("db"), col("nv").as("nb"))), "db")
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        expr("CAST(floor(CAST(inter AS DOUBLE) / (na + nb - inter) * 1000000.0 + 0.5) AS BIGINT)")
+          .as("jaccard_micro"))
+  }
+
   /** Gopher-style document-quality rules (Rae et al. 2021, "Scaling
     * Language Models", table A1 — the public heuristics every web
     * corpus clean starts from): word-count band, mean-word-length
