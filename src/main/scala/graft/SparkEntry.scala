@@ -2762,6 +2762,43 @@ object SparkEntry {
         col("interp_micro"))
       .orderBy("user_id", "h")
 
+  /** Data-quality constraint gate
+    * ([[graft.pipeline.Quality.checkConstraints]]) over lineitem —
+    * range, domain-membership, completeness, cross-column, and
+    * composite-key-uniqueness checks, all in one scan + one wide agg.
+    * One check (a deliberately tight quantity ceiling) fails so the
+    * violation-counting path is exercised, not just the zeros.
+    */
+  private def qQualityChecks(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Quality.checkConstraints(t(s, dir, "lineitem"),
+      assertions = Seq(
+        "qty_range" -> "l_quantity >= 1 AND l_quantity <= 50",
+        "qty_tight" -> "l_quantity <= 25", // intentionally failing
+        "discount_range" -> "l_discount >= 0.0 AND l_discount <= 0.1",
+        "flag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+        "status_domain" -> "l_linestatus IN ('F', 'O')",
+        "keys_complete" -> "l_orderkey IS NOT NULL AND l_partkey IS NOT NULL",
+        "price_positive" -> "l_extendedprice > 0.0"),
+      uniqueKeys = Seq(
+        "pk_unique" -> Seq("l_orderkey", "l_linenumber")))
+      .orderBy("check")
+
+  /** Triangle statistics ([[graft.pipeline.Graph.triangleStats]]) of
+    * the part co-purchase graph (edges = part pairs appearing in the
+    * same order — the market-basket projection; sparse: ~4 lines/order
+    * ⇒ bounded per-order fanout). Degree-ordered exact enumeration;
+    * the oracle counts the same triangles by the a<b<c canonical
+    * triple join.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("ua"), col("b.p").as("ub"))
+    graft.pipeline.Graph.triangleStats(edges, "ua", "ub")
+  }
+
   /** Fixed-point EWMA ([[graft.operators.TimeSeries.ewmaFixed]]),
     * α = 3/10, per-user over the event sequence (ordered by event_id —
     * unique, so both engines sort identically). A true recurrence no
@@ -2940,6 +2977,8 @@ object SparkEntry {
     "q148_vocab_jaccard" -> (qVocabJaccard(_, _)),
     "q149_mad_outliers" -> (qMadOutliers(_, _)),
     "q150_interp" -> (qInterp(_, _)),
+    "q151_quality_checks" -> (qQualityChecks(_, _)),
+    "q152_triangles" -> (qTriangles(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -5077,6 +5116,57 @@ object SparkEntry {
         |  END AS interp_micro
         |FROM b WHERE g = 1
         |ORDER BY user_id, h""".stripMargin,
+
+    // q151: each constraint recomputed directly; NULL predicates count
+    // as violations on both sides
+    "q151_quality_checks" ->
+      """WITH base AS (
+        |  SELECT COUNT(*)::BIGINT AS n,
+        |    SUM(CASE WHEN (l_quantity >= 1 AND l_quantity <= 50) IS NOT TRUE THEN 1 ELSE 0 END)::BIGINT AS v_qty_range,
+        |    SUM(CASE WHEN (l_quantity <= 25) IS NOT TRUE THEN 1 ELSE 0 END)::BIGINT AS v_qty_tight,
+        |    SUM(CASE WHEN (l_discount >= 0.0 AND l_discount <= 0.1) IS NOT TRUE THEN 1 ELSE 0 END)::BIGINT AS v_discount_range,
+        |    SUM(CASE WHEN (l_returnflag IN ('A','N','R')) IS NOT TRUE THEN 1 ELSE 0 END)::BIGINT AS v_flag_domain,
+        |    SUM(CASE WHEN (l_linestatus IN ('F','O')) IS NOT TRUE THEN 1 ELSE 0 END)::BIGINT AS v_status_domain,
+        |    SUM(CASE WHEN (l_orderkey IS NOT NULL AND l_partkey IS NOT NULL) IS NOT TRUE THEN 1 ELSE 0 END)::BIGINT AS v_keys_complete,
+        |    SUM(CASE WHEN (l_extendedprice > 0.0) IS NOT TRUE THEN 1 ELSE 0 END)::BIGINT AS v_price_positive,
+        |    (COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)))::BIGINT AS v_pk_unique
+        |  FROM lineitem)
+        |SELECT c.check, base.n AS n_rows, c.v AS violations, c.v = 0 AS pass
+        |FROM base, (
+        |  SELECT 'qty_range' AS check, v_qty_range AS v FROM base
+        |  UNION ALL SELECT 'qty_tight', v_qty_tight FROM base
+        |  UNION ALL SELECT 'discount_range', v_discount_range FROM base
+        |  UNION ALL SELECT 'flag_domain', v_flag_domain FROM base
+        |  UNION ALL SELECT 'status_domain', v_status_domain FROM base
+        |  UNION ALL SELECT 'keys_complete', v_keys_complete FROM base
+        |  UNION ALL SELECT 'price_positive', v_price_positive FROM base
+        |  UNION ALL SELECT 'pk_unique', v_pk_unique FROM base) c
+        |ORDER BY c.check""".stripMargin,
+
+    // q152: canonical a<b<c triple join counts each triangle once;
+    // wedges = Σ d(d−1)/2 over the deduped undirected edge set
+    "q152_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |deg AS (
+        |  SELECT n, COUNT(*)::BIGINT AS d FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT COUNT(*)::BIGINT AS tri
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT (SELECT COUNT(*)::BIGINT FROM deg) AS n_nodes,
+        |  (SELECT COUNT(*)::BIGINT FROM e) AS n_edges,
+        |  (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+        |  tri.tri AS n_triangles,
+        |  CAST(floor(CAST(3 * tri.tri AS DOUBLE) /
+        |    (SELECT SUM(d * (d - 1) / 2) FROM deg) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS clustering_micro
+        |FROM tri""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

@@ -137,6 +137,52 @@ object Graph {
     * iteration count, so an engine-independent oracle can unroll the
     * same iterations in SQL.
     */
+  /** Exact triangle statistics of an undirected graph (self-loops and
+    * duplicate/reversed edges dropped): node/edge counts, wedge count
+    * Σ d(d−1)/2, triangle count, and the global clustering coefficient
+    * 3·triangles/wedges as a floored micro-integer — the structure
+    * probe for similarity graphs (how clique-y are the near-dup
+    * candidates?) and co-occurrence graphs.
+    *
+    * Scale shape: the classic degree-ordered compact-forward scheme —
+    * every edge is oriented from its lower (degree, id) endpoint to
+    * the higher, so each triangle is enumerated exactly once at its
+    * lowest-order vertex and per-vertex out-fanout is O(√m) on any
+    * graph. Wedge build and closure are two equi-joins on vertex keys;
+    * nothing is quadratic in the vertex count.
+    */
+  def triangleStats(edges0: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges0
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(least(col("e1.t"), col("e2.t")).as("u"),
+        greatest(col("e1.t"), col("e2.t")).as("v"))
+    val triangles = wedges.join(e, Seq("u", "v")).agg(count(lit(1)).as("tri"))
+    val counts = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges")))
+      .crossJoin(broadcast(triangles))
+    counts.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+      col("tri").as("n_triangles"),
+      expr("CAST(floor(CAST(3 * tri AS DOUBLE) / n_wedges * 1000000.0 + 0.5) AS BIGINT)")
+        .as("clustering_micro"))
+  }
+
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -73,6 +73,23 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("triangleStats: hand-computed counts on a 4-clique plus pendant path") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, 12 wedges... compute) + path 4-5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+      (2L, 1L), (1L, 1L) // reversed dup + self loop must be dropped
+    ).toDF("a", "b")
+    val r = Graph.triangleStats(edges, "a", "b").collect().head
+    // degrees: 1:3, 2:3, 3:3, 4:4, 5:2, 6:1 → wedges = 3+3+3+6+1+0 = 16
+    assert(r.getLong(0) == 6L)  // nodes
+    assert(r.getLong(1) == 8L)  // edges (deduped)
+    assert(r.getLong(2) == 16L) // wedges
+    assert(r.getLong(3) == 4L)  // K4 triangles
+    // clustering = 3·4/16 = 0.75 → 750000
+    assert(r.getLong(4) == 750000L)
+  }
+
   test("pageRank: hand-computed 2-iteration values on a 3-node graph") {
     import spark.implicits._
     // A -> B, A -> C, B -> C, C -> A; outdeg A=2, B=1, C=1
