@@ -2799,6 +2799,27 @@ object SparkEntry {
     graft.pipeline.Graph.triangleStats(edges, "ua", "ub")
   }
 
+  /** Association rules ([[graft.pipeline.Stats.associationRules]])
+    * over the order→part baskets: every co-purchase pair with joint
+    * support ≥ 2, confidence and lift in exact micro-units.
+    */
+  private def qAssociationRules(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.associationRules(
+      t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minPairSupport = 2)
+      .orderBy("ante", "cons")
+
+  /** Quantile normalization ([[graft.pipeline.Stats.quantileNormalize]])
+    * of event values (cents) within each event_type — exact-rational
+    * percent_rank under the (cents, event_id) total order.
+    */
+  private def qQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.quantileNormalize(
+      Tables.events(s, dir).select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+      Seq("event_type"), "cents", Seq("event_id"))
+      .select(col("event_id"), col("event_type"), col("cents"), col("q_micro"))
+      .orderBy("event_id")
+
   /** Fixed-point EWMA ([[graft.operators.TimeSeries.ewmaFixed]]),
     * α = 3/10, per-user over the event sequence (ordered by event_id —
     * unique, so both engines sort identically). A true recurrence no
@@ -2979,6 +3000,8 @@ object SparkEntry {
     "q150_interp" -> (qInterp(_, _)),
     "q151_quality_checks" -> (qQualityChecks(_, _)),
     "q152_triangles" -> (qTriangles(_, _)),
+    "q153_assoc_rules" -> (qAssociationRules(_, _)),
+    "q154_quantile_norm" -> (qQuantileNorm(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -5167,6 +5190,36 @@ object SparkEntry {
         |    (SELECT SUM(d * (d - 1) / 2) FROM deg) * 1000000.0 + 0.5) AS BIGINT)
         |    AS clustering_micro
         |FROM tri""".stripMargin,
+
+    // q153: identical counts and identical confidence/lift chains
+    "q153_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT b)::BIGINT AS n FROM items),
+        |supp AS (SELECT i, COUNT(*)::BIGINT AS s FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.i AS ia, y.i AS ib, COUNT(*)::BIGINT AS sab
+        |  FROM items x JOIN items y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dir AS (
+        |  SELECT ia AS ante, ib AS cons, sab FROM pairs
+        |  UNION ALL SELECT ib, ia, sab FROM pairs)
+        |SELECT d.ante, d.cons, d.sab, sa.s AS sa, sc.s AS sc,
+        |  CAST(floor(CAST(d.sab AS DOUBLE) / sa.s * 1000000.0 + 0.5) AS BIGINT) AS conf_micro,
+        |  CAST(floor((CAST(nb.n AS DOUBLE) * d.sab) / (CAST(sa.s AS DOUBLE) * sc.s) * 1000000.0 + 0.5) AS BIGINT) AS lift_micro
+        |FROM dir d JOIN supp sa ON sa.i = d.ante
+        |           JOIN supp sc ON sc.i = d.cons, nb
+        |ORDER BY ante, cons""".stripMargin,
+
+    // q154: percent_rank under a unique total order is (rn−1)/(n−1) on
+    // both engines — an exact rational, floored identically
+    "q154_quantile_norm" ->
+      """SELECT event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CAST(floor(percent_rank() OVER (PARTITION BY event_type
+        |    ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS q_micro
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

@@ -92,6 +92,65 @@ object Stats {
         expr(s"CAST(4 * dev AS BIGINT) > $k * CAST(4 * mad AS BIGINT)"))
   }
 
+  /** Pairwise association rules from a (basket, item) relation — the
+    * market-basket screen (A-priori at level 2, where the useful rules
+    * live): for every ordered item pair with joint support ≥
+    * `minPairSupport`, emit support counts plus confidence
+    * supp(a∪b)/supp(a) and lift n·supp(a∪b)/(supp(a)·supp(b)) as
+    * floored micro-integers (exact integer counts, one deterministic
+    * double chain each — no libm).
+    *
+    * Scale shape: candidate pairs come from the within-basket
+    * self-join (per-basket fanout C(k,2) with k = basket size — small
+    * by domain), item supports from one item-keyed agg joined back
+    * broadcast, the basket count from a 1-row broadcast. Nothing is
+    * quadratic in the item-catalog or basket count.
+    */
+  def associationRules(baskets: DataFrame, basketCol: String, itemCol: String,
+                       minPairSupport: Long = 2): DataFrame = {
+    val items = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val nB = items.select(col("b")).distinct().agg(count(lit(1)).as("n"))
+    val supp = items.groupBy("i").agg(count(lit(1)).as("s"))
+    val pairs = items.as("x").join(items.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("ia"), col("y.i").as("ib"))
+      .agg(count(lit(1)).as("sab"))
+      .filter(col("sab") >= minPairSupport)
+    val dir = pairs.select(col("ia").as("ante"), col("ib").as("cons"), col("sab"))
+      .unionAll(pairs.select(col("ib").as("ante"), col("ia").as("cons"), col("sab")))
+    dir
+      .join(broadcast(supp.select(col("i").as("ante"), col("s").as("sa"))), "ante")
+      .join(broadcast(supp.select(col("i").as("cons"), col("s").as("sc"))), "cons")
+      .crossJoin(broadcast(nB))
+      .select(col("ante"), col("cons"), col("sab"), col("sa"), col("sc"),
+        expr("CAST(floor(CAST(sab AS DOUBLE) / sa * 1000000.0 + 0.5) AS BIGINT)")
+          .as("conf_micro"),
+        expr("CAST(floor((CAST(n AS DOUBLE) * sab) / (CAST(sa AS DOUBLE) * sc) * 1000000.0 + 0.5) AS BIGINT)")
+          .as("lift_micro"))
+  }
+
+  /** Per-group quantile normalization — replace a feature value by its
+    * empirical quantile (rank − 1)/(n − 1) within its group, the
+    * rank-based transform that makes heavy-tailed features comparable
+    * across groups (and the first half of quantile-mapping between
+    * distributions). Ties are totally ordered by `tieCols`, so the
+    * rank is a row_number, the quantile an exact rational, and the
+    * emitted `q_micro = floor(pr·1e6 + 0.5)` cross-engine
+    * deterministic. One key-partitioned window sort; no global sort,
+    * no single-task window.
+    */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, tieCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((col(valueCol) +: tieCols.map(col)): _*)
+    df.withColumn("__pr", percent_rank().over(w))
+      .withColumn("q_micro",
+        expr("CAST(floor(__pr * 1000000.0 + 0.5) AS BIGINT)"))
+      .drop("__pr")
+  }
+
   /** Misra–Gries heavy-hitters summary (Misra & Gries 1982; the
     * deterministic frequent-items sketch Space-Saving descends from)
     * over a key expression: `(k, est)` for keys surviving a k-counter
