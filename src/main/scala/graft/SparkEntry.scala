@@ -2820,6 +2820,44 @@ object SparkEntry {
       .select(col("event_id"), col("event_type"), col("cents"), col("q_micro"))
       .orderBy("event_id")
 
+  /** EWMA-residual anomaly screen — the streaming-able time-series
+    * outlier composition: the q135 fixed-point EWMA gives each event a
+    * prediction (the PREVIOUS smoothed value), the residual
+    * vₜ − sₜ₋₁ is an exact integer, and [[graft.pipeline.Stats
+    * .madOutliers]] flags residuals beyond 3 MADs per user. The gate
+    * aggregates flags per user; every stage is the integer/4×-scaled
+    * arithmetic already pinned by q135 and q149, so the composition is
+    * hash-exact too.
+    */
+  private def qEwmaAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT) * 100").as("v"))
+    val sm = graft.operators.TimeSeries.ewmaFixed(e, "user_id", "event_id",
+      "event_id", "v", alphaNum = 3, alphaDen = 10)
+    val res = e.join(sm.select(col("k").as("user_id"),
+        col("tid").as("event_id"), col("ewma")), Seq("user_id", "event_id"))
+      .withColumn("prev", lag(col("ewma"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("event_id"))))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("event_id"), (col("v") - col("prev")).as("r"))
+    graft.pipeline.Stats.madOutliers(res, Seq("user_id"), "r", k = 3)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_anomalies"))
+      .orderBy("user_id")
+  }
+
+  /** Label-centroid cosine matrix
+    * ([[graft.pipeline.Similarity.centroidSimilarity]]) over the
+    * embeddings table — 45 label pairs, exact integer sums and the
+    * IEEE-exact sqrt cosine chain.
+    */
+  private def qCentroidSim(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Similarity.centroidSimilarity(
+      t(s, dir, "embeddings"), "label", "embedding")
+      .orderBy("la", "lb")
+
   /** Fixed-point EWMA ([[graft.operators.TimeSeries.ewmaFixed]]),
     * α = 3/10, per-user over the event sequence (ordered by event_id —
     * unique, so both engines sort identically). A true recurrence no
@@ -3002,6 +3040,8 @@ object SparkEntry {
     "q152_triangles" -> (qTriangles(_, _)),
     "q153_assoc_rules" -> (qAssociationRules(_, _)),
     "q154_quantile_norm" -> (qQuantileNorm(_, _)),
+    "q155_centroid_sim" -> (qCentroidSim(_, _)),
+    "q156_ewma_anomalies" -> (qEwmaAnomalies(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -5220,6 +5260,53 @@ object SparkEntry {
         |    ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
         |    * 1000000.0 + 0.5) AS BIGINT) AS q_micro
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // q155: identical quantization, integer centroid sums, and the
+    // IEEE-exactly-rounded sqrt cosine chain (64 = embedding dim)
+    "q155_centroid_sim" ->
+      """WITH comp AS (
+        |  SELECT label AS l, j - 1 AS j,
+        |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings, generate_series(1, 64) t(j)),
+        |cent AS (SELECT l, j, SUM(q)::BIGINT AS s FROM comp GROUP BY 1, 2),
+        |norms AS (SELECT l, SUM(s * s)::BIGINT AS n2 FROM cent GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l AS la, b.l AS lb, SUM(a.s * b.s)::BIGINT AS dot
+        |  FROM cent a JOIN cent b ON a.j = b.j AND a.l < b.l
+        |  GROUP BY 1, 2)
+        |SELECT p.la, p.lb, p.dot, na.n2 AS na2, nb.n2 AS nb2,
+        |  CAST(floor(CAST(p.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+        |FROM pairs p JOIN norms na ON na.l = p.la JOIN norms nb ON nb.l = p.lb
+        |ORDER BY la, lb""".stripMargin,
+
+    // q156: q135's recursive-CTE recurrence feeds residuals
+    // v_t − s_{t−1}; then q149's exact median/MAD flagging per user
+    "q156_ewma_anomalies" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) * 100 AS v,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS n
+        |  FROM events),
+        |ew AS (
+        |  SELECT user_id, event_id, n, v AS s FROM seq WHERE n = 1
+        |  UNION ALL
+        |  SELECT q.user_id, q.event_id, q.n, e.s + (3 * (q.v - e.s)) // 10
+        |  FROM ew e JOIN seq q ON q.user_id = e.user_id AND q.n = e.n + 1),
+        |r AS (
+        |  SELECT w.user_id, w.event_id,
+        |         q.v - lag(w.s) OVER (PARTITION BY w.user_id
+        |                              ORDER BY w.event_id) AS r
+        |  FROM ew w JOIN seq q USING (user_id, event_id)),
+        |rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+        |m AS (SELECT user_id, quantile_cont(r, 0.5) AS med FROM rr GROUP BY 1),
+        |d AS (SELECT rr.user_id, ABS(rr.r - m.med) AS dev
+        |      FROM rr JOIN m USING (user_id)),
+        |md AS (SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.user_id, COUNT(*) AS n,
+        |  SUM(CASE WHEN CAST(4 * d.dev AS BIGINT) > 3 * CAST(4 * md.mad AS BIGINT)
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
+        |FROM d JOIN md USING (user_id)
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

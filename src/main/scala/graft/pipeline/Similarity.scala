@@ -490,6 +490,40 @@ object Similarity {
     * integer hash, and the dot is a sequential integer fold inside one
     * codegen'd projection. Map-only, no shuffle, no UDF.
     */
+  /** Pairwise cosine similarity between per-label embedding CENTROIDS
+    * — the class-geometry probe (which labels/domains overlap in
+    * embedding space? is a clustering collapsing?) run before
+    * stratified sampling or mixture rebalancing. Components quantize
+    * to integers on ingest (q136's discipline), centroids are
+    * component-wise integer SUMS (order-free, and scale-invariant for
+    * cosine — no division by the count), and the cosine chain
+    * dot/√(‖a‖²·‖b‖²) is cross-engine deterministic because `sqrt` —
+    * unlike ln/trig — is IEEE-exactly-rounded.
+    *
+    * Scale shape: one component-keyed aggregation over the corpus
+    * (map-side combined), then everything is L·d and L² sized —
+    * the pair join is keyed on the component index with L² fanout per
+    * component, the intended output size of a centroid matrix.
+    */
+  def centroidSimilarity(df: DataFrame, labelCol: String, vecCol: String,
+                         quantScale: Double = 1000.0): DataFrame = {
+    val comp = df.select(col(labelCol).as("l"),
+      posexplode(expr(
+        s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale + 0.5) AS BIGINT))"))
+        .as(Seq("j", "q")))
+    val cent = comp.groupBy("l", "j").agg(sum(col("q")).as("s"))
+    val norms = cent.groupBy("l").agg(sum(col("s") * col("s")).as("n2"))
+    cent.as("a").join(cent.as("b"),
+        col("a.j") === col("b.j") && col("a.l") < col("b.l"))
+      .groupBy(col("a.l").as("la"), col("b.l").as("lb"))
+      .agg(sum(col("a.s") * col("b.s")).as("dot"))
+      .join(broadcast(norms.select(col("l").as("la"), col("n2").as("na2"))), "la")
+      .join(broadcast(norms.select(col("l").as("lb"), col("n2").as("nb2"))), "lb")
+      .select(col("la"), col("lb"), col("dot"), col("na2"), col("nb2"),
+        expr("CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE) * nb2) * 1000000.0 + 0.5) AS BIGINT)")
+          .as("cos_micro"))
+  }
+
   def srpSketch(df: DataFrame, idCol: String, vecCol: String,
                 bits: Int = 32, quantScale: Double = 1000.0): DataFrame = {
     require(bits >= 1 && bits <= 63, "bits must fit one signed long")
