@@ -2848,6 +2848,84 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** TENTH stream≡batch gate — windowed distinct counting with
+    * theta-sketch state
+    * ([[graft.streaming.EventStreams.windowedDistinctSketch]]):
+    * per-day distinct users per event_type through a real stream, with
+    * sketches (not user sets) as aggregation state; below nominal
+    * entries the estimates are exact, so the oracle is plain batch
+    * COUNT(DISTINCT) per window.
+    */
+  private def qStreamDistinctSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val name = s"q157_ndv_${streamGateN.incrementAndGet()}"
+    val q = startNarrow(s)(EventStreams.windowedDistinctSketch(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start())
+    try {
+      if (evs.nonEmpty) {
+        evs.grouped(math.max(1, evs.length / 2 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        val horizon = evs.iterator.map(_.ts.getTime).max
+        mem.addData(Seq(EventStreams.Event(-1L,
+          new java.sql.Timestamp(horizon + 2 * 86400 * 1000L), -1L, "sentinel", 0.0)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("ndv"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Weight-of-evidence feature screen
+    * ([[graft.pipeline.Stats.weightOfEvidence]]): event_type as the
+    * categorical predictor, purchase-or-not as the outcome — WoE and
+    * IV contributions in quantized micro-nats.
+    */
+  private def qWoe(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.weightOfEvidence(Tables.events(s, dir),
+      expr("CAST(user_id % 10 AS BIGINT)"),
+      expr("CAST(event_type = 'purchase' AS INT)"))
+      .orderBy("c")
+
+  /** Dedup survivor selection — the last stage of the dedup story
+    * (candidates q13 → clusters q51 → SURVIVORS): within each
+    * connected component pick the canonical document by (quality
+    * score desc, doc_id asc) and emit every doc with its survivor —
+    * the keep/drop verdict a curation pipeline applies. Quality =
+    * text length in tokens (deterministic integer); one window over
+    * the group key.
+    */
+  private def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val edges = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 12, bands = 4)
+    val groups = graft.pipeline.Graph.connectedComponents(
+      docs.select(col("doc_id")), "doc_id", edges, "doc_a", "doc_b")
+      .select(col("doc").as("doc_id"), col("group_id"))
+    val scored = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("quality"))
+      .join(groups, "doc_id")
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    scored.withColumn("survivor_id",
+        first(col("doc_id")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("doc_id"), col("group_id"), col("quality"),
+        col("survivor_id"), (col("doc_id") === col("survivor_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Label-centroid cosine matrix
     * ([[graft.pipeline.Similarity.centroidSimilarity]]) over the
     * embeddings table — 45 label pairs, exact integer sums and the
@@ -3042,6 +3120,9 @@ object SparkEntry {
     "q154_quantile_norm" -> (qQuantileNorm(_, _)),
     "q155_centroid_sim" -> (qCentroidSim(_, _)),
     "q156_ewma_anomalies" -> (qEwmaAnomalies(_, _)),
+    "q157_stream_ndv_sketch" -> (qStreamDistinctSketch(_, _)),
+    "q158_woe" -> (qWoe(_, _)),
+    "q159_dedup_survivors" -> (qDedupSurvivors(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -5307,6 +5388,62 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
         |FROM d JOIN md USING (user_id)
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // q157: only windows the watermark closed emit (append mode), so
+    // the oracle keeps every day strictly before the last day seen —
+    // the horizon sentinel pushes the watermark past all real windows
+    "q157_stream_ndv_sketch" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       event_type, COUNT(DISTINCT user_id)::BIGINT AS ndv
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    // q158: Laplace-smoothed WoE with the q139 quantized-ln chain; IV
+    // contribution multiplies the exact rational gap by integer woe6
+    "q158_woe" ->
+      """WITH cells AS (
+        |  SELECT CAST(user_id % 10 AS BIGINT) AS c,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS g,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)::BIGINT AS b
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT SUM(g)::BIGINT AS gt, SUM(b)::BIGINT AS bt FROM cells),
+        |w AS (
+        |  SELECT c, g, b, gt, bt,
+        |    CAST(floor(ln(((g + 0.5) / (gt + 0.5)) / ((b + 0.5) / (bt + 0.5))) * 1000000.0 + 0.5) AS BIGINT) AS woe_micro
+        |  FROM cells, tot)
+        |SELECT c, g, b, woe_micro,
+        |  CAST(floor((CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt) * woe_micro + 0.5) AS BIGINT) AS iv_contrib_micro
+        |FROM w ORDER BY c""".stripMargin,
+
+    // q159: q51's cluster oracle extended with the survivor pick —
+    // canonical doc per group by (token-length quality desc, doc_id)
+    "q159_dedup_survivors" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
+         |), groups AS (
+         |  SELECT doc AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY 1
+         |), scored AS (
+         |  SELECT g.doc_id, g.group_id,
+         |         len(string_split(d.text, ' '))::BIGINT AS quality
+         |  FROM groups g JOIN documents d USING (doc_id)
+         |), surv AS (
+         |  SELECT group_id, doc_id AS survivor_id FROM (
+         |    SELECT group_id, doc_id, row_number() OVER (
+         |      PARTITION BY group_id ORDER BY quality DESC, doc_id) AS rn
+         |    FROM scored) WHERE rn = 1)
+         |SELECT s.doc_id, s.group_id, s.quality, v.survivor_id,
+         |       s.doc_id = v.survivor_id AS keep
+         |FROM scored s JOIN surv v USING (group_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

@@ -47,10 +47,13 @@ object Retrieval {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    // explicit DOUBLE casts keep this off Spark's DECIMAL arithmetic
+    // (a bare `n - df + 0.5` would scale-round divisions the oracle
+    // computes in doubles)
     val idf = post.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("term"), expr(
-        "CAST(floor(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) AS BIGINT)")
+        "CAST(floor(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * 1000000.0 + 0.5) AS BIGINT)")
         .as("idf6"))
     val qt = queries
       .select(col(idCol).as("query_id"), explode(split(col(textCol), " ")).as("term"))

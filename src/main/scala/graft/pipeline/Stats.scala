@@ -151,6 +151,36 @@ object Stats {
       .drop("__pr")
   }
 
+  /** Weight of evidence + information value per category of a
+    * predictor against a binary outcome — the classic supervised
+    * feature screen (complements the unsupervised chi-square q147):
+    * WoE(c) = ln(p(c|good)/p(c|bad)), IV = Σ (p_good − p_bad)·WoE.
+    * Laplace-smoothed (+0.5 per cell) so empty cells stay finite.
+    *
+    * Exactness: the q139 quantized-ln discipline — WoE is floored to
+    * micro-nats the moment the (deterministic, exact-integer-derived)
+    * ln argument is computed; the IV contribution multiplies the
+    * exact rational (g/G − b/B) by the integer woe6 and floors again.
+    * One groupBy over the rows; everything after is category-sized.
+    */
+  def weightOfEvidence(df: DataFrame, catCol: Column, outcomeCol: Column): DataFrame = {
+    val cells = df.select(catCol.as("c"), outcomeCol.cast("long").as("y"))
+      .groupBy("c")
+      .agg(sum(col("y")).as("g"), sum(lit(1L) - col("y")).as("b"))
+    val tot = cells.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"))
+    // explicit DOUBLE casts: a bare `g + 0.5` would run Spark's
+    // DECIMAL arithmetic (scale-rounded divisions) while the oracle
+    // computes doubles — the chains must be the same IEEE ops
+    cells.crossJoin(broadcast(tot))
+      .select(col("c"), col("g"), col("b"), col("gt"), col("bt"),
+        expr("CAST(floor(ln(((CAST(g AS DOUBLE) + 0.5) / (CAST(gt AS DOUBLE) + 0.5)) / " +
+          "((CAST(b AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 0.5))) * 1000000.0 + 0.5) AS BIGINT)")
+          .as("woe_micro"))
+      .select(col("c"), col("g"), col("b"), col("woe_micro"),
+        expr("CAST(floor((CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt) * woe_micro + 0.5) AS BIGINT)")
+          .as("iv_contrib_micro"))
+  }
+
   /** Misra–Gries heavy-hitters summary (Misra & Gries 1982; the
     * deterministic frequent-items sketch Space-Saving descends from)
     * over a key expression: `(k, est)` for keys surviving a k-counter

@@ -148,6 +148,24 @@ object EventStreams {
                                 watermark: String = "10 minutes"): DataFrame =
     streamStreamJoinType(left, right, key, withinSeconds, watermark, "full_outer")
 
+  /** Watermarked windowed DISTINCT-user counting via theta-sketch
+    * state — the streaming form of the q144 sketch discipline: the
+    * aggregation state per (window, type) is a mergeable sketch, not a
+    * user set, so state size is O(sketch) however many distinct users
+    * a window sees. Below the sketch's nominal entries the estimate is
+    * EXACT, which is what lets the q157 gate pin the streamed result
+    * against batch COUNT(DISTINCT) — at true scale the same plan
+    * degrades gracefully to a bounded-error estimate instead of
+    * unbounded state.
+    */
+  def windowedDistinctSketch(events: DataFrame, windowLen: String = "1 day",
+                             watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(expr("theta_sketch_estimate(theta_sketch_agg(user_id))").as("ndv"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("ndv"))
+
   /** Stream–static enrichment join: each micro-batch of the streaming
     * side broadcast-joins a STATIC dimension — completely stateless
     * (no watermark, no join state; every stream row emits exactly
