@@ -2926,6 +2926,39 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Exact-integer correlation matrix
+    * ([[graft.pipeline.Stats.corrMatrix]]) of (quantity, discount%,
+    * tax%) per returnflag — BIGINT co-moments make Pearson r
+    * partition-invariant and hash-gateable, unlike built-in corr.
+    */
+  private def qCorrMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.corrMatrix(
+      t(s, dir, "lineitem").select(col("l_returnflag").as("r1"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax")),
+      Seq("r1"), Seq("qty", "disc", "tax"))
+      .orderBy("r1", "metric_a", "metric_b")
+
+  /** Revenue-concentration Gini ([[graft.pipeline.Stats.giniByGroup]])
+    * per nation over customer order totals (zero-revenue customers
+    * included — they shape the inequality).
+    */
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    val cents = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val cust = t(s, dir, "customer")
+      .join(t(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val x = cust.join(cents, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("n_name"), col("c_custkey"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    graft.pipeline.Stats.giniByGroup(x, Seq("n_name"), "cents", Seq("c_custkey"))
+      .orderBy("n_name")
+  }
+
   /** Label-centroid cosine matrix
     * ([[graft.pipeline.Similarity.centroidSimilarity]]) over the
     * embeddings table — 45 label pairs, exact integer sums and the
@@ -3123,6 +3156,8 @@ object SparkEntry {
     "q157_stream_ndv_sketch" -> (qStreamDistinctSketch(_, _)),
     "q158_woe" -> (qWoe(_, _)),
     "q159_dedup_survivors" -> (qDedupSurvivors(_, _)),
+    "q160_corr_matrix" -> (qCorrMatrix(_, _)),
+    "q161_gini" -> (qGini(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -5444,6 +5479,58 @@ object SparkEntry {
          |       s.doc_id = v.survivor_id AS keep
          |FROM scored s JOIN surv v USING (group_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // q160: identical exact co-moment sums and identical corr chain
+    "q160_corr_matrix" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS r1, l_quantity::BIGINT AS qty,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS disc,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS tax
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT r1, COUNT(*)::BIGINT AS n,
+        |    SUM(qty)::BIGINT AS s_qty, SUM(qty*qty)::BIGINT AS q_qty,
+        |    SUM(disc)::BIGINT AS s_disc, SUM(disc*disc)::BIGINT AS q_disc,
+        |    SUM(tax)::BIGINT AS s_tax, SUM(tax*tax)::BIGINT AS q_tax,
+        |    SUM(qty*disc)::BIGINT AS p_qty_disc,
+        |    SUM(qty*tax)::BIGINT AS p_qty_tax,
+        |    SUM(disc*tax)::BIGINT AS p_disc_tax
+        |  FROM m GROUP BY 1)
+        |SELECT r1, n, c.ma AS metric_a, c.mb AS metric_b,
+        |  CAST(floor((CAST(n AS DOUBLE) * c.pxy - CAST(c.sx AS DOUBLE) * c.sy) /
+        |    (sqrt(CAST(n AS DOUBLE) * c.qx - CAST(c.sx AS DOUBLE) * c.sx) *
+        |     sqrt(CAST(n AS DOUBLE) * c.qy - CAST(c.sy AS DOUBLE) * c.sy))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS corr_micro
+        |FROM s, LATERAL (
+        |  SELECT 'qty' AS ma, 'disc' AS mb, s_qty AS sx, s_disc AS sy,
+        |         q_qty AS qx, q_disc AS qy, p_qty_disc AS pxy
+        |  UNION ALL SELECT 'qty', 'tax', s_qty, s_tax, q_qty, q_tax, p_qty_tax
+        |  UNION ALL SELECT 'disc', 'tax', s_disc, s_tax, q_disc, q_tax, p_disc_tax) c
+        |ORDER BY r1, metric_a, metric_b""".stripMargin,
+
+    // q161: identical tie-broken ranking, exact integer sums, and the
+    // identical final double chain
+    "q161_gini" ->
+      """WITH cents AS (
+        |  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |x AS (
+        |  SELECT n.n_name, c.c_custkey, COALESCE(ct.cents, 0)::BIGINT AS cents
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  LEFT JOIN cents ct ON ct.o_custkey = c.c_custkey),
+        |ranked AS (
+        |  SELECT n_name, cents,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY cents, c_custkey)::BIGINT AS i
+        |  FROM x),
+        |s AS (
+        |  SELECT n_name, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS total,
+        |         SUM(i * cents)::BIGINT AS ranked_sum
+        |  FROM ranked GROUP BY 1)
+        |SELECT n_name, n, total, ranked_sum,
+        |  CAST(floor(((2.0 * ranked_sum) / (CAST(n AS DOUBLE) * total) -
+        |    (CAST(n AS DOUBLE) + 1.0) / n) * 1000000.0 + 0.5) AS BIGINT) AS gini_micro
+        |FROM s ORDER BY n_name""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

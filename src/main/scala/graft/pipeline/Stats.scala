@@ -181,6 +181,68 @@ object Stats {
           .as("iv_contrib_micro"))
   }
 
+  /** Exact-integer correlation matrix over small-integer metrics —
+    * Pearson r for every metric pair from co-moment sums (n, Σx, Σy,
+    * Σxy, Σx², Σy²) that are exact BIGINTs, so unlike the built-in
+    * `corr` (an FP accumulation whose last ulps depend on partition
+    * order) the result is partition-invariant and hash-gateable:
+    * r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    * evaluated in one deterministic double chain (sqrt is
+    * IEEE-exactly-rounded), floored to micro. Metrics must be small
+    * integers (quantize first) so the co-moments stay within BIGINT.
+    *
+    * Scale shape: ONE scan and one wide aggregation per group — the
+    * k(k+3)/2 sums ride a single groupBy; the pair expansion is a
+    * group-row-sized explode.
+    */
+  def corrMatrix(df: DataFrame, groupCols: Seq[String],
+                 metrics: Seq[String]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      metrics.flatMap(m => Seq(
+        sum(col(m)).as(s"__s_$m"), sum(col(m) * col(m)).as(s"__q_$m"))) ++
+      metrics.combinations(2).map { case Seq(a, b) =>
+        sum(col(a) * col(b)).as(s"__p_${a}_$b")
+      }.toSeq
+    val row = df.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+    val pairs = metrics.combinations(2).map { case Seq(a, b) =>
+      struct(lit(a).as("ma"), lit(b).as("mb"),
+        col(s"__s_$a").as("sx"), col(s"__s_$b").as("sy"),
+        col(s"__q_$a").as("qx"), col(s"__q_$b").as("qy"),
+        col(s"__p_${a}_$b").as("pxy"))
+    }.toSeq
+    row.select(gcols :+ col("__n").as("n") :+ explode(array(pairs: _*)).as("c"): _*)
+      .select(gcols ++ Seq(col("n"), col("c.ma").as("metric_a"),
+        col("c.mb").as("metric_b"),
+        expr("CAST(floor((CAST(n AS DOUBLE) * c.pxy - CAST(c.sx AS DOUBLE) * c.sy) / " +
+          "(sqrt(CAST(n AS DOUBLE) * c.qx - CAST(c.sx AS DOUBLE) * c.sx) * " +
+          "sqrt(CAST(n AS DOUBLE) * c.qy - CAST(c.sy AS DOUBLE) * c.sy)) " +
+          "* 1000000.0 + 0.5) AS BIGINT)").as("corr_micro")): _*)
+  }
+
+  /** Per-group Gini concentration coefficient — the inequality measure
+    * for share-of-total analysis (is one customer/domain/source
+    * dominating the group?): with values sorted ascending under a
+    * tie-broken total order, G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n.
+    * Integer values (cents) make Σx and Σ i·x exact BIGINTs, so the
+    * one double chain at the end is deterministic and the result
+    * hash-gates as a micro-integer. One key-partitioned window sort +
+    * one aggregation.
+    */
+  def giniByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  tieCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((col(valueCol) +: tieCols.map(col)): _*)
+    df.withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"),
+        sum(col("__i") * col(valueCol)).as("ranked_sum"))
+      .withColumn("gini_micro", expr(
+        "CAST(floor(((2.0 * ranked_sum) / (CAST(n AS DOUBLE) * total) - " +
+          "(CAST(n AS DOUBLE) + 1.0) / n) * 1000000.0 + 0.5) AS BIGINT)"))
+  }
+
   /** Misra–Gries heavy-hitters summary (Misra & Gries 1982; the
     * deterministic frequent-items sketch Space-Saving descends from)
     * over a key expression: `(k, est)` for keys surviving a k-counter
