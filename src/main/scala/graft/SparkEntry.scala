@@ -2959,6 +2959,49 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  /** Seasonality profile — per (event_type, hour-of-day) activity and
+    * value index vs the type's overall mean: n, cents, and
+    * `index_micro = floor((S_h/n_h)/(S/n)·1e6 + 0.5)` — exact integer
+    * sums, one deterministic division chain. The time-series
+    * profiling complement to q156's anomaly screen (what SHOULD this
+    * hour look like).
+    */
+  private def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(hour(ts) AS BIGINT)").as("hod"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val hourly = e.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n_h"), sum(col("cents")).as("s_h"))
+    val overall = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n_t"), sum(col("cents")).as("s_t"))
+    hourly.join(broadcast(overall), "event_type")
+      .select(col("event_type"), col("hod"), col("n_h"), col("s_h"),
+        expr("CAST(floor((CAST(s_h AS DOUBLE) / n_h) / (CAST(s_t AS DOUBLE) / n_t) * 1000000.0 + 0.5) AS BIGINT)")
+          .as("index_micro"))
+      .orderBy("event_type", "hod")
+  }
+
+  /** Wilson lower-bound source ranking — rank document sources by the
+    * 95% lower confidence bound of their quality keep-rate (Gopher
+    * rules keep flag): the classic sort-by-confidence op that stops a
+    * 3-doc source with 3 keeps outranking a 1000-doc source at 95%.
+    * p̂ and n are exact integers; the Wilson chain uses only IEEE-exact
+    * ops + sqrt, so the bound hash-gates as a micro-integer.
+    */
+  private def qWilsonRank(s: SparkSession, dir: String): DataFrame = {
+    val rules = TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+    rules.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("keep").cast("long")).as("k"))
+      .select(col("source"), col("n"), col("k"),
+        // z = 1.96; identical literal chain both engines
+        expr("CAST(floor((((CAST(k AS DOUBLE) / n) + 3.8416 / (2.0 * n) - " +
+          "1.96 * sqrt(((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n)) / n + " +
+          "3.8416 / (4.0 * CAST(n AS DOUBLE) * n))) / (1.0 + 3.8416 / CAST(n AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)")
+          .as("wilson_lo_micro"))
+      .orderBy(col("wilson_lo_micro").desc, col("source"))
+  }
+
   /** Label-centroid cosine matrix
     * ([[graft.pipeline.Similarity.centroidSimilarity]]) over the
     * embeddings table — 45 label pairs, exact integer sums and the
@@ -3158,6 +3201,8 @@ object SparkEntry {
     "q159_dedup_survivors" -> (qDedupSurvivors(_, _)),
     "q160_corr_matrix" -> (qCorrMatrix(_, _)),
     "q161_gini" -> (qGini(_, _)),
+    "q162_seasonality" -> (qSeasonality(_, _)),
+    "q163_wilson_rank" -> (qWilsonRank(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -5531,6 +5576,53 @@ object SparkEntry {
         |  CAST(floor(((2.0 * ranked_sum) / (CAST(n AS DOUBLE) * total) -
         |    (CAST(n AS DOUBLE) + 1.0) / n) * 1000000.0 + 0.5) AS BIGINT) AS gini_micro
         |FROM s ORDER BY n_name""".stripMargin,
+
+    // q162: exact integer sums, one deterministic index chain
+    "q162_seasonality" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT event_type, hod, COUNT(*)::BIGINT AS n_h,
+        |             SUM(cents)::BIGINT AS s_h
+        |      FROM e GROUP BY 1, 2),
+        |o AS (SELECT event_type, COUNT(*)::BIGINT AS n_t,
+        |             SUM(cents)::BIGINT AS s_t
+        |      FROM e GROUP BY 1)
+        |SELECT h.event_type, h.hod, h.n_h, h.s_h,
+        |  CAST(floor((CAST(s_h AS DOUBLE) / n_h) / (CAST(s_t AS DOUBLE) / n_t) * 1000000.0 + 0.5) AS BIGINT) AS index_micro
+        |FROM h JOIN o USING (event_type)
+        |ORDER BY event_type, hod""".stripMargin,
+
+    // q163: q76's keep flag per source, then the identical Wilson
+    // lower-bound chain (IEEE ops + exactly-rounded sqrt only)
+    "q163_wilson_rank" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(words)::BIGINT AS n_words,
+        |    list_aggregate(list_transform(words, x -> length(x)), 'sum')::BIGINT AS total_len,
+        |    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha_words,
+        |    len(list_intersect(list_distinct(words),
+        |        ['the', 'a', 'of', 'to', 'and', 'in']))::BIGINT AS stop_hits
+        |  FROM w),
+        |f AS (
+        |  SELECT doc_id,
+        |    ((n_words BETWEEN 25 AND 100000)::INT *
+        |     (total_len::DOUBLE / greatest(n_words, 1) BETWEEN 3.0 AND 10.0)::INT *
+        |     (alpha_words::DOUBLE / greatest(n_words, 1) >= 0.8)::INT *
+        |     (stop_hits >= 2)::INT)::BIGINT AS keep
+        |  FROM m),
+        |s AS (
+        |  SELECT d.source, COUNT(*)::BIGINT AS n, SUM(f.keep)::BIGINT AS k
+        |  FROM f JOIN documents d USING (doc_id) GROUP BY 1)
+        |SELECT source, n, k,
+        |  CAST(floor((((CAST(k AS DOUBLE) / n) + 3.8416 / (2.0 * n) -
+        |    1.96 * sqrt(((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n)) / n +
+        |    3.8416 / (4.0 * CAST(n AS DOUBLE) * n))) / (1.0 + 3.8416 / CAST(n AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS wilson_lo_micro
+        |FROM s ORDER BY wilson_lo_micro DESC, source""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)
