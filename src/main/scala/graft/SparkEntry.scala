@@ -3002,6 +3002,61 @@ object SparkEntry {
       .orderBy(col("wilson_lo_micro").desc, col("source"))
   }
 
+  /** Decile lift table — the model-evaluation staple: rank events by
+    * value within each type, cut into deciles by PURE INTEGER
+    * arithmetic (decile = (rn−1)·10 div n, no FP anywhere in the
+    * cut), and report each decile's outcome rate (props.k ≥ 50) and
+    * lift vs the type's base rate as exact-rational micro divisions.
+    */
+  private def qDecileLift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+      col("event_id"),
+      expr("CAST(CAST(get_json_object(props, '$.k') AS BIGINT) >= 50 AS LONG)").as("y"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val ranked = e.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("decile", expr("CAST((rn - 1) * 10 div n AS BIGINT)"))
+    ranked.groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("n_d"), sum(col("y")).as("k_d"))
+      .join(broadcast(e.groupBy("event_type")
+        .agg(count(lit(1)).as("n_t"), sum(col("y")).as("k_t"))), "event_type")
+      .select(col("event_type"), col("decile"), col("n_d"), col("k_d"),
+        expr("CAST(floor(CAST(k_d AS DOUBLE) / n_d * 1000000.0 + 0.5) AS BIGINT)")
+          .as("rate_micro"),
+        expr("CAST(floor((CAST(k_d AS DOUBLE) / n_d) / (CAST(k_t AS DOUBLE) / n_t) * 1000000.0 + 0.5) AS BIGINT)")
+          .as("lift_micro"))
+      .orderBy("event_type", "decile")
+  }
+
+  /** Welch's t-test between event types on value cents — the A/B-test
+    * surface: means and unbiased variances derive from EXACT integer
+    * co-moments (q160's discipline), the t statistic is one
+    * deterministic chain with IEEE-exact sqrt. All 10 type pairs.
+    */
+  private def qWelchT(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(s, dir)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+    stats.as("a").join(stats.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.s").as("sa"), col("b.s").as("sb"),
+        col("a.q").as("qa"), col("b.q").as("qb"))
+      .select(col("ta"), col("tb"), col("na"), col("nb"),
+        expr("CAST(floor((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / " +
+          "sqrt(((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa) / (CAST(na AS DOUBLE) * na * (na - 1.0))) + " +
+          "((CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb) / (CAST(nb AS DOUBLE) * nb * (nb - 1.0)))) " +
+          "* 1000000.0 + 0.5) AS BIGINT)").as("t_micro"))
+      .orderBy("ta", "tb")
+  }
+
   /** Label-centroid cosine matrix
     * ([[graft.pipeline.Similarity.centroidSimilarity]]) over the
     * embeddings table — 45 label pairs, exact integer sums and the
@@ -3203,6 +3258,8 @@ object SparkEntry {
     "q161_gini" -> (qGini(_, _)),
     "q162_seasonality" -> (qSeasonality(_, _)),
     "q163_wilson_rank" -> (qWilsonRank(_, _)),
+    "q164_decile_lift" -> (qDecileLift(_, _)),
+    "q165_welch_t" -> (qWelchT(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -5623,6 +5680,48 @@ object SparkEntry {
         |    1.96 * sqrt(((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n)) / n +
         |    3.8416 / (4.0 * CAST(n AS DOUBLE) * n))) / (1.0 + 3.8416 / CAST(n AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS wilson_lo_micro
         |FROM s ORDER BY wilson_lo_micro DESC, source""".stripMargin,
+
+    // q164: the decile cut is pure integer arithmetic ((rn−1)·10 div
+    // n) — no FP in the cut; rates/lifts are exact-rational chains
+    "q164_decile_lift" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |         event_id,
+        |         (CAST(json_extract(props, '$.k') AS BIGINT) >= 50)::BIGINT AS y
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id)::BIGINT AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS n
+        |  FROM e),
+        |d AS (
+        |  SELECT event_type, ((rn - 1) * 10 // n)::BIGINT AS decile, y FROM r),
+        |g AS (
+        |  SELECT event_type, decile, COUNT(*)::BIGINT AS n_d, SUM(y)::BIGINT AS k_d
+        |  FROM d GROUP BY 1, 2),
+        |t AS (SELECT event_type, COUNT(*)::BIGINT AS n_t, SUM(y)::BIGINT AS k_t
+        |      FROM e GROUP BY 1)
+        |SELECT g.event_type, g.decile, g.n_d, g.k_d,
+        |  CAST(floor(CAST(k_d AS DOUBLE) / n_d * 1000000.0 + 0.5) AS BIGINT) AS rate_micro,
+        |  CAST(floor((CAST(k_d AS DOUBLE) / n_d) / (CAST(k_t AS DOUBLE) / n_t) * 1000000.0 + 0.5) AS BIGINT) AS lift_micro
+        |FROM g JOIN t USING (event_type)
+        |ORDER BY event_type, decile""".stripMargin,
+
+    // q165: exact co-moments per type, identical Welch chain
+    "q165_welch_t" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n,
+        |         SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS s,
+        |         SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))::BIGINT AS q
+        |  FROM events GROUP BY 1)
+        |SELECT a.event_type AS ta, b.event_type AS tb, a.n AS na, b.n AS nb,
+        |  CAST(floor((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) /
+        |    sqrt(((CAST(a.n AS DOUBLE) * a.q - CAST(a.s AS DOUBLE) * a.s) / (CAST(a.n AS DOUBLE) * a.n * (a.n - 1.0))) +
+        |         ((CAST(b.n AS DOUBLE) * b.q - CAST(b.s AS DOUBLE) * b.s) / (CAST(b.n AS DOUBLE) * b.n * (b.n - 1.0))))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS t_micro
+        |FROM s a JOIN s b ON a.event_type < b.event_type
+        |ORDER BY ta, tb""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)
