@@ -3057,6 +3057,43 @@ object SparkEntry {
       .orderBy("ta", "tb")
   }
 
+  /** One-sided CUSUM change statistic
+    * ([[graft.operators.TimeSeries.cusumFixed]]) per user over event
+    * cents against the scale midpoint target — the second true
+    * recurrence next to q135's EWMA, same recursive-CTE gate
+    * discipline.
+    */
+  private def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    graft.operators.TimeSeries.cusumFixed(e, "user_id", "event_id",
+      "event_id", "cents", target = 5000L)
+      .select(col("k").as("user_id"), col("tid").as("event_id"), col("cusum"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Spearman rank correlation between value and props.k per
+    * event_type — Pearson on tie-broken INTEGER ranks, so the
+    * co-moments are exact BIGINTs (q160's discipline) and rho is one
+    * deterministic chain. Monotone-association screening where
+    * Pearson's linearity assumption fails.
+    */
+  private def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+      expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+    val rx = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+    val ry = Window.partitionBy(col("event_type")).orderBy(col("k"), col("event_id"))
+    val ranked = e
+      .withColumn("x", row_number().over(rx).cast("long"))
+      .withColumn("y", row_number().over(ry).cast("long"))
+    graft.pipeline.Stats.corrMatrix(ranked, Seq("event_type"), Seq("x", "y"))
+      .select(col("event_type"), col("n"),
+        col("corr_micro").as("spearman_micro"))
+      .orderBy("event_type")
+  }
+
   /** Label-centroid cosine matrix
     * ([[graft.pipeline.Similarity.centroidSimilarity]]) over the
     * embeddings table — 45 label pairs, exact integer sums and the
@@ -3260,6 +3297,8 @@ object SparkEntry {
     "q163_wilson_rank" -> (qWilsonRank(_, _)),
     "q164_decile_lift" -> (qDecileLift(_, _)),
     "q165_welch_t" -> (qWelchT(_, _)),
+    "q166_spearman" -> (qSpearman(_, _)),
+    "q167_cusum" -> (qCusum(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -5722,6 +5761,49 @@ object SparkEntry {
         |    * 1000000.0 + 0.5) AS BIGINT) AS t_micro
         |FROM s a JOIN s b ON a.event_type < b.event_type
         |ORDER BY ta, tb""".stripMargin,
+
+    // q166: Pearson on tie-broken integer ranks — identical ranks,
+    // identical exact co-moments, identical chain
+    "q166_spearman" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CAST(json_extract(props, '$.k') AS BIGINT) AS kk
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id)::BIGINT AS x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY kk, event_id)::BIGINT AS y
+        |  FROM e),
+        |s AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n,
+        |    SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+        |    SUM(x*x)::BIGINT AS qx, SUM(y*y)::BIGINT AS qy,
+        |    SUM(x*y)::BIGINT AS pxy
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(floor((CAST(n AS DOUBLE) * pxy - CAST(sx AS DOUBLE) * sy) /
+        |    (sqrt(CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx) *
+        |     sqrt(CAST(n AS DOUBLE) * qy - CAST(sy AS DOUBLE) * sy))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS spearman_micro
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // q167: the identical integer recurrence with greatest(0, ·)
+    // replayed as a recursive CTE (q135's discipline)
+    "q167_cusum" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS v,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS n
+        |  FROM events),
+        |cs AS (
+        |  SELECT user_id, event_id, n, greatest(0, v - 5000) AS s
+        |  FROM seq WHERE n = 1
+        |  UNION ALL
+        |  SELECT q.user_id, q.event_id, q.n, greatest(0, c.s + q.v - 5000)
+        |  FROM cs c JOIN seq q ON q.user_id = c.user_id AND q.n = c.n + 1)
+        |SELECT user_id, event_id, s AS cusum FROM cs
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

@@ -51,4 +51,33 @@ object TimeSeries {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
       .toDF("k", "tid", "ewma")
   }
+
+  /** One-sided CUSUM (Page 1954) — the classic sequential
+    * change-point statistic: S₁ = max(0, v₁ − target);
+    * Sₜ = max(0, Sₜ₋₁ + vₜ − target). A sustained upward shift makes S
+    * climb past its alarm threshold where per-point tests stay silent.
+    * Pure integer recurrence over INTEGER values (same contract as
+    * [[ewmaFixed]]: one shuffle on the key, per-key in-memory fold,
+    * exactly replayable by a recursive-CTE oracle).
+    */
+  def cusumFixed(df: DataFrame, keyCol: String, orderCol: String,
+                 tieCol: String, valueCol: String, target: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(tieCol).cast("long").as("tid"),
+        col(valueCol).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var s = 0L
+        rows.iterator.map { case (_, _, tid, v) =>
+          s = math.max(0L, s + v - target)
+          (k, tid, s)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("k", "tid", "cusum")
+  }
 }
