@@ -3072,6 +3072,70 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** Time-to-convert distribution — for each purchase, the seconds
+    * since the same user's most recent view within the hour (as-of
+    * backward semantics via the union+window anchor pick, q150's
+    * pattern), then exact median/p90 per user-decade cohort through
+    * [[graft.operators.ExactPercentiles]] on integer second deltas.
+    */
+  private def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tu"),
+        col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val deltas = e
+      .withColumn("prev_view_tu",
+        last(when(col("event_type") === "view", col("tu")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase" && col("prev_view_tu").isNotNull)
+      .select(expr("CAST(user_id div 15 AS BIGINT)").as("cohort"),
+        expr("(tu - prev_view_tu) div 1000000").as("sec"))
+      .filter(col("sec") <= 3600L)
+    graft.operators.ExactPercentiles
+      .exact(deltas, Seq("cohort"), "sec", Seq("med_sec" -> 0.5, "p90_sec" -> 0.9))
+      .orderBy("cohort")
+  }
+
+  /** Sorted-neighborhood near-dup blocking (Hernández & Stolfo 1995)
+    * — the THIRD blocking family next to length-buckets (q84) and LSH
+    * bands: sort documents by their content fingerprint, take every
+    * pair within a window of 4 ranks, verify exactly by token-set
+    * Jaccard ≥ 0.5. The window join is a rank-bucket equi-join (each
+    * row lands in rank div 4 and its neighbor bucket), never all
+    * pairs; the exact kernel touches window candidates only.
+    */
+  private def qSortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.pipeline.Prefix.withGlobalPosition(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.fingerprint(col("text")).as("fp")),
+      Seq("fp", "doc_id")) // distributed global rank — no single-task window
+    val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+      col("pos").as("ra"), expr("pos div 4").as("bkt"))
+    // each right row lands in its own rank bucket and the previous
+    // one, so the window predicate becomes a bucket equi-join (never
+    // a nested-loop range join), then the exact filter
+    val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+      col("pos").as("rb"))
+      .withColumn("bkt", explode(array(expr("rb div 4"),
+        expr("rb div 4 - 1"))))
+    a.join(b, "bkt")
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + 4)
+      .withColumn("ja", expr("array_distinct(split(ta, ' '))"))
+      .withColumn("jb", expr("array_distinct(split(tb, ' '))"))
+      .withColumn("inter", expr("CAST(size(array_intersect(ja, jb)) AS BIGINT)"))
+      .withColumn("uni",
+        expr("CAST(size(ja) AS BIGINT) + CAST(size(jb) AS BIGINT) - inter"))
+      .filter(expr("inter * 2 >= uni")) // Jaccard ≥ 0.5 in exact integers
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Spearman rank correlation between value and props.k per
     * event_type — Pearson on tie-broken INTEGER ranks, so the
     * co-moments are exact BIGINTs (q160's discipline) and rho is one
@@ -3299,6 +3363,8 @@ object SparkEntry {
     "q165_welch_t" -> (qWelchT(_, _)),
     "q166_spearman" -> (qSpearman(_, _)),
     "q167_cusum" -> (qCusum(_, _)),
+    "q168_time_to_convert" -> (qTimeToConvert(_, _)),
+    "q169_sorted_neighborhood" -> (qSortedNeighborhood(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -5804,6 +5870,53 @@ object SparkEntry {
         |  FROM cs c JOIN seq q ON q.user_id = c.user_id AND q.n = c.n + 1)
         |SELECT user_id, event_id, s AS cusum FROM cs
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // q168: identical last-view anchor (strictly-preceding window),
+    // identical integer deltas, quantile_cont ≡ ExactPercentiles
+    "q168_time_to_convert" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |a AS (
+        |  SELECT user_id, event_id, tu, event_type,
+        |    last_value(CASE WHEN event_type = 'view' THEN tu END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv
+        |  FROM e),
+        |d AS (
+        |  SELECT (user_id // 15)::BIGINT AS cohort,
+        |         ((tu - pv) // 1000000)::BIGINT AS sec
+        |  FROM a
+        |  WHERE event_type = 'purchase' AND pv IS NOT NULL
+        |    AND (tu - pv) // 1000000 <= 3600)
+        |SELECT cohort, quantile_cont(sec, 0.5) AS med_sec,
+        |       quantile_cont(sec, 0.9) AS p90_sec
+        |FROM d GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    // q169: identical fingerprint sort (q16's md5 normalize), window
+    // pairs by rank distance ≤ 4, identical exact-integer Jaccard cut
+    "q169_sorted_neighborhood" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         md5(trim(regexp_replace(lower(text), '  +', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text,
+        |         row_number() OVER (ORDER BY fp, doc_id)::BIGINT - 1 AS pos
+        |  FROM f),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         list_distinct(string_split(a.text, ' ')) AS ja,
+        |         list_distinct(string_split(b.text, ' ')) AS jb
+        |  FROM r a JOIN r b ON b.pos > a.pos AND b.pos <= a.pos + 4),
+        |sc AS (
+        |  SELECT doc_a, doc_b,
+        |         len(list_intersect(ja, jb))::BIGINT AS inter,
+        |         (len(ja) + len(jb) - len(list_intersect(ja, jb)))::BIGINT AS uni
+        |  FROM cand)
+        |SELECT doc_a, doc_b, inter, uni FROM sc
+        |WHERE inter * 2 >= uni
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)
