@@ -3136,6 +3136,33 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Lag-1..3 autocorrelation of the value series per event_type —
+    * serial dependence screening (is a metric trending / mean-
+    * reverting / i.i.d.?). One key-partitioned window emits all lags;
+    * Pearson chain over exact BIGINT cents ([[graft.pipeline.Stats.acf]]).
+    */
+  private def qAcf(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.acf(
+      Tables.events(s, dir).select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+      Seq("event_type"), "event_id", "cents", maxLag = 3)
+      .orderBy("event_type", "lag")
+
+  /** Two-sample Kolmogorov–Smirnov distance between the view and
+    * purchase value distributions — the standard drift / A-B
+    * distribution test. Exact-integer end to end: D as the rational
+    * d_num/denom plus its truncating micro quotient
+    * ([[graft.pipeline.Stats.ksTwoSample]]; ECDFs via one
+    * range-partitioned prefix-sum pass, never a single-task window).
+    */
+  private def qKsTest(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.ksTwoSample(
+      Tables.events(s, dir)
+        .where(col("event_type").isin("view", "purchase"))
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_type")),
+      "cents", (col("event_type") === "view").cast("long"))
+
   /** Spearman rank correlation between value and props.k per
     * event_type — Pearson on tie-broken INTEGER ranks, so the
     * co-moments are exact BIGINTs (q160's discipline) and rho is one
@@ -3365,6 +3392,8 @@ object SparkEntry {
     "q167_cusum" -> (qCusum(_, _)),
     "q168_time_to_convert" -> (qTimeToConvert(_, _)),
     "q169_sorted_neighborhood" -> (qSortedNeighborhood(_, _)),
+    "q170_acf" -> (qAcf(_, _)),
+    "q171_ks_test" -> (qKsTest(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -5917,6 +5946,56 @@ object SparkEntry {
         |SELECT doc_a, doc_b, inter, uni FROM sc
         |WHERE inter * 2 >= uni
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q170: identical lag pairing (lag() over the same total order),
+    // identical exact co-moments, q160's double chain verbatim
+    "q170_acf" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, 1 AS lag, v AS x,
+        |         lag(v, 1) OVER (PARTITION BY event_type ORDER BY event_id) AS y FROM e
+        |  UNION ALL
+        |  SELECT event_type, 2 AS lag, v,
+        |         lag(v, 2) OVER (PARTITION BY event_type ORDER BY event_id) FROM e
+        |  UNION ALL
+        |  SELECT event_type, 3 AS lag, v,
+        |         lag(v, 3) OVER (PARTITION BY event_type ORDER BY event_id) FROM e),
+        |s AS (
+        |  SELECT event_type, lag, COUNT(*)::BIGINT AS n,
+        |    SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+        |    SUM(x*x)::BIGINT AS qx, SUM(y*y)::BIGINT AS qy,
+        |    SUM(x*y)::BIGINT AS pxy
+        |  FROM l WHERE y IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, lag, n,
+        |  CAST(floor((CAST(n AS DOUBLE) * pxy - CAST(sx AS DOUBLE) * sy) /
+        |    (sqrt(CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx) *
+        |     sqrt(CAST(n AS DOUBLE) * qy - CAST(sy AS DOUBLE) * sy))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS acf_micro
+        |FROM s ORDER BY event_type, lag""".stripMargin,
+
+    // q171: exact-integer KS — cumulative counts over the pooled
+    // support, |i·m − j·n| never touches a float; d_micro is the
+    // truncating integer quotient on both sides
+    "q171_ks_test" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(event_type = 'view' AS BIGINT) AS a
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |c AS (
+        |  SELECT v, SUM(a)::BIGINT AS ca, SUM(1 - a)::BIGINT AS cb
+        |  FROM e GROUP BY 1),
+        |cum AS (
+        |  SELECT SUM(ca) OVER (ORDER BY v)::BIGINT AS i,
+        |         SUM(cb) OVER (ORDER BY v)::BIGINT AS j
+        |  FROM c),
+        |tot AS (SELECT SUM(ca)::BIGINT AS n, SUM(cb)::BIGINT AS m FROM c)
+        |SELECT n, m, MAX(abs(i * m - j * n))::BIGINT AS d_num,
+        |       (n * m)::BIGINT AS denom,
+        |       (MAX(abs(i * m - j * n)) * 1000000 // (n * m))::BIGINT AS d_micro
+        |FROM cum, tot GROUP BY n, m""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

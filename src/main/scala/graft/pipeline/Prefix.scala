@@ -82,6 +82,44 @@ object Prefix {
       .drop("__pid", "__off")
   }
 
+  /** Adds `prefix_<c>` (exclusive running sum) for EVERY column in
+    * `valueCols`, riding ONE range shuffle — the multi-series variant
+    * of [[withPrefixSum]] for algorithms that scan several cumulative
+    * counters in lockstep over the same total order (e.g. the two
+    * sample ECDFs of a Kolmogorov–Smirnov statistic).
+    */
+  def withPrefixSums(df: DataFrame, orderCols: Seq[String],
+                     valueCols: Seq[String], partitions: Int = 0): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    require(!valueCols.exists(c => df.columns.contains(s"prefix_$c")),
+      "prefix_<col> output names must be free")
+    val r = ranged(df, orderCols, partitions).localCheckpoint()
+    val aggs = valueCols.map(c => sum(col(c)).as(c))
+    val sums = r.groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*).collect()
+      .map(row => (row.getInt(0), valueCols.indices.map(i =>
+        if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))))
+      .sortBy(_._1)
+    // exclusive scan per column, one offsets row per partition
+    val excl = sums.map(_._2)
+      .scanLeft(valueCols.map(_ => 0L))((acc, s) => acc.zip(s).map(t => t._1 + t._2))
+      .init
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.{LongType, IntegerType, StructField, StructType}
+    val schema = StructType(StructField("__pid", IntegerType) +:
+      valueCols.map(c => StructField(s"__off_$c", LongType)))
+    val offRows = sums.map(_._1).zip(excl).map { case (pid, offs) =>
+      org.apache.spark.sql.Row.fromSeq(pid +: offs)
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows.toSeq, 1), schema)
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    valueCols.foldLeft(r.join(broadcast(offDf), "__pid")) { (acc, c) =>
+      acc.withColumn(s"prefix_$c",
+        coalesce(sum(col(c)).over(w), lit(0L)) + col(s"__off_$c"))
+    }.drop("__pid" +: valueCols.map(c => s"__off_$c"): _*)
+  }
+
   /** Adds `prefix_min` (exclusive running MINIMUM of `valueCol` as
     * double under `orderCols`' total order; NULL when no preceding
     * row) — min is a monoid like sum, so the same two-pass shape

@@ -336,4 +336,69 @@ object Stats {
   private def cmsCell(r: Column, k: Column, width: Int): Column =
     conv(substring(md5(concat(r.cast("string"), lit(":"), k)), 1, 15), 16, 10)
       .cast("long") % width
+
+  /** Lag-k autocorrelation (serial Pearson): for each group and each
+    * lag k ≤ `maxLag`, the Pearson correlation of (vₜ, vₜ₋ₖ) pairs
+    * under the group's `orderCol` total order. One key-partitioned
+    * window produces every lag in a single pass (no per-lag re-sort);
+    * the moment sums and the final double chain are [[corrMatrix]]'s
+    * exactly, so integer-valued inputs hash-gate as micro integers.
+    *
+    * Scale shape: one shuffle on the group key, per-group local sort
+    * (the same contract as sessionization), then a partial-aggregated
+    * groupBy over (group, lag) — rows never leave their group's
+    * partition between window and aggregate.
+    */
+  def acf(df: DataFrame, groupCols: Seq[String], orderCol: String,
+          valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+    // windows first (generators may not contain window expressions),
+    // then the lag struct array explodes plain columns
+    val pairs = df
+      .select(groupCols.map(col) ++ ((1 to maxLag).map(k =>
+        lag(col(valueCol), k).over(w).cast("long").as(s"__y$k")) :+
+        col(valueCol).cast("long").as("x")): _*)
+      .select(groupCols.map(col) :+ col("x") :+
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("lag"), col(s"__y$k").as("y"))): _*)).as("c"): _*)
+      .select(groupCols.map(col) ++ Seq(col("c.lag").as("lag"), col("x"),
+        col("c.y").as("y")): _*)
+      .where(col("y").isNotNull)
+    corrMatrix(pairs, groupCols :+ "lag", Seq("x", "y"))
+      .select(groupCols.map(col) ++
+        Seq(col("lag"), col("n"), col("corr_micro").as("acf_micro")): _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic, EXACT: with sample sizes
+    * n (rows where `isFirst`) and m, D = maxᵥ |F₁(v) − F₂(v)| over the
+    * pooled support = maxᵥ |i·m − j·n| / (n·m) where i, j are the
+    * inclusive cumulative counts at v. Everything up to and including
+    * the returned `d_num`/`denom` rational is BIGINT arithmetic — no
+    * float ever enters — and `d_micro` is the truncating integer
+    * division (d_num·10⁶) DIV denom, so the gate is hash-exact.
+    *
+    * Scale shape: groupBy value (partial-aggregated) collapses the
+    * input to its distinct support; [[Prefix.withPrefixSums]] runs
+    * both ECDFs over ONE range shuffle with per-partition windows (no
+    * single-task global sort); one final scalar aggregate. The totals
+    * join is a broadcast of one row.
+    */
+  def ksTwoSample(df: DataFrame, valueCol: String, isFirst: Column): DataFrame = {
+    val counts = df
+      .select(col(valueCol).cast("long").as("v"), isFirst.cast("long").as("a"))
+      .groupBy("v")
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val cum = Prefix.withPrefixSums(counts, Seq("v"), Seq("ca", "cb"))
+      .select((col("prefix_ca") + col("ca")).as("i"),
+        (col("prefix_cb") + col("cb")).as("j"))
+    val totals = counts.agg(sum(col("ca")).as("n"), sum(col("cb")).as("m"))
+    cum.crossJoin(broadcast(totals))
+      .groupBy(col("n"), col("m"))
+      .agg(max(abs(col("i") * col("m") - col("j") * col("n"))).as("d_num"))
+      .select(col("n"), col("m"), col("d_num"),
+        (col("n") * col("m")).as("denom"),
+        expr("d_num * 1000000L DIV (n * m)").as("d_micro"))
+  }
 }

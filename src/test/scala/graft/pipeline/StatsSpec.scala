@@ -125,4 +125,61 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       assert(exactHits >= 36, s"parts=$parts only $exactHits exact")
     }
   }
+
+  test("acf: matches a driver-side Pearson-on-lag-pairs oracle; partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // AR(1)-ish integer series per key: strong positive lag-1 signal
+    val rows = Seq("a", "b").flatMap { k =>
+      var v = 100L
+      (0 until 200).map { i =>
+        v = v + (if (k == "a") (v % 7) - 3 else rnd.nextInt(21) - 10)
+        (k, i.toLong, v)
+      }
+    }
+    def oracle(k: String, lag: Int): Long = {
+      val vs = rows.filter(_._1 == k).sortBy(_._2).map(_._3)
+      val pairs = vs.drop(lag).zip(vs.dropRight(lag))
+      val n = pairs.size.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+      val (qx, qy) = (pairs.map(p => p._1 * p._1).sum.toDouble,
+        pairs.map(p => p._2 * p._2).sum.toDouble)
+      val pxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      math.floor((n * pxy - sx * sy) /
+        (math.sqrt(n * qx - sx * sx) * math.sqrt(n * qy - sy * sy))
+        * 1e6 + 0.5).toLong
+    }
+    for (parts <- Seq(1, 8)) {
+      val df = rows.toDF("k", "o", "v").repartition(parts)
+      val got = Stats.acf(df, Seq("k"), "o", "v", maxLag = 2).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+      assert(got.size == 4)
+      for (k <- Seq("a", "b"); lag <- Seq(1, 2))
+        assert(got((k, lag)) == oracle(k, lag), s"parts=$parts $k lag=$lag")
+      // the deterministic series must show strong serial structure
+      // (it oscillates: strongly negative lag-1), the random walk not
+      assert(math.abs(got(("a", 1))) > 400000)
+    }
+  }
+
+  test("ksTwoSample: exact rational D vs brute-force ECDF; identical samples give 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val a = (0 until 150).map(_ => rnd.nextInt(50).toLong)
+    val b = (0 until 120).map(_ => rnd.nextInt(50).toLong + 10L)
+    val df = (a.map((_, 1L)) ++ b.map((_, 0L))).toDF("v", "is_a")
+    val row = Stats.ksTwoSample(df, "v", col("is_a")).collect().head
+    val (n, m) = (row.getLong(0), row.getLong(1))
+    assert(n == 150 && m == 120)
+    val brute = (a ++ b).distinct.map { v =>
+      math.abs(a.count(_ <= v).toLong * m - b.count(_ <= v).toLong * n)
+    }.max
+    assert(row.getLong(2) == brute)
+    assert(row.getLong(3) == n * m)
+    assert(row.getLong(4) == brute * 1000000L / (n * m))
+    // identical distributions: D = 0
+    val same = (a.map((_, 1L)) ++ a.map((_, 0L))).toDF("v", "is_a")
+    assert(Stats.ksTwoSample(same, "v", col("is_a"))
+      .collect().head.getLong(2) == 0L)
+  }
 }
