@@ -3136,6 +3136,47 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Last-touch attribution — each purchase credits the user's most
+    * recent preceding non-purchase event within a 1-hour lookback,
+    * else the 'direct' channel. One key-partitioned window (a struct
+    * `last` IGNORE NULLS carries timestamp + channel together so both
+    * come from the SAME touch row), then a partial-aggregated rollup
+    * of conversions and attributed revenue per channel.
+    */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tu"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("lt",
+        last(when(col("event_type") =!= "purchase",
+          struct(col("tu").as("tu"), col("event_type").as("ch"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(when(col("lt").isNotNull &&
+          col("tu") - col("lt.tu") <= 3600L * 1000000L, col("lt.ch"))
+          .otherwise(lit("direct")).as("channel"),
+        col("cents"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_attr"), sum(col("cents")).as("revenue_cents"))
+      .orderBy("channel")
+  }
+
+  /** Benford first-digit screen over positive integer cents — the
+    * classic fraud / synthetic-data tripwire. First digit extracted
+    * through the decimal string (exact — no float log10 on the hot
+    * path); expected shares and χ² contributions are one shared
+    * deterministic double chain ([[graft.pipeline.Stats.benford]]).
+    */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.benford(
+      Tables.events(s, dir),
+      expr("CAST(round(value * 100) AS BIGINT)"))
+      .orderBy("digit")
+
   /** Lag-1..3 autocorrelation of the value series per event_type —
     * serial dependence screening (is a metric trending / mean-
     * reverting / i.i.d.?). One key-partitioned window emits all lags;
@@ -3394,6 +3435,8 @@ object SparkEntry {
     "q169_sorted_neighborhood" -> (qSortedNeighborhood(_, _)),
     "q170_acf" -> (qAcf(_, _)),
     "q171_ks_test" -> (qKsTest(_, _)),
+    "q172_attribution" -> (qAttribution(_, _)),
+    "q173_benford" -> (qBenford(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -5996,6 +6039,50 @@ object SparkEntry {
         |       (n * m)::BIGINT AS denom,
         |       (MAX(abs(i * m - j * n)) * 1000000 // (n * m))::BIGINT AS d_micro
         |FROM cum, tot GROUP BY n, m""".stripMargin,
+
+    // q172: identical strictly-preceding window; the two IGNORE-NULLS
+    // last_values share one CASE condition so they pick the same touch
+    // row (the struct-last on the Spark side makes that atomic)
+    "q172_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, tu, event_type, cents,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN tu END IGNORE NULLS)
+        |      OVER w AS lt_tu,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER w AS lt_ch
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        |  SELECT CASE WHEN lt_tu IS NOT NULL AND tu - lt_tu <= 3600000000
+        |              THEN lt_ch ELSE 'direct' END AS channel, cents
+        |  FROM a WHERE event_type = 'purchase')
+        |SELECT channel, COUNT(*)::BIGINT AS n_attr, SUM(cents)::BIGINT AS revenue_cents
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q173: identical string-extracted first digit, identical ln-based
+    // double chain (q158's libm-determinism precedent)
+    "q173_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE CAST(round(value * 100) AS BIGINT) > 0),
+        |d AS (
+        |  SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         COUNT(*)::BIGINT AS cnt
+        |  FROM v GROUP BY 1),
+        |tot AS (SELECT SUM(cnt)::BIGINT AS n FROM d),
+        |x AS (
+        |  SELECT digit, cnt, n, ln(1.0 + 1.0 / digit) / ln(10.0) AS p
+        |  FROM d, tot)
+        |SELECT digit, cnt, n,
+        |  CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS exp_micro,
+        |  CAST(floor((cnt - n * p) * (cnt - n * p) / (n * p)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+        |FROM x ORDER BY digit""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

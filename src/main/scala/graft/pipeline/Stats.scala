@@ -371,6 +371,32 @@ object Stats {
         Seq(col("lag"), col("n"), col("corr_micro").as("acf_micro")): _*)
   }
 
+  /** Benford's-law first-digit profile of a positive integer metric:
+    * per leading digit d ∈ 1..9, the observed count, the expected
+    * Benford share log₁₀(1 + 1/d) as a micro integer, and the χ²
+    * contribution (obs − n·p)² / (n·p) as a micro integer. The digit
+    * is taken from the decimal STRING (exact for integers — float
+    * log10 misclassifies exact powers of ten), counts are one
+    * partial-aggregated groupBy over ≤ 9 keys, and the totals join
+    * broadcasts one row, so the whole screen is a single scan at any
+    * scale. The ln-based double chain is shared verbatim with the
+    * oracle (the q158 WoE precedent: identical libm inputs ⇒ identical
+    * doubles).
+    */
+  def benford(df: DataFrame, value: Column): DataFrame = {
+    val digits = df.select(value.cast("long").as("v"))
+      .where(col("v") > 0L)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val tot = digits.agg(sum(col("cnt")).as("n"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("p", expr("ln(1.0 + 1.0 / digit) / ln(10.0)"))
+      .select(col("digit"), col("cnt"), col("n"),
+        expr("CAST(floor(p * 1000000.0 + 0.5) AS BIGINT)").as("exp_micro"),
+        expr("CAST(floor((cnt - n * p) * (cnt - n * p) / (n * p) " +
+          "* 1000000.0 + 0.5) AS BIGINT)").as("chi2_micro"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic, EXACT: with sample sizes
     * n (rows where `isFirst`) and m, D = maxᵥ |F₁(v) − F₂(v)| over the
     * pooled support = maxᵥ |i·m − j·n| / (n·m) where i, j are the

@@ -162,6 +162,29 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("benford: exact digit extraction, non-positives dropped, conforming data scores low") {
+    import spark.implicits._
+    // Benford-distributed sample: v = floor(10^u) spans 1..9 with the
+    // right first-digit law; plus zeros/negatives that must be dropped
+    val rnd = new scala.util.Random(3)
+    val vals = (0 until 5000).map(_ => math.pow(10.0, rnd.nextDouble() * 3).toLong) ++
+      Seq(0L, -5L, -17L)
+    val out = Stats.benford(vals.toDF("v"), col("v")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == (1 to 9).toSet)
+    assert(out.values.map(_._2).toSet == Set(5000L)) // n excludes non-positives
+    assert(out.values.map(_._1).sum == 5000L)
+    // exact digit check against driver-side strings
+    val exp = vals.filter(_ > 0).groupBy(_.toString.head.asDigit)
+      .view.mapValues(_.size.toLong).toMap
+    (1 to 9).foreach(d => assert(out(d)._1 == exp(d), s"digit $d"))
+    // expected share of digit 1 is log10(2) ≈ 0.30103
+    assert(out(1)._3 == 301030L)
+    // conforming data: per-digit chi2 contributions stay O(1)-ish
+    // (a single cell at ~5 is ordinary fluctuation for n=5000)
+    assert(out.values.map(_._4).max < 10000000L)
+  }
+
   test("ksTwoSample: exact rational D vs brute-force ECDF; identical samples give 0") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
