@@ -3136,6 +3136,56 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** RFM segmentation over orders — recency / frequency / monetary
+    * quintile scores per customer, rolled up to segment counts. Each
+    * score is the customer's global rank bucket ⌊pos·5/n⌋+1 under a
+    * tie-broken total order, computed by the range-partitioned rank
+    * ([[graft.pipeline.Prefix.withGlobalPosition]] — never a
+    * single-task NTILE window); the bucket rule is replayed verbatim
+    * from row_number in the oracle.
+    */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Prefix
+    val base = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(max(col("o_orderdate")).as("rec"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("mon"))
+      .localCheckpoint() // scored three ways below — pin one evaluation
+    val tot = base.agg(count(lit(1)).as("n"))
+    def score(metric: String, out: String): DataFrame =
+      Prefix.withGlobalPosition(base.select(col("cust"), col(metric)),
+          Seq(metric, "cust"))
+        .crossJoin(broadcast(tot))
+        .select(col("cust"), expr(s"pos * 5 div n + 1").as(out))
+    base.select(col("cust"), col("mon"))
+      .join(score("rec", "r_score"), "cust")
+      .join(score("freq", "f_score"), "cust")
+      .join(score("mon", "m_score"), "cust")
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_cust"), sum(col("mon")).as("sum_mon"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Bounded-depth BFS reachability over the part co-purchase graph
+    * (q152's market-basket projection): hop distance from the seed
+    * parts for every part within 3 hops, rolled up to per-level
+    * counts. [[graft.pipeline.Graph.bfsLevels]]; the oracle replays
+    * the levels with a depth-bounded recursive CTE + MIN(lvl).
+    */
+  private def qBfs(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("ua"), col("b.p").as("ub"))
+    val seeds = t(s, dir, "part").select(col("p_partkey"))
+      .filter(col("p_partkey") % 199 === 0)
+    graft.pipeline.Graph.bfsLevels(edges, "ua", "ub", seeds, "p_partkey", 3)
+      .groupBy("lvl").agg(count(lit(1)).as("cnt"))
+      .orderBy("lvl")
+  }
+
   /** Last-touch attribution — each purchase credits the user's most
     * recent preceding non-purchase event within a 1-hour lookback,
     * else the 'direct' channel. One key-partitioned window (a struct
@@ -3437,6 +3487,8 @@ object SparkEntry {
     "q171_ks_test" -> (qKsTest(_, _)),
     "q172_attribution" -> (qAttribution(_, _)),
     "q173_benford" -> (qBenford(_, _)),
+    "q174_rfm" -> (qRfm(_, _)),
+    "q175_bfs_khop" -> (qBfs(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6083,6 +6135,40 @@ object SparkEntry {
         |  CAST(floor((cnt - n * p) * (cnt - n * p) / (n * p)
         |    * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
         |FROM x ORDER BY digit""".stripMargin,
+
+    // q174: identical tie-broken total orders (metric, cust) and the
+    // identical ⌊pos·5/n⌋+1 bucket rule from row_number
+    "q174_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS cust, MAX(o_orderdate) AS rec,
+        |         COUNT(*)::BIGINT AS freq,
+        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS mon
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT COUNT(*)::BIGINT AS n FROM base),
+        |sc AS (
+        |  SELECT cust, mon,
+        |    ((row_number() OVER (ORDER BY rec, cust) - 1) * 5 // n + 1)::BIGINT AS r_score,
+        |    ((row_number() OVER (ORDER BY freq, cust) - 1) * 5 // n + 1)::BIGINT AS f_score,
+        |    ((row_number() OVER (ORDER BY mon, cust) - 1) * 5 // n + 1)::BIGINT AS m_score
+        |  FROM base, tot)
+        |SELECT r_score, f_score, m_score, COUNT(*)::BIGINT AS n_cust,
+        |       SUM(mon)::BIGINT AS sum_mon
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // q175: the same undirected co-purchase edges; the recursive CTE's
+    // UNION-dedup expansion with MIN(lvl) equals BFS first-seen level
+    "q175_bfs_khop" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |walk(node, lvl) AS (
+        |  SELECT p_partkey, 0 FROM part WHERE p_partkey % 199 = 0
+        |  UNION
+        |  SELECT e.dst, w.lvl + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node WHERE w.lvl < 3),
+        |lv AS (SELECT node, MIN(lvl)::BIGINT AS lvl FROM walk GROUP BY 1)
+        |SELECT lvl, COUNT(*)::BIGINT AS cnt FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

@@ -244,4 +244,41 @@ object Graph {
     }
     rank
   }
+
+  /** Bounded-depth BFS from a seed set over an undirected graph:
+    * every node reachable within `maxHops` gets its hop distance
+    * (`lvl` = first-seen level ≡ min level, the BFS invariant). The
+    * Pregel shape as plain relational ops — per hop one frontier⋈edges
+    * equi-join, a distinct, and an anti-join against the visited set —
+    * with `localCheckpoint` cutting lineage so plan size stays O(1) in
+    * hops. Every shuffle is keyed by vertex id; nothing is quadratic.
+    * Fixed hop bound ⇒ an engine-independent recursive-CTE oracle
+    * replays the exact levels.
+    */
+  def bfsLevels(edges0: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val sym = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges0.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("lvl", lit(0L)).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var h = 0
+    var frontierSize = frontier.count()
+    while (h < maxHops && frontierSize > 0) {
+      val next = sym.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("lvl", lit((h + 1).toLong))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next.select(col("node"))
+      frontierSize = next.count()
+      h += 1
+    }
+    visited
+  }
 }

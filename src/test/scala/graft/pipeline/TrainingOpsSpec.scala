@@ -73,6 +73,28 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bfsLevels: hand-computed hop distances, depth bound, unreachable excluded") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus branch 2-6; seed {1}; island 8-9 unreachable
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (8L, 9L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.bfsLevels(edges, "a", "b", seeds, "id", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 5 is 4 hops away: outside the bound; 8/9 unreachable
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L, 4L -> 3L))
+    // a seed with no edges still appears at level 0; hop 0 = seeds only
+    val got0 = Graph.bfsLevels(edges, "a", "b", Seq(42L).toDF("id"), "id", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got0 == Map(42L -> 0L))
+    // BFS takes the SHORTEST route when multiple paths exist
+    val diamond = Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 5L), (5L, 4L))
+      .toDF("a", "b")
+    val gd = Graph.bfsLevels(diamond, "a", "b", Seq(1L).toDF("id"), "id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gd(4L) == 2L) // via 2, not the 3-hop route via 3-5
+  }
+
   test("triangleStats: hand-computed counts on a 4-clique plus pendant path") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, 12 wedges... compute) + path 4-5-6
