@@ -3136,6 +3136,35 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Population Stability Index of the value distribution per
+    * event_type, early-vs-late half of the timeline (split at the
+    * global time midpoint, one broadcast row) over 10 fixed cent bins
+    * — the drift monitor ([[graft.pipeline.Stats.populationStability]]).
+    */
+  private def qPsi(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      unix_micros(col("ts")).as("tu"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val mid = e.agg(expr("(min(tu) + max(tu)) DIV 2").as("mid"))
+    graft.pipeline.Stats.populationStability(
+      e.crossJoin(broadcast(mid)),
+      Seq("event_type"),
+      expr("least(cents DIV 5000, CAST(9 AS BIGINT))"),
+      col("tu") < col("mid"))
+      .orderBy("event_type", "bin")
+  }
+
+  /** Wald–Wolfowitz runs test of the value series per event_type
+    * (above/below the 50.00 line, event_id order) — serial-randomness
+    * screen ([[graft.pipeline.Stats.runsTest]]).
+    */
+  private def qRuns(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.runsTest(
+      Tables.events(s, dir).select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+      Seq("event_type"), "event_id", col("cents"), threshold = 5000L)
+      .orderBy("event_type")
+
   /** RFM segmentation over orders — recency / frequency / monetary
     * quintile scores per customer, rolled up to segment counts. Each
     * score is the customer's global rank bucket ⌊pos·5/n⌋+1 under a
@@ -3489,6 +3518,8 @@ object SparkEntry {
     "q173_benford" -> (qBenford(_, _)),
     "q174_rfm" -> (qRfm(_, _)),
     "q175_bfs_khop" -> (qBfs(_, _)),
+    "q176_psi" -> (qPsi(_, _)),
+    "q177_runs_test" -> (qRuns(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6169,6 +6200,62 @@ object SparkEntry {
         |  FROM walk w JOIN edges e ON e.src = w.node WHERE w.lvl < 3),
         |lv AS (SELECT node, MIN(lvl)::BIGINT AS lvl FROM walk GROUP BY 1)
         |SELECT lvl, COUNT(*)::BIGINT AS cnt FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q176: identical midpoint split, identical fixed bins and +0.5
+    // smoothing; the ln chain is q158's libm-determinism precedent
+    "q176_psi" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tu,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |mid AS (SELECT (MIN(tu) + MAX(tu)) // 2 AS mid FROM e),
+        |f AS (
+        |  SELECT event_type, least(v // 5000, 9) AS bin,
+        |         CAST(tu < mid AS BIGINT) AS a
+        |  FROM e, mid),
+        |cells AS (
+        |  SELECT event_type, bin, SUM(a)::BIGINT AS cnt_base,
+        |         SUM(1 - a)::BIGINT AS cnt_cur
+        |  FROM f GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, SUM(cnt_base)::BIGINT AS tb,
+        |         SUM(cnt_cur)::BIGINT AS tc, COUNT(*)::BIGINT AS nb
+        |  FROM cells GROUP BY 1),
+        |x AS (
+        |  SELECT c.event_type, bin, cnt_base, cnt_cur,
+        |         (cnt_base + 0.5) / (tb + 0.5 * nb) AS p,
+        |         (cnt_cur + 0.5) / (tc + 0.5 * nb) AS q
+        |  FROM cells c JOIN tot t USING (event_type))
+        |SELECT event_type, bin, cnt_base, cnt_cur,
+        |  CAST(floor((p - q) * ln(p / q) * 1000000.0 + 0.5) AS BIGINT) AS psi_micro
+        |FROM x ORDER BY event_type, bin""".stripMargin,
+
+    // q177: identical sign sequence (exact ties dropped), identical
+    // lag-based run starts, one shared normal-approximation chain
+    "q177_runs_test" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE CAST(round(value * 100) AS BIGINT) <> 5000),
+        |s AS (
+        |  SELECT event_type, event_id,
+        |         CAST(v > 5000 AS INT) AS sgn
+        |  FROM e),
+        |c AS (
+        |  SELECT event_type, sgn,
+        |    CASE WHEN lag(sgn) OVER (PARTITION BY event_type ORDER BY event_id)
+        |              IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS chg
+        |  FROM s),
+        |g AS (
+        |  SELECT event_type, SUM(sgn)::BIGINT AS n1,
+        |         SUM(1 - sgn)::BIGINT AS n2, SUM(chg)::BIGINT AS runs
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n1, n2, runs,
+        |  CAST(floor((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) /
+        |    sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+        |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
+        |FROM g ORDER BY event_type""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

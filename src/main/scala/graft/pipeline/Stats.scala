@@ -397,6 +397,70 @@ object Stats {
           "* 1000000.0 + 0.5) AS BIGINT)").as("chi2_micro"))
   }
 
+  /** Population Stability Index cells — the standard production drift
+    * monitor between a baseline and a current sample over pre-binned
+    * values: per (group, bin), both counts and the contribution
+    * (p − q)·ln(p/q) with +0.5/bin Laplace smoothing (so one-sided
+    * bins stay finite) as a micro integer. Σ over bins ≥ 0.2 is the
+    * conventional "investigate" line. One partial-aggregated groupBy
+    * (counts are exact BIGINTs) + a broadcast of per-group totals; the
+    * ln chain is shared verbatim with the oracle.
+    */
+  def populationStability(df: DataFrame, groupCols: Seq[String],
+                          bin: Column, isBaseline: Column): DataFrame = {
+    val gcols = groupCols.map(col)
+    val cells = df
+      .select(gcols :+ bin.cast("long").as("bin") :+
+        isBaseline.cast("long").as("a"): _*)
+      .groupBy(gcols :+ col("bin"): _*)
+      .agg(sum(col("a")).as("cnt_base"), sum(lit(1L) - col("a")).as("cnt_cur"))
+    val totals = cells.groupBy(gcols: _*)
+      .agg(sum(col("cnt_base")).as("tot_base"), sum(col("cnt_cur")).as("tot_cur"),
+        count(lit(1)).as("nbins"))
+    cells.join(broadcast(totals), groupCols)
+      .withColumn("p", expr(
+        "(cnt_base + 0.5) / (tot_base + 0.5 * nbins)"))
+      .withColumn("q", expr(
+        "(cnt_cur + 0.5) / (tot_cur + 0.5 * nbins)"))
+      .select(gcols ++ Seq(col("bin"), col("cnt_base"), col("cnt_cur"),
+        expr("CAST(floor((p - q) * ln(p / q) * 1000000.0 + 0.5) AS BIGINT)")
+          .as("psi_micro")): _*)
+  }
+
+  /** Wald–Wolfowitz runs test per group: over the `orderCol` total
+    * order, rows are signed above/below `threshold` (exact ties
+    * dropped), `runs` counts maximal same-sign stretches, and
+    * `z_micro` is the normal-approximation statistic
+    * (r − μ)/σ with μ = 2n₁n₂/(n₁+n₂) + 1. Serial-randomness screen:
+    * trending or oscillating series reject. One key-partitioned
+    * window (lag of the sign) + one aggregation — counts exact, the
+    * single double chain shared with the oracle.
+    */
+  def runsTest(df: DataFrame, groupCols: Seq[String], orderCol: String,
+               value: Column, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col(orderCol))
+    val signed = df
+      .select(gcols :+ col(orderCol) :+ value.cast("long").as("v"): _*)
+      .where(col("v") =!= threshold)
+      .withColumn("s", (col("v") > threshold).cast("int"))
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(w).isNull ||
+          lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+    signed.groupBy(gcols: _*)
+      .agg(sum(col("s")).cast("long").as("n1"),
+        sum(lit(1) - col("s")).cast("long").as("n2"),
+        sum(col("chg")).as("runs"))
+      .withColumn("mu", expr("2.0 * n1 * n2 / (n1 + n2) + 1.0"))
+      .withColumn("sg", expr(
+        "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / " +
+          "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))"))
+      .select(gcols ++ Seq(col("n1"), col("n2"), col("runs"),
+        expr("CAST(floor((runs - mu) / sg * 1000000.0 + 0.5) AS BIGINT)")
+          .as("z_micro")): _*)
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic, EXACT: with sample sizes
     * n (rows where `isFirst`) and m, D = maxᵥ |F₁(v) − F₂(v)| over the
     * pooled support = maxᵥ |i·m − j·n| / (n·m) where i, j are the

@@ -185,6 +185,43 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(out.values.map(_._4).max < 10000000L)
   }
 
+  test("populationStability: identical halves give ~0 PSI; a shifted half flags") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 2000).map(_ => ("g", rnd.nextInt(10).toLong, 1L))
+    val sameCur = (0 until 2000).map(_ => ("g", rnd.nextInt(10).toLong, 0L))
+    val shifted = (0 until 2000).map(_ => ("h", math.min(rnd.nextInt(6).toLong + 4L, 9L), 0L)) ++
+      (0 until 2000).map(_ => ("h", rnd.nextInt(10).toLong, 1L))
+    val df = (base ++ sameCur ++ shifted).toDF("g", "bin", "a")
+    val out = Stats.populationStability(df, Seq("g"), col("bin"), col("a") === 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // PSI contributions are non-negative by construction ((p−q), ln(p/q) same sign)
+    assert(out.values.forall(_ >= 0L))
+    val psiSame = (0 to 9).map(b => out(("g", b.toLong))).sum
+    val psiShift = (0 to 9).map(b => out.getOrElse(("h", b.toLong), 0L)).sum
+    assert(psiSame < 200000L)  // < 0.02: same distribution
+    assert(psiShift > 200000L) // > 0.2: the conventional alarm line
+  }
+
+  test("runsTest: hand-computed runs; alternating series rejects low, ties dropped") {
+    import spark.implicits._
+    // g: + + - - -  => n1=2 n2=3 runs=2; tie row (=0 threshold) dropped
+    val rows = Seq(("g", 1L, 5L), ("g", 2L, 3L), ("g", 3L, -2L),
+      ("g", 4L, -7L), ("g", 5L, -1L), ("g", 6L, 0L)) ++
+      (1 to 40).map(i => ("alt", i.toLong, if (i % 2 == 0) 10L else -10L))
+    val df = rows.toDF("g", "o", "v")
+    val out = Stats.runsTest(df, Seq("g"), "o", col("v"), threshold = 0L)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("g")._1 == 2L && out("g")._2 == 3L && out("g")._3 == 2L)
+    // perfect alternation: runs = n, far above mu -> strongly positive z
+    assert(out("alt")._3 == 40L)
+    assert(out("alt")._4 > 5000000L) // z > 5
+    // z for g: mu = 2*2*3/5+1 = 3.4, sigma = sqrt(2*2*3*(12-5)/(25*4)) = sqrt(0.84)
+    val z = math.floor((2 - 3.4) / math.sqrt(0.84) * 1e6 + 0.5).toLong
+    assert(out("g")._4 == z)
+  }
+
   test("ksTwoSample: exact rational D vs brute-force ECDF; identical samples give 0") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
