@@ -3136,6 +3136,50 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Video-style frame sampling, end to end and REAL: deterministic
+    * multi-frame animated GIFs synthesized from doc_id (the q71
+    * discipline), [[graft.pipeline.Multimodal.sampleFrames]] pulls
+    * every 2nd frame capped at 3 through the actual JDK ImageIO
+    * reader, each sampled frame re-encodes as PNG and decodes again
+    * for exact pixel sums. The oracle replays the stride/cap
+    * arithmetic and uniform-gray sums in closed form — any container,
+    * palette, or index slip breaks the hash.
+    */
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.Multimodal
+    val docs = graft.pipeline.Par.spread(
+      t(s, dir, "documents").select(col("doc_id"))).as[Long]
+    val assets = docs.map { id =>
+      val n = 2 + (id % 6).toInt
+      val w = 5 + (id % 4).toInt
+      val h = 3 + (id % 5).toInt
+      Multimodal.Asset(id, "video",
+        Multimodal.encodeGif((0 until n).map(i =>
+          Multimodal.grayFrame(w, h, ((17 * id + 31 * i) % 256).toInt))))
+    }
+    val frames = Multimodal.sampleFrames(assets, stride = 2, maxFrames = 3)
+    val perFrame = frames.flatMap(f => f.frames.zipWithIndex.map {
+      case (b, j) => Multimodal.Asset(f.asset_id * 1000 + j, "image", b)
+    })
+    Multimodal.decodeImageFeatures(perFrame).toDF()
+      .select(expr("asset_id div 1000").as("doc_id"),
+        expr("CAST(asset_id % 1000 AS INT)").as("frame_ord"),
+        col("width"), col("height"), col("sum_r").as("sum_gray"))
+      .orderBy("doc_id", "frame_ord")
+  }
+
+  /** Per-event_type OLS trend of value against arrival rank — the
+    * metric-drift slope/intercept screen
+    * ([[graft.pipeline.Stats.olsTrend]]; exact BIGINT co-moments).
+    */
+  private def qOlsTrend(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.olsTrend(
+      Tables.events(s, dir).select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+      Seq("event_type"), "event_id", col("cents"))
+      .orderBy("event_type")
+
   /** Population Stability Index of the value distribution per
     * event_type, early-vs-late half of the timeline (split at the
     * global time midpoint, one broadcast row) over 10 fixed cent bins
@@ -3520,6 +3564,8 @@ object SparkEntry {
     "q175_bfs_khop" -> (qBfs(_, _)),
     "q176_psi" -> (qPsi(_, _)),
     "q177_runs_test" -> (qRuns(_, _)),
+    "q178_frame_sample" -> (qFrameSample(_, _)),
+    "q179_ols_trend" -> (qOlsTrend(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6256,6 +6302,44 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q178: closed-form stride/cap arithmetic — sampled original
+    // index 2j exists iff 2j < n_frames; uniform gray ⇒ sum = w·h·lvl
+    "q178_frame_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, 2 + doc_id % 6 AS n,
+        |         5 + doc_id % 4 AS w, 3 + doc_id % 5 AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, j AS frame_ord,
+        |         (17 * doc_id + 31 * (2 * j)) % 256 AS lvl
+        |  FROM p, generate_series(0, 2) t(j) WHERE 2 * j < n)
+        |SELECT doc_id, frame_ord::INTEGER AS frame_ord,
+        |       w::INTEGER AS width, h::INTEGER AS height,
+        |       (w * h * lvl)::BIGINT AS sum_gray
+        |FROM f ORDER BY doc_id, frame_ord""".stripMargin,
+
+    // q179: identical 1-based rank, identical exact co-moments,
+    // identical closed-form slope/intercept double chains
+    "q179_ols_trend" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY event_id)::BIGINT AS x,
+        |         CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+        |         SUM(y)::BIGINT AS sy, SUM(x*x)::BIGINT AS sxx,
+        |         SUM(x*y)::BIGINT AS sxy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS slope_micro,
+        |  CAST(floor((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy) /
+        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS intercept_micro
+        |FROM s ORDER BY event_type""".stripMargin,
 
     // q137/q138: trig kernels — the oracle reads the fixture planes
     // (bit-identical JVM-libm doubles, see ZonalFixture.aspectValue)

@@ -461,6 +461,35 @@ object Stats {
           .as("z_micro")): _*)
   }
 
+  /** Per-group OLS trend of an integer metric against its 1-based
+    * position under the group's `orderCol` total order: slope and
+    * intercept of the least-squares line, as micro integers from the
+    * closed-form sums — n·Σxy, Σx·Σy etc. are exact BIGINTs, so the
+    * two final double chains are deterministic and hash-gate. One
+    * key-partitioned window (rank) + one partial-aggregated groupBy.
+    * BIGINT co-moments need n²·maxrank·maxvalue < 2⁶³ — beyond ~10⁵
+    * rows per group pre-aggregate to coarser positions (or center x)
+    * before calling.
+    */
+  def olsTrend(df: DataFrame, groupCols: Seq[String], orderCol: String,
+               value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col(orderCol))
+    df.select(gcols :+ col(orderCol) :+ value.cast("long").as("y"): _*)
+      .withColumn("x", row_number().over(w).cast("long"))
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(gcols ++ Seq(col("n"),
+        expr("CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+          "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) " +
+          "* 1000000.0 + 0.5) AS BIGINT)").as("slope_micro"),
+        expr("CAST(floor((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy) / " +
+          "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) " +
+          "* 1000000.0 + 0.5) AS BIGINT)").as("intercept_micro")): _*)
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic, EXACT: with sample sizes
     * n (rows where `isFirst`) and m, D = maxᵥ |F₁(v) − F₂(v)| over the
     * pooled support = maxᵥ |i·m − j·n| / (n·m) where i, j are the

@@ -185,6 +185,19 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(out.values.map(_._4).max < 10000000L)
   }
 
+  test("olsTrend: exact line recovered; known slope on a perturbed ramp") {
+    import spark.implicits._
+    // y = 7x + 3 exactly -> slope 7.0, intercept 3.0
+    val exactLine = (1 to 50).map(i => ("lin", i.toLong, 7L * i + 3L))
+    // constant series -> slope 0, intercept = the constant
+    val flat = (1 to 30).map(i => ("flat", i.toLong, 42L))
+    val out = Stats.olsTrend((exactLine ++ flat).toDF("g", "o", "v"),
+        Seq("g"), "o", col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("lin") == ((50L, 7000000L, 3000000L)))
+    assert(out("flat") == ((30L, 0L, 42000000L)))
+  }
+
   test("populationStability: identical halves give ~0 PSI; a shifted half flags") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
