@@ -3136,6 +3136,34 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Three unrolled 3-core peel rounds over the co-purchase graph
+    * ([[graft.pipeline.Graph.kcorePeelRounds]]): per-round surviving
+    * node/edge counts; the oracle unrolls the identical rounds as
+    * chained CTEs.
+    */
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("ua"), col("b.p").as("ub"))
+    graft.pipeline.Graph.kcorePeelRounds(edges, "ua", "ub", k = 3, rounds = 3)
+      .orderBy("round")
+  }
+
+  /** Prefix-filtered set-similarity join
+    * ([[graft.pipeline.Dedup.prefixFilterJaccardPairs]]) at Jaccard
+    * ≥ 9/10 (the realistic near-dup cut — this corpus is so
+    * self-similar that J ≥ 1/2 admits 70% of ALL pairs, defeating any
+    * filter) over document token sets. The oracle is the BRUTE-FORCE
+    * all-pairs join — the gate proves the prefix filter lossless, not
+    * merely self-consistent.
+    */
+  private def qPrefixJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        tNum = 9, tDen = 10)
+      .orderBy("doc_a", "doc_b")
+
   /** Video-style frame sampling, end to end and REAL: deterministic
     * multi-frame animated GIFs synthesized from doc_id (the q71
     * discipline), [[graft.pipeline.Multimodal.sampleFrames]] pulls
@@ -3566,6 +3594,8 @@ object SparkEntry {
     "q177_runs_test" -> (qRuns(_, _)),
     "q178_frame_sample" -> (qFrameSample(_, _)),
     "q179_ols_trend" -> (qOlsTrend(_, _)),
+    "q180_kcore" -> (qKcore(_, _)),
+    "q181_prefix_join" -> (qPrefixJoin(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6302,6 +6332,59 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q180: the identical peel rounds unrolled as chained CTEs; node
+    // set after a round = endpoints of the surviving edges
+    "q180_kcore" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |         greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |d1 AS (SELECT n, COUNT(*) AS d FROM (
+        |         SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |k1 AS (SELECT n FROM d1 WHERE d >= 3),
+        |e1 AS (SELECT u, v FROM e0
+        |       WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
+        |d2 AS (SELECT n, COUNT(*) AS d FROM (
+        |         SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+        |k2 AS (SELECT n FROM d2 WHERE d >= 3),
+        |e2 AS (SELECT u, v FROM e1
+        |       WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
+        |d3 AS (SELECT n, COUNT(*) AS d FROM (
+        |         SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+        |k3 AS (SELECT n FROM d3 WHERE d >= 3),
+        |e3 AS (SELECT u, v FROM e2
+        |       WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3)),
+        |s AS (
+        |  SELECT 1::BIGINT AS round,
+        |    (SELECT COUNT(*) FROM (SELECT u FROM e1 UNION SELECT v FROM e1))::BIGINT AS nodes_remaining,
+        |    (SELECT COUNT(*) FROM e1)::BIGINT AS edges_remaining
+        |  UNION ALL
+        |  SELECT 2,
+        |    (SELECT COUNT(*) FROM (SELECT u FROM e2 UNION SELECT v FROM e2)),
+        |    (SELECT COUNT(*) FROM e2)
+        |  UNION ALL
+        |  SELECT 3,
+        |    (SELECT COUNT(*) FROM (SELECT u FROM e3 UNION SELECT v FROM e3)),
+        |    (SELECT COUNT(*) FROM e3))
+        |SELECT round, nodes_remaining, edges_remaining FROM s ORDER BY round""".stripMargin,
+
+    // q181: the oracle is the BRUTE-FORCE all-pairs Jaccard join —
+    // the engine's prefix filter must lose nothing against it
+    "q181_prefix_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
+        |         (len(a.toks) + len(b.toks)
+        |          - len(list_intersect(a.toks, b.toks)))::BIGINT AS uni
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, inter, uni FROM pairs
+        |WHERE inter * 10 >= uni * 9
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // q178: closed-form stride/cap arithmetic — sampled original
     // index 2j exists iff 2j < n_frames; uniform gray ⇒ sum = w·h·lvl

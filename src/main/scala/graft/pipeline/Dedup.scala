@@ -336,6 +336,54 @@ object Dedup {
     * abandons rows early once the distance exceeds the bound — O(n·d)
     * per pair, not O(n²).
     */
+  /** Prefix-filtered set-similarity join (the SSJoin/PPJoin principle,
+    * Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08): all document
+    * pairs with token-set Jaccard ≥ tNum/tDen, WITHOUT the O(n²) pair
+    * space. Tokens get a global rarity order (frequency asc, token —
+    * built with the range-partitioned rank, no single-task window);
+    * each doc keeps only its prefix of the
+    * len − ⌈t·len⌉ + 1 rarest tokens; any qualifying pair provably
+    * shares a prefix token, so candidates arrive through a prefix-
+    * token equi-join (rare tokens first ⇒ bounded fanout) and the
+    * exact integer Jaccard verify runs on candidates only. Output
+    * equals the brute-force all-pairs join — the oracle IS the brute
+    * force, so the gate proves the filter lossless.
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                               tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be a rational in (0, 1]")
+    val docs = Par.spread(df)
+      .select(col(idCol).as("doc"),
+        array_distinct(split(col(textCol), " ")).as("toks"))
+      .withColumn("len", size(col("toks")).cast("long"))
+      .localCheckpoint() // tokens + verify both read it; pin one evaluation
+    val toks = docs.select(col("doc"), explode(col("toks")).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val ranked = Prefix.withGlobalPosition(freq, Seq("tf", "token"))
+      .select(col("token"), col("pos").as("trank"))
+    // prefix = the (len - ceil(t*len) + 1) globally rarest tokens
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc")).orderBy(col("trank"))
+    val prefix = toks.join(ranked, "token")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(docs.select(col("doc"), col("len")), "doc")
+      .filter(col("rn") <=
+        col("len") - expr(s"(($tNum * len + $tDen - 1) div $tDen)") + 1L)
+      .select(col("doc"), col("trank"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.trank") === col("b.trank") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc").as("doc_a"), col("toks").as("ja")), "doc_a")
+      .join(docs.select(col("doc").as("doc_b"), col("toks").as("jb")), "doc_b")
+      .withColumn("inter", expr("CAST(size(array_intersect(ja, jb)) AS BIGINT)"))
+      .withColumn("uni",
+        expr("CAST(size(ja) AS BIGINT) + CAST(size(jb) AS BIGINT) - inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
+
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int = 12, bucket: Int = 16): DataFrame = {
     require(bucket >= maxDist, "bucket width must be >= maxDist for sound blocking")

@@ -281,4 +281,42 @@ object Graph {
     }
     visited
   }
+
+  /** Unrolled k-core peeling: `rounds` rounds of "drop every node with
+    * degree < k, keep only edges between survivors", reporting the
+    * surviving edge/node counts after each round — the density probe
+    * for similarity/co-occurrence graphs (how much of the graph is
+    * scaffolding vs k-connected core?). A fixed round count keeps the
+    * result engine-independent (full k-core = run until fixpoint; each
+    * round is monotone, so prefixes are well-defined). Per round: one
+    * degree aggregation + two semi-joins on vertex keys, lineage cut
+    * per round — no driver-side graph state, just two scalar counts.
+    */
+  def kcorePeelRounds(edges0: DataFrame, aCol: String, bCol: String,
+                      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    var cur = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var r = 1
+    while (r <= rounds) {
+      val deg = cur.select(col("u").as("n")).unionAll(cur.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      cur = cur
+        .join(keep.withColumnRenamed("n", "u"), "u")
+        .join(keep.withColumnRenamed("n", "v"), "v")
+        .select(col("u"), col("v")).localCheckpoint()
+      val e = cur.count()
+      val n = cur.select(col("u").as("n")).unionAll(cur.select(col("v").as("n")))
+        .distinct().count()
+      stats += ((r.toLong, n, e))
+      r += 1
+    }
+    stats.toSeq.toDF("round", "nodes_remaining", "edges_remaining")
+  }
 }

@@ -180,6 +180,48 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("prefixFilterJaccardPairs equals brute-force all-pairs Jaccard on random docs") {
+    import spark.implicits._
+    val words = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val rnd = new scala.util.Random(17)
+    // clusters of near-identical docs + noise, so both dup pairs and
+    // non-candidates exist at every threshold
+    val docs = (0L until 80L).map { i =>
+      val base = Seq.fill(10)(words((i % 5L).toInt * 2 + rnd.nextInt(2)))
+      val doc = if (i % 3 == 0) base :+ words(rnd.nextInt(words.length)) else base
+      (i, doc.mkString(" "))
+    }.toDF("doc_id", "text")
+    def brute(tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] = {
+      val d = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").distinct.toSet)
+      (for {
+        (ida, ta) <- d; (idb, tb) <- d if ida < idb
+        inter = ta.intersect(tb).size.toLong
+        uni = ta.size + tb.size - inter
+        if inter * tDen >= uni * tNum
+      } yield (ida, idb, inter, uni)).toSet
+    }
+    for ((tn, td) <- Seq((1, 2), (4, 5), (1, 1))) {
+      val got = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == brute(tn, td), s"threshold $tn/$td")
+    }
+  }
+
+  test("kcorePeelRounds: hand-computed peel of a clique with pendant chain") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + chain 4-5-6: k=3 peels 5,6 (and the 4-5
+    // edge) in round 1; the clique survives every round
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.kcorePeelRounds(edges, "a", "b", k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((4L, 6L)), 2L -> ((4L, 6L)), 3L -> ((4L, 6L))))
+    // k above the max degree peels everything in one round
+    val gone = Graph.kcorePeelRounds(edges, "a", "b", k = 5, rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gone == Map(1L -> ((0L, 0L)), 2L -> ((0L, 0L))))
+  }
+
   test("ngramJaccardPairs group-then-combine equals a reference self-join on random docs") {
     import spark.implicits._
     val words = Seq("a", "b", "c", "d", "e", "f", "g", "h")
