@@ -3136,6 +3136,52 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Session path mining — top-20 event-type trigrams inside 30-min
+    * sessions (the classic navigation-pattern probe). Sessionize via
+    * the gap rule (lag + running sum windows, both key-partitioned),
+    * two more lags form each trigram in place, then one
+    * partial-aggregated count with a deterministic (cnt desc, path)
+    * tie-broken top-20.
+    */
+  private def qSessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tu"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val sess = e
+      .withColumn("ns", when(lag(col("tu"), 1).over(w).isNull ||
+        col("tu") - lag(col("tu"), 1).over(w) > 1800L * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("sid",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val ws = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("tu"), col("event_id"))
+    sess
+      .withColumn("p1", lag(col("event_type"), 2).over(ws))
+      .withColumn("p2", lag(col("event_type"), 1).over(ws))
+      .filter(col("p1").isNotNull)
+      .select(concat_ws(">", col("p1"), col("p2"), col("event_type")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path")).limit(20)
+  }
+
+  /** Holt level+trend smoothing per user
+    * ([[graft.operators.TimeSeries.holtFixed]], α=1/4, β=1/10): the
+    * double-recurrence member of the fixed-point family (q135 EWMA,
+    * q167 CUSUM) — two mutually recursive integer states replayed by
+    * a recursive-CTE oracle carrying (l, b).
+    */
+  private def qHolt(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    graft.operators.TimeSeries.holtFixed(e, "user_id", "event_id",
+      "event_id", "cents", alphaNum = 1, alphaDen = 4,
+      betaNum = 1, betaDen = 10)
+      .select(col("k").as("user_id"), col("tid").as("event_id"),
+        col("level"), col("trend"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Three unrolled 3-core peel rounds over the co-purchase graph
     * ([[graft.pipeline.Graph.kcorePeelRounds]]): per-round surviving
     * node/edge counts; the oracle unrolls the identical rounds as
@@ -3596,6 +3642,8 @@ object SparkEntry {
     "q179_ols_trend" -> (qOlsTrend(_, _)),
     "q180_kcore" -> (qKcore(_, _)),
     "q181_prefix_join" -> (qPrefixJoin(_, _)),
+    "q182_session_paths" -> (qSessionPaths(_, _)),
+    "q183_holt" -> (qHolt(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6332,6 +6380,51 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q182: identical session rule (q23/q72 family), identical lag
+    // trigrams, deterministic (cnt desc, path) top-20
+    "q182_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, tu, event_type,
+        |    CASE WHEN lag(tu) OVER w IS NULL OR tu - lag(tu) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, tu, event_type,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |t AS (
+        |  SELECT lag(event_type, 2) OVER ws AS p1,
+        |         lag(event_type, 1) OVER ws AS p2,
+        |         event_type AS p3
+        |  FROM s WINDOW ws AS (PARTITION BY user_id, sid ORDER BY tu, event_id)),
+        |c AS (
+        |  SELECT p1 || '>' || p2 || '>' || p3 AS path, COUNT(*)::BIGINT AS cnt
+        |  FROM t WHERE p1 IS NOT NULL GROUP BY 1)
+        |SELECT path, cnt FROM c ORDER BY cnt DESC, path LIMIT 20""".stripMargin,
+
+    // q183: the two-state integer recurrence replayed exactly — the
+    // recursive CTE carries (l, b); `//` truncates toward zero like
+    // JVM long division (q135's contract)
+    "q183_holt" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS v,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS n
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id, event_id, n, v AS l, 0::BIGINT AS b
+        |  FROM seq WHERE n = 1
+        |  UNION ALL
+        |  SELECT q.user_id, q.event_id, q.n,
+        |         h.l + h.b + (q.v - h.l - h.b) // 4,
+        |         h.b + ((h.l + h.b + (q.v - h.l - h.b) // 4) - h.l - h.b) // 10
+        |  FROM h JOIN seq q ON q.user_id = h.user_id AND q.n = h.n + 1)
+        |SELECT user_id, event_id, l AS level, b AS trend FROM h
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // q180: the identical peel rounds unrolled as chained CTEs; node
     // set after a round = endpoints of the surviving edges

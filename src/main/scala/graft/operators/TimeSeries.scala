@@ -52,6 +52,52 @@ object TimeSeries {
       .toDF("k", "tid", "ewma")
   }
 
+  /** Holt double exponential smoothing (level + trend), fixed-point:
+    *
+    *   l₁ = v₁, b₁ = 0
+    *   lₜ = lₜ₋₁ + bₜ₋₁ + ⌊αN·(vₜ − lₜ₋₁ − bₜ₋₁) / αD⌋
+    *   bₜ = bₜ₋₁ + ⌊βN·(lₜ − lₜ₋₁ − bₜ₋₁) / βD⌋
+    *
+    * — algebraically Holt's l = αv + (1−α)(l+b), b = β(Δl) + (1−β)b
+    * rearranged into pure integer increments (JVM truncating division
+    * = DuckDB `//`, the [[ewmaFixed]] contract), so the TWO mutually
+    * recursive states replay exactly in one recursive CTE carrying
+    * (l, b). Emits (key, orderTieId, level, trend) per row; one
+    * shuffle on the key, per-key in-memory fold.
+    */
+  def holtFixed(df: DataFrame, keyCol: String, orderCol: String,
+                tieCol: String, valueCol: String,
+                alphaNum: Long, alphaDen: Long,
+                betaNum: Long, betaDen: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(alphaDen > 0 && alphaNum >= 0 && alphaNum <= alphaDen,
+      "alpha must be a rational in [0, 1]")
+    require(betaDen > 0 && betaNum >= 0 && betaNum <= betaDen,
+      "beta must be a rational in [0, 1]")
+    df.select(col(keyCol).cast("long").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(tieCol).cast("long").as("tid"),
+        col(valueCol).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var l = 0L; var b = 0L
+        rows.iterator.zipWithIndex.map { case ((_, _, tid, v), i) =>
+          if (i == 0) { l = v; b = 0L }
+          else {
+            val prevL = l; val prevB = b
+            l = prevL + prevB + alphaNum * (v - prevL - prevB) / alphaDen
+            b = prevB + betaNum * (l - prevL - prevB) / betaDen
+          }
+          (k, tid, l, b)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("k", "tid", "level", "trend")
+  }
+
   /** One-sided CUSUM (Page 1954) — the classic sequential
     * change-point statistic: S₁ = max(0, v₁ − target);
     * Sₜ = max(0, Sₜ₋₁ + vₜ − target). A sustained upward shift makes S

@@ -14,6 +14,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Map(1L -> 100L, 2L -> 130L, 3L -> 91L))
   }
 
+  test("holtFixed: hand-computed two-state recurrence; perfect ramp tracked exactly") {
+    // α=1/2, β=1/2, v = 10, 20, 8:
+    //   t1: l=10 b=0
+    //   t2: l=10+0+⌊(20−10)/2⌋=15, b=0+⌊(15−10−0)/2⌋=2
+    //   t3: l=15+2+⌊(8−17)/2⌋=17−4=13, b=2+⌊(13−15−2)/2⌋=2−2=0
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 8L)).toDF("k", "o", "v")
+    val got = TimeSeries.holtFixed(df, "k", "o", "o", "v", 1, 2, 1, 2)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> ((10L, 0L)), 2L -> ((15L, 2L)), 3L -> ((13L, 0L))))
+    // on a linear ramp the trend estimate converges to the true slope
+    // and the level tracks within a small truncation offset (integer
+    // division keeps a persistent few-unit lag — it never diverges)
+    val ramp = (1 to 10).map(i => (2L, i.toLong, 100L + 7L * i)).toDF("k", "o", "v")
+    val r = TimeSeries.holtFixed(ramp, "k", "o", "o", "v", 1, 2, 1, 2)
+      .collect().sortBy(_.getLong(1))
+    val locked = r.dropWhile(_.getLong(3) != 7L)
+    assert(locked.nonEmpty && locked.forall(_.getLong(3) == 7L))
+    locked.foreach(row =>
+      assert(math.abs(row.getLong(2) - (100L + 7L * row.getLong(1))) <= 5L))
+  }
+
   test("cusumFixed: climbs on sustained shift, clamps at zero") {
     val df = Seq(
       (1L, 1L, 4L), (1L, 2L, 3L),           // below target 5: clamp at 0
