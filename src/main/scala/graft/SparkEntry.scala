@@ -3136,6 +3136,43 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Personalized PageRank from the q175 seed parts over the
+    * co-purchase graph ([[graft.pipeline.Graph
+    * .personalizedPageRankFixed]], 3 rounds) — proximity-to-seeds
+    * ranking, the related-items primitive; all-BIGINT, oracle unrolls
+    * the identical rounds.
+    */
+  private def qPpr(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("ua"), col("b.p").as("ub")).distinct()
+    val edges = pairs.union(pairs.select(col("ub").as("ua"), col("ua").as("ub")))
+    val seeds = t(s, dir, "part").select(col("p_partkey"))
+      .filter(col("p_partkey") % 199 === 0)
+    graft.pipeline.Graph.personalizedPageRankFixed(edges, "ua", "ub",
+        seeds, "p_partkey", iterations = 3)
+      .select(col("id"), col("r").as("rank_fp"))
+      .orderBy("id")
+  }
+
+  /** Largest-remainder apportionment of a 1M-token budget across
+    * sources, weighted by √(source tokens) — temperature-style mixing
+    * quotas that sum to the budget EXACTLY
+    * ([[graft.pipeline.Sampling.largestRemainderAllocation]]).
+    */
+  private def qBudgetAlloc(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      .withColumn("w",
+        expr("CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+    graft.pipeline.Sampling.largestRemainderAllocation(
+      counts.select(col("source"), col("w")), Seq("source"), "w", 1000000L)
+      .orderBy("source")
+  }
+
   /** Session path mining — top-20 event-type trigrams inside 30-min
     * sessions (the classic navigation-pattern probe). Sessionize via
     * the gap rule (lag + running sum windows, both key-partitioned),
@@ -3644,6 +3681,8 @@ object SparkEntry {
     "q181_prefix_join" -> (qPrefixJoin(_, _)),
     "q182_session_paths" -> (qSessionPaths(_, _)),
     "q183_holt" -> (qHolt(_, _)),
+    "q184_ppr" -> (qPpr(_, _)),
+    "q185_budget_alloc" -> (qBudgetAlloc(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6380,6 +6419,60 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q184: q95's unroll with seed-only teleport — r0 = scale·[seed],
+    // each round's base goes to seeds alone
+    "q184_ppr" -> {
+      def c(i: Int, r: String) =
+        s"""c$i AS (
+           |  SELECT e.dst AS id, sum($r.r // deg.outdeg)::BIGINT AS s
+           |  FROM e JOIN deg USING (src) JOIN $r ON $r.id = e.src
+           |  GROUP BY 1),
+           |r$i AS (
+           |  SELECT n.id, n.seed,
+           |    (n.seed * 150000000000 + (85 * COALESCE(c$i.s, 0)) // 100)::BIGINT AS r
+           |  FROM sd n LEFT JOIN c$i USING (id))""".stripMargin
+      s"""WITH bp AS (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         |         greatest(a.l_partkey, b.l_partkey) AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |e AS (SELECT u AS src, v AS dst FROM bp
+         |      UNION SELECT v, u FROM bp),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |sd AS (SELECT id, CASE WHEN id % 199 = 0 THEN 1 ELSE 0 END AS seed
+         |       FROM nodes),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT id, seed, (seed * 1000000000000)::BIGINT AS r FROM sd),
+         |${c(1, "r0")},
+         |${c(2, "r1")},
+         |${c(3, "r2")}
+         |SELECT id, r AS rank_fp FROM r3 ORDER BY id""".stripMargin
+    },
+
+    // q185: identical sqrt-micro weights, identical floor quotas and
+    // largest-remainder top-up (ties by source) — all-integer end game
+    "q185_budget_alloc" ->
+      """WITH c AS (
+        |  SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS toks
+        |  FROM documents GROUP BY 1),
+        |wt AS (
+        |  SELECT source,
+        |         CAST(floor(sqrt(toks::DOUBLE) * 1000000.0) AS BIGINT) AS w
+        |  FROM c),
+        |t AS (SELECT SUM(w)::BIGINT AS tw FROM wt),
+        |b AS (
+        |  SELECT source, w, (1000000 * w // tw)::BIGINT AS a0,
+        |         (1000000 * w % tw)::BIGINT AS rem
+        |  FROM wt, t),
+        |u AS (SELECT SUM(a0)::BIGINT AS used FROM b),
+        |r AS (
+        |  SELECT source, w, a0,
+        |         row_number() OVER (ORDER BY rem DESC, source) - 1 AS pos
+        |  FROM b)
+        |SELECT source, w,
+        |  (a0 + CASE WHEN pos < 1000000 - used THEN 1 ELSE 0 END)::BIGINT AS alloc
+        |FROM r, u ORDER BY source""".stripMargin,
 
     // q182: identical session rule (q23/q72 family), identical lag
     // trigrams, deterministic (cnt desc, path) top-20

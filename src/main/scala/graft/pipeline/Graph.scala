@@ -319,4 +319,45 @@ object Graph {
     }
     stats.toSeq.toDF("round", "nodes_remaining", "edges_remaining")
   }
+
+  /** Personalized (topic-sensitive) PageRank, fixed-point: identical
+    * integer dataflow to [[pageRankFixed]] but the teleport mass lands
+    * ONLY on the seed set — rank₀ = scale·[seed], and each round gives
+    * the (1−d) base to seeds alone, so rank measures proximity to the
+    * seeds (the recommendation / related-items primitive) rather than
+    * global centrality. Seeds outside the edge-touched node set are
+    * ignored. All-BIGINT arithmetic ⇒ the unrolled-SQL oracle replays
+    * it exactly.
+    */
+  def personalizedPageRankFixed(edges0: DataFrame, srcCol: String, dstCol: String,
+                                seeds0: DataFrame, seedCol: String,
+                                iterations: Int = 3, dampNum: Long = 85,
+                                dampDen: Long = 100,
+                                scale: Long = 1000000000000L): DataFrame = {
+    val edges = edges0.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    val seeds = seeds0.select(col(seedCol).cast("long").as("id")).distinct()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .join(seeds.withColumn("__s", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(0L)).as("seed"))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    var rank = nodes.withColumn("r", col("seed") * scale)
+    var i = 0
+    while (i < iterations) {
+      val contrib = edges.join(deg, "src")
+        .join(rank.select(col("id").as("src"), col("r")), "src")
+        .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("s"))
+        .withColumnRenamed("dst", "id")
+      rank = nodes.join(contrib, Seq("id"), "left")
+        .selectExpr("id", "seed",
+          s"seed * $base + ($dampNum * coalesce(s, 0L)) div $dampDen AS r")
+        .localCheckpoint()
+      i += 1
+    }
+    rank.select(col("id"), col("r"))
+  }
 }

@@ -166,4 +166,33 @@ object Sampling {
       .limit(k)
       .drop("__pri")
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer budget
+    * across groups proportional to a BIGINT weight — the exact way to
+    * turn mixing weights into per-domain token/doc quotas that sum to
+    * the budget EXACTLY (naive rounding drifts by up to one per
+    * group). Each group gets ⌊budget·w/W⌋; the leftover seats go one
+    * each to the largest remainders (budget·w mod W, ties broken by
+    * the key order). All-integer ⇒ hash-exact; needs budget·max(w)
+    * < 2⁶³. The remainder rank runs through the range-partitioned
+    * global position, so no single-task window even with millions of
+    * groups.
+    */
+  def largestRemainderAllocation(groups: DataFrame, keyCols: Seq[String],
+                                 weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val gcols = keyCols.map(col)
+    val tot = groups.agg(sum(col(weightCol)).as("__W"))
+    val base = groups.crossJoin(broadcast(tot))
+      .withColumn("__alloc0", expr(s"$budget * $weightCol div __W"))
+      .withColumn("__rem", expr(s"$budget * $weightCol % __W"))
+      .withColumn("__negrem", -col("__rem"))
+    val used = base.agg(sum(col("__alloc0")).as("__used"))
+    Prefix.withGlobalPosition(base, "__negrem" +: keyCols)
+      .crossJoin(broadcast(used))
+      .select(gcols :+ col(weightCol) :+
+        (col("__alloc0") +
+          when(col("pos") < lit(budget) - col("__used"), 1L).otherwise(0L))
+          .as("alloc"): _*)
+  }
 }

@@ -132,4 +132,29 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val heavyIn = s1.count(id => id >= 1001L && id <= 1020L)
     assert(heavyIn >= 18, s"only $heavyIn of 20 heavy rows sampled")
   }
+
+  test("largestRemainderAllocation: exact budget, hand-checked quotas, tie-break") {
+    import spark.implicits._
+    // weights 5,3,2 over budget 10: exact proportions, no remainders
+    val even = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "w")
+    val g1 = Sampling.largestRemainderAllocation(even, Seq("k"), "w", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(g1 == Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    // weights 1,1,1 over budget 10: floor 3 each, leftover 1 goes to
+    // the smallest key on the remainder tie
+    val tie = Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("k", "w")
+    val g2 = Sampling.largestRemainderAllocation(tie, Seq("k"), "w", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(g2 == Map("x" -> 4L, "y" -> 3L, "z" -> 3L))
+    // random weights: allocation always sums EXACTLY to the budget and
+    // never deviates from the exact share by a full unit
+    val rnd = new scala.util.Random(23)
+    val w = (0 until 40).map(i => (f"g$i%02d", rnd.nextInt(1000) + 1L))
+    val got = Sampling.largestRemainderAllocation(w.toDF("k", "w"), Seq("k"), "w", 99991L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got.values.sum == 99991L)
+    val tw = w.map(_._2).sum.toDouble
+    w.foreach { case (k, wi) =>
+      assert(math.abs(got(k) - 99991L * wi / tw) < 1.0 + 1e-9, s"group $k") }
+  }
 }

@@ -207,6 +207,23 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("personalizedPageRankFixed: teleport mass lands only on seeds") {
+    import spark.implicits._
+    // directed path 1->2->3 plus isolated-from-seed node 4->3
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L)).toDF("s", "d")
+    val got = Graph.personalizedPageRankFixed(edges, "s", "d",
+        Seq(1L).toDF("id"), "id", iterations = 2,
+        dampNum = 1, dampDen = 2, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // base = 500 to seed only; d = 1/2
+    // r0: 1->1000, others 0
+    // r1: 1: 500+0=500; 2: 0+(1000/1)/2=500; 3: 0; 4: 0
+    // r2: 1: 500; 2: 500/2=250; 3: (500/1 + 0/1)/2=250; 4: 0
+    assert(got == Map(1L -> 500L, 2L -> 250L, 3L -> 250L, 4L -> 0L))
+    // a non-seed node NOT reachable from seeds stays at 0 forever
+    assert(got(4L) == 0L)
+  }
+
   test("kcorePeelRounds: hand-computed peel of a clique with pendant chain") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + chain 4-5-6: k=3 peels 5,6 (and the 4-5
