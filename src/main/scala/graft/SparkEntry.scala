@@ -3136,6 +3136,49 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Strict-order window funnel (the ClickHouse `windowFunnel`
+    * semantics): per user, the deepest view→click→purchase prefix
+    * where each step strictly follows the previous and the whole
+    * chain fits in 4 h of the view. Earliest-continuation rule
+    * (min next-step time per anchor) makes the depth deterministic;
+    * per-user key-equi joins with time-range filters + min-aggs — the
+    * per-user-bounded shape, never a cross join. Rolled up to users
+    * per max depth (0 = no view at all).
+    */
+  private def qWindowFunnel(s: SparkSession, dir: String): DataFrame = {
+    val HOUR = 4L * 3600L * 1000000L
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tu"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tu").as("t1"))
+    val c = v.join(e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tu").as("tc")), Seq("user_id"))
+      .filter(col("tc") > col("t1") && col("tc") <= col("t1") + HOUR)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("tc")).as("t2"))
+    val p = c.join(e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tu").as("tp")), Seq("user_id"))
+      .filter(col("tp") > col("t2") && col("tp") <= col("t1") + HOUR)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("tp")).as("t3"))
+    val depths = v.select(col("user_id"), lit(1L).as("d"))
+      .union(c.select(col("user_id"), lit(2L).as("d")))
+      .union(p.select(col("user_id"), lit(3L).as("d")))
+      .groupBy("user_id").agg(max(col("d")).as("depth"))
+    e.select(col("user_id")).distinct()
+      .join(depths, Seq("user_id"), "left")
+      .select(coalesce(col("depth"), lit(0L)).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_users"))
+      .orderBy("depth")
+  }
+
+  /** Linear quality-model scoring over exact integer text features
+    * ([[graft.pipeline.TextAnalysis.logisticQuality]]) — map-only
+    * centi-logit + sigmoid micro score per document.
+    */
+  private def qLogisticQuality(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.logisticQuality(
+      t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Personalized PageRank from the q175 seed parts over the
     * co-purchase graph ([[graft.pipeline.Graph
     * .personalizedPageRankFixed]], 3 rounds) — proximity-to-seeds
@@ -3683,6 +3726,8 @@ object SparkEntry {
     "q183_holt" -> (qHolt(_, _)),
     "q184_ppr" -> (qPpr(_, _)),
     "q185_budget_alloc" -> (qBudgetAlloc(_, _)),
+    "q186_window_funnel" -> (qWindowFunnel(_, _)),
+    "q187_logistic_quality" -> (qLogisticQuality(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6419,6 +6464,51 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q186: identical anchor/min-continuation joins; depth 0 counts
+    // users with no view at all
+    "q186_window_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+        |v AS (SELECT user_id, tu AS t1 FROM e WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT v.user_id, v.t1, MIN(e.tu) AS t2
+        |  FROM v JOIN e ON e.user_id = v.user_id AND e.event_type = 'click'
+        |   AND e.tu > v.t1 AND e.tu <= v.t1 + 14400000000
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT c.user_id, c.t1, MIN(e.tu) AS t3
+        |  FROM c JOIN e ON e.user_id = c.user_id AND e.event_type = 'purchase'
+        |   AND e.tu > c.t2 AND e.tu <= c.t1 + 14400000000
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT user_id, MAX(d) AS depth FROM (
+        |    SELECT user_id, 1 AS d FROM v
+        |    UNION ALL SELECT user_id, 2 FROM c
+        |    UNION ALL SELECT user_id, 3 FROM p)
+        |  GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT COALESCE(d.depth, 0)::BIGINT AS depth, COUNT(*)::BIGINT AS n_users
+        |FROM u LEFT JOIN d USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q187: identical integer features and centi-logit; the sigmoid is
+    // one shared exp chain (the q158 libm-determinism precedent)
+    "q187_logistic_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' '))::BIGINT AS n_tok,
+        |         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+        |         length(text)::BIGINT AS n_chars
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, n_tok, n_uniq, n_chars,
+        |         (30 * n_tok + 7 * n_uniq - n_chars - 500)::BIGINT AS logit_centi
+        |  FROM f)
+        |SELECT doc_id, n_tok, n_uniq, n_chars, logit_centi,
+        |  CAST(floor(1.0 / (1.0 + exp(-(logit_centi / 100.0)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+        |FROM l ORDER BY doc_id""".stripMargin,
 
     // q184: q95's unroll with seed-only teleport — r0 = scale·[seed],
     // each round's base goes to seeds alone

@@ -409,4 +409,29 @@ object TextAnalysis {
       pStop.as("pass_stop"),
       (pWords * pLen * pAlpha * pStop).as("keep"))
   }
+
+  /** Pretrained-linear-model scoring at scale (the fastText-classifier
+    * shape every curation pipeline runs): integer text features →
+    * integer centi-logit w·x + b → sigmoid score. Features (token
+    * count, distinct-token count, char count) and the dot product are
+    * exact BIGINTs; only the final sigmoid is a double chain, shared
+    * verbatim with the oracle. Map-only — no shuffle at any scale.
+    * The default weights are illustrative stand-ins for trained
+    * coefficients (length up, vocabulary up, raw chars slightly down).
+    */
+  def logisticQuality(df: DataFrame, idCol: String, textCol: String,
+                      wTok: Long = 30L, wUniq: Long = 7L,
+                      wChar: Long = -1L, bias: Long = -500L): DataFrame =
+    df.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("n_tok", size(split(col("__t"), " ")).cast("long"))
+      .withColumn("n_uniq",
+        size(array_distinct(split(col("__t"), " "))).cast("long"))
+      .withColumn("n_chars", length(col("__t")).cast("long"))
+      .withColumn("logit_centi",
+        lit(wTok) * col("n_tok") + lit(wUniq) * col("n_uniq") +
+          lit(wChar) * col("n_chars") + lit(bias))
+      .select(col(idCol), col("n_tok"), col("n_uniq"), col("n_chars"),
+        col("logit_centi"),
+        expr("CAST(floor(1.0 / (1.0 + exp(-(logit_centi / 100.0))) " +
+          "* 1000000.0 + 0.5) AS BIGINT)").as("score_micro"))
 }
