@@ -3136,6 +3136,28 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions over the global top-100 vocabulary
+    * ([[graft.pipeline.Stats.jsDivergenceMatrix]]) — the symmetric
+    * bounded corpus-drift matrix.
+    */
+  private def qJsDivergence(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.jsDivergenceMatrix(
+      t(s, dir, "documents"), "source", "text", vocabSize = 100)
+      .orderBy("dom_a", "dom_b")
+
+  /** Exact quantity-weighted median of the extended price per return
+    * flag ([[graft.pipeline.Stats.weightedMedian]]) — all-integer,
+    * tie-safe by construction.
+    */
+  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.weightedMedian(
+      t(s, dir, "lineitem").select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"),
+        col("l_quantity").cast("long").as("qty")),
+      Seq("l_returnflag"), "price_cents", "qty")
+      .orderBy("l_returnflag")
+
   /** Strict-order window funnel (the ClickHouse `windowFunnel`
     * semantics): per user, the deepest view→click→purchase prefix
     * where each step strictly follows the previous and the whole
@@ -3728,6 +3750,8 @@ object SparkEntry {
     "q185_budget_alloc" -> (qBudgetAlloc(_, _)),
     "q186_window_funnel" -> (qWindowFunnel(_, _)),
     "q187_logistic_quality" -> (qLogisticQuality(_, _)),
+    "q188_js_divergence" -> (qJsDivergence(_, _)),
+    "q189_weighted_median" -> (qWeightedMedian(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6464,6 +6488,55 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q188: identical top-100 vocabulary (cnt desc, token tie-break),
+    // +1 smoothing, and one shared ln chain per pair
+    "q188_js_divergence" ->
+      """WITH toks AS (
+        |  SELECT source AS d, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(*) AS gcnt FROM toks GROUP BY 1)
+        |  ORDER BY gcnt DESC, token LIMIT 100),
+        |counts AS (
+        |  SELECT d, token, COUNT(*)::BIGINT AS cnt
+        |  FROM toks JOIN vocab USING (token) GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT dom.d, v.token, COALESCE(c.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT source AS d FROM documents) dom
+        |  CROSS JOIN vocab v
+        |  LEFT JOIN counts c ON c.d = dom.d AND c.token = v.token),
+        |tot AS (SELECT d, SUM(cnt)::BIGINT AS tot FROM dense GROUP BY 1),
+        |probs AS (
+        |  SELECT dense.d, token, (cnt + 1.0) / (tot + 100.0) AS p
+        |  FROM dense JOIN tot USING (d))
+        |SELECT a.d AS dom_a, b.d AS dom_b,
+        |  CAST(floor(SUM(0.5 * a.p * ln(2.0 * a.p / (a.p + b.p)) +
+        |                 0.5 * b.p * ln(2.0 * b.p / (a.p + b.p)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS js_micro
+        |FROM probs a JOIN probs b ON a.token = b.token AND a.d < b.d
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q189: identical cumulative-weight threshold under the value
+    // order; intra-tie window order is irrelevant by construction
+    // (min-value selection sees the tie group's full weight)
+    "q189_weighted_median" ->
+      """WITH e AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |         CAST(l_quantity AS BIGINT) AS wt
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag, v, wt,
+        |    SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+        |                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cumw
+        |  FROM e),
+        |t AS (SELECT l_returnflag, SUM(wt)::BIGINT AS tw FROM e GROUP BY 1)
+        |SELECT c.l_returnflag, MIN(v)::BIGINT AS wmedian
+        |FROM c JOIN t USING (l_returnflag)
+        |WHERE cumw * 2 >= tw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q186: identical anchor/min-continuation joins; depth 0 counts
     // users with no view at all

@@ -461,6 +461,66 @@ object Stats {
           .as("z_micro")): _*)
   }
 
+  /** Pairwise Jensen–Shannon divergence between per-domain unigram
+    * distributions over a fixed reference vocabulary (the globally
+    * top-`vocabSize` tokens, tie-broken by token) with +1 Laplace
+    * smoothing — the symmetric, bounded corpus-drift measure
+    * (√JS is a metric; JS ≤ ln 2). Counts are exact BIGINTs; the ln
+    * chain is shared with the oracle. Scale shape: token counts are
+    * partial-aggregated; the vocabulary is a broadcast (vocabSize
+    * rows); the dense domain×vocab grid and the pair join are
+    * domain²·vocab — domains are few by construction.
+    */
+  def jsDivergenceMatrix(df: DataFrame, domainCol: String, textCol: String,
+                         vocabSize: Int = 100): DataFrame = {
+    val toks = df.select(col(domainCol).as("d"),
+        explode(split(col(textCol), " ")).as("token"))
+    val vocab = broadcast(toks.groupBy("token").agg(count(lit(1)).as("gcnt"))
+      .orderBy(col("gcnt").desc, col("token")).limit(vocabSize)
+      .select(col("token")))
+    val counts = toks.join(vocab, "token")
+      .groupBy(col("d"), col("token")).agg(count(lit(1)).as("cnt"))
+    val domains = df.select(col(domainCol).as("d")).distinct()
+    val dense = domains.crossJoin(vocab)
+      .join(counts, Seq("d", "token"), "left")
+      .select(col("d"), col("token"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val totals = dense.groupBy("d").agg(sum(col("cnt")).as("tot"))
+    val probs = dense.join(broadcast(totals), "d")
+      .select(col("d"), col("token"),
+        expr(s"(cnt + 1.0) / (tot + ${vocabSize}.0)").as("p"))
+    probs.as("a").join(probs.as("b"),
+        col("a.token") === col("b.token") && col("a.d") < col("b.d"))
+      .groupBy(col("a.d").as("dom_a"), col("b.d").as("dom_b"))
+      .agg(expr("CAST(floor(sum(0.5 * a.p * ln(2.0 * a.p / (a.p + b.p)) + " +
+        "0.5 * b.p * ln(2.0 * b.p / (a.p + b.p))) * 1000000.0 + 0.5) AS BIGINT)")
+        .as("js_micro"))
+  }
+
+  /** Exact weighted median per group: the smallest value whose running
+    * weight reaches half the group's total (2·cumw ≥ W under the
+    * (value, tie) total order) — the robust center for weighted data
+    * (revenue-weighted latencies, size-weighted scores). All-integer:
+    * one key-partitioned sort window + a broadcast totals join; ties
+    * on value resolve identically on both engines because the
+    * cumulative is over the value order with min-value selection.
+    */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = df
+      .select(gcols :+ col(valueCol).cast("long").as("v") :+
+        col(weightCol).cast("long").as("wt"): _*)
+      .withColumn("cumw", sum(col("wt")).over(w))
+    val tot = cum.groupBy(gcols: _*).agg(sum(col("wt")).as("tw"))
+    cum.join(broadcast(tot), groupCols)
+      .filter(col("cumw") * 2 >= col("tw"))
+      .groupBy(gcols: _*)
+      .agg(min(col("v")).as("wmedian"))
+  }
+
   /** Per-group OLS trend of an integer metric against its 1-based
     * position under the group's `orderCol` total order: slope and
     * intercept of the least-squares line, as micro integers from the

@@ -185,6 +185,38 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(out.values.map(_._4).max < 10000000L)
   }
 
+  test("weightedMedian: hand-checked, tie- and partition-invariant") {
+    import spark.implicits._
+    // g: values 1(w3), 5(w1), 9(w2): W=6, threshold 3 -> cumw at v=1 is
+    // 3 -> 2*3>=6 -> median 1. h: uniform weights -> plain lower median
+    val rows = Seq(("g", 9L, 2L), ("g", 1L, 3L), ("g", 5L, 1L),
+      ("h", 10L, 1L), ("h", 20L, 1L), ("h", 30L, 1L), ("h", 40L, 1L))
+    for (parts <- Seq(1, 7)) {
+      val got = Stats.weightedMedian(rows.toDF("g", "v", "w").repartition(parts),
+          Seq("g"), "v", "w")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("g" -> 1L, "h" -> 20L), s"parts=$parts")
+    }
+    // duplicated values (ties) at the threshold behave as one mass
+    val ties = Seq(("t", 5L, 1L), ("t", 5L, 1L), ("t", 5L, 1L), ("t", 7L, 2L))
+    assert(Stats.weightedMedian(ties.toDF("g", "v", "w"), Seq("g"), "v", "w")
+      .collect().head.getLong(1) == 5L)
+  }
+
+  test("jsDivergenceMatrix: zero for identical corpora, symmetric-positive for shifted") {
+    import spark.implicits._
+    val a = (0 until 50).map(i => ("a", s"x${i % 5} common tok"))
+    val b = (0 until 50).map(i => ("b", s"x${i % 5} common tok"))  // same dist
+    val c = (0 until 50).map(i => ("c", s"y${i % 5} other tok"))
+    val out = Stats.jsDivergenceMatrix((a ++ b ++ c).toDF("d", "t"), "d", "t", 20)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("a", "b")) == 0L)          // identical distributions
+    assert(out(("a", "c")) > 100000L)      // disjoint content words
+    assert(out(("a", "c")) == out(("b", "c"))) // a and b interchangeable
+    // bounded by ln 2
+    assert(out.values.forall(v => v >= 0L && v <= 693148L))
+  }
+
   test("olsTrend: exact line recovered; known slope on a perturbed ramp") {
     import spark.implicits._
     // y = 7x + 3 exactly -> slope 7.0, intercept 3.0
