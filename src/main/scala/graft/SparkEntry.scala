@@ -3136,6 +3136,51 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SAX-style symbolic discretization with RANK-based breakpoints
+    * (exact-integer, engine-independent — the classic z-normal
+    * breakpoints would hang the gate on float boundaries): per user,
+    * each value becomes its within-user quartile letter a–d, three
+    * consecutive letters form a word, and the global top-20 words
+    * (cnt desc, word) surface recurring local shapes. Two
+    * key-partitioned windows + one partial-aggregated count.
+    */
+  private def qSax(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("cents"), col("event_id"))
+    val wn = Window.partitionBy(col("user_id"))
+    val lettered = e
+      .withColumn("r", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("letter", expr("least((r - 1) * 4 div n, CAST(3 AS BIGINT))"))
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    lettered
+      .withColumn("l2", lag(col("letter"), 2).over(wo))
+      .withColumn("l1", lag(col("letter"), 1).over(wo))
+      .filter(col("l2").isNotNull)
+      .select(expr("concat(chr(97 + l2), chr(97 + l1), chr(97 + letter))")
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(20)
+  }
+
+  /** Duration-capped sessionization
+    * ([[graft.operators.TimeSeries.cappedSessions]], 30-min gap, 2-h
+    * cap) — the recurrence member of the session family; per-row
+    * session ids replayed by a recursive-CTE oracle carrying
+    * (start, sid).
+    */
+  private def qCappedSessions(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tu"))
+    graft.operators.TimeSeries.cappedSessions(e, "user_id", "tu", "event_id",
+      gapUs = 1800L * 1000000L, capUs = 7200L * 1000000L)
+      .select(col("k").as("user_id"), col("tid").as("event_id"),
+        col("session_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Pairwise Jensen–Shannon divergence between source unigram
     * distributions over the global top-100 vocabulary
     * ([[graft.pipeline.Stats.jsDivergenceMatrix]]) — the symmetric
@@ -3752,6 +3797,8 @@ object SparkEntry {
     "q187_logistic_quality" -> (qLogisticQuality(_, _)),
     "q188_js_divergence" -> (qJsDivergence(_, _)),
     "q189_weighted_median" -> (qWeightedMedian(_, _)),
+    "q190_sax" -> (qSax(_, _)),
+    "q191_capped_sessions" -> (qCappedSessions(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6488,6 +6535,50 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q190: identical rank-quartile letters (tie-broken rank), lag
+    // words, deterministic top-20
+    "q190_sax" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id,
+        |    least((row_number() OVER (PARTITION BY user_id ORDER BY cents, event_id)
+        |           - 1) * 4 // (COUNT(*) OVER (PARTITION BY user_id)), 3) AS letter
+        |  FROM e),
+        |wrd AS (
+        |  SELECT chr((97 + lag(letter, 2) OVER wo)::INTEGER) ||
+        |         chr((97 + lag(letter, 1) OVER wo)::INTEGER) ||
+        |         chr((97 + letter)::INTEGER) AS word,
+        |         lag(letter, 2) OVER wo AS l2
+        |  FROM l WINDOW wo AS (PARTITION BY user_id ORDER BY event_id)),
+        |c AS (
+        |  SELECT word, COUNT(*)::BIGINT AS cnt FROM wrd
+        |  WHERE l2 IS NOT NULL GROUP BY 1)
+        |SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    // q191: the capped-session recurrence replayed exactly — the
+    // recursive CTE carries (start, sid); same (t, event_id) order
+    "q191_capped_sessions" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS n
+        |  FROM events),
+        |cs AS (
+        |  SELECT user_id, event_id, n, t, t AS start, 1::BIGINT AS sid
+        |  FROM seq WHERE n = 1
+        |  UNION ALL
+        |  SELECT q.user_id, q.event_id, q.n, q.t,
+        |    CASE WHEN q.t - c.t > 1800000000 OR q.t - c.start > 7200000000
+        |         THEN q.t ELSE c.start END,
+        |    CASE WHEN q.t - c.t > 1800000000 OR q.t - c.start > 7200000000
+        |         THEN c.sid + 1 ELSE c.sid END
+        |  FROM cs c JOIN seq q ON q.user_id = c.user_id AND q.n = c.n + 1)
+        |SELECT user_id, event_id, sid AS session_id FROM cs
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // q188: identical top-100 vocabulary (cnt desc, token tie-break),
     // +1 smoothing, and one shared ln chain per pair

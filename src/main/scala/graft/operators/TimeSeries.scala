@@ -98,6 +98,41 @@ object TimeSeries {
       .toDF("k", "tid", "level", "trend")
   }
 
+  /** Duration-capped sessionization — the gap rule every sessionizer
+    * has (new session when idle > `gapUs`) PLUS a hard cap on session
+    * span (new session when the current one would exceed `capUs`).
+    * The cap makes this a TRUE RECURRENCE — whether row t opens a
+    * session depends on where the current session STARTED, which
+    * depends on every prior decision — so no frame-based window can
+    * express it (plain gap sessionization can: q23). Same engine
+    * contract as [[ewmaFixed]]: one shuffle on the key, per-key fold,
+    * exactly replayable by a recursive-CTE oracle carrying
+    * (session_start, session_id).
+    */
+  def cappedSessions(df: DataFrame, keyCol: String, orderCol: String,
+                     tieCol: String, gapUs: Long, capUs: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(gapUs > 0 && capUs > 0, "gap and cap must be positive")
+    df.select(col(keyCol).cast("long").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(tieCol).cast("long").as("tid"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var start = Long.MinValue; var prev = Long.MinValue; var sid = 0L
+        rows.iterator.map { case (_, t, tid) =>
+          if (start == Long.MinValue || t - prev > gapUs || t - start > capUs) {
+            sid += 1; start = t
+          }
+          prev = t
+          (k, tid, sid)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("k", "tid", "session_id")
+  }
+
   /** One-sided CUSUM (Page 1954) — the classic sequential
     * change-point statistic: S₁ = max(0, v₁ − target);
     * Sₜ = max(0, Sₜ₋₁ + vₜ − target). A sustained upward shift makes S

@@ -35,6 +35,23 @@ class TimeSeriesSpec extends SparkSpec {
       assert(math.abs(row.getLong(2) - (100L + 7L * row.getLong(1))) <= 5L))
   }
 
+  test("cappedSessions: gap rule, duration cap, and their interaction") {
+    // t = 0, 10, 25 | 40(gap>12) , 48, 55(cap: 55-40>14) ...
+    val df = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 25L, 3L),
+      (1L, 40L, 4L), (1L, 48L, 5L), (1L, 56L, 6L)).toDF("k", "t", "id")
+    val got = TimeSeries.cappedSessions(df, "k", "t", "id",
+        gapUs = 12L, capUs = 14L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // 0,10 in s1; 25: gap 15>12 -> s2; 40: gap 15>12 -> s3; 48 joins
+    // s3 (gap 8, span 8); 56: gap 8 ok BUT span 16>14 -> s4
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 3L, 6L -> 4L))
+    // without the cap the last three collapse into one session: the
+    // cap is the thing the plain gap rule cannot express
+    val nocap = TimeSeries.cappedSessions(df, "k", "t", "id", 12L, 1000000L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(nocap == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
   test("cusumFixed: climbs on sustained shift, clamps at zero") {
     val df = Seq(
       (1L, 1L, 4L), (1L, 2L, 3L),           // below target 5: clamp at 0
