@@ -3136,6 +3136,37 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Streaming CUSUM — the eighth stream-equals-batch gate: the
+    * [[graft.streaming.EventStreams.cusumStream]] per-user state fold,
+    * fed the event log in (ts, event_id) order across three
+    * micro-batches, must reproduce the batch recurrence exactly
+    * (recursive-CTE oracle). Pins that state survives batch
+    * boundaries — a lost or doubly-applied state update breaks the
+    * hash on every later row of that user.
+    */
+  private def qStreamCusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val name = s"q192_cusum_${streamGateN.incrementAndGet()}"
+    val q = startNarrow(s)(
+      EventStreams.cusumStream(mem.toDS(), targetCents = 5000L)
+        .toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start())
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name).orderBy("user_id", "event_id")
+  }
+
   /** SAX-style symbolic discretization with RANK-based breakpoints
     * (exact-integer, engine-independent — the classic z-normal
     * breakpoints would hang the gate on float boundaries): per user,
@@ -3799,6 +3830,7 @@ object SparkEntry {
     "q189_weighted_median" -> (qWeightedMedian(_, _)),
     "q190_sax" -> (qSax(_, _)),
     "q191_capped_sessions" -> (qCappedSessions(_, _)),
+    "q192_stream_cusum" -> (qStreamCusum(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6535,6 +6567,24 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q192: the q167 recurrence under (ts, event_id) arrival order —
+    // the streamed fold with state across batches must replay it
+    "q192_stream_cusum" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS v,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS n
+        |  FROM events),
+        |cs AS (
+        |  SELECT user_id, event_id, n, greatest(0, v - 5000) AS s
+        |  FROM seq WHERE n = 1
+        |  UNION ALL
+        |  SELECT q.user_id, q.event_id, q.n, greatest(0, c.s + q.v - 5000)
+        |  FROM cs c JOIN seq q ON q.user_id = c.user_id AND q.n = c.n + 1)
+        |SELECT user_id, event_id, s AS cusum FROM cs
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // q190: identical rank-quartile letters (tie-broken rank), lag
     // words, deterministic top-20

@@ -199,4 +199,36 @@ object EventStreams {
       .select(coalesce(l("k"), r("k")).as("k"),
         col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
+
+  final case class CusumState(s: Long)
+  final case class CusumOut(user_id: Long, event_id: Long, cusum: Long)
+
+  /** Streaming one-sided CUSUM with explicit per-key state
+    * (`flatMapGroupsWithState`) — the continuous-monitoring analog of
+    * the batch [[graft.operators.TimeSeries.cusumFixed]]: state is ONE
+    * long per user (the running statistic), each event emits its
+    * updated value immediately. Exactly equals the batch fold when
+    * events arrive in (ts, event_id) order (the stream-equals-batch
+    * gate contract); integer arithmetic makes the equality hashable.
+    * State is O(active users) — eviction hooks would mirror
+    * [[sessionize]]'s timeout mode for unbounded key spaces.
+    */
+  def cusumStream(events: Dataset[Event], targetCents: Long): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[CusumState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption.map(_.s).getOrElse(0L)
+          val out = sorted.map { e =>
+            val cents = math.round(e.value * 100)
+            cur = math.max(0L, cur + cents - targetCents)
+            CusumOut(userId, e.event_id, cur)
+          }
+          state.update(CusumState(cur))
+          out.iterator
+      }
+  }
 }
