@@ -54,6 +54,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumStream carries state across micro-batches; equals the batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.cusumStream(mem.toDS(), targetCents = 500L)
+      .toDF().writeStream.format("memory").queryName("cusum_s")
+      .outputMode("append").start()
+    try {
+      // batch 1: v=7,3 (cents 700,300): s=200, then max(0,200-200)=0
+      mem.addData(EventStreams.Event(1, ts(0), 1, "a", 7.0),
+        EventStreams.Event(2, ts(1), 1, "a", 3.0))
+      q.processAllAvailable()
+      // batch 2 continues THE SAME user's state: v=9: s=0+900-500=400
+      mem.addData(EventStreams.Event(3, ts(2), 1, "a", 9.0))
+      q.processAllAvailable()
+      val got = spark.table("cusum_s").as[EventStreams.CusumOut].collect()
+        .map(o => o.event_id -> o.cusum).toMap
+      assert(got == Map(1L -> 200L, 2L -> 0L, 3L -> 400L))
+    } finally q.stop()
+  }
+
   test("dedupStream drops exact duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
