@@ -3136,6 +3136,25 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Nearest-direction as-of join ([[AsOfJoin.asof]] `nearest`, ties
+    * backward) — the last ungated direction of the union-sort as-of
+    * operator (q24 backward, q48 forward): each event attaches its
+    * closest order in time, either side. The oracle composes DuckDB's
+    * two ASOF directions and picks the strictly-closer side.
+    */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val r = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    AsOfJoin.asof(e, r, "ts", "o_orderdate", Seq("user_id"),
+        Seq("o_orderkey"), direction = "nearest")
+      .filter(col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("nearest_order"))
+      .orderBy("event_id")
+  }
+
   /** Streaming CUSUM — the eighth stream-equals-batch gate: the
     * [[graft.streaming.EventStreams.cusumStream]] per-user state fold,
     * fed the event log in (ts, event_id) order across three
@@ -3831,6 +3850,7 @@ object SparkEntry {
     "q190_sax" -> (qSax(_, _)),
     "q191_capped_sessions" -> (qCappedSessions(_, _)),
     "q192_stream_cusum" -> (qStreamCusum(_, _)),
+    "q193_asof_nearest" -> (qAsofNearest(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6567,6 +6587,30 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q193: both DuckDB ASOF directions composed; strictly-closer
+    // forward wins, ties go backward (the operator's documented rule)
+    "q193_asof_nearest" ->
+      """WITH r AS (SELECT o_custkey AS user_id, o_orderdate AS rt,
+        |                  MAX(o_orderkey) AS ok
+        |           FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, ts FROM events),
+        |b AS (SELECT e.event_id, e.user_id, e.ts, r.rt AS bt, r.ok AS bk
+        |      FROM e ASOF LEFT JOIN r
+        |        ON e.user_id = r.user_id AND e.ts >= r.rt),
+        |f AS (SELECT e.event_id, r.rt AS ft, r.ok AS fk
+        |      FROM e ASOF LEFT JOIN r
+        |        ON e.user_id = r.user_id AND e.ts <= r.rt),
+        |j AS (SELECT b.event_id, b.user_id, b.ts, bt, bk, ft, fk
+        |      FROM b JOIN f USING (event_id))
+        |SELECT event_id, user_id,
+        |  CASE WHEN fk IS NULL THEN bk
+        |       WHEN bk IS NULL THEN fk
+        |       WHEN epoch_us(ft) - epoch_us(ts) < epoch_us(ts) - epoch_us(bt)
+        |            THEN fk
+        |       ELSE bk END AS nearest_order
+        |FROM j WHERE bk IS NOT NULL OR fk IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
 
     // q192: the q167 recurrence under (ts, event_id) arrival order —
     // the streamed fold with state across batches must replay it
