@@ -3136,6 +3136,48 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Time-decayed engagement score per user — each event contributes
+    * ⌊cents · 2^(−age/6h) · 10⁶⌋ relative to the corpus max timestamp
+    * (one broadcast row). The decay is applied PER ROW and floored to
+    * a BIGINT before summation, so the aggregate is an exact integer
+    * sum (order-independent — summing raw doubles would hash-flip on
+    * partial-aggregation order); the pow chain is shared with the
+    * oracle. Map + one partial-aggregated groupBy.
+    */
+  private def qTimeDecay(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("tu"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val mx = e.agg(max(col("tu")).as("mx"))
+    e.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        expr("CAST(floor(cents * pow(0.5, (mx - tu) / 21600000000.0) " +
+          "* 1000000.0) AS BIGINT)").as("contrib"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("contrib")).as("decayed_micro"))
+      .orderBy("user_id")
+  }
+
+  /** OHLC bars — per (event_type, UTC hour): open/close by (time,
+    * event_id) order via min_by/max_by, high/low, volume. The
+    * market-data aggregation shape on the event stream; one
+    * partial-aggregated groupBy, no window.
+    */
+  private def qOhlcBars(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      unix_micros(col("ts")).as("tu"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    e.groupBy(col("event_type"),
+        expr("tu div 3600000000").as("hour_bucket"))
+      .agg(
+        expr("min_by(cents, struct(tu, event_id))").as("open"),
+        max(col("cents")).as("high"),
+        min(col("cents")).as("low"),
+        expr("max_by(cents, struct(tu, event_id))").as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy("event_type", "hour_bucket")
+  }
+
   /** Nearest-direction as-of join ([[AsOfJoin.asof]] `nearest`, ties
     * backward) — the last ungated direction of the union-sort as-of
     * operator (q24 backward, q48 forward): each event attaches its
@@ -3851,6 +3893,8 @@ object SparkEntry {
     "q191_capped_sessions" -> (qCappedSessions(_, _)),
     "q192_stream_cusum" -> (qStreamCusum(_, _)),
     "q193_asof_nearest" -> (qAsofNearest(_, _)),
+    "q194_time_decay" -> (qTimeDecay(_, _)),
+    "q195_ohlc_bars" -> (qOhlcBars(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6587,6 +6631,42 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q194: identical per-row floor(decay·10^6) BIGINT contributions —
+    // the sum is order-independent; pow chain shared (q86 precedent)
+    "q194_time_decay" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tu,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT MAX(tu) AS mx FROM e)
+        |SELECT user_id, COUNT(*)::BIGINT AS n,
+        |  SUM(CAST(floor(cents * pow(0.5, (mx - tu) / 21600000000.0)
+        |    * 1000000.0) AS BIGINT))::BIGINT AS decayed_micro
+        |FROM e, m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q195: open/close via full-frame first/last under the identical
+    // (tu, event_id) total order — constant per group, so any_value
+    // is deterministic
+    "q195_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tu, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, tu // 3600000000 AS hb, cents,
+        |    first_value(cents) OVER win AS o,
+        |    last_value(cents) OVER win AS c
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY event_type, tu // 3600000000
+        |                 ORDER BY tu, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hb AS hour_bucket,
+        |  any_value(o)::BIGINT AS open, MAX(cents)::BIGINT AS high,
+        |  MIN(cents)::BIGINT AS low, any_value(c)::BIGINT AS close,
+        |  COUNT(*)::BIGINT AS volume
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q193: both DuckDB ASOF directions composed; strictly-closer
     // forward wins, ties go backward (the operator's documented rule)
