@@ -3136,6 +3136,41 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Rolling exact median — trailing-20-row `percentile(0.5)` window
+    * per event_type under the (tu, event_id) total order, emitted in
+    * half-cents (the p=0.5 interpolation is always a half-integer on
+    * integer cents, so ·2 is EXACT — no float rounding debate). The
+    * sliding-robust-center monitor; one key-partitioned frame window.
+    */
+  private def qRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"),
+      unix_micros(col("ts")).as("tu"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("tu"), col("event_id")).rowsBetween(-19, 0)
+    e.withColumn("med2",
+        (expr("percentile(cents, 0.5)").over(w) * 2.0).cast("long"))
+      .select(col("event_type"), col("event_id"), col("med2"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Grouped statistical mode with deterministic tie-break (most
+    * frequent cents bucket per event_type; ties to the smallest
+    * value) — two partial-aggregated groupBys, the second over one
+    * row per distinct value; no window, no collect.
+    */
+  private def qMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT) DIV 100").as("unit"))
+      .groupBy("event_type", "unit").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("event_type")
+      .agg(expr("max_by(unit, struct(cnt, -unit))").as("mode_unit"),
+        max(col("cnt")).as("mode_cnt"))
+      .orderBy("event_type")
+  }
+
   /** Time-decayed engagement score per user — each event contributes
     * ⌊cents · 2^(−age/6h) · 10⁶⌋ relative to the corpus max timestamp
     * (one broadcast row). The decay is applied PER ROW and floored to
@@ -3895,6 +3930,8 @@ object SparkEntry {
     "q193_asof_nearest" -> (qAsofNearest(_, _)),
     "q194_time_decay" -> (qTimeDecay(_, _)),
     "q195_ohlc_bars" -> (qOhlcBars(_, _)),
+    "q196_rolling_median" -> (qRollingMedian(_, _)),
+    "q197_mode" -> (qMode(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6631,6 +6668,36 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q196: quantile_cont ≡ Spark percentile (same p·(n−1) linear
+    // interpolation); ·2 turns the half-integer median into an exact
+    // BIGINT on both sides
+    "q196_rolling_median" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tu, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, event_id,
+        |  CAST(quantile_cont(cents, 0.5) OVER (
+        |    PARTITION BY event_type ORDER BY tu, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) * 2 AS BIGINT) AS med2
+        |FROM e ORDER BY event_type, event_id""".stripMargin,
+
+    // q197: identical (cnt desc, unit asc) tie-break — the oracle's
+    // rank-1 row equals the engine's max_by(unit, (cnt, -unit))
+    "q197_mode" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100) AS BIGINT) // 100 AS unit,
+        |         COUNT(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, unit, cnt,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY cnt DESC, unit) AS rn
+        |  FROM c)
+        |SELECT event_type, unit AS mode_unit, cnt AS mode_cnt
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     // q194: identical per-row floor(decay·10^6) BIGINT contributions —
     // the sum is order-independent; pow chain shared (q86 precedent)
