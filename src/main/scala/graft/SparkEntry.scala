@@ -3136,6 +3136,32 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Positional phrase search — the inverted-index shape BM25 (q139)
+    * lacks: positional postings via posexplode, adjacency self-join
+    * (b.pos = a.pos + 1) keyed by doc, and per-doc occurrence counts
+    * of the corpus's TOP bigram (cnt desc, tokens tie-break — the
+    * query phrase is derived deterministically, so the gate is
+    * self-contained). Postings joins are doc-keyed; the phrase is a
+    * one-row broadcast.
+    */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val postings = graft.pipeline.Par.spread(t(s, dir, "documents"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "token")
+    val bigrams = postings.as("a").join(postings.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") === col("a.pos") + 1)
+      .select(col("a.doc_id").as("doc_id"),
+        col("a.token").as("ta"), col("b.token").as("tb"))
+    val top = broadcast(bigrams.groupBy("ta", "tb")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ta"), col("tb")).limit(1)
+      .select(col("ta"), col("tb")))
+    bigrams.join(top, Seq("ta", "tb"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occur"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling exact median — trailing-20-row `percentile(0.5)` window
     * per event_type under the (tu, event_id) total order, emitted in
     * half-cents (the p=0.5 interpolation is always a half-integer on
@@ -3932,6 +3958,7 @@ object SparkEntry {
     "q195_ohlc_bars" -> (qOhlcBars(_, _)),
     "q196_rolling_median" -> (qRollingMedian(_, _)),
     "q197_mode" -> (qMode(_, _)),
+    "q198_phrase_search" -> (qPhraseSearch(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6668,6 +6695,26 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q198: identical positional postings (1-based vs 0-based cancels
+    // in the adjacency condition), identical top-bigram tie-break
+    "q198_phrase_search" ->
+      """WITH p AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+        |         unnest(toks) AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |bg AS (
+        |  SELECT a.doc_id, a.token AS ta, b.token AS tb
+        |  FROM p a JOIN p b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |top AS (
+        |  SELECT ta, tb FROM (
+        |    SELECT ta, tb, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+        |  ORDER BY cnt DESC, ta, tb LIMIT 1)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_occur
+        |FROM bg JOIN top USING (ta, tb)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q196: quantile_cont ≡ Spark percentile (same p·(n−1) linear
     // interpolation); ·2 turns the half-integer median into an exact
