@@ -3136,6 +3136,41 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion — the modern RAG
+    * retrieval stack end to end: the sparse ranking (BM25 q139) and
+    * the dense ranking (brute cosine q20) fused per doc by
+    * Σ ⌊10⁹/(60+rank)⌋ (RRF, Cormack et al. 2009 — the floor makes
+    * each contribution an exact BIGINT, so fusion is hash-exact even
+    * though both underlying scores are engine-quantized). Top-10 per
+    * query, ties by doc_id; a doc missing from one list contributes 0
+    * from that list (full-outer fusion join).
+    */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val lex = graft.pipeline.Retrieval.bm25TopK(
+      docs.filter(col("doc_id") % 100 =!= 0),
+      docs.filter(col("doc_id").isin(100L, 200L)), "doc_id", "text", k = 50)
+      .select(col("query_id"), col("doc_id"),
+        expr("1000000000L DIV (60 + rank)").as("c_lex"))
+    val dense = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") % 100 =!= 0),
+      emb.filter(col("vec_id").isin(100L, 200L)), "vec_id", "embedding", k = 50)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        expr("1000000000L DIV (60 + rank)").as("c_dense"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("c_lex"), lit(0L)) +
+          coalesce(col("c_dense"), lit(0L))).as("fused"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("fused").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("fused"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Positional phrase search — the inverted-index shape BM25 (q139)
     * lacks: positional postings via posexplode, adjacency self-join
     * (b.pos = a.pos + 1) keyed by doc, and per-doc occurrence counts
@@ -3959,6 +3994,7 @@ object SparkEntry {
     "q196_rolling_median" -> (qRollingMedian(_, _)),
     "q197_mode" -> (qMode(_, _)),
     "q198_phrase_search" -> (qPhraseSearch(_, _)),
+    "q199_hybrid_rrf" -> (qHybridRrf(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6695,6 +6731,65 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q199: q139's BM25 chain (k=50, two queries) + q20's cosine chain
+    // (k=50), fused by the identical integer RRF quotient
+    "q199_hybrid_rrf" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
+        |qs AS (SELECT doc_id AS query_id, text FROM documents
+        |       WHERE doc_id IN (100, 200)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+        |dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM toks),
+        |post AS (
+        |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+        |  GROUP BY 1, 2),
+        |stats AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS total FROM dl),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(floor(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS idf6
+        |  FROM (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY 1), stats),
+        |qt AS (
+        |  SELECT DISTINCT query_id, term
+        |  FROM (SELECT query_id, unnest(string_split(text, ' ')) AS term FROM qs)),
+        |scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    SUM(CAST(floor((i.idf6 * (p.tf * 2.2)) /
+        |          (p.tf + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.total AS DOUBLE) / s.n))))
+        |          + 0.5) AS BIGINT)) AS score_micro
+        |  FROM qt q JOIN post p USING (term) JOIN idf i USING (term)
+        |       JOIN dl d ON d.doc_id = p.doc_id, stats s
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id, 1000000000 // (60 + rnk) AS c_lex
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score_micro DESC, doc_id) AS rnk FROM scored)
+        |  WHERE rnk <= 50),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |      WHERE vec_id % 100 <> 0),
+        |qv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |       WHERE vec_id IN (100, 200)),
+        |cs AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+        |         ROUND(list_dot_product(q.v, e.v)
+        |               / (sqrt(list_dot_product(q.v, q.v))
+        |                  * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+        |  FROM qv q JOIN e ON q.vec_id <> e.vec_id),
+        |dense AS (
+        |  SELECT query_id, doc_id, 1000000000 // (60 + rnk) AS c_dense
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, doc_id) AS rnk FROM cs)
+        |  WHERE rnk <= 50),
+        |fused AS (
+        |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+        |         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |         (COALESCE(c_lex, 0) + COALESCE(c_dense, 0))::BIGINT AS fused
+        |  FROM lex l FULL JOIN dense d
+        |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, fused
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY fused DESC, doc_id) AS rnk FROM fused)
+        |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // q198: identical positional postings (1-based vs 0-based cancels
     // in the adjacency condition), identical top-bigram tie-break
