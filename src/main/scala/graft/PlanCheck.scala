@@ -41,7 +41,11 @@ object PlanCheck {
       // q133 localCheckpoints the decoded image hashes
       "q133_image_neardup",
       // q134 runs a full MemoryStream left-outer-join query
-      "q134_stream_left_join")
+      "q134_stream_left_join",
+      // q192 runs a full MemoryStream stateful query; q200–q202 write
+      // the formats fixture on first construction
+      "q192_stream_cusum", "q200_schema_merge", "q201_partitioned_scan",
+      "q202_jsonl_source")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()

@@ -3136,6 +3136,53 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Schema-evolution read — two parquet "generations" (gen2 adds a
+    * `quality` column) merged by `mergeSchema`; rows from gen1 carry
+    * NULL quality. Gates the union-by-name source path every
+    * long-lived lake depends on ([[graft.sources.FormatsFixture]]).
+    */
+  private def qSchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.FormatsFixture.ensure(s, dir)
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$d/docs_gen1", s"$d/docs_gen2")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("quality").isNull.cast("long")).as("n_null_quality"),
+        sum(col("quality")).as("sum_quality"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+  }
+
+  /** Hive-partitioned scan with partition pruning — events written
+    * `partitionBy(event_type)`, read back filtered to two partition
+    * values (the filter prunes at the DIRECTORY level — `.explain`
+    * shows PartitionFilters, not data filters). The oracle computes
+    * the same aggregate from the original table, so layout round-trip
+    * + pruning semantics are value-gated.
+    */
+  private def qPartitionedScan(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.FormatsFixture.ensure(s, dir)
+    s.read.parquet(s"$d/events_bytype")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("event_type")
+  }
+
+  /** JSON-lines source round-trip — the same event rows through
+    * `.write.json` / schema-given `.read.json` (integer-encoded time,
+    * so the text round-trip is exact), aggregated per type. Gates the
+    * semi-structured ingest path.
+    */
+  private def qJsonlSource(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.FormatsFixture.ensure(s, dir)
+    s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "cents BIGINT, tu BIGINT")
+      .json(s"$d/events_jsonl")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("tu")).as("sum_tu"))
+      .orderBy("event_type")
+  }
+
   /** Hybrid retrieval with Reciprocal Rank Fusion — the modern RAG
     * retrieval stack end to end: the sparse ranking (BM25 q139) and
     * the dense ranking (brute cosine q20) fused per doc by
@@ -3995,6 +4042,9 @@ object SparkEntry {
     "q197_mode" -> (qMode(_, _)),
     "q198_phrase_search" -> (qPhraseSearch(_, _)),
     "q199_hybrid_rrf" -> (qHybridRrf(_, _)),
+    "q200_schema_merge" -> (qSchemaMerge(_, _)),
+    "q201_partitioned_scan" -> (qPartitionedScan(_, _)),
+    "q202_jsonl_source" -> (qJsonlSource(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -4047,6 +4097,15 @@ object SparkEntry {
     s"read_parquet('$d/$rel/*.parquet')"
   }
 
+
+  /** Formats-fixture dir for the source-surface oracles (q200) — same
+    * sfDir resolution as [[zfp]]; [[graft.sources.FormatsFixture]]
+    * materializes it before the oracle runs (first query invocation).
+    */
+  private def ffd: String = {
+    val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+    graft.sources.FormatsFixture.dir(sfDir)
+  }
 
   /** DuckDB-dialect oracle SQL, value-identical to the Spark plans. */
   def oracleSql: Map[String, String] = Map(
@@ -6731,6 +6790,29 @@ object SparkEntry {
         |      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
         |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q200: DuckDB's union_by_name read of the same two generations
+    "q200_schema_merge" ->
+      s"""SELECT COUNT(*)::BIGINT AS n_rows,
+         |  SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_quality,
+         |  SUM(quality)::BIGINT AS sum_quality,
+         |  SUM(length(text))::BIGINT AS sum_chars
+         |FROM read_parquet(['$ffd/docs_gen1/*.parquet',
+         |                   '$ffd/docs_gen2/*.parquet'], union_by_name=true)""".stripMargin,
+
+    // q201/q202: the oracle aggregates the ORIGINAL table — the gates
+    // prove the partitioned/JSONL round-trips are value-lossless
+    "q201_partitioned_scan" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+        |FROM events WHERE event_type IN ('view', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q202_jsonl_source" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |       SUM(epoch_us(ts))::BIGINT AS sum_tu
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q199: q139's BM25 chain (k=50, two queries) + q20's cosine chain
     // (k=50), fused by the identical integer RRF quotient

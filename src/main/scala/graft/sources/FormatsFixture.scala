@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic multi-format / multi-generation dataset fixture for
+  * the source-surface gates (q200–q202), derived purely from the
+  * driver test tables (the ZonalFixture discipline: written once to a
+  * deterministic tmpdir, `_SUCCESS`-guarded, oracle reads the same
+  * files):
+  *
+  *  - `docs_gen1/` — documents with the ORIGINAL schema (doc_id, text)
+  *  - `docs_gen2/` — a later "generation" adding a `quality` column —
+  *    the schema-evolution case every long-lived lake hits
+  *  - `events_bytype/` — events hive-partitioned by event_type (the
+  *    partition-pruning layout)
+  *  - `events_jsonl/` — the same rows as JSON lines (integer-encoded
+  *    time so the text round-trip is exact)
+  */
+object FormatsFixture {
+
+  def dir(sfDir: String): String = {
+    val tag = new java.io.File(sfDir).getName
+    s"${System.getProperty("java.io.tmpdir")}/graft_formats_$tag"
+  }
+
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val d = dir(sfDir)
+    val done = Seq("docs_gen1", "docs_gen2", "events_bytype", "events_jsonl")
+      .forall(p => new java.io.File(s"$d/$p/_SUCCESS").exists())
+    if (done) return d
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    docs.filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$d/docs_gen1")
+    docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"), col("n_chars").as("quality"))
+      .write.mode("overwrite").parquet(s"$d/docs_gen2")
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        unix_micros(col("ts")).as("tu"))
+    ev.write.partitionBy("event_type").mode("overwrite")
+      .parquet(s"$d/events_bytype")
+    ev.write.mode("overwrite").json(s"$d/events_jsonl")
+    d
+  }
+}
