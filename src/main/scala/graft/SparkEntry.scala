@@ -3183,6 +3183,72 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** CSV source round-trip (header + schema-given read) — completes
+    * the format trio with q201 (parquet layout) and q202 (JSONL);
+    * different aggregate so the three gates are independent.
+    */
+  private def qCsvSource(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.FormatsFixture.ensure(s, dir)
+    s.read.option("header", "true")
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "cents BIGINT, tu BIGINT")
+      .csv(s"$d/events_csv")
+      .groupBy(expr("user_id % 10").as("cohort"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        max(col("event_id")).as("max_id"))
+      .orderBy("cohort")
+  }
+
+  /** Feature hashing (the hashing trick) — categorical cross features
+    * (event_type × props.k) md5-hashed into 64 buckets; per-bucket
+    * row counts and distinct-feature (collision) counts. Map-only +
+    * one groupBy; the md5 chain is the engine-portable hash the CMS
+    * and split operators already pin.
+    */
+  private def qFeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      concat_ws(":", col("event_type"),
+        expr("get_json_object(props, '$.k')")).as("feat"))
+    e.select(col("feat"),
+        expr("conv(substring(md5(feat), 1, 15), 16, 10) % 64").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("feat")).as("n_feats"))
+      .orderBy("bucket")
+  }
+
+  /** Purged time-series cross-validation folds (the temporal-leakage-
+    * safe split): the timeline divides into 5 equal-width folds; for
+    * each fold, test = the fold's rows, embargo = rows within 1 h of
+    * its boundaries (excluded from BOTH sides), train = everything
+    * else. All-integer interval arithmetic over one broadcast (min,
+    * max) row; output (fold, n_test, n_embargo, n_train) sums to the
+    * row count per fold.
+    */
+  private def qPurgedFolds(s: SparkSession, dir: String): DataFrame = {
+    val HOUR = 3600L * 1000000L
+    val e = Tables.events(s, dir).select(unix_micros(col("ts")).as("tu"))
+    val b = e.agg(min(col("tu")).as("lo"), max(col("tu")).as("hi"))
+    e.crossJoin(broadcast(b))
+      .select(col("tu"), col("lo"),
+        expr("least(CAST((tu - lo) * 5 DIV (hi - lo + 1) AS BIGINT), " +
+          "CAST(4 AS BIGINT))").as("row_fold"),
+        expr("(hi - lo + 1)").as("span"))
+      .crossJoin(broadcast(s.range(5).select(col("id").as("fold"))))
+      .select(col("fold"),
+        when(col("row_fold") === col("fold"), 1L).otherwise(0L).as("is_test"),
+        // integer DIV boundaries — a `/` here would go through doubles
+        when(col("row_fold") =!= col("fold") &&
+          (expr(s"abs(tu - (lo + (fold * span) DIV 5)) <= $HOUR") ||
+            expr(s"abs(tu - (lo + ((fold + 1) * span) DIV 5)) <= $HOUR")),
+          1L).otherwise(0L).as("is_embargo"))
+      .groupBy("fold")
+      .agg(sum(col("is_test")).as("n_test"),
+        sum(col("is_embargo")).as("n_embargo"),
+        sum(lit(1L) - col("is_test") - col("is_embargo")).as("n_train"))
+      .orderBy("fold")
+  }
+
   /** Hybrid retrieval with Reciprocal Rank Fusion — the modern RAG
     * retrieval stack end to end: the sparse ranking (BM25 q139) and
     * the dense ranking (brute cosine q20) fused per doc by
@@ -4045,6 +4111,9 @@ object SparkEntry {
     "q200_schema_merge" -> (qSchemaMerge(_, _)),
     "q201_partitioned_scan" -> (qPartitionedScan(_, _)),
     "q202_jsonl_source" -> (qJsonlSource(_, _)),
+    "q203_csv_source" -> (qCsvSource(_, _)),
+    "q204_feature_hash" -> (qFeatureHash(_, _)),
+    "q205_purged_folds" -> (qPurgedFolds(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6813,6 +6882,49 @@ object SparkEntry {
         |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
         |       SUM(epoch_us(ts))::BIGINT AS sum_tu
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q203: original-table aggregate — CSV round-trip value-lossless
+    "q203_csv_source" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS cohort, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |       MAX(event_id)::BIGINT AS max_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q204: identical md5-prefix bucket hash (the q49/q113 chain)
+    "q204_feature_hash" ->
+      """WITH f AS (
+        |  SELECT event_type || ':' || CAST(json_extract(props, '$.k') AS VARCHAR) AS feat
+        |  FROM events),
+        |b AS (
+        |  SELECT feat,
+        |         CAST(CAST(('0x' || substring(md5(feat), 1, 15)) AS BIGINT)
+        |              % 64 AS BIGINT) AS bucket
+        |  FROM f)
+        |SELECT bucket, COUNT(*)::BIGINT AS n_rows,
+        |       COUNT(DISTINCT feat)::BIGINT AS n_feats
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q205: identical integer fold/boundary arithmetic over the same
+    // broadcast (lo, hi)
+    "q205_purged_folds" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tu FROM events),
+        |b AS (SELECT MIN(tu) AS lo, MAX(tu) AS hi FROM e),
+        |r AS (
+        |  SELECT tu, lo, hi - lo + 1 AS span,
+        |         least((tu - lo) * 5 // (hi - lo + 1), 4) AS row_fold
+        |  FROM e, b),
+        |x AS (
+        |  SELECT fold, row_fold, tu, lo, span,
+        |    CASE WHEN row_fold = fold THEN 1 ELSE 0 END AS is_test,
+        |    CASE WHEN row_fold <> fold AND
+        |      (abs(tu - (lo + (fold * span) // 5)) <= 3600000000 OR
+        |       abs(tu - (lo + ((fold + 1) * span) // 5)) <= 3600000000)
+        |      THEN 1 ELSE 0 END AS is_embargo
+        |  FROM r, generate_series(0, 4) g(fold))
+        |SELECT fold::BIGINT AS fold, SUM(is_test)::BIGINT AS n_test,
+        |       SUM(is_embargo)::BIGINT AS n_embargo,
+        |       SUM(1 - is_test - is_embargo)::BIGINT AS n_train
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q199: q139's BM25 chain (k=50, two queries) + q20's cosine chain
     // (k=50), fused by the identical integer RRF quotient

@@ -26,7 +26,8 @@ object FormatsFixture {
 
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val d = dir(sfDir)
-    val done = Seq("docs_gen1", "docs_gen2", "events_bytype", "events_jsonl")
+    val done = Seq("docs_gen1", "docs_gen2", "events_bytype", "events_jsonl",
+        "events_csv")
       .forall(p => new java.io.File(s"$d/$p/_SUCCESS").exists())
     if (done) return d
     val docs = graft.Tables.load(spark, sfDir, "documents")
@@ -43,6 +44,7 @@ object FormatsFixture {
     ev.write.partitionBy("event_type").mode("overwrite")
       .parquet(s"$d/events_bytype")
     ev.write.mode("overwrite").json(s"$d/events_jsonl")
+    ev.write.mode("overwrite").option("header", "true").csv(s"$d/events_csv")
     d
   }
 }
