@@ -3183,6 +3183,65 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Interval-union coverage — each event opens a 10-minute activity
+    * interval; per user, overlapping intervals merge (the classic
+    * sort + running-max-of-end sweep: a row starts a new island iff
+    * its start exceeds every previous end) and the gate reports
+    * merged-island count and total covered microseconds. Two
+    * key-partitioned windows sharing one exchange; exact integers.
+    */
+  private def qIntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val LEN = 600L * 1000000L
+    val e = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("tu"), col("event_id"))
+      .withColumn("end", col("tu") + LEN)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val flagged = e
+      .withColumn("prev_max_end",
+        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("prev_max_end").isNull ||
+          col("tu") > col("prev_max_end"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("island"))
+      .agg(min(col("tu")).as("start"), max(col("end")).as("stop"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("stop") - col("start")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
+  /** First-order Markov log-likelihood of the event-type chains — the
+    * sequence-model quality number over q122's transition counts:
+    * P(cur|prev) with +1 Laplace smoothing over the observed state
+    * set, each transition's ln quantized to a micro integer PER ROW
+    * before the (order-free) BIGINT sum; per-prev-state rollup plus
+    * mean negative log-likelihood.
+    */
+  private def qMarkovLl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tu"), col("event_type"))
+    val trans = e.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev"), col("event_type").as("cur"))
+    val k = trans.select(col("cur")).union(trans.select(col("prev"))).distinct()
+      .agg(count(lit(1)).as("k"))
+    val cell = trans.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+    val fromTot = cell.groupBy("prev").agg(sum(col("c")).as("tot"))
+    cell.join(broadcast(fromTot), "prev").crossJoin(broadcast(k))
+      .withColumn("ll_micro",
+        expr("CAST(floor(ln((c + 1.0) / (tot + CAST(k AS DOUBLE))) " +
+          "* 1000000.0) AS BIGINT)"))
+      .groupBy("prev")
+      .agg(sum(col("c")).as("n_trans"),
+        sum(col("c") * col("ll_micro")).as("sum_ll_micro"),
+        expr("CAST(-sum(c * ll_micro) DIV sum(c) AS BIGINT)").as("mean_nll_micro"))
+      .orderBy("prev")
+  }
+
   /** CSV source round-trip (header + schema-given read) — completes
     * the format trio with q201 (parquet layout) and q202 (JSONL);
     * different aggregate so the three gates are independent.
@@ -4114,6 +4173,8 @@ object SparkEntry {
     "q203_csv_source" -> (qCsvSource(_, _)),
     "q204_feature_hash" -> (qFeatureHash(_, _)),
     "q205_purged_folds" -> (qPurgedFolds(_, _)),
+    "q206_interval_union" -> (qIntervalUnion(_, _)),
+    "q207_markov_ll" -> (qMarkovLl(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6882,6 +6943,59 @@ object SparkEntry {
         |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
         |       SUM(epoch_us(ts))::BIGINT AS sum_tu
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q206: identical sort + running-max-of-prev-ends sweep; first
+    // row of each user opens an island by construction
+    "q206_interval_union" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tu, event_id,
+        |         epoch_us(ts) + 600000000 AS e_end
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, tu, event_id, e_end,
+        |    max(e_end) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max_end
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, tu, e_end,
+        |    SUM(CASE WHEN prev_max_end IS NULL OR tu > prev_max_end
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f),
+        |i AS (
+        |  SELECT user_id, island, MIN(tu) AS start, MAX(e_end) AS stop
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*)::BIGINT AS n_islands,
+        |       SUM(stop - start)::BIGINT AS covered_us
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q207: identical transition cells, +1 smoothing over the
+    // observed state set, per-cell quantized ln then exact sums
+    "q207_markov_ll" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type
+        |  FROM events),
+        |t AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY tu, event_id) AS prev,
+        |         event_type AS cur
+        |  FROM e),
+        |tr AS (SELECT prev, cur FROM t WHERE prev IS NOT NULL),
+        |kk AS (SELECT COUNT(*)::BIGINT AS k FROM (
+        |         SELECT cur FROM tr UNION SELECT prev FROM tr)),
+        |cell AS (SELECT prev, cur, COUNT(*)::BIGINT AS c FROM tr GROUP BY 1, 2),
+        |ft AS (SELECT prev, SUM(c)::BIGINT AS tot FROM cell GROUP BY 1),
+        |x AS (
+        |  SELECT cell.prev, c, tot,
+        |    CAST(floor(ln((c + 1.0) / (tot + CAST(k AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS ll_micro
+        |  FROM cell JOIN ft ON cell.prev = ft.prev, kk)
+        |SELECT prev, SUM(c)::BIGINT AS n_trans,
+        |       SUM(c * ll_micro)::BIGINT AS sum_ll_micro,
+        |       CAST(-SUM(c * ll_micro) // SUM(c) AS BIGINT) AS mean_nll_micro
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q203: original-table aggregate — CSV round-trip value-lossless
     "q203_csv_source" ->
