@@ -369,9 +369,13 @@ object Dedup {
       .join(docs.select(col("doc"), col("len")), "doc")
       .filter(col("rn") <=
         col("len") - expr(s"(($tNum * len + $tDen - 1) div $tDen)") + 1L)
-      .select(col("doc"), col("trank"))
+      .select(col("doc"), col("trank"), col("len"))
+    // length filter (PPJoin): J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t — prunes
+    // incompatible-size candidates before they reach the exact verify
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.trank") === col("b.trank") && col("a.doc") < col("b.doc"))
+        col("a.trank") === col("b.trank") && col("a.doc") < col("b.doc") &&
+          col("b.len") * tDen >= col("a.len") * tNum &&
+          col("a.len") * tDen >= col("b.len") * tNum)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
     cand
