@@ -3183,6 +3183,54 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** k-anonymity audit — the privacy-governance gate run before a
+    * dataset release: group sizes over the quasi-identifier tuple
+    * (user_id band, event_type), the size distribution, and which
+    * equivalence classes violate k=5. Two partial-aggregated
+    * groupBys, second over ≤ distinct-sizes rows.
+    */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.events(s, dir)
+      .select(expr("CAST(user_id % 20 AS BIGINT)").as("band"), col("event_type"))
+      .groupBy("band", "event_type").agg(count(lit(1)).as("sz"))
+    groups.groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("sz")).as("n_rows"))
+      .withColumn("violates_k5", col("sz") < 5L)
+      .orderBy("sz")
+  }
+
+  /** Deterministic negative sampling for training pairs (the recsys /
+    * contrastive-learning data op): per purchasing user, 10 hash-
+    * probed candidate parts, anti-joined against the true purchase
+    * set, first 2 survivors by (probe index, part). No RNG state —
+    * the md5 probe chain is the engine-portable hash (q49/q204);
+    * the anti-join is key-partitioned.
+    */
+  private def qNegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("part"))
+      .distinct()
+    val nparts = t(s, dir, "part").agg(count(lit(1)).as("np"))
+    val cand = pos.select(col("user_id")).distinct()
+      .crossJoin(broadcast(nparts))
+      .select(col("user_id"), col("np"),
+        explode(sequence(lit(0), lit(9))).as("i"))
+      .select(col("user_id"), col("i"),
+        expr("conv(substring(md5(concat(user_id, ':', i)), 1, 15), 16, 10) " +
+          "% np").as("part"))
+    val firstProbe = cand
+      .join(pos, Seq("user_id", "part"), "left_anti")
+      .groupBy("user_id", "part").agg(min(col("i")).as("i"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("i"), col("part"))
+    firstProbe.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= 2)
+      .select(col("user_id"), col("neg_rank"), col("part"))
+      .orderBy("user_id", "neg_rank")
+  }
+
   /** Interval-union coverage — each event opens a 10-minute activity
     * interval; per user, overlapping intervals merge (the classic
     * sort + running-max-of-end sweep: a row starts a new island iff
@@ -4175,6 +4223,8 @@ object SparkEntry {
     "q205_purged_folds" -> (qPurgedFolds(_, _)),
     "q206_interval_union" -> (qIntervalUnion(_, _)),
     "q207_markov_ll" -> (qMarkovLl(_, _)),
+    "q208_k_anonymity" -> (qKAnonymity(_, _)),
+    "q209_negative_sampling" -> (qNegativeSampling(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -6943,6 +6993,40 @@ object SparkEntry {
         |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
         |       SUM(epoch_us(ts))::BIGINT AS sum_tu
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q208: identical quasi-identifier banding and size histogram
+    "q208_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT CAST(user_id % 20 AS BIGINT) AS band, event_type,
+        |         COUNT(*)::BIGINT AS sz
+        |  FROM events GROUP BY 1, 2)
+        |SELECT sz, COUNT(*)::BIGINT AS n_groups, SUM(sz)::BIGINT AS n_rows,
+        |       sz < 5 AS violates_k5
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q209: identical md5 probe chain, anti-join, (i, part) pick
+    "q209_negative_sampling" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS part
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |np AS (SELECT COUNT(*)::BIGINT AS np FROM part),
+        |cand AS (
+        |  SELECT u.user_id, i,
+        |    ('0x' || substr(md5(u.user_id::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT
+        |      % np AS part
+        |  FROM (SELECT DISTINCT user_id FROM pos) u,
+        |       generate_series(0, 9) t(i), np),
+        |neg AS (
+        |  SELECT c.user_id, c.part, MIN(c.i) AS i
+        |  FROM cand c ANTI JOIN pos p
+        |    ON p.user_id = c.user_id AND p.part = c.part
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, part, i,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY i, part) AS neg_rank
+        |  FROM neg)
+        |SELECT user_id, CAST(neg_rank AS BIGINT) AS neg_rank, part
+        |FROM r WHERE neg_rank <= 2 ORDER BY user_id, neg_rank""".stripMargin,
 
     // q206: identical sort + running-max-of-prev-ends sweep; first
     // row of each user opens an island by construction
