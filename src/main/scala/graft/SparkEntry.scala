@@ -4014,6 +4014,142 @@ object SparkEntry {
       graft.pipeline.Par.spread(t(s, dir, "embeddings")), "vec_id", "embedding")
       .orderBy("vec_id")
 
+  /** ORC source round-trip — the same event rows through `.write.orc`
+    * / `.read.orc` (Spark's other native columnar format; binary-typed
+    * so no text-encoding caveats), aggregated per type. Completes the
+    * format matrix: parquet (everywhere), hive-partitioned parquet
+    * (q201), JSONL (q202), CSV (q203), ORC (here).
+    */
+  private def qOrcSource(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.FormatsFixture.ensure(s, dir)
+    s.read.orc(s"$d/events_orc")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("tu")).as("sum_tu"))
+      .orderBy("event_type")
+  }
+
+  /** Leave-one-out target encoding (the leakage-safe categorical
+    * feature transform): each lineitem's `l_returnflag` is encoded as
+    * the mean target (quantity, exact cents) over all OTHER rows of
+    * the same flag — (group_sum − own) / (group_count − 1). One
+    * map-side-combined groupBy over 3 groups, broadcast back: no
+    * per-row shuffle, no window over the whole table. Exact integer
+    * numerator/denominator plus the floor-divided encoded value.
+    */
+  private def qTargetEncodeLoo(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"), col("l_returnflag"),
+      expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qc"))
+    val g = li.groupBy("l_returnflag")
+      .agg(sum(col("qc")).as("gs"), count(lit(1)).as("gn"))
+    li.join(broadcast(g), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        (col("gs") - col("qc")).as("loo_num"),
+        (col("gn") - lit(1L)).as("loo_den"),
+        expr("CASE WHEN gn > 1 THEN CAST((gs - qc) DIV (gn - 1) AS BIGINT) END")
+          .as("loo_enc_c"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Exact duplicated-substring detection (the cross-document span
+    * dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499 — at token-shingle
+    * granularity): every 5-token span whose hash occurs in more than
+    * one distinct document is a duplicated span; per document, the
+    * spans' token intervals [i, i+5) merge by the q206 sweep into
+    * islands, yielding duplicated-token coverage. Span hashes reuse
+    * q12's shingle convention (seed 0), so the oracle recomputes them
+    * bit-for-bit. Scale shape: one groupBy(h) with a min≠max distinct-
+    * doc test (no count-distinct), a semi-join back, and one per-doc
+    * window — no pair join at all, unlike similarity dedup.
+    */
+  private def qSubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 5
+    val spans = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= K)
+      .select(col("doc_id"), size(col("tok")).cast("long").as("tt"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(tok) - ${K - 1}),
+             |  i -> graft_md5hi60(concat('0:', concat_ws(' ', slice(tok, i, $K)))))"""
+            .stripMargin)))
+      .select(col("doc_id"), col("tt"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("h"))
+    val dupH = spans.groupBy("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val isl = spans.join(dupH, "h")
+      .withColumn("e", col("i") + K)
+      .withColumn("pme",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("pme").isNull || col("i") > col("pme"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("st"), max(col("e")).as("en"),
+        count(lit(1)).as("nsp"), max(col("tt")).as("tt"))
+      .groupBy("doc_id")
+      .agg(sum(col("nsp")).as("n_dup_spans"), count(lit(1)).as("n_islands"),
+        sum(col("en") - col("st")).as("covered_tokens"),
+        max(col("tt")).as("total_tokens"))
+      .withColumn("dup_frac_micro",
+        expr("CAST(covered_tokens * 1000000 DIV total_tokens AS BIGINT)"))
+      .orderBy("doc_id")
+  }
+
+  /** l-diversity audit — q208's privacy-governance companion: within
+    * each quasi-identifier equivalence class (user band, event type),
+    * how many DISTINCT sensitive values appear (here the `props.k`
+    * payload); classes with fewer than l=3 are vulnerable to homogeneity
+    * attacks even when k-anonymous. One partial-aggregated groupBy.
+    */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(expr("CAST(user_id % 20 AS BIGINT)").as("band"), col("event_type"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("sens"))
+      .groupBy("band", "event_type")
+      .agg(count(lit(1)).as("sz"), countDistinct(col("sens")).as("l_div"))
+      .withColumn("violates_l3", col("l_div") < 3L)
+      .orderBy("band", "event_type")
+
+  /** Grid-bucketed radius self-join (the scale-correct spatial
+    * neighbor search): points on a deterministic 100k × 100k integer
+    * grid (md5-derived coordinates), bucketed into cells of the query
+    * radius R = 5000; every true pair within R lands in the same or an
+    * 8-adjacent cell, so candidates come from an equi-join on cell id
+    * (probe side exploded to its 3×3 neighborhood) and each pair meets
+    * exactly once under id_a < id_b — never a cross join. The exact
+    * integer distance kernel runs on candidates only. Same blocking
+    * principle as geohash/S2 joins at cluster scale.
+    */
+  private def qGridNeighborJoin(s: SparkSession, dir: String): DataFrame = {
+    val R2 = 25000000L // R = 5000 on the 100k grid
+    val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
+        expr("graft_md5hi60(concat('x:', c_custkey)) % 100000").as("x"),
+        expr("graft_md5hi60(concat('y:', c_custkey)) % 100000").as("y"))
+      .withColumn("cx", expr("x DIV 5000"))
+      .withColumn("cy", expr("y DIV 5000"))
+    val probe = pts
+      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        col("cx"), col("cy"))
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("cx") + col("dx")).as("ncx"), (col("cy") + col("dy")).as("ncy"))
+    probe.join(pts,
+        probe("ncx") === pts("cx") && probe("ncy") === pts("cy") &&
+          probe("id_a") < pts("id"))
+      .withColumn("dist2",
+        (col("xa") - col("x")) * (col("xa") - col("x")) +
+          (col("ya") - col("y")) * (col("ya") - col("y")))
+      .filter(col("dist2") <= R2)
+      .select(col("id_a"), col("id").as("id_b"), col("dist2"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -4225,6 +4361,11 @@ object SparkEntry {
     "q207_markov_ll" -> (qMarkovLl(_, _)),
     "q208_k_anonymity" -> (qKAnonymity(_, _)),
     "q209_negative_sampling" -> (qNegativeSampling(_, _)),
+    "q210_orc_source" -> (qOrcSource(_, _)),
+    "q211_target_encode_loo" -> (qTargetEncodeLoo(_, _)),
+    "q212_substring_dedup" -> (qSubstringDedup(_, _)),
+    "q213_l_diversity" -> (qLDiversity(_, _)),
+    "q214_grid_neighbor_join" -> (qGridNeighborJoin(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -7696,6 +7837,86 @@ object SparkEntry {
         |SELECT hamming, count(*) AS n_pairs, sum(doc_a + doc_b)::BIGINT AS id_checksum
         |FROM ham WHERE hamming <= 3
         |GROUP BY 1 ORDER BY hamming""".stripMargin,
+
+    // q210: original-table aggregate — ORC round-trip is value-lossless
+    "q210_orc_source" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |       SUM(epoch_us(ts))::BIGINT AS sum_tu
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q211: identical exact-cents LOO arithmetic; both sides floor-
+    // divide nonnegative integers
+    "q211_target_encode_loo" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |         l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, SUM(qc)::BIGINT AS gs, COUNT(*)::BIGINT AS gn
+        |      FROM li GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        |       gs - qc AS loo_num, gn - 1 AS loo_den,
+        |       CASE WHEN gn > 1 THEN (gs - qc) // (gn - 1) END AS loo_enc_c
+        |FROM li l JOIN g USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // q212: q12's shingle hash (seed 0), min≠max distinct-doc test,
+    // q206's island sweep over [i, i+5) token intervals
+    "q212_substring_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |sp AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i, len(tok)::BIGINT AS tt,
+        |         ('0x' || substr(md5('0:' || array_to_string(tok[i:i+4], ' ')), 1, 15))::BIGINT AS h
+        |  FROM tk, generate_series(1, 100000) t(i)
+        |  WHERE i + 4 <= len(tok)),
+        |duph AS (SELECT h FROM sp GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+        |dup AS (SELECT doc_id, i, tt FROM sp JOIN duph USING (h)),
+        |f AS (
+        |  SELECT doc_id, i, tt, i + 5 AS e,
+        |    max(i + 5) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, i, e, tt,
+        |    SUM(CASE WHEN pme IS NULL OR i > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f),
+        |g AS (SELECT doc_id, island, MIN(i) AS st, MAX(e) AS en,
+        |             COUNT(*) AS nsp, MAX(tt) AS tt
+        |      FROM isl GROUP BY 1, 2)
+        |SELECT doc_id, SUM(nsp)::BIGINT AS n_dup_spans,
+        |       COUNT(*)::BIGINT AS n_islands,
+        |       SUM(en - st)::BIGINT AS covered_tokens,
+        |       MAX(tt)::BIGINT AS total_tokens,
+        |       (SUM(en - st) * 1000000 // MAX(tt))::BIGINT AS dup_frac_micro
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q213: distinct-sensitive count per q208's QI tuple
+    "q213_l_diversity" ->
+      """SELECT CAST(user_id % 20 AS BIGINT) AS band, event_type,
+        |       COUNT(*)::BIGINT AS sz,
+        |       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS l_div,
+        |       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) < 3 AS violates_l3
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q214: identical md5 grid coordinates, 3×3 neighbor-cell join,
+    // exact integer distance
+    "q214_grid_neighbor_join" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    ('0x' || substr(md5('x:' || c_custkey::VARCHAR), 1, 15))::BIGINT % 100000 AS x,
+        |    ('0x' || substr(md5('y:' || c_custkey::VARCHAR), 1, 15))::BIGINT % 100000 AS y
+        |  FROM customer),
+        |c AS (SELECT id, x, y, x // 5000 AS cx, y // 5000 AS cy FROM p),
+        |n AS (
+        |  SELECT a.id AS id_a, a.x AS xa, a.y AS ya,
+        |         a.cx + dx.g AS ncx, a.cy + dy.g AS ncy
+        |  FROM c a, generate_series(-1, 1) dx(g), generate_series(-1, 1) dy(g))
+        |SELECT id_a, b.id AS id_b,
+        |       (xa - b.x) * (xa - b.x) + (ya - b.y) * (ya - b.y) AS dist2
+        |FROM n JOIN c b ON b.cx = ncx AND b.cy = ncy AND id_a < b.id
+        |WHERE (xa - b.x) * (xa - b.x) + (ya - b.y) * (ya - b.y) <= 25000000
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +

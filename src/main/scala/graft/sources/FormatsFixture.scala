@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *    partition-pruning layout)
   *  - `events_jsonl/` — the same rows as JSON lines (integer-encoded
   *    time so the text round-trip is exact)
+  *  - `events_orc/` — the same rows as ORC, Spark's other columnar
+  *    native format (binary-typed, so no text-encoding caveats)
   */
 object FormatsFixture {
 
@@ -27,7 +29,7 @@ object FormatsFixture {
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val d = dir(sfDir)
     val done = Seq("docs_gen1", "docs_gen2", "events_bytype", "events_jsonl",
-        "events_csv")
+        "events_csv", "events_orc")
       .forall(p => new java.io.File(s"$d/$p/_SUCCESS").exists())
     if (done) return d
     val docs = graft.Tables.load(spark, sfDir, "documents")
@@ -45,6 +47,7 @@ object FormatsFixture {
       .parquet(s"$d/events_bytype")
     ev.write.mode("overwrite").json(s"$d/events_jsonl")
     ev.write.mode("overwrite").option("header", "true").csv(s"$d/events_csv")
+    ev.write.mode("overwrite").orc(s"$d/events_orc")
     d
   }
 }
