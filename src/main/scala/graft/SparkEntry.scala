@@ -4150,6 +4150,120 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Leakage-safe training-label generation (the churn/conversion
+    * labeling op): for every user and every weekly cutoff c_k fully
+    * inside the event span, label = did the user purchase within the
+    * label window (c_k, c_k + 7d]. Each purchase maps to exactly ONE
+    * window index by integer arithmetic (window length = cutoff
+    * spacing), so labels come from a groupBy + left join against the
+    * user × cutoff grid — no range join, no per-cutoff scan. The
+    * span (lo, hi) is one broadcast row.
+    */
+  private def qLabelWindows(s: SparkSession, dir: String): DataFrame = {
+    val W = 604800000000L // 7 days in micros
+    val e = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("tu"), col("event_type"))
+    val b = e.agg(min(col("tu")).as("lo"), max(col("tu")).as("hi"))
+    val grid = e.select(col("user_id")).distinct()
+      .crossJoin(broadcast(b))
+      .select(col("user_id"), col("lo"),
+        explode(expr(s"sequence(0, CAST((hi - lo) DIV $W AS INT) - 1)")).as("k"))
+      .select(col("user_id"), col("k").cast("long").as("k"),
+        (col("lo") + col("k").cast("long") * W).as("cutoff_us"))
+    // (tu - lo + W - 1) is nonnegative, so DIV (trunc) == floor on
+    // both engines; tu == lo lands at k = -1, correctly outside the
+    // half-open first window
+    val pur = e.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(b))
+      .select(col("user_id"),
+        (expr(s"(tu - lo + ${W - 1}) DIV $W") - 1L).as("k"))
+      .groupBy("user_id", "k").agg(count(lit(1)).as("np"))
+    grid.join(pur, Seq("user_id", "k"), "left")
+      .select(col("user_id"), col("k"), col("cutoff_us"),
+        coalesce(col("np"), lit(0L)).as("n_purchases"),
+        (coalesce(col("np"), lit(0L)) > 0L).as("label"))
+      .orderBy("user_id", "k")
+  }
+
+  /** Blocked record-linkage scoring (the Fellegi–Sunter shape with
+    * fixed integer agreement weights): candidate part pairs come from
+    * an equi-join on the blocking key `p_brand` — never a cross join —
+    * and each candidate scores agreement on type (+7), size (+3) and
+    * retail-price band (+2); score ≥ 10 (type plus at least size)
+    * links. The quadratic cost is confined to one block's span, the
+    * standard blocking bargain at cluster scale.
+    */
+  private def qLinkageScore(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey").as("id"), col("p_brand"),
+      col("p_type"), col("p_size"),
+      expr("CAST(round(p_retailprice * 100) AS BIGINT) DIV 10000").as("band"))
+    val l = p.select(col("id").as("id_a"), col("p_brand"),
+      col("p_type").as("ta"), col("p_size").as("sa"), col("band").as("ba"))
+    val r = p.select(col("id").as("id_b"), col("p_brand"),
+      col("p_type").as("tb"), col("p_size").as("sb"), col("band").as("bb"))
+    l.join(r, Seq("p_brand")).filter(col("id_a") < col("id_b"))
+      .withColumn("score",
+        when(col("ta") === col("tb"), 7L).otherwise(0L) +
+          when(col("sa") === col("sb"), 3L).otherwise(0L) +
+          when(col("ba") === col("bb"), 2L).otherwise(0L))
+      .filter(col("score") >= 10L)
+      .select(col("id_a"), col("id_b"), col("score"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Upper-triangle Gram matrix of the embedding corpus in exact
+    * integers (q136's quantization discipline:
+    * floor(double(x)·1000 + 0.5)) — the distributed half of PCA /
+    * whitening: one explode to d(d+1)/2 struct rows per vector, one
+    * map-side-combined groupBy on (i, j). Output is d² sized — driver
+    * state for the eigen solve (q218), never the corpus.
+    */
+  private def qEmbedGram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
+        .as("qv"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(qv)), i ->
+          |  transform(sequence(i, size(qv)), j ->
+          |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+          |           element_at(qv, i) * element_at(qv, j) AS v))))""".stripMargin))
+        .as("p"))
+      .select(col("p.i"), col("p.j"), col("p.v"))
+      .groupBy("i", "j").agg(sum(col("v")).as("sxy"), count(lit(1)).as("n"))
+      .orderBy("i", "j")
+
+  /** Dominant eigenvector of the embedding Gram matrix by fixed-point
+    * integer power iteration — the PCA top component. The corpus-sized
+    * work is q217's distributed Gram aggregation; the d×d solve is
+    * bounded driver state (the k-means-centroid precedent), 8
+    * iterations of exact Long mat-vec with trunc-division rescaling
+    * (v ≈ 2²⁰), every step replayed bit-for-bit by the oracle's
+    * unrolled CTE chain. Sign is pinned by the deterministic all-ones
+    * start.
+    */
+  private def qPowerIteration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = 1L << 20
+    val upper = qEmbedGram(s, dir).select("i", "j", "sxy").collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2)))
+    val a = (upper ++ upper.collect { case ((i, j), v) if i != j => ((j, i), v) }).toMap
+    val d = a.keys.map(_._1).max
+    var v = Array.fill(d)(S)
+    for (_ <- 0 until 8) {
+      val w = Array.tabulate(d) { i0 =>
+        var acc = 0L
+        var j = 0
+        while (j < d) { acc += a.getOrElse((i0 + 1, j + 1), 0L) * v(j); j += 1 }
+        acc
+      }
+      val denom = math.max(w.map(math.abs).max / S, 1L)
+      v = w.map(_ / denom) // Long '/' truncates toward zero, like the oracle's sign-split floor-div
+    }
+    v.zipWithIndex.map { case (x, i) => (i + 1L, x) }.toSeq
+      .toDF("i", "v_fixed").orderBy("i")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -4366,6 +4480,10 @@ object SparkEntry {
     "q212_substring_dedup" -> (qSubstringDedup(_, _)),
     "q213_l_diversity" -> (qLDiversity(_, _)),
     "q214_grid_neighbor_join" -> (qGridNeighborJoin(_, _)),
+    "q215_label_windows" -> (qLabelWindows(_, _)),
+    "q216_linkage_score" -> (qLinkageScore(_, _)),
+    "q217_embed_gram" -> (qEmbedGram(_, _)),
+    "q218_power_iteration" -> (qPowerIteration(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -7917,7 +8035,99 @@ object SparkEntry {
         |FROM n JOIN c b ON b.cx = ncx AND b.cy = ncy AND id_a < b.id
         |WHERE (xa - b.x) * (xa - b.x) + (ya - b.y) * (ya - b.y) <= 25000000
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q215: identical span broadcast + one-window-per-purchase integer
+    // mapping; (tu - lo + W - 1) is nonnegative so // == DIV
+    "q215_label_windows" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+        |b AS (SELECT MIN(tu) AS lo, MAX(tu) AS hi FROM e),
+        |grid AS (
+        |  SELECT u.user_id, CAST(k AS BIGINT) AS k,
+        |         lo + k * 604800000000 AS cutoff_us
+        |  FROM (SELECT DISTINCT user_id FROM e) u, b,
+        |       generate_series(0, 9999) t(k)
+        |  WHERE k <= (hi - lo) // 604800000000 - 1),
+        |pur AS (
+        |  SELECT user_id,
+        |         (tu - lo + 604800000000 - 1) // 604800000000 - 1 AS k,
+        |         COUNT(*)::BIGINT AS np
+        |  FROM e, b WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT g.user_id, g.k, g.cutoff_us,
+        |       COALESCE(np, 0)::BIGINT AS n_purchases,
+        |       COALESCE(np, 0) > 0 AS label
+        |FROM grid g LEFT JOIN pur p ON p.user_id = g.user_id AND p.k = g.k
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q216: identical brand-blocked pair space and integer agreement
+    // weights
+    "q216_linkage_score" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS id, p_brand, p_type, p_size,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) // 10000 AS band
+        |  FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       (CASE WHEN a.p_type = b.p_type THEN 7 ELSE 0 END
+        |        + CASE WHEN a.p_size = b.p_size THEN 3 ELSE 0 END
+        |        + CASE WHEN a.band = b.band THEN 2 ELSE 0 END)::BIGINT AS score
+        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.id < b.id
+        |WHERE (CASE WHEN a.p_type = b.p_type THEN 7 ELSE 0 END
+        |       + CASE WHEN a.p_size = b.p_size THEN 3 ELSE 0 END
+        |       + CASE WHEN a.band = b.band THEN 2 ELSE 0 END) >= 10
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q217: identical quantization (q136's floor(x*1000 + 0.5)) and
+    // upper-triangle pair space
+    "q217_embed_gram" ->
+      s"""WITH $gramCtes
+         |SELECT i, j, SUM(v)::BIGINT AS sxy, COUNT(*)::BIGINT AS n
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q218: q217's Gram chain mirrored to a full symmetric matrix,
+    // then 8 unrolled fixed-point mat-vec iterations; trunc division
+    // is spelled as a sign-split floor-div
+    "q218_power_iteration" ->
+      s"""WITH $gramCtes,
+         |up AS (SELECT i, j, SUM(v)::BIGINT AS sxy FROM p GROUP BY 1, 2),
+         |afull AS (
+         |  SELECT i, j, sxy FROM up
+         |  UNION ALL SELECT j, i, sxy FROM up WHERE i <> j),
+         |v0 AS (SELECT DISTINCT i, 1048576::BIGINT AS v FROM afull),
+         |$powerIterCtes
+         |SELECT i, v AS v_fixed FROM v8 ORDER BY i""".stripMargin,
   )
+
+  /** Shared CTE chain of the embedding-Gram oracles (q217/q218):
+    * quantize each vector with q136's floor(x·1000 + 0.5) and expand
+    * the upper-triangle component pairs.
+    */
+  private def gramCtes: String =
+    """q AS (
+      |  SELECT list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT CAST(i AS BIGINT) AS i, CAST(j.g AS BIGINT) AS j,
+      |         qv[i] * qv[j.g] AS v
+      |  FROM q, generate_series(1, 128) t(i), generate_series(1, 128) j(g)
+      |  WHERE i <= len(qv) AND j.g >= i AND j.g <= len(qv))""".stripMargin
+
+  /** The 8 unrolled power-iteration CTE triples of the q218 oracle:
+    * wₖ = A·vₖ (exact Long), denom = max(⌊max|w|/2²⁰⌋, 1),
+    * vₖ₊₁ = trunc(w/denom) via sign-split floor division — the same
+    * arithmetic [[qPowerIteration]] runs on the driver.
+    */
+  private def powerIterCtes: String =
+    (0 until 8).map { k =>
+      s"""w$k AS (
+         |  SELECT a.i, SUM(a.sxy * v.v)::BIGINT AS w
+         |  FROM afull a JOIN v$k v ON v.i = a.j GROUP BY 1),
+         |m$k AS (SELECT GREATEST(MAX(ABS(w)) // 1048576, 1) AS denom FROM w$k),
+         |v${k + 1} AS (
+         |  SELECT i, CASE WHEN w >= 0 THEN w // denom
+         |                 ELSE -((-w) // denom) END AS v
+         |  FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
 
   /** Shared CTE chain of the curation oracles (q60/q61): language +
     * quality scoring (identical fragments to the q18/q19 oracles) →
