@@ -4264,6 +4264,93 @@ object SparkEntry {
       .toDF("i", "v_fixed").orderBy("i")
   }
 
+  /** k-NN classification eval (the label-quality / eval-harness op):
+    * held-out queries (vec_id % 10 = 0) classify by majority label of
+    * their 5 nearest corpus neighbors (q20's brute-force cosine,
+    * rounded at 6; ties by vote count then smaller label), reported as
+    * a confusion matrix — ≤ L² rows. At corpus scale the neighbor
+    * stage swaps for the IVF/PQ candidates (q28/q81); the vote and
+    * confusion stages are unchanged.
+    */
+  private def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val knn = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") % 10 =!= 0), emb.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", k = 5)
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = knn
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "n_label"), "neighbor_id")
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    val pred = votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("n_label").as("pred_label"))
+    pred.join(labels.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .groupBy(col("label").as("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  /** Dynamic partition overwrite (the incremental-lake writer
+    * semantics): a partitioned table gets ONE partition rewritten in
+    * place — `partitionOverwriteMode=dynamic` replaces only the
+    * partitions present in the incoming frame, leaving the rest
+    * untouched (static mode would wipe the table). The gate doubles
+    * the `error` partition's cents and proves the other partitions
+    * survived the second write.
+    */
+  private def qDynPartOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_dpo_$tag"
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    // full static overwrite first: each run starts from the same state
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      ev.filter(col("event_type") === "error")
+        .withColumn("cents", col("cents") * 2L)
+        .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(out).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("event_type")
+  }
+
+  /** Winsorized robust scaling per group: exact P05/P95 order
+    * statistics (value at rank ⌈q·n⌉ — rank ties don't matter, the
+    * k-th value of the sorted multiset is unique), then clip-and-sum.
+    * One sort-based window per group plus a broadcast of the tiny
+    * per-group stats row; the clip pass is map-only.
+    */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val ranked = e.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val cuts = ranked.groupBy("event_type").agg(
+      max(when(col("rn") === expr("(n * 5 + 99) DIV 100"), col("cents"))).as("p5"),
+      max(when(col("rn") === expr("(n * 95 + 99) DIV 100"), col("cents"))).as("p95"),
+      max(col("n")).cast("long").as("n"))
+    e.join(broadcast(cuts), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("p5")).as("p5"), max(col("p95")).as("p95"),
+        sum(least(greatest(col("cents"), col("p5")), col("p95"))).as("sum_wins"),
+        sum(when(col("cents") < col("p5"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("cents") > col("p95"), 1L).otherwise(0L)).as("n_hi"))
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -4484,6 +4571,9 @@ object SparkEntry {
     "q216_linkage_score" -> (qLinkageScore(_, _)),
     "q217_embed_gram" -> (qEmbedGram(_, _)),
     "q218_power_iteration" -> (qPowerIteration(_, _)),
+    "q219_knn_classify" -> (qKnnClassify(_, _)),
+    "q220_dyn_part_overwrite" -> (qDynPartOverwrite(_, _)),
+    "q221_winsorize" -> (qWinsorize(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -8095,6 +8185,76 @@ object SparkEntry {
          |v0 AS (SELECT DISTINCT i, 1048576::BIGINT AS v FROM afull),
          |$powerIterCtes
          |SELECT i, v AS v_fixed FROM v8 ORDER BY i""".stripMargin,
+
+    // q219: q20's cosine/rank chain over the %10 split, majority vote
+    // with (votes desc, label asc) tie-break, confusion rollup
+    "q219_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id, label, v FROM e WHERE vec_id % 10 <> 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         c.label AS n_label,
+        |         ROUND(list_dot_product(q.v, c.v)
+        |               / (sqrt(list_dot_product(q.v, q.v))
+        |                  * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+        |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+        |knn AS (
+        |  SELECT query_id, n_label FROM (
+        |    SELECT query_id, n_label,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5),
+        |votes AS (
+        |  SELECT query_id, n_label, COUNT(*) AS votes
+        |  FROM knn GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT query_id, n_label AS pred_label FROM (
+        |    SELECT query_id, n_label,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY votes DESC, n_label) AS rk
+        |    FROM votes)
+        |  WHERE rk = 1)
+        |SELECT CAST(q.label AS BIGINT) AS true_label,
+        |       CAST(p.pred_label AS BIGINT) AS pred_label,
+        |       COUNT(*)::BIGINT AS n
+        |FROM pred p JOIN q ON q.vec_id = p.query_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q220: the read-back equals events with the error partition's
+    // cents doubled — only if dynamic overwrite left the rest intact
+    "q220_dyn_part_overwrite" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT)
+        |           * CASE WHEN event_type = 'error' THEN 2 ELSE 1 END)::BIGINT
+        |         AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q221: identical ceil-rank order statistics; rank ties can't
+    // change the k-th value of the sorted multiset
+    "q221_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, cents,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |cuts AS (
+        |  SELECT event_type,
+        |         MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS p5,
+        |         MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS p95,
+        |         MAX(n)::BIGINT AS n
+        |  FROM r GROUP BY 1)
+        |SELECT e.event_type, MAX(n)::BIGINT AS n,
+        |       MAX(p5)::BIGINT AS p5, MAX(p95)::BIGINT AS p95,
+        |       SUM(LEAST(GREATEST(cents, p5), p95))::BIGINT AS sum_wins,
+        |       SUM(CASE WHEN cents < p5 THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+        |       SUM(CASE WHEN cents > p95 THEN 1 ELSE 0 END)::BIGINT AS n_hi
+        |FROM e JOIN cuts USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Shared CTE chain of the embedding-Gram oracles (q217/q218):
