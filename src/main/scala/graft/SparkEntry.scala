@@ -4351,6 +4351,66 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** NDCG@10 retrieval eval — the ranking-quality metric run over any
+    * retriever's output (here q20's brute cosine top-10 on the q219
+    * split; relevance = label match). The rank discounts 1/log₂(r+1)
+    * are pinned as 10 integer micro constants shared with the oracle,
+    * so the gate never depends on cross-engine `log` agreement; DCG,
+    * ideal DCG (relevant-count prefix of the same constants) and the
+    * final micro ratio are all exact integers.
+    */
+  private def qNdcgEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val disc = ndcgDiscounts.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN ${d}L" }
+      .mkString("CASE rank ", " ", " END")
+    val knn = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") % 10 =!= 0), emb.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", k = 10)
+    val perQuery = knn
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "n_label"), "neighbor_id")
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "q_label"), "query_id")
+      .withColumn("rel", when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+      .groupBy("query_id")
+      .agg(sum(col("rel")).as("n_rel"),
+        sum(expr(s"rel * ($disc)")).as("dcg_micro"))
+    val ideal = ndcgDiscounts.scanLeft(0L)(_ + _).zipWithIndex
+      .map { case (c, n) => s"WHEN $n THEN ${c}L" }
+      .mkString("CASE n_rel ", " ", " END")
+    perQuery
+      .withColumn("idcg_micro", expr(ideal))
+      .withColumn("ndcg_micro",
+        expr("CASE WHEN idcg_micro > 0 THEN dcg_micro * 1000000 DIV idcg_micro ELSE 0 END"))
+      .orderBy("query_id")
+  }
+
+  /** round(10⁶ / log₂(r+1)) for ranks 1..10 — shared verbatim with the
+    * q222 oracle so no runtime transcendental is ever compared.
+    */
+  private val ndcgDiscounts: Seq[Long] = Seq(1000000L, 630930L, 500000L,
+    430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** Entity resolution end-to-end: q216's blocked linkage scores →
+    * connected components over the link graph
+    * ([[graft.pipeline.Graph.connectedComponents]]) → survivorship
+    * (canonical id = component min, the reference-free golden-record
+    * rule). Output is one row per multi-member entity cluster with an
+    * id checksum, so a wrong merge ANYWHERE flips the hash.
+    */
+  private def qEntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val links = qLinkageScore(s, dir).select("id_a", "id_b")
+    val parts = t(s, dir, "part").select(col("p_partkey"))
+    graft.pipeline.Graph.connectedComponents(parts, "p_partkey",
+        links, "id_a", "id_b")
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("sz"), sum(col("doc")).as("id_checksum"))
+      .filter(col("sz") > 1L)
+      .orderBy("group_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -4574,6 +4634,8 @@ object SparkEntry {
     "q219_knn_classify" -> (qKnnClassify(_, _)),
     "q220_dyn_part_overwrite" -> (qDynPartOverwrite(_, _)),
     "q221_winsorize" -> (qWinsorize(_, _)),
+    "q222_ndcg_eval" -> (qNdcgEval(_, _)),
+    "q223_entity_resolution" -> (qEntityResolution(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -8255,7 +8317,79 @@ object SparkEntry {
         |       SUM(CASE WHEN cents > p95 THEN 1 ELSE 0 END)::BIGINT AS n_hi
         |FROM e JOIN cuts USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q222: q219's retrieval chain at k=10; the SAME pinned integer
+    // discount constants on both sides — no runtime log anywhere
+    "q222_ndcg_eval" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 10 = 0),
+         |c AS (SELECT vec_id, label, v FROM e WHERE vec_id % 10 <> 0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+         |         ROUND(list_dot_product(q.v, c.v)
+         |               / (sqrt(list_dot_product(q.v, q.v))
+         |                  * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+         |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+         |knn AS (
+         |  SELECT query_id, rel,
+         |         ${ndcgDiscountSql("rank")} AS disc
+         |  FROM (
+         |    SELECT query_id, rel,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY sim DESC, neighbor_id) AS rank
+         |    FROM scored)
+         |  WHERE rank <= 10),
+         |pq AS (
+         |  SELECT query_id, SUM(rel)::BIGINT AS n_rel,
+         |         SUM(rel * disc)::BIGINT AS dcg_micro
+         |  FROM knn GROUP BY 1),
+         |wi AS (
+         |  SELECT query_id, n_rel, dcg_micro,
+         |         (${ndcgIdealSql("n_rel")})::BIGINT AS idcg_micro
+         |  FROM pq)
+         |SELECT query_id, n_rel, dcg_micro, idcg_micro,
+         |       (CASE WHEN idcg_micro > 0
+         |             THEN dcg_micro * 1000000 // idcg_micro
+         |             ELSE 0 END)::BIGINT AS ndcg_micro
+         |FROM wi ORDER BY query_id""".stripMargin,
+
+    // q223: q216's link pairs, transitive closure by recursive CTE,
+    // min-id labels ≡ the engine's union-find/propagation components
+    "q223_entity_resolution" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT p_partkey AS id, p_brand, p_type, p_size,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) // 10000 AS band
+        |  FROM part),
+        |links AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.id < b.id
+        |  WHERE (CASE WHEN a.p_type = b.p_type THEN 7 ELSE 0 END
+        |         + CASE WHEN a.p_size = b.p_size THEN 3 ELSE 0 END
+        |         + CASE WHEN a.band = b.band THEN 2 ELSE 0 END) >= 10),
+        |und AS (SELECT id_a AS a, id_b AS b FROM links
+        |        UNION SELECT id_b, id_a FROM links),
+        |reach AS (
+        |  SELECT a AS node, b AS r FROM und
+        |  UNION
+        |  SELECT re.node, u.b FROM reach re JOIN und u ON u.a = re.r),
+        |lbl AS (SELECT node, LEAST(MIN(r), node) AS g FROM reach GROUP BY node)
+        |SELECT g AS group_id, COUNT(*)::BIGINT AS sz,
+        |       SUM(node)::BIGINT AS id_checksum
+        |FROM lbl GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
   )
+
+  /** The q222 discount constants as a DuckDB CASE over a rank column. */
+  private def ndcgDiscountSql(rankCol: String): String =
+    ndcgDiscounts.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }
+      .mkString(s"CASE $rankCol ", " ", " ELSE 0 END")
+
+  /** Prefix sums of the q222 discounts (ideal DCG for n relevant). */
+  private def ndcgIdealSql(nCol: String): String =
+    ndcgDiscounts.scanLeft(0L)(_ + _).zipWithIndex
+      .map { case (c, n) => s"WHEN $n THEN $c" }
+      .mkString(s"CASE $nCol ", " ", " ELSE 0 END")
 
   /** Shared CTE chain of the embedding-Gram oracles (q217/q218):
     * quantize each vector with q136's floor(x·1000 + 0.5) and expand
