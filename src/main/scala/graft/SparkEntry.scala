@@ -4411,6 +4411,44 @@ object SparkEntry {
       .orderBy("group_id")
   }
 
+  /** Spark-4 `transformWithState` gate: the per-user running
+    * distinct-type trace ([[graft.streaming.EventStreams.DistinctTypesProcessor]])
+    * replayed over 3 micro-batches against the batch prefix-distinct
+    * recurrence. RocksDB state store (the API's only supported
+    * provider) swapped in for the query and restored after.
+    */
+  private def qStreamDistinctTypes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val name = s"q224_twstypes_${streamGateN.incrementAndGet()}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = startNarrow(s)(
+        EventStreams.distinctTypesStream(mem.toDS()).toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start())
+      try
+        evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq); q.processAllAvailable()
+        }
+      finally q.stop()
+    } finally prevProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    s.table(name).orderBy("user_id", "event_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -4636,6 +4674,7 @@ object SparkEntry {
     "q221_winsorize" -> (qWinsorize(_, _)),
     "q222_ndcg_eval" -> (qNdcgEval(_, _)),
     "q223_entity_resolution" -> (qEntityResolution(_, _)),
+    "q224_stream_distinct_types" -> (qStreamDistinctTypes(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -8377,6 +8416,22 @@ object SparkEntry {
         |SELECT g AS group_id, COUNT(*)::BIGINT AS sz,
         |       SUM(node)::BIGINT AS id_checksum
         |FROM lbl GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
+
+    // q224: the batch prefix-distinct recurrence under the stream's
+    // (ts, event_id) total order
+    "q224_stream_distinct_types" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, tu,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY tu, event_id) = 1
+        |         THEN 1 ELSE 0 END AS first_seen
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |       SUM(first_seen) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |                             ROWS UNBOUNDED PRECEDING)::BIGINT AS n_types
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */

@@ -231,4 +231,53 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class DistinctTypesOut(user_id: Long, event_id: Long, n_types: Long)
+
+  /** Per-user running distinct-event-type count on Spark 4's
+    * `transformWithState` arbitrary-state API — the ninth stream≡batch
+    * stateful shape, and the first on the new `StatefulProcessor`
+    * surface (the successor to `flatMapGroupsWithState`). State is a
+    * `MapState[String, Boolean]`: ONE store entry per (user, type), so
+    * a new type is a point insert — never a read-modify-write of a
+    * whole serialized set blob, which is what makes the shape hold
+    * when the per-key universe is large (distinct URLs/domains per
+    * crawl source, not 5 event types). Requires the RocksDB state
+    * store provider (the only one the API supports).
+    */
+  class DistinctTypesProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, DistinctTypesOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var seen: org.apache.spark.sql.streaming.MapState[String, Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState("seen", Encoders.STRING,
+        Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[DistinctTypesOut] = {
+      // event-time order within the batch; the store carries order
+      // across batches
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var n = seen.keys().size.toLong // per-key type count: tiny by contract
+      sorted.map { e =>
+        if (!seen.containsKey(e.event_type)) {
+          seen.updateValue(e.event_type, true)
+          n += 1
+        }
+        DistinctTypesOut(key, e.event_id, n)
+      }.iterator
+    }
+  }
+
+  /** `transformWithState` wiring for [[DistinctTypesProcessor]]. */
+  def distinctTypesStream(events: Dataset[Event]): Dataset[DistinctTypesOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new DistinctTypesProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -75,6 +75,40 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("distinctTypesStream (transformWithState) carries MapState across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.distinctTypesStream(mem.toDS())
+        .toDF().writeStream.format("memory").queryName("tws_types")
+        .outputMode("append").start()
+      try {
+        // batch 1: types a, a, b → counts 1, 1, 2
+        mem.addData(EventStreams.Event(1, ts(0), 1, "a", 0.0),
+          EventStreams.Event(2, ts(1), 1, "a", 0.0),
+          EventStreams.Event(3, ts(2), 1, "b", 0.0))
+        q.processAllAvailable()
+        // batch 2: the SAME user's map state persists — a repeat stays
+        // 2, a new type bumps to 3; a different user starts at 1
+        mem.addData(EventStreams.Event(4, ts(3), 1, "b", 0.0),
+          EventStreams.Event(5, ts(4), 1, "c", 0.0),
+          EventStreams.Event(6, ts(4), 2, "a", 0.0))
+        q.processAllAvailable()
+        val got = spark.table("tws_types").as[EventStreams.DistinctTypesOut]
+          .collect().map(o => o.event_id -> o.n_types).toMap
+        assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L,
+          4L -> 2L, 5L -> 3L, 6L -> 1L))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("dedupStream drops exact duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
