@@ -4449,6 +4449,145 @@ object SparkEntry {
     s.table(name).orderBy("user_id", "event_id")
   }
 
+  /** Sequential-pattern support (PrefixSpan's frequent-2-sequence
+    * core): for event types a ≠ b, how many users exhibit "a then
+    * later b". Per user each type reduces to (first, last) occurrence
+    * — "a before b" ⟺ min(a) < max(b) — so the pair space is the tiny
+    * per-user type×type grid (≤ T² rows/user), never an event-level
+    * self-join. One groupBy + one user-keyed join.
+    */
+  private def qSeqSupport(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+      // "a then later b" ⟺ min(tu_a) < max(tu_b): a strict value
+      // comparison, so micro-timestamp ties resolve to "not before"
+      // identically on both engines — no ordering ambiguity
+      .groupBy("user_id", "event_type")
+      .agg(min(col("tu")).as("fst"), max(col("tu")).as("lst"))
+    val a = occ.select(col("user_id"), col("event_type").as("a"), col("fst"))
+    val b = occ.select(col("user_id"), col("event_type").as("b"), col("lst"))
+    a.join(b, Seq("user_id"))
+      .filter(col("a") =!= col("b") && col("fst") < col("lst"))
+      .groupBy("a", "b").agg(countDistinct(col("user_id")).as("support"))
+      .orderBy("a", "b")
+  }
+
+  /** TPC-H Q5's 6-table shape (region → nation → customer → orders →
+    * lineitem → supplier, with the LOCAL-supplier equality
+    * s_nationkey = c_nationkey): the canonical Catalyst join-reorder /
+    * broadcast showcase — four dimension sides broadcast, the
+    * fact-fact lineitem⋈orders shuffle is the only exchange. Revenue
+    * in exact per-row cents.
+    */
+  private def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("rev_c",
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+    val asia = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+    val nat = broadcast(t(s, dir, "nation").join(asia,
+      col("n_regionkey") === col("r_regionkey")))
+    val cust = broadcast(t(s, dir, "customer").join(nat,
+      col("c_nationkey") === col("n_nationkey")))
+    val supp = broadcast(t(s, dir, "supplier"))
+    li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Daily actives with cumulative reach (DAU / cumulative users —
+    * the engagement rollup): per day, active users, NEW users (first
+    * day ever), and the running total of users acquired. Cumulative
+    * distinct is the q224 prefix-distinct trick — a first-seen flag
+    * plus a running sum over the ≤ |days| rollup rows, never a
+    * distinct over an expanding window.
+    */
+  private def qDailyActives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = e.groupBy("user_id").agg(min(col("day")).as("fday"))
+    val daily = e.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    val news = firstDay.groupBy(col("fday").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    daily.join(news, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users"))
+        .over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("new_users"), col("cum_users"))
+      .orderBy("day")
+  }
+
+  /** Referential-integrity audit (the pre-publish FK screen): orphan
+    * counts and row totals for every declared relationship in the
+    * star — each check one anti-join on its key, partial-aggregated.
+    */
+  private def qFkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def check(name: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_rows"))
+        .withColumn("relation", lit(name))
+      val orphans = child.join(parent,
+          child(childKey) === parent(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .withColumn("relation", lit(name))
+      total.join(orphans, "relation")
+    }
+    val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+    check("lineitem.l_orderkey->orders", li, "l_orderkey", ord, "o_orderkey")
+      .union(check("lineitem.l_partkey->part", li, "l_partkey",
+        t(s, dir, "part"), "p_partkey"))
+      .union(check("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"))
+      .union(check("orders.o_custkey->customer", ord, "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+      .union(check("customer.c_nationkey->nation", t(s, dir, "customer"),
+        "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+      .union(check("events.user_id->customer", Tables.events(s, dir),
+        "user_id", t(s, dir, "customer"), "c_custkey"))
+      .select(col("relation"), col("n_rows"), col("n_orphans"))
+      .orderBy("relation")
+  }
+
+  /** Containment join (quote / near-superset detection — asymmetric
+    * where Jaccard is symmetric): |shingles(A) ∩ shingles(B)| /
+    * |shingles(A)| ≥ 0.8 with |A| ≤ |B|. Candidates arrive ONLY
+    * through the shared-shingle equi-join (q212's dup-hash discipline);
+    * the exact containment ratio is computed from candidate intersect
+    * counts and the distinct-shingle sizes. Catches "A quoted inside
+    * B" pairs whose Jaccard is far below any dedup threshold.
+    */
+  private def qContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= K)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(1, size(tok) - ${K - 1}),
+           |  i -> graft_md5hi60(concat('0:', concat_ws(' ', slice(tok, i, $K)))))"""
+          .stripMargin))).as("h"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("small", least(col("na"), col("nb")))
+      .withColumn("containment_micro",
+        expr("CAST(inter * 1000000 DIV small AS BIGINT)"))
+      .filter(col("containment_micro") >= 800000L)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        col("containment_micro"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -4675,6 +4814,11 @@ object SparkEntry {
     "q222_ndcg_eval" -> (qNdcgEval(_, _)),
     "q223_entity_resolution" -> (qEntityResolution(_, _)),
     "q224_stream_distinct_types" -> (qStreamDistinctTypes(_, _)),
+    "q225_seq_support" -> (qSeqSupport(_, _)),
+    "q226_tpch_q5" -> (qTpchQ5(_, _)),
+    "q227_daily_actives" -> (qDailyActives(_, _)),
+    "q228_fk_integrity" -> (qFkIntegrity(_, _)),
+    "q229_containment_join" -> (qContainmentJoin(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -8432,6 +8576,103 @@ object SparkEntry {
         |       SUM(first_seen) OVER (PARTITION BY user_id ORDER BY tu, event_id
         |                             ROWS UNBOUNDED PRECEDING)::BIGINT AS n_types
         |FROM f ORDER BY user_id, event_id""".stripMargin,
+
+    // q225: identical (first, last) reduction and strict comparison
+    "q225_seq_support" ->
+      """WITH occ AS (
+        |  SELECT user_id, event_type, MIN(epoch_us(ts)) AS fst,
+        |         MAX(epoch_us(ts)) AS lst
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS a, b.event_type AS b,
+        |       COUNT(DISTINCT a.user_id)::BIGINT AS support
+        |FROM occ a JOIN occ b
+        |  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        | AND a.fst < b.lst
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q226: the textbook Q5 join tree; revenue in exact per-row cents
+    "q226_tpch_q5" ->
+      """SELECT n_name,
+        |       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |                AS BIGINT))::BIGINT AS revenue_c,
+        |       COUNT(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q227: DAU + first-seen new users + running acquisition total
+    "q227_daily_actives" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (SELECT day, COUNT(DISTINCT user_id)::BIGINT AS dau
+        |          FROM e GROUP BY 1),
+        |fd AS (SELECT user_id, MIN(day) AS fday FROM e GROUP BY 1),
+        |news AS (SELECT fday AS day, COUNT(*)::BIGINT AS new_users
+        |         FROM fd GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, dau,
+        |       COALESCE(new_users, 0)::BIGINT AS new_users,
+        |       SUM(COALESCE(new_users, 0))
+        |         OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING)::BIGINT
+        |         AS cum_users
+        |FROM daily d LEFT JOIN news n ON n.day = d.day
+        |ORDER BY day""".stripMargin,
+
+    // q228: one anti-join per declared relationship
+    "q228_fk_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |         (SELECT COUNT(*) FROM lineitem)::BIGINT AS n_rows,
+        |         (SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o
+        |            ON l.l_orderkey = o.o_orderkey)::BIGINT AS n_orphans
+        |  UNION ALL SELECT 'lineitem.l_partkey->part',
+        |         (SELECT COUNT(*) FROM lineitem)::BIGINT,
+        |         (SELECT COUNT(*) FROM lineitem l ANTI JOIN part p
+        |            ON l.l_partkey = p.p_partkey)::BIGINT
+        |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+        |         (SELECT COUNT(*) FROM lineitem)::BIGINT,
+        |         (SELECT COUNT(*) FROM lineitem l ANTI JOIN supplier s
+        |            ON l.l_suppkey = s.s_suppkey)::BIGINT
+        |  UNION ALL SELECT 'orders.o_custkey->customer',
+        |         (SELECT COUNT(*) FROM orders)::BIGINT,
+        |         (SELECT COUNT(*) FROM orders o ANTI JOIN customer c
+        |            ON o.o_custkey = c.c_custkey)::BIGINT
+        |  UNION ALL SELECT 'customer.c_nationkey->nation',
+        |         (SELECT COUNT(*) FROM customer)::BIGINT,
+        |         (SELECT COUNT(*) FROM customer c ANTI JOIN nation n
+        |            ON c.c_nationkey = n.n_nationkey)::BIGINT
+        |  UNION ALL SELECT 'events.user_id->customer',
+        |         (SELECT COUNT(*) FROM events)::BIGINT,
+        |         (SELECT COUNT(*) FROM events e ANTI JOIN customer c
+        |            ON e.user_id = c.c_custkey)::BIGINT)
+        |ORDER BY relation""".stripMargin,
+
+    // q229: q212's distinct-shingle space; containment against the
+    // SMALLER side in exact micro integers
+    "q229_containment_join" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         ('0x' || substr(md5('0:' || array_to_string(tok[i:i+4], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |       generate_series(1, 100000) t(i)
+        |  WHERE i + 4 <= len(tok)),
+        |sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS inter
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, sa.n_sh AS na, sb.n_sh AS nb,
+        |       (inter * 1000000 // LEAST(sa.n_sh, sb.n_sh))::BIGINT
+        |         AS containment_micro
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE inter * 1000000 // LEAST(sa.n_sh, sb.n_sh) >= 800000
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
