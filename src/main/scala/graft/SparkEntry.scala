@@ -4588,6 +4588,103 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Length bucketing for padded-batch efficiency (the ragged-batch
+    * packing prep): 8 global equi-depth buckets over per-doc token
+    * counts ([[graft.pipeline.Prefix.withGlobalPosition]] — never a
+    * single-task NTILE), reporting per bucket the padding waste
+    * n·max − Σtokens a fixed-shape batch would pay. The sort is the
+    * range-partitioned global position; everything after is one
+    * groupBy.
+    */
+  private def qLengthBucketing(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Prefix
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    Prefix.withGlobalPosition(docs, Seq("toks", "doc_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", expr("pos * 8 DIV n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min(col("toks")).as("min_toks"),
+        max(col("toks")).as("max_toks"), sum(col("toks")).as("sum_toks"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_toks") - col("sum_toks"))
+      .orderBy("bucket")
+  }
+
+  /** Tokenizer-vocabulary coverage / OOV-rate eval: the top-1000
+    * vocabulary (freq desc, token — a total order) learned on the
+    * even-doc split, applied to the odd-doc split; per language,
+    * token-level OOV mass in exact micro integers. The vocabulary is
+    * bounded (top-k broadcast); OOV is a left-anti join on the token —
+    * the corpus never collects.
+    */
+  private def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.filter(col("doc_id") % 2 === 0)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(1000)
+      .select("tok")
+    val eval0 = toks.filter(col("doc_id") % 2 === 1)
+    val oov = eval0.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("oov_tokens"))
+    eval0.groupBy("lang").agg(count(lit(1)).as("total_tokens"))
+      .join(oov, Seq("lang"), "left")
+      .withColumn("oov_tokens", coalesce(col("oov_tokens"), lit(0L)))
+      .withColumn("oov_micro",
+        expr("CAST(oov_tokens * 1000000 DIV total_tokens AS BIGINT)"))
+      .orderBy("lang")
+  }
+
+  /** Calibration bins (the reliability diagram behind any learned
+    * quality scorer): q187's logistic scores bucketed into deciles,
+    * per bin mean predicted probability vs empirical positive rate —
+    * both exact micro integers, the label a deterministic
+    * vocabulary-richness rule. A miscalibrated scorer shows
+    * mean_pred ≫ empirical in its top bins.
+    */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.logisticQuality(
+        t(s, dir, "documents"), "doc_id", "text")
+      .withColumn("label",
+        (col("n_uniq") * 3L > col("n_tok") * 2L).cast("long"))
+      .withColumn("bin", least(expr("score_micro DIV 100000"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+        sum(col("score_micro")).as("sum_pred"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("CAST(sum_pred DIV n AS BIGINT)").as("mean_pred_micro"),
+        expr("CAST(n_pos * 1000000 DIV n AS BIGINT)").as("empirical_micro"))
+      .orderBy("bin")
+
+  /** Small-file compaction (the lakehouse maintenance op): an
+    * 8-file fragmented write compacted to 2 range-partitioned files;
+    * the gate reads both generations back and proves file count (via
+    * `input_file_name`), row count and checksum — compaction must be
+    * a pure layout change.
+    */
+  private def qCompaction(s: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$tag"
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    docs.repartition(8, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$base/small")
+    s.read.parquet(s"$base/small").repartitionByRange(2, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$base/compact")
+    // input_file_name is nondeterministic to Catalyst: project it to a
+    // column first, aggregate the column
+    def stats(stage: String, path: String) =
+      s.read.parquet(path)
+        .withColumn("__f", input_file_name())
+        .agg(countDistinct(col("__f")).as("n_files"),
+          count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("stage", lit(stage))
+    stats("before", s"$base/small").union(stats("after", s"$base/compact"))
+      .select(col("stage"), col("n_files"), col("n_rows"), col("sum_chars"))
+      .orderBy("stage")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -4819,6 +4916,10 @@ object SparkEntry {
     "q227_daily_actives" -> (qDailyActives(_, _)),
     "q228_fk_integrity" -> (qFkIntegrity(_, _)),
     "q229_containment_join" -> (qContainmentJoin(_, _)),
+    "q230_length_bucketing" -> (qLengthBucketing(_, _)),
+    "q231_oov_rate" -> (qOovRate(_, _)),
+    "q232_calibration" -> (qCalibration(_, _)),
+    "q233_compaction" -> (qCompaction(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -8673,6 +8774,76 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE inter * 1000000 // LEAST(sa.n_sh, sb.n_sh) >= 800000
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q230: global row_number replays withGlobalPosition's total order
+    "q230_length_bucketing" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS toks
+        |  FROM documents),
+        |n AS (SELECT COUNT(*)::BIGINT AS n FROM d),
+        |p AS (SELECT doc_id, toks,
+        |             ROW_NUMBER() OVER (ORDER BY toks, doc_id) - 1 AS pos
+        |      FROM d)
+        |SELECT (pos * 8 // n)::BIGINT AS bucket, COUNT(*)::BIGINT AS n_docs,
+        |       MIN(toks)::BIGINT AS min_toks, MAX(toks)::BIGINT AS max_toks,
+        |       SUM(toks)::BIGINT AS sum_toks,
+        |       (COUNT(*) * MAX(toks) - SUM(toks))::BIGINT AS padding_waste
+        |FROM p, n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q231: identical (freq desc, tok) top-1000 vocabulary + anti-join
+    "q231_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, COUNT(*) AS freq FROM toks WHERE doc_id % 2 = 0
+        |    GROUP BY 1 ORDER BY freq DESC, tok LIMIT 1000)),
+        |ev AS (SELECT lang, tok FROM toks WHERE doc_id % 2 = 1),
+        |tot AS (SELECT lang, COUNT(*)::BIGINT AS total_tokens FROM ev GROUP BY 1),
+        |oov AS (
+        |  SELECT lang, COUNT(*)::BIGINT AS oov_tokens
+        |  FROM ev ANTI JOIN vocab USING (tok) GROUP BY 1)
+        |SELECT lang, total_tokens, COALESCE(oov_tokens, 0)::BIGINT AS oov_tokens,
+        |       (COALESCE(oov_tokens, 0) * 1000000 // total_tokens)::BIGINT
+        |         AS oov_micro
+        |FROM tot LEFT JOIN oov USING (lang) ORDER BY lang""".stripMargin,
+
+    // q232: q187's score chain, decile bins, integer mean/empirical
+    "q232_calibration" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' '))::BIGINT AS n_tok,
+        |         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+        |         length(text)::BIGINT AS n_chars
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, n_tok, n_uniq,
+        |         (30 * n_tok + 7 * n_uniq - n_chars - 500)::BIGINT AS logit_centi
+        |  FROM f),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(1.0 / (1.0 + exp(-(logit_centi / 100.0)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS score_micro,
+        |    CASE WHEN n_uniq * 3 > n_tok * 2 THEN 1 ELSE 0 END AS label
+        |  FROM l)
+        |SELECT LEAST(score_micro // 100000, 9)::BIGINT AS bin,
+        |       COUNT(*)::BIGINT AS n, SUM(label)::BIGINT AS n_pos,
+        |       (SUM(score_micro) // COUNT(*))::BIGINT AS mean_pred_micro,
+        |       (SUM(label) * 1000000 // COUNT(*))::BIGINT AS empirical_micro
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q233: layout-only invariants — 8 fragments become 2, rows and
+    // checksum unchanged
+    "q233_compaction" ->
+      """SELECT * FROM (
+        |  SELECT 'before' AS stage, 8::BIGINT AS n_files,
+        |         COUNT(*)::BIGINT AS n_rows, SUM(n_chars)::BIGINT AS sum_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'after', 2::BIGINT, COUNT(*)::BIGINT, SUM(n_chars)::BIGINT
+        |  FROM documents)
+        |ORDER BY stage""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
