@@ -4685,6 +4685,91 @@ object SparkEntry {
       .orderBy("stage")
   }
 
+  /** Timer-driven sessionization gate
+    * ([[graft.streaming.EventStreams.TimerSessionProcessor]]): 3 real
+    * micro-batches, then two far-future sentinel batches (user −1)
+    * that push the watermark past every armed timer — so every real
+    * session emits exactly once, either by an in-batch gap or by its
+    * timer, and the stream's output equals the batch gap
+    * sessionization of all events.
+    */
+  private def qStreamTimerSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        unix_micros(col("ts")).as("tu"))
+      .as[EventStreams.TsEvent].collect().sortBy(e => (e.tu, e.event_id))
+    val maxTu = evs.map(_.tu).max
+    def sentinel(offsetUs: Long) = EventStreams.TsEvent(-1L,
+      new java.sql.Timestamp((maxTu + offsetUs) / 1000L), -1L, maxTu + offsetUs)
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.TsEvent]
+    val name = s"q234_twstimer_${streamGateN.incrementAndGet()}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = startNarrow(s)(
+        EventStreams.timerSessionStream(mem.toDS()).toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start())
+      try {
+        evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        // sentinel 1 advances the watermark past every idle deadline;
+        // sentinel 2 triggers the batch in which those timers fire
+        mem.addData(sentinel(7200L * 1000000L)); q.processAllAvailable()
+        mem.addData(sentinel(10800L * 1000000L)); q.processAllAvailable()
+      } finally q.stop()
+    } finally prevProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    s.table(name).filter(col("user_id") >= 0L)
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Late-interaction retrieval scoring (the ColBERT maxsim shape):
+    * each 64-dim embedding splits into 8 8-dim "token" subvectors
+    * (quantized to exact integers, q136's discipline); score(q, d) =
+    * Σ over query subvectors of the max integer dot against any doc
+    * subvector — all inside one codegen'd nested higher-order
+    * expression, no UDF, no explode. Top-5 per query by (score desc,
+    * id). At corpus scale the candidate set comes from an ANN index
+    * (q28/q136); maxsim stays the rerank kernel.
+    */
+  private def qLateInteraction(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = expr(
+      """transform(sequence(0, 7), g ->
+        |  transform(sequence(1, 8), j ->
+        |    CAST(floor(CAST(element_at(embedding, g * 8 + j) AS DOUBLE)
+        |         * 1000.0 + 0.5) AS BIGINT)))""".stripMargin)
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), sub.as("sv"))
+    val q = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("sv").as("qv"))
+    val c = graft.pipeline.Par.spread(emb.filter(col("vec_id") % 25 =!= 0)
+      .select(col("vec_id").as("doc_id"), col("sv").as("dv")))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("score", expr(
+        """aggregate(
+          |  transform(qv, qs ->
+          |    array_max(transform(dv, ds ->
+          |      aggregate(zip_with(qs, ds, (x, y) -> x * y),
+          |                0L, (a, x) -> a + x)))),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -4920,6 +5005,8 @@ object SparkEntry {
     "q231_oov_rate" -> (qOovRate(_, _)),
     "q232_calibration" -> (qCalibration(_, _)),
     "q233_compaction" -> (qCompaction(_, _)),
+    "q234_stream_timer_sessions" -> (qStreamTimerSessions(_, _)),
+    "q235_late_interaction" -> (qLateInteraction(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -8844,6 +8931,51 @@ object SparkEntry {
         |  SELECT 'after', 2::BIGINT, COUNT(*)::BIGINT, SUM(n_chars)::BIGINT
         |  FROM documents)
         |ORDER BY stage""".stripMargin,
+
+    // q234: every session emits (gap inline or timer at end), so the
+    // stream equals the batch gap sessionization under (tu, event_id)
+    "q234_stream_timer_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, tu,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |           OR tu - lag(tu) OVER w > 3600000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |s AS (
+        |  SELECT user_id, tu,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(tu)::BIGINT AS session_start,
+        |       MAX(tu)::BIGINT AS session_end, COUNT(*)::BIGINT AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // q235: identical quantized subvector split and integer maxsim
+    "q235_late_interaction" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q64
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id,
+        |    list_transform([0, 1, 2, 3, 4, 5, 6, 7],
+        |      g -> q64[g * 8 + 1 : g * 8 + 8]) AS sv
+        |  FROM e),
+        |sc AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |    CAST(list_sum(list_transform(q.sv, qs ->
+        |      list_max(list_transform(c.sv, ds ->
+        |        list_dot_product(qs, ds))))) AS BIGINT) AS score
+        |  FROM sub q, sub c
+        |  WHERE q.vec_id % 25 = 0 AND c.vec_id % 25 <> 0)
+        |SELECT query_id, rank, doc_id, score FROM (
+        |  SELECT query_id, doc_id, score,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */

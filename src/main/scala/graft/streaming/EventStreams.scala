@@ -280,4 +280,76 @@ object EventStreams {
       .transformWithState(new DistinctTypesProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class TsEvent(event_id: Long, ts: java.sql.Timestamp,
+                           user_id: Long, tu: Long)
+  final case class TimerSessionState(start: Long, last: Long, n: Long)
+  final case class TimerSessionOut(user_id: Long, session_start: Long,
+                                   session_end: Long, n_events: Long)
+
+  /** Gap sessionization with EVENT-TIME TIMERS on `transformWithState`
+    * — the idle-user closure q72's `flatMapGroupsWithState` variant
+    * gets only from a closing event or a processing-time timeout
+    * (which no-data-cycles forever). Here the watermark itself fires
+    * the close: each batch re-arms ONE timer at lastSeen + gap; when
+    * the watermark passes it, `handleExpiredTimer` emits the session
+    * and clears the state. In-batch gaps still close inline, so a
+    * session is emitted exactly once either way. Session arithmetic is
+    * exact micros carried in `tu` (the watermark column `ts` is only
+    * for Spark's late-data accounting).
+    */
+  class TimerSessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TsEvent, TimerSessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => Encs}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[TimerSessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("sess",
+        Encs.product[TimerSessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TsEvent],
+                                 tv: TimerValues): Iterator[TimerSessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.tu, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer[TimerSessionOut]()
+      var cur = if (st.exists()) st.get() else null
+      sorted.foreach { e =>
+        if (cur == null) cur = TimerSessionState(e.tu, e.tu, 1L)
+        else if (e.tu - cur.last > gapUs) {
+          out += TimerSessionOut(key, cur.start, cur.last, cur.n)
+          cur = TimerSessionState(e.tu, e.tu, 1L)
+        } else cur = TimerSessionState(cur.start, e.tu, cur.n + 1L)
+      }
+      if (cur != null) {
+        st.update(cur)
+        // one live timer per key: drop stale expiries, re-arm at the
+        // new idle deadline (timer clock is epoch millis)
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer(cur.last / 1000L + gapUs / 1000L)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[TimerSessionOut] = {
+      if (st.exists()) {
+        val cur = st.get(); st.clear()
+        Iterator.single(TimerSessionOut(key, cur.start, cur.last, cur.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** Event-time wiring for [[TimerSessionProcessor]]: the watermark on
+    * `ts` both bounds late data and drives timer expiry.
+    */
+  def timerSessionStream(events: Dataset[TsEvent], gapSeconds: Long = 3600,
+                         watermark: String = "10 minutes"): Dataset[TimerSessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapSeconds * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

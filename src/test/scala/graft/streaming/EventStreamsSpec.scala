@@ -109,6 +109,43 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("timerSessionStream closes an idle session by watermark-fired timer") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(id: Long, min: Int, user: Long) =
+        EventStreams.TsEvent(id, ts(min), user, min * 60000000L)
+      val mem = MemoryStream[EventStreams.TsEvent]
+      val q = EventStreams.timerSessionStream(mem.toDS(), gapSeconds = 600,
+          watermark = "1 minute")
+        .toDF().writeStream.format("memory").queryName("tws_timer")
+        .outputMode("append").start()
+      try {
+        // user 1 has two in-gap events and then goes idle — no closing
+        // event ever arrives for them
+        mem.addData(ev(1, 10, 1), ev(2, 15, 1))
+        q.processAllAvailable()
+        assert(spark.table("tws_timer").count() == 0) // still open
+        // an unrelated user's far-future event advances the watermark
+        // (60 - 1 > 15 + 10); the NEXT batch fires user 1's timer
+        mem.addData(ev(3, 60, 2))
+        q.processAllAvailable()
+        mem.addData(ev(4, 61, 2))
+        q.processAllAvailable()
+        val got = spark.table("tws_timer").as[EventStreams.TimerSessionOut]
+          .collect().filter(_.user_id == 1L)
+        assert(got.toSeq == Seq(EventStreams.TimerSessionOut(
+          1L, 10 * 60000000L, 15 * 60000000L, 2L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("dedupStream drops exact duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
