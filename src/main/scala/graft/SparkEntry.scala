@@ -4770,6 +4770,114 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-key quota capping (the crawl-source / user rate-limit op):
+    * each (user, day) keeps its first 5 events under the (tu,
+    * event_id) total order; the gate reports per-day kept/dropped
+    * mass. One key-partitioned row_number window — the drop rule is a
+    * pure rank predicate, so it composes with any downstream op
+    * without a second shuffle on the same key.
+    */
+  private def qQuotaCap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"),
+      to_date(col("ts")).as("day"), unix_micros(col("ts")).as("tu"),
+      col("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("tu"), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .withColumn("kept", (col("rn") <= 5).cast("long"))
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("kept")).as("n_kept"),
+        (count(lit(1)) - sum(col("kept"))).as("n_dropped"),
+        countDistinct(when(col("kept") === 0L, col("user_id"))).as("n_capped_users"))
+      .orderBy("day")
+  }
+
+  /** Seasonal-residual anomaly screen (q162's seasonality × q124's
+    * MAD, composed): each event's cents deviate from its (hour-of-day,
+    * type) bucket's integer mean; flags where |residual| exceeds 3×
+    * the bucket's exact MAD. Bucket stats are two broadcast-sized
+    * aggregates; the flag pass is map-only. All integer cents.
+    */
+  private def qSeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+      hour(col("ts")).cast("long").as("hh"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val mean = e.groupBy("hh", "event_type")
+      .agg(expr("CAST(sum(cents) DIV count(1) AS BIGINT)").as("mu"))
+    val resid = e.join(broadcast(mean), Seq("hh", "event_type"))
+      .withColumn("r", col("cents") - col("mu"))
+    // exact MAD: the low-median of |r| per bucket (value at rank
+    // ⌈n/2⌉ — deterministic under ties, like q221's order statistics)
+    val mad = resid.withColumn("ar", abs(col("r")))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hh"), col("event_type")).orderBy(col("ar"))))
+      .withColumn("n", count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hh"), col("event_type"))))
+      .groupBy("hh", "event_type")
+      .agg(max(when(col("rn") === expr("(n + 1) DIV 2"), col("ar"))).as("mad"))
+    resid.join(broadcast(mad), Seq("hh", "event_type"))
+      .filter(abs(col("r")) > col("mad") * 3L)
+      .groupBy("hh", "event_type")
+      .agg(count(lit(1)).as("n_anomalies"), max(abs(col("r"))).as("max_abs_resid"),
+        max(col("mad")).as("mad"))
+      .orderBy("hh", "event_type")
+  }
+
+  /** Embedding drift per label between corpus generations (the
+    * retrain-trigger monitor): component-wise integer centroid SUMS
+    * (q155's discipline) for the even/odd vec_id splits, compared as
+    * the exact integer cross-moment chain — n_b²·‖Σa‖² − 2·n_a·n_b·
+    * (Σa·Σb) + n_a²·‖Σb‖² = ‖n_b·Σa − n_a·Σb‖², the scaled
+    * mean-shift norm with no division anywhere. One component-keyed
+    * aggregation; everything after is L·d sized.
+    */
+  private def qEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val comp = t(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"), (col("vec_id") % 2 === 0).as("gen_a"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"))
+          .as(Seq("j", "q")))
+    val cent = comp.groupBy("label", "j")
+      .agg(sum(when(col("gen_a"), col("q")).otherwise(0L)).as("sa"),
+        sum(when(!col("gen_a"), col("q")).otherwise(0L)).as("sb"),
+        sum(when(col("gen_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("gen_a"), 1L).otherwise(0L)).as("cb"))
+    cent.groupBy("label")
+      .agg(max(col("ca")).as("n_a"), // ca repeats n_a on every component
+        max(col("cb")).as("n_b"),
+        sum(col("sa") * col("sa")).as("na2"),
+        sum(col("sa") * col("sb")).as("dot"),
+        sum(col("sb") * col("sb")).as("nb2"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (col("n_b") * col("n_b") * col("na2")
+          - lit(2L) * col("n_a") * col("n_b") * col("dot")
+          + col("n_a") * col("n_a") * col("nb2")).as("shift_norm2"))
+      .orderBy("label")
+  }
+
+  /** Feature-store materialization (the training-feature rollup): one
+    * wide per-user feature vector — totals, per-type pivot counts,
+    * activity span, recency, exact mean cents — in a single
+    * partial-aggregated groupBy + pivot over the 5 known types.
+    */
+  private def qFeatureStore(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tu"), to_date(col("ts")).as("day"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    e.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+        countDistinct(col("day")).as("days_active"),
+        max(col("tu")).as("last_seen_us"),
+        expr("CAST(sum(cents) DIV count(1) AS BIGINT)").as("mean_cents"))
+      .orderBy("user_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -5007,6 +5115,10 @@ object SparkEntry {
     "q233_compaction" -> (qCompaction(_, _)),
     "q234_stream_timer_sessions" -> (qStreamTimerSessions(_, _)),
     "q235_late_interaction" -> (qLateInteraction(_, _)),
+    "q236_quota_cap" -> (qQuotaCap(_, _)),
+    "q237_seasonal_anomaly" -> (qSeasonalAnomaly(_, _)),
+    "q238_embedding_drift" -> (qEmbeddingDrift(_, _)),
+    "q239_feature_store" -> (qFeatureStore(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -8976,6 +9088,86 @@ object SparkEntry {
         |                            ORDER BY score DESC, doc_id) AS rank
         |  FROM sc)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q236: identical rank-predicate quota under (tu, event_id)
+    "q236_quota_cap" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS tu, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |                                 ORDER BY tu, event_id) <= 5
+        |         THEN 1 ELSE 0 END AS kept
+        |  FROM e)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, COUNT(*)::BIGINT AS n_events,
+        |       SUM(kept)::BIGINT AS n_kept,
+        |       (COUNT(*) - SUM(kept))::BIGINT AS n_dropped,
+        |       COUNT(DISTINCT CASE WHEN kept = 0 THEN user_id END)::BIGINT
+        |         AS n_capped_users
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
+    // q237: integer bucket means, low-median MAD at rank ⌈n/2⌉, 3×
+    // flag — identical arithmetic
+    "q237_seasonal_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS hh,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |mu AS (
+        |  SELECT hh, event_type, SUM(cents) // COUNT(*) AS mu
+        |  FROM e GROUP BY 1, 2),
+        |resid AS (
+        |  SELECT e.event_id, e.hh, e.event_type, cents - mu AS r
+        |  FROM e JOIN mu USING (hh, event_type)),
+        |rk AS (
+        |  SELECT hh, event_type, ABS(r) AS ar,
+        |    ROW_NUMBER() OVER (PARTITION BY hh, event_type ORDER BY ABS(r)) AS rn,
+        |    COUNT(*) OVER (PARTITION BY hh, event_type) AS n
+        |  FROM resid),
+        |mad AS (
+        |  SELECT hh, event_type,
+        |         MAX(CASE WHEN rn = (n + 1) // 2 THEN ar END) AS mad
+        |  FROM rk GROUP BY 1, 2)
+        |SELECT r.hh, r.event_type, COUNT(*)::BIGINT AS n_anomalies,
+        |       MAX(ABS(r))::BIGINT AS max_abs_resid, MAX(mad)::BIGINT AS mad
+        |FROM resid r JOIN mad USING (hh, event_type)
+        |WHERE ABS(r) > mad * 3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q238: integer centroid sums per split; the scaled mean-shift
+    // norm ‖n_b·Σa − n_a·Σb‖² expanded to three cross-moments
+    "q238_embedding_drift" ->
+      """WITH comp AS (
+        |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 = 0 AS gen_a, j,
+        |         CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings, generate_series(1, 64) t(j)),
+        |cent AS (
+        |  SELECT label, j,
+        |         SUM(CASE WHEN gen_a THEN q ELSE 0 END)::BIGINT AS sa,
+        |         SUM(CASE WHEN NOT gen_a THEN q ELSE 0 END)::BIGINT AS sb,
+        |         SUM(CASE WHEN gen_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |         SUM(CASE WHEN NOT gen_a THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM comp GROUP BY 1, 2)
+        |SELECT label, MAX(ca)::BIGINT AS n_a, MAX(cb)::BIGINT AS n_b,
+        |       (MAX(cb) * MAX(cb) * SUM(sa * sa)
+        |        - 2 * MAX(ca) * MAX(cb) * SUM(sa * sb)
+        |        + MAX(ca) * MAX(ca) * SUM(sb * sb))::BIGINT AS shift_norm2
+        |FROM cent GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q239: one wide rollup; mean is the exact floor-divided cents
+    "q239_feature_store" ->
+      """SELECT user_id, COUNT(*)::BIGINT AS n_events,
+        |       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+        |       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+        |       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+        |       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+        |       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+        |       COUNT(DISTINCT CAST(ts AS DATE))::BIGINT AS days_active,
+        |       MAX(epoch_us(ts))::BIGINT AS last_seen_us,
+        |       (SUM(CAST(round(value * 100) AS BIGINT)) // COUNT(*))::BIGINT
+        |         AS mean_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
