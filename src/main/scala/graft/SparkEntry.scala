@@ -7885,7 +7885,7 @@ object SparkEntry {
     "q202_jsonl_source" ->
       """SELECT event_type, COUNT(*)::BIGINT AS n,
         |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
-        |       SUM(epoch_us(ts))::BIGINT AS sum_tu
+        |       SUM(epoch_us(ts) - 1704067200000000)::BIGINT AS sum_tu
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q208: identical quasi-identifier banding and size histogram
@@ -8595,7 +8595,7 @@ object SparkEntry {
     "q210_orc_source" ->
       """SELECT event_type, COUNT(*)::BIGINT AS n,
         |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
-        |       SUM(epoch_us(ts))::BIGINT AS sum_tu
+        |       SUM(epoch_us(ts) - 1704067200000000)::BIGINT AS sum_tu
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q211: identical exact-cents LOO arithmetic; both sides floor-

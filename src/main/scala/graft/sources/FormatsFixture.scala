@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object FormatsFixture {
 
+  /** 2024-01-01T00:00:00Z in micros — the fixture's `tu` origin. */
+  val EpochUs: Long = 1704067200000000L
+
   def dir(sfDir: String): String = {
     val tag = new java.io.File(sfDir).getName
-    s"${System.getProperty("java.io.tmpdir")}/graft_formats_$tag"
+    // v2: `tu` became epoch-relative; the version bump invalidates any
+    // _SUCCESS-guarded dump with the old absolute clock
+    s"${System.getProperty("java.io.tmpdir")}/graft_formats_v2_$tag"
   }
 
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
@@ -42,7 +47,10 @@ object FormatsFixture {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
-        unix_micros(col("ts")).as("tu"))
+        // micros RELATIVE to 2024-01-01 UTC: absolute epoch micros are
+        // ~1.7e15, so a 20k-row group SUM overflows Long at sf0.1 —
+        // the relative clock keeps every aggregate in range
+        (unix_micros(col("ts")) - lit(EpochUs)).as("tu"))
     ev.write.partitionBy("event_type").mode("overwrite")
       .parquet(s"$d/events_bytype")
     ev.write.mode("overwrite").json(s"$d/events_jsonl")
