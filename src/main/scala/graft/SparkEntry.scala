@@ -4831,6 +4831,12 @@ object SparkEntry {
     * (Σa·Σb) + n_a²·‖Σb‖² = ‖n_b·Σa − n_a·Σb‖², the scaled
     * mean-shift norm with no division anywhere. One component-keyed
     * aggregation; everything after is L·d sized.
+    *
+    * Overflow bound (q179's discipline): the n²·Σs² term stays in
+    * Long for ≲ 1,200 vectors per (label, generation) at this
+    * quantization — 5× the sf0.1 census. Beyond that, floor-divide
+    * the centroid sums by their counts first (micro scale) and
+    * compare mean vectors directly; the gate pins the exact variant.
     */
   private def qEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
     val comp = t(s, dir, "embeddings")
