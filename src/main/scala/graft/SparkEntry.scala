@@ -4884,6 +4884,105 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** k-anonymity enforcement by generalization (q208's audit turned
+    * into the fix): QI classes violating k=5 coarsen their band one
+    * level (band DIV 4); the gate re-audits after the step, proving
+    * generalization monotonically shrinks the violating population.
+    * Two aggregate passes + a broadcast semi-join of violating keys.
+    */
+  private def qGeneralization(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(expr("CAST(user_id % 20 AS BIGINT)").as("band"), col("event_type"))
+    val bad = e.groupBy("band", "event_type").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") < 5L).select("band", "event_type")
+    val gen = e.join(broadcast(bad), Seq("band", "event_type"), "left_semi")
+      .select(expr("CAST(band DIV 4 AS BIGINT)").as("g_band"), col("event_type"),
+        lit(1L).as("generalized"))
+      .union(e.join(broadcast(bad), Seq("band", "event_type"), "left_anti")
+        .select(col("band").as("g_band"), col("event_type"),
+          lit(0L).as("generalized")))
+    gen.groupBy("g_band", "event_type", "generalized")
+      .agg(count(lit(1)).as("sz"))
+      .withColumn("violates_k5", col("sz") < 5L)
+      .orderBy("g_band", "event_type", "generalized")
+  }
+
+  /** Language-ID eval: q19's n-gram-marker predictions against the
+    * corpus's labeled `lang` — confusion matrix + per-cell share of
+    * the true language's mass in exact micros. The eval harness for
+    * any classifier-shaped curation stage.
+    */
+  private def qLangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pred = t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+    pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .withColumn("lang_total",
+        sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .withColumn("share_micro",
+        expr("CAST(n * 1000000 DIV lang_total AS BIGINT)"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  /** Null-key-split outer join (the null-skew survival pattern): a
+    * nullable join key sends every NULL row to ONE shuffle partition —
+    * at 100 TB that partition is the job. The null rows can't match
+    * anyway, so they split off BEFORE the shuffle and re-enter by
+    * union; only the non-null mass shuffles. The gate proves the
+    * split-union equals the plain left join.
+    */
+  private def qNullSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").select(col("o_orderkey"),
+      expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END").as("k"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    val matched = ord.filter(col("k").isNotNull).join(broadcast(cust), Seq("k"), "left")
+    val nulls = ord.filter(col("k").isNull).withColumn("c_mktsegment", lit(null: String))
+    matched.union(nulls)
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNMATCHED")).as("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("segment")
+  }
+
+  /** SQL-surface gate: the identical rollup authored as `spark.sql`
+    * text over a registered temp view — the engine's second front
+    * door. Everything else in this file is the DataFrame DSL; a user
+    * migrating raw SQL gets the same Catalyst plan and the same
+    * bytes.
+    */
+  private def qSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_events_v")
+    s.sql(
+      """SELECT event_type,
+        |       CAST(date_format(ts, 'yyyy-MM-dd') AS STRING) AS day,
+        |       COUNT(1) AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM graft_events_v
+        |GROUP BY event_type, date_format(ts, 'yyyy-MM-dd')
+        |ORDER BY event_type, day""".stripMargin)
+  }
+
+  /** DECIMAL money arithmetic (the type the float-cents convention
+    * sidesteps): prices as DECIMAL(18,2), an 8%-tax chain in
+    * DECIMAL(18,4), per-flag totals emitted as exact scaled BIGINTs.
+    * Decimal aggregation is Tungsten's exact path — no binary-double
+    * rounding anywhere, matching DuckDB's DECIMAL semantics digit for
+    * digit.
+    */
+  private def qDecimalMoney(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4))")
+          .as("p"))
+      .withColumn("taxed", expr("CAST(p * CAST(1.08 AS DECIMAL(6,4)) AS DECIMAL(18,4))"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(p) * 100 AS BIGINT)").as("sum_price_c"),
+        expr("CAST(SUM(taxed) * 10000 AS BIGINT)").as("sum_taxed_dm"))
+      .orderBy("l_returnflag")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -5125,6 +5224,11 @@ object SparkEntry {
     "q237_seasonal_anomaly" -> (qSeasonalAnomaly(_, _)),
     "q238_embedding_drift" -> (qEmbeddingDrift(_, _)),
     "q239_feature_store" -> (qFeatureStore(_, _)),
+    "q240_generalization" -> (qGeneralization(_, _)),
+    "q241_langid_confusion" -> (qLangidConfusion(_, _)),
+    "q242_null_skew_join" -> (qNullSkewJoin(_, _)),
+    "q243_sql_surface" -> (qSqlSurface(_, _)),
+    "q244_decimal_money" -> (qDecimalMoney(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -9174,6 +9278,86 @@ object SparkEntry {
         |       (SUM(CAST(round(value * 100) AS BIGINT)) // COUNT(*))::BIGINT
         |         AS mean_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q240: same violating-class set, band // 4 coarsening, re-audit
+    "q240_generalization" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id % 20 AS BIGINT) AS band, event_type FROM events),
+        |bad AS (
+        |  SELECT band, event_type FROM e GROUP BY 1, 2 HAVING COUNT(*) < 5),
+        |gen AS (
+        |  SELECT CASE WHEN bad.band IS NOT NULL THEN e.band // 4
+        |              ELSE e.band END AS g_band,
+        |         e.event_type,
+        |         CASE WHEN bad.band IS NOT NULL THEN 1 ELSE 0 END AS generalized
+        |  FROM e LEFT JOIN bad
+        |    ON bad.band = e.band AND bad.event_type = e.event_type)
+        |SELECT g_band, event_type, CAST(generalized AS BIGINT) AS generalized,
+        |       COUNT(*)::BIGINT AS sz, COUNT(*) < 5 AS violates_k5
+        |FROM gen GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // q241: q19's marker CASE, confusion rollup, micro shares
+    "q241_langid_confusion" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+        |         WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+        |         WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+        |         WHEN s_de > s_en THEN 'de'
+        |         ELSE 'en' END AS lang_pred
+        |  FROM (
+        |    SELECT lang,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the', 'a', 'order', 'table', 'key'))) AS s_en,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('window', 'group', 'batch', 'stream'))) AS s_de,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('query', 'merge', 'vector', 'part'))) AS s_fr,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('data', 'row', 'scan', 'filter'))) AS s_es
+        |    FROM documents)),
+        |cm AS (SELECT lang, lang_pred, COUNT(*)::BIGINT AS n
+        |       FROM scored GROUP BY 1, 2),
+        |t AS (SELECT lang, SUM(n)::BIGINT AS lang_total FROM cm GROUP BY 1)
+        |SELECT lang, lang_pred, n, lang_total,
+        |       (n * 1000000 // lang_total)::BIGINT AS share_micro
+        |FROM cm JOIN t USING (lang) ORDER BY lang, lang_pred""".stripMargin,
+
+    // q242: the split-union must equal the plain left join
+    "q242_null_skew_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT COALESCE(c_mktsegment, 'UNMATCHED') AS segment,
+        |       COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS sum_cents
+        |FROM o LEFT JOIN customer ON k = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q243: the same rollup the SQL front door computes
+    "q243_sql_surface" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |       COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |       COUNT(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q244: both engines run the exact DECIMAL chain; the 2-dec × 2-dec
+    // product is exactly 4 decimals, so no rounding step ever fires
+    "q244_decimal_money" ->
+      """WITH d AS (
+        |  SELECT l_returnflag,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS p
+        |  FROM lineitem),
+        |x AS (
+        |  SELECT l_returnflag, p,
+        |         CAST(p * CAST(1.08 AS DECIMAL(6,4)) AS DECIMAL(18,4)) AS taxed
+        |  FROM d)
+        |SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+        |       CAST(SUM(p) * 100 AS BIGINT) AS sum_price_c,
+        |       CAST(SUM(taxed) * 10000 AS BIGINT) AS sum_taxed_dm
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
