@@ -4983,6 +4983,162 @@ object SparkEntry {
         expr("CAST(SUM(taxed) * 10000 AS BIGINT)").as("sum_taxed_dm"))
       .orderBy("l_returnflag")
 
+  /** Mergeable histogram quantiles — the quantile path that actually
+    * scales: a 1024-bin integer histogram is one map-side-combined
+    * groupBy (bin counts merge associatively across any partitioning,
+    * unlike a sort), and every quantile reads off the cumulative
+    * counts. The gate emits the histogram estimate (bin lower edge),
+    * the exact order-statistic value, and the |err| ≤ bin-width proof
+    * — so the error bound is verified, not assumed. All integer.
+    */
+  private def qHistogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val b = e.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    val binned = e.crossJoin(broadcast(b))
+      .withColumn("w", expr("(hi - lo + 1023) DIV 1024"))
+      .withColumn("bin", expr("(c - lo) DIV w"))
+    val hist = binned.groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("cnt"), max(col("lo")).as("lo"), max(col("w")).as("w"))
+      .withColumn("cum", sum(col("cnt")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val qs = Seq(25, 50, 75, 90, 99)
+    val est = hist
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("cum") * 100L >= col("q") * col("n"))
+      .groupBy("event_type", "q")
+      .agg(min(col("bin")).as("qbin"), max(col("lo")).as("lo"), max(col("w")).as("w"))
+      .withColumn("est", col("lo") + col("qbin") * col("w"))
+    // exact order statistic at rank ⌈q·n/100⌉ (the gate's check; the
+    // production path stops at `est`)
+    val exact = e
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("c"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("rn") === expr("(q * n + 99) DIV 100"))
+      .groupBy("event_type", "q").agg(max(col("c")).as("exact"))
+    est.join(exact, Seq("event_type", "q"))
+      .select(col("event_type"), col("q").cast("long").as("q"), col("est"),
+        col("exact"), col("w"),
+        (abs(col("est") - col("exact")) <= col("w")).as("within_bound"))
+      .orderBy("event_type", "q")
+  }
+
+  /** Audience-overlap matrix (segment co-membership): users collect
+    * their distinct segment set once, each user emits their C(k, 2)
+    * segment pairs, one count aggregates — the scale-correct shape
+    * (per-user fanout is k², with k = #segments, a small constant),
+    * never a user-level self-join across segments.
+    */
+  private def qAudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("seg")).distinct()
+    val sets = m.groupBy("user_id")
+      .agg(sort_array(collect_set(col("seg"))).as("segs"))
+    sets
+      // Spark's sequence(a, b) runs DESCENDING when a > b, so the
+      // loop bounds must be valid: k ≥ 2 users only, i ≤ k − 1
+      .filter(size(col("segs")) >= 2)
+      .select(col("user_id"), explode(expr(
+        """flatten(transform(sequence(1, size(segs) - 1), i ->
+          |  transform(sequence(i + 1, size(segs)), j ->
+          |    struct(element_at(segs, i) AS a, element_at(segs, j) AS b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("seg_a"), col("p.b").as("seg_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("seg_a", "seg_b")
+  }
+
+  /** Watermark late-data-drop accounting: day-1 events are fed AFTER
+    * the day-2..30 batch has advanced the watermark to day 30, so
+    * every day-1 row arrives beyond the 10-minute bound and its
+    * windows are already final — the stateful aggregation must DROP
+    * all of them, by design. The gate's output is the hourly rollup
+    * of exactly the on-time mass; a single late row leaking in flips
+    * the hash. (The eviction-proof complement of q79's happy path.)
+    */
+  private def qLateDataDrop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("ts"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .sortBy(r => (r._1.getTime, r._2))
+    val dayOne = 1704153600000L // 2024-01-02T00:00:00Z in millis
+    val (late, onTime) = rows.partition(_._1.getTime < dayOne)
+    val maxMs = rows.map(_._1.getTime).max
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Long)]
+    val name = s"q247_latedrop_${streamGateN.incrementAndGet()}"
+    val q = startNarrow(s)(
+      mem.toDF().toDF("ts", "event_type", "cents")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("cnt"), col("sum_cents"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start())
+    try {
+      mem.addData(onTime.toSeq); q.processAllAvailable() // watermark → day 30
+      mem.addData(late.toSeq); q.processAllAvailable() // all beyond the bound
+      // flush the last open windows; the sentinel's own window stays open
+      mem.addData((new java.sql.Timestamp(maxMs + 7200000L), "__flush", 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).filter(col("event_type") =!= "__flush")
+      .orderBy("hour", "event_type")
+  }
+
+  /** Checkpoint recovery across a query RESTART — the durability
+    * property everything in production leans on: a file-source stream
+    * (one file per trigger) aggregates one file, stops; a NEW query
+    * on the same checkpoint resumes source progress AND state-store
+    * contents, absorbs the two files that arrived while it was down,
+    * and lands on exactly the batch totals. MemoryStream can't prove
+    * this (not replayable); the file source is.
+    */
+  private def qCheckpointRestart(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val runId = streamGateN.incrementAndGet()
+    val tag = new java.io.File(dir).getName
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_${tag}_${runId}_${System.nanoTime()}"
+    val srcDir = Paths.get(s"$base/in"); Files.createDirectories(srcDir)
+    val rows = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => s"""{"event_id":${r.getLong(0)},"event_type":"${r.getString(1)}","cents":${r.getLong(2)}}""")
+    def writeFile(i: Int, lines: Array[String]): Unit = {
+      val tmp = Paths.get(s"$base/part-$i.tmp")
+      Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
+      Files.move(tmp, srcDir.resolve(s"part-$i.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val chunks = rows.grouped(rows.length / 3 + 1).toArray
+    writeFile(0, chunks(0))
+    def startQuery(sinkName: String) = startNarrow(s)(
+      s.readStream.schema("event_id BIGINT, event_type STRING, cents BIGINT")
+        .option("maxFilesPerTrigger", "1").json(s"$base/in")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("complete").start())
+    val q1 = startQuery(s"q248_gen1_$runId")
+    try q1.processAllAvailable() finally q1.stop()
+    // the stream is DOWN while two more files land
+    chunks.zipWithIndex.drop(1).foreach { case (c, i) => writeFile(i, c) }
+    val name2 = s"q248_gen2_$runId"
+    val q2 = startQuery(name2)
+    try q2.processAllAvailable() finally q2.stop()
+    s.table(name2).orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -5229,6 +5385,10 @@ object SparkEntry {
     "q242_null_skew_join" -> (qNullSkewJoin(_, _)),
     "q243_sql_surface" -> (qSqlSurface(_, _)),
     "q244_decimal_money" -> (qDecimalMoney(_, _)),
+    "q245_histogram_quantiles" -> (qHistogramQuantiles(_, _)),
+    "q246_audience_overlap" -> (qAudienceOverlap(_, _)),
+    "q247_late_data_drop" -> (qLateDataDrop(_, _)),
+    "q248_checkpoint_restart" -> (qCheckpointRestart(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -9358,6 +9518,72 @@ object SparkEntry {
         |       CAST(SUM(p) * 100 AS BIGINT) AS sum_price_c,
         |       CAST(SUM(taxed) * 10000 AS BIGINT) AS sum_taxed_dm
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q245: identical integer binning, cumulative pick, ceil-rank
+    // exact value, bound proof
+    "q245_histogram_quantiles" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |b AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM e),
+        |binned AS (
+        |  SELECT event_type, c, lo, (hi - lo + 1023) // 1024 AS w,
+        |         (c - lo) // ((hi - lo + 1023) // 1024) AS bin
+        |  FROM e, b),
+        |hist AS (
+        |  SELECT event_type, bin, COUNT(*) AS cnt, MAX(lo) AS lo, MAX(w) AS w
+        |  FROM binned GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin, lo, w,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM hist),
+        |est AS (
+        |  SELECT event_type, q.q, MIN(bin) AS qbin, MAX(lo) AS lo, MAX(w) AS w
+        |  FROM cum, (SELECT UNNEST([25, 50, 75, 90, 99]) AS q) q
+        |  WHERE cum * 100 >= q.q * n
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, c,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |ex AS (
+        |  SELECT event_type, q.q, MAX(c) AS exact
+        |  FROM rk, (SELECT UNNEST([25, 50, 75, 90, 99]) AS q) q
+        |  WHERE rn = (q.q * n + 99) // 100
+        |  GROUP BY 1, 2)
+        |SELECT e.event_type, CAST(e.q AS BIGINT) AS q,
+        |       (lo + qbin * w)::BIGINT AS est, exact::BIGINT AS exact,
+        |       w::BIGINT AS w,
+        |       ABS(lo + qbin * w - exact) <= w AS within_bound
+        |FROM est e JOIN ex ON ex.event_type = e.event_type AND ex.q = e.q
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q246: per-user sorted distinct segment sets, C(k,2) pair fanout
+    "q246_audience_overlap" ->
+      """WITH m AS (
+        |  SELECT DISTINCT user_id, event_type AS seg FROM events),
+        |p AS (
+        |  SELECT a.seg AS seg_a, b.seg AS seg_b
+        |  FROM m a JOIN m b ON a.user_id = b.user_id AND a.seg < b.seg)
+        |SELECT seg_a, seg_b, COUNT(*)::BIGINT AS n_users
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q247: the surviving mass is exactly the on-time (day ≥ 2) rows
+    "q247_late_data_drop" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, COUNT(*)::BIGINT AS cnt,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q248: recovery must land on the plain batch totals
+    "q248_checkpoint_restart" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
