@@ -5139,6 +5139,41 @@ object SparkEntry {
     s.table(name2).orderBy("event_type")
   }
 
+  /** MinHash mergeability proof — the property that makes sketch
+    * dedup work across ANY partitioning of 100 TB: sig(A ∪ B) =
+    * elementwise min(sig(A), sig(B)). The shingle set splits by hash
+    * parity into two halves, each half signs independently (as two
+    * partitions would), and the null-safe min-merge must reproduce
+    * the whole-set signature bit for bit. Output compresses the 12
+    * lanes to xor checksums + the per-doc identity verdict.
+    */
+  private def qMinhashMerge(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id").as("doc"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc"), explode(array_distinct(expr(
+        "transform(sequence(1, size(tok) - 2), i -> concat_ws(' ', slice(tok, i, 3)))")))
+        .as("s"))
+      .select(col("doc"), expr("graft_md5hi60(s)").as("h1"),
+        expr("shiftright(graft_md5lo60(s), 4)").as("h2"))
+      .withColumn("part", expr("h1 % 2"))
+    val aggs = (0 until 12).flatMap { i =>
+      Seq(min(col("h1") + lit(i.toLong) * col("h2")).as(s"w$i"),
+        min(when(col("part") === 0L, col("h1") + lit(i.toLong) * col("h2"))).as(s"e$i"),
+        min(when(col("part") === 1L, col("h1") + lit(i.toLong) * col("h2"))).as(s"o$i"))
+    } :+ count(lit(1)).as("n_sh")
+    val m = (0 until 12).map(i =>
+      s"CASE WHEN e$i IS NULL THEN o$i WHEN o$i IS NULL THEN e$i " +
+        s"WHEN e$i < o$i THEN e$i ELSE o$i END").toArray
+    sh.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc"), col("n_sh"),
+        expr((0 until 12).map(i => s"w$i").mkString(" ^ ")).as("sig_xor"),
+        expr(m.map(x => s"($x)").mkString(" ^ ")).as("merged_xor"),
+        expr((0 until 12).map(i => s"(${m(i)}) = w$i").mkString(" AND "))
+          .as("all_match"))
+      .orderBy("doc")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -5389,6 +5424,7 @@ object SparkEntry {
     "q246_audience_overlap" -> (qAudienceOverlap(_, _)),
     "q247_late_data_drop" -> (qLateDataDrop(_, _)),
     "q248_checkpoint_restart" -> (qCheckpointRestart(_, _)),
+    "q249_minhash_merge" -> (qMinhashMerge(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -9584,6 +9620,41 @@ object SparkEntry {
       """SELECT event_type, COUNT(*)::BIGINT AS n,
         |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q249: q13's shingle/double-hash chain, parity split, null-safe
+    // min-merge — DuckDB's ^ is exponent, so xor() chains are explicit
+    "q249_minhash_merge" -> {
+      val w = (0 until 12).map(i => s"MIN(h1 + $i * h2) AS w$i")
+      val e = (0 until 12).map(i =>
+        s"MIN(CASE WHEN part = 0 THEN h1 + $i * h2 END) AS e$i")
+      val o = (0 until 12).map(i =>
+        s"MIN(CASE WHEN part = 1 THEN h1 + $i * h2 END) AS o$i")
+      val m = (0 until 12).map(i =>
+        s"CASE WHEN e$i IS NULL THEN o$i WHEN o$i IS NULL THEN e$i " +
+          s"WHEN e$i < o$i THEN e$i ELSE o$i END")
+      def xorChain(cols: Seq[String]) =
+        cols.reduce((a, b) => s"xor($a, $b)")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id AS doc, array_to_string(tok[i:i+2], ' ') AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |       generate_series(1, 100000) t(i)
+         |  WHERE i + 2 <= len(tok)),
+         |hs AS (
+         |  SELECT doc, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+         |         (('0x' || substr(md5(s), 17, 15))::BIGINT >> 4) AS h2,
+         |         ('0x' || substr(md5(s), 1, 15))::BIGINT % 2 AS part
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc, COUNT(*)::BIGINT AS n_sh,
+         |    ${(w ++ e ++ o).mkString(",\n    ")}
+         |  FROM hs GROUP BY doc)
+         |SELECT doc, n_sh,
+         |  ${xorChain((0 until 12).map(i => s"w$i"))}::BIGINT AS sig_xor,
+         |  ${xorChain(m.map(x => s"($x)"))}::BIGINT AS merged_xor,
+         |  ${m.zipWithIndex.map { case (x, i) => s"($x) = w$i" }
+              .mkString(" AND ")} AS all_match
+         |FROM sig ORDER BY doc""".stripMargin
+    },
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
