@@ -5174,6 +5174,142 @@ object SparkEntry {
       .orderBy("doc")
   }
 
+  /** Dedup pipeline MATERIALIZATION — q51 stops at cluster ids; this
+    * is the step a user actually runs: keep each cluster's min-id
+    * survivor, drop the rest, and report the corpus delta (docs and
+    * tokens, per language). The survivor rule is a single comparison
+    * against the component label — no second pass, no window.
+    */
+  private def qDedupMaterialize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cc = graft.pipeline.Graph.connectedComponents(
+        docs.select(col("doc_id")), "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, numHashes = 12,
+          bands = 4),
+        "doc_a", "doc_b")
+      .select(col("doc").as("doc_id"), col("group_id"))
+    docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .join(cc, "doc_id")
+      .withColumn("kept", (col("doc_id") === col("group_id")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs_in"), sum(col("kept")).as("docs_out"),
+        sum(col("toks")).as("tokens_in"),
+        sum(col("toks") * col("kept")).as("tokens_out"))
+      .withColumn("removed_docs", col("docs_in") - col("docs_out"))
+      .orderBy("lang")
+  }
+
+  /** Substring-dedup APPLICATION (q212 detects; this cuts): a
+    * duplicated 5-token span survives only in its hash's min-id owner
+    * doc; every other doc cuts its covered tokens (the Lee et al.
+    * remove step). Per affected doc: total / cut / kept token counts.
+    * Same no-pair-join shape as q212 — the ownership rule rides the
+    * existing groupBy(h) aggregate.
+    */
+  private def qSpanCut(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 5
+    val spans = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= K)
+      .select(col("doc_id"), size(col("tok")).cast("long").as("tt"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(tok) - ${K - 1}),
+             |  i -> graft_md5hi60(concat('0:', concat_ws(' ', slice(tok, i, $K)))))"""
+            .stripMargin)))
+      .select(col("doc_id"), col("tt"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("h"))
+    val owner = spans.groupBy("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+    // positions to cut: this doc is NOT the hash's owner
+    val cut = spans.join(owner, "h").filter(col("doc_id") =!= col("mn"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val isl = cut
+      .withColumn("e", col("i") + K)
+      .withColumn("pme",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("pme").isNull || col("i") > col("pme"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("st"), max(col("e")).as("en"), max(col("tt")).as("tt"))
+      .groupBy("doc_id")
+      .agg(max(col("tt")).as("total_tokens"),
+        sum(col("en") - col("st")).as("cut_tokens"))
+      .withColumn("kept_tokens", col("total_tokens") - col("cut_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Positional (U-shaped) multi-touch attribution — q172's last-touch
+    * companion: each purchase's 1-hour touch window splits 1000
+    * milli-credits 40/20/40 (first / middles / last), the middle
+    * share floor-divided with its remainder pinned to the EARLIEST
+    * middle so every purchase distributes exactly 1000. Touches come
+    * from one user-keyed join bounded by the window — no cross join.
+    */
+  private def qPositionalAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tu"), col("event_type"))
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("tu").as("p_tu"))
+    val touches = pur.join(
+        e.filter(col("event_type") =!= "purchase")
+          .withColumnRenamed("tu", "t_tu").withColumnRenamed("event_id", "t_id"),
+        Seq("user_id"))
+      .filter(col("t_tu") < col("p_tu") &&
+        col("p_tu") - col("t_tu") <= 3600L * 1000000L)
+    val w = Window.partitionBy(col("p_id")).orderBy(col("t_tu"), col("t_id"))
+    val ranked = touches
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+    ranked.withColumn("credit_milli", expr(
+        """CASE WHEN k = 1 THEN 1000
+          |     WHEN k = 2 THEN 500
+          |     WHEN r = 1 THEN 400
+          |     WHEN r = k THEN 400
+          |     WHEN r = 2 THEN 200 DIV (k - 2) + 200 % (k - 2)
+          |     ELSE 200 DIV (k - 2) END""".stripMargin))
+      .groupBy(col("event_type").as("channel"))
+      .agg(sum(col("credit_milli")).as("credit_milli"),
+        countDistinct(col("p_id")).as("n_purchases_touched"))
+      .orderBy("channel")
+  }
+
+  /** Unpivot / melt (Spark 4's `Dataset.unpivot`, the wide→long
+    * reshape every feature store needs going INTO training): q239's
+    * wide per-user features melt to (user_id, feature, value) rows.
+    */
+  private def qUnpivotMelt(s: SparkSession, dir: String): DataFrame =
+    qFeatureStore(s, dir)
+      .select("user_id", "n_view", "n_click", "n_purchase", "n_error", "n_signup")
+      .unpivot(Array(col("user_id")),
+        Array(col("n_view"), col("n_click"), col("n_purchase"),
+          col("n_error"), col("n_signup")),
+        "feature", "value")
+      .orderBy("user_id", "feature")
+
+  /** Writer file-size governance (`maxRecordsPerFile`): one writing
+    * task bounded at 4,000 rows/file must produce exactly
+    * ⌈n/4000⌉ files — layout control without a repartition-by-count
+    * shuffle. Read back proves file count and content.
+    */
+  private def qMaxRecordsFile(s: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_mrf_$tag"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .repartition(1)
+      .write.mode("overwrite").option("maxRecordsPerFile", "4000").parquet(out)
+    s.read.parquet(out).withColumn("__f", input_file_name())
+      .agg(countDistinct(col("__f")).as("n_files"),
+        count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .select(col("n_files"), col("n_rows"), col("sum_cents"))
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -5425,6 +5561,11 @@ object SparkEntry {
     "q247_late_data_drop" -> (qLateDataDrop(_, _)),
     "q248_checkpoint_restart" -> (qCheckpointRestart(_, _)),
     "q249_minhash_merge" -> (qMinhashMerge(_, _)),
+    "q250_dedup_materialize" -> (qDedupMaterialize(_, _)),
+    "q251_span_cut" -> (qSpanCut(_, _)),
+    "q252_positional_attribution" -> (qPositionalAttribution(_, _)),
+    "q253_unpivot_melt" -> (qUnpivotMelt(_, _)),
+    "q254_max_records_file" -> (qMaxRecordsFile(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -9655,6 +9796,117 @@ object SparkEntry {
               .mkString(" AND ")} AS all_match
          |FROM sig ORDER BY doc""".stripMargin
     },
+
+    // q250: q51's closure + the survivor comparison + corpus delta
+    "q250_dedup_materialize" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
+         |), lbl AS (
+         |  SELECT doc AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY 1)
+         |SELECT d.lang, COUNT(*)::BIGINT AS docs_in,
+         |  SUM(CASE WHEN l.group_id = d.doc_id THEN 1 ELSE 0 END)::BIGINT
+         |    AS docs_out,
+         |  SUM(len(string_split(d.text, ' ')))::BIGINT AS tokens_in,
+         |  SUM(CASE WHEN l.group_id = d.doc_id
+         |           THEN len(string_split(d.text, ' ')) ELSE 0 END)::BIGINT
+         |    AS tokens_out,
+         |  (COUNT(*) - SUM(CASE WHEN l.group_id = d.doc_id THEN 1 ELSE 0 END))::BIGINT
+         |    AS removed_docs
+         |FROM documents d JOIN lbl l ON l.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q251: q212's span space with the min-id ownership rule
+    "q251_span_cut" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |sp AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i, len(tok)::BIGINT AS tt,
+        |         ('0x' || substr(md5('0:' || array_to_string(tok[i:i+4], ' ')), 1, 15))::BIGINT AS h
+        |  FROM tk, generate_series(1, 100000) t(i)
+        |  WHERE i + 4 <= len(tok)),
+        |own AS (
+        |  SELECT h, MIN(doc_id) AS mn FROM sp GROUP BY h
+        |  HAVING MIN(doc_id) <> MAX(doc_id)),
+        |cut AS (
+        |  SELECT doc_id, i, tt FROM sp JOIN own USING (h) WHERE doc_id <> mn),
+        |f AS (
+        |  SELECT doc_id, i, tt, i + 5 AS e,
+        |    max(i + 5) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM cut),
+        |isl AS (
+        |  SELECT doc_id, i, e, tt,
+        |    SUM(CASE WHEN pme IS NULL OR i > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f),
+        |g AS (SELECT doc_id, island, MIN(i) AS st, MAX(e) AS en, MAX(tt) AS tt
+        |      FROM isl GROUP BY 1, 2)
+        |SELECT doc_id, MAX(tt)::BIGINT AS total_tokens,
+        |       SUM(en - st)::BIGINT AS cut_tokens,
+        |       (MAX(tt) - SUM(en - st))::BIGINT AS kept_tokens
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q252: identical U-shaped milli-credit split, remainder pinned to
+    // the earliest middle
+    "q252_positional_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type FROM events),
+        |pur AS (
+        |  SELECT user_id, event_id AS p_id, tu AS p_tu
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT p.p_id, e.event_type, e.tu AS t_tu, e.event_id AS t_id
+        |  FROM pur p JOIN e
+        |    ON e.user_id = p.user_id AND e.event_type <> 'purchase'
+        |   AND e.tu < p.p_tu AND p.p_tu - e.tu <= 3600000000),
+        |r AS (
+        |  SELECT p_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_tu, t_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY p_id) AS k
+        |  FROM t)
+        |SELECT event_type AS channel,
+        |  SUM(CASE WHEN k = 1 THEN 1000
+        |           WHEN k = 2 THEN 500
+        |           WHEN r = 1 THEN 400
+        |           WHEN r = k THEN 400
+        |           WHEN r = 2 THEN 200 // (k - 2) + 200 % (k - 2)
+        |           ELSE 200 // (k - 2) END)::BIGINT AS credit_milli,
+        |  COUNT(DISTINCT p_id)::BIGINT AS n_purchases_touched
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q253: the melt of q239's pivot columns
+    "q253_unpivot_melt" ->
+      """WITH fs AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+        |    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, feature, value FROM (
+        |  SELECT user_id, 'n_view' AS feature, n_view AS value FROM fs
+        |  UNION ALL SELECT user_id, 'n_click', n_click FROM fs
+        |  UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM fs
+        |  UNION ALL SELECT user_id, 'n_error', n_error FROM fs
+        |  UNION ALL SELECT user_id, 'n_signup', n_signup FROM fs)
+        |ORDER BY user_id, feature""".stripMargin,
+
+    // q254: one task at 4,000 rows/file ⇒ ⌈n/4000⌉ files
+    "q254_max_records_file" ->
+      """SELECT ((COUNT(*) + 3999) // 4000)::BIGINT AS n_files,
+        |       COUNT(*)::BIGINT AS n_rows,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+        |FROM events""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
