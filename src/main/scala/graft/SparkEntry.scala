@@ -5310,6 +5310,117 @@ object SparkEntry {
       .select(col("n_files"), col("n_rows"), col("sum_cents"))
   }
 
+  /** Sliding (hopping) windows — q79's tumbling counterpart: 1-hour
+    * windows every 15 minutes, so each event lands in exactly 4
+    * windows. Spark's `window(ts, len, slide)` generates the
+    * membership inline (no self-join against a window table); the
+    * oracle rebuilds it with a 4-step series. Same code shape runs
+    * under `readStream`.
+    */
+  private def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("cnt"), col("sum_cents"))
+      .orderBy("ws", "event_type")
+
+  /** Key-gap audit over the sparse TPC-H orderkey space (sequence
+    * completeness — the data-quality probe for ingest drops): gap
+    * islands from one lag window; reports gap count, missing-key
+    * mass, and the widest gap with its bounds.
+    */
+  private def qKeyGapAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Prefix
+    // NOT a single-task global lag: the sorted stream is range-
+    // partitioned (Prefix's global position), and "previous key" is a
+    // pos−1 equi-join — the whole audit scales with the partitioning
+    val p = Prefix.withGlobalPosition(
+        t(s, dir, "orders").select(col("o_orderkey").as("k")), Seq("k"))
+      .localCheckpoint() // consumed twice below (self-join)
+    val cur = p.select(col("k"), col("pos"))
+    val prev = p.select(col("k").as("pk"), (col("pos") + 1L).as("pos"))
+    cur.join(prev, "pos")
+      .filter(col("k") - col("pk") > 1L)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("k") - col("pk") - 1L).as("missing_keys"),
+        max(col("k") - col("pk") - 1L).as("widest_gap"),
+        // scalar-encoded (gap, pk) order shared with the oracle; pk is
+        // unique so the argmax is single-valued
+        max_by(col("pk"), (col("k") - col("pk")) * lit(1000000000000L) + col("pk"))
+          .as("widest_gap_after"))
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    * keys MATCH each other — the semantic dedup/reconciliation needs
+    * when NULL means "unknown but identical". The gate splits orders
+    * into two generations with NULLed keys and counts per-key matches
+    * under both plain `=` and null-safe equality; the difference is
+    * exactly the NULL×NULL mass.
+    */
+  private def qNullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      // sparse NULLs (1/101): the NULL×NULL match mass is quadratic in
+      // the null count — which is exactly the point of the gate, kept
+      // small enough to stay sane at any SF
+      expr("CASE WHEN o_orderkey % 101 = 0 THEN NULL ELSE o_custkey END").as("k"))
+    val a = o.filter(col("o_orderkey") % 2 === 0).select(col("k").as("ka"))
+    val bb = o.filter(col("o_orderkey") % 2 =!= 0).select(col("k").as("kb"))
+    val plain = a.join(bb, col("ka") === col("kb"))
+      .agg(count(lit(1)).as("n")).withColumn("mode", lit("plain_eq"))
+    val nullSafe = a.join(bb, col("ka") <=> col("kb"))
+      .agg(count(lit(1)).as("n")).withColumn("mode", lit("null_safe"))
+    plain.union(nullSafe).select(col("mode"), col("n")).orderBy("mode")
+  }
+
+  /** Partition-layout evolution union: generation 1 is
+    * hive-partitioned by event_type (the key lives in the PATH),
+    * generation 2 is a plain unpartitioned dump (the key lives in the
+    * FILE) — the mess every long-lived lake accumulates. The union
+    * read aligns both layouts and the total must equal the source
+    * table exactly.
+    */
+  private def qPartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ptev_$tag"
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    ev.filter(col("event_id") % 2 === 0).write.partitionBy("event_type")
+      .mode("overwrite").parquet(s"$base/gen1")
+    ev.filter(col("event_id") % 2 =!= 0).write
+      .mode("overwrite").parquet(s"$base/gen2")
+    val g1 = s.read.parquet(s"$base/gen1")
+      .select("event_id", "user_id", "event_type", "cents")
+    val g2 = s.read.parquet(s"$base/gen2")
+      .select("event_id", "user_id", "event_type", "cents")
+    g1.union(g2).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        expr("CAST(sum(event_id) AS BIGINT)").as("id_checksum"))
+      .orderBy("event_type")
+  }
+
+  /** Regex log parsing (the ingest-side extraction shape):
+    * `Customer#000000042` style identifiers parsed with
+    * `regexp_extract` into typed columns, validated, and rolled up —
+    * parse failures surface as a counted bucket instead of silent
+    * nulls.
+    */
+  private def qRegexLogParse(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .withColumn("parsed",
+        expr("regexp_extract(c_name, '^Customer#([0-9]+)$', 1)"))
+      .withColumn("parsed_id",
+        expr("CASE WHEN parsed = '' THEN NULL ELSE CAST(parsed AS BIGINT) END"))
+      .withColumn("status", expr(
+        """CASE WHEN parsed_id IS NULL THEN 'unparsed'
+          |     WHEN parsed_id = c_custkey THEN 'consistent'
+          |     ELSE 'mismatch' END""".stripMargin))
+      .groupBy("c_mktsegment", "status")
+      .agg(count(lit(1)).as("n"), sum(col("parsed_id")).as("id_sum"))
+      .orderBy("c_mktsegment", "status")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -5566,6 +5677,11 @@ object SparkEntry {
     "q252_positional_attribution" -> (qPositionalAttribution(_, _)),
     "q253_unpivot_melt" -> (qUnpivotMelt(_, _)),
     "q254_max_records_file" -> (qMaxRecordsFile(_, _)),
+    "q255_sliding_window" -> (qSlidingWindow(_, _)),
+    "q256_key_gap_audit" -> (qKeyGapAudit(_, _)),
+    "q257_null_safe_join" -> (qNullSafeJoin(_, _)),
+    "q258_partition_evolution" -> (qPartitionEvolution(_, _)),
+    "q259_regex_log_parse" -> (qRegexLogParse(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -9907,6 +10023,77 @@ object SparkEntry {
         |       COUNT(*)::BIGINT AS n_rows,
         |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
         |FROM events""".stripMargin,
+
+    // q255: each event's 4 hop-window starts by integer slot
+    // arithmetic (epoch-aligned, like Spark's window())
+    "q255_sliding_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 900000000 AS slot, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT (slot - g.g) * 900000000 AS ws_us, event_type, cents
+        |  FROM e, generate_series(0, 3) g(g))
+        |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS ws,
+        |       event_type, COUNT(*)::BIGINT AS cnt,
+        |       SUM(cents)::BIGINT AS sum_cents
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q256: same pos−1 join and scalar-encoded argmax
+    "q256_key_gap_audit" ->
+      """WITH p AS (
+        |  SELECT o_orderkey AS k,
+        |         ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+        |  FROM orders),
+        |j AS (
+        |  SELECT c.k, pv.k AS pk FROM p c JOIN p pv ON pv.pos + 1 = c.pos
+        |  WHERE c.k - pv.k > 1)
+        |SELECT COUNT(*)::BIGINT AS n_gaps,
+        |       SUM(k - pk - 1)::BIGINT AS missing_keys,
+        |       MAX(k - pk - 1)::BIGINT AS widest_gap,
+        |       arg_max(pk, (k - pk) * 1000000000000 + pk)::BIGINT
+        |         AS widest_gap_after
+        |FROM j""".stripMargin,
+
+    // q257: IS NOT DISTINCT FROM ≡ Spark's <=>
+    "q257_null_safe_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 101 = 0 THEN NULL ELSE o_custkey END AS k
+        |  FROM orders),
+        |a AS (SELECT k AS ka FROM o WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT k AS kb FROM o WHERE o_orderkey % 2 <> 0)
+        |SELECT * FROM (
+        |  SELECT 'null_safe' AS mode, COUNT(*)::BIGINT AS n
+        |  FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+        |  UNION ALL
+        |  SELECT 'plain_eq', COUNT(*)::BIGINT FROM a JOIN b ON ka = kb)
+        |ORDER BY mode""".stripMargin,
+
+    // q258: the two layouts must re-assemble the source exactly
+    "q258_partition_evolution" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |       SUM(event_id)::BIGINT AS id_checksum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q259: identical anchored extraction and validation rollup
+    "q259_regex_log_parse" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         regexp_extract(c_name, '^Customer#([0-9]+)$', 1) AS parsed
+        |  FROM customer),
+        |x AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN parsed IS NULL OR parsed = '' THEN NULL
+        |         ELSE CAST(parsed AS BIGINT) END AS pid
+        |  FROM c)
+        |SELECT c_mktsegment,
+        |       CASE WHEN pid IS NULL THEN 'unparsed'
+        |            WHEN pid = c_custkey THEN 'consistent'
+        |            ELSE 'mismatch' END AS status,
+        |       COUNT(*)::BIGINT AS n, SUM(pid)::BIGINT AS id_sum
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
