@@ -5421,6 +5421,117 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("parsed_id")).as("id_sum"))
       .orderBy("c_mktsegment", "status")
 
+  /** Exact AUC (Mann–Whitney with tie-averaged ranks) of the q187
+    * scorer against the q232 label — THE binary-classifier eval
+    * metric, computed entirely in integers: per distinct score,
+    * 2·avg_rank = 2·cum_before + count + 1 (always an integer), so
+    * 2U and the micro ratio are exact. The cumulative walks the
+    * DISTINCT-score table (bounded by score cardinality, not rows).
+    */
+  private def qAucEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = graft.pipeline.TextAnalysis.logisticQuality(
+        t(s, dir, "documents"), "doc_id", "text")
+      .select(col("score_micro").as("sc"),
+        (col("n_uniq") * 3L > col("n_tok") * 2L).cast("long").as("label"))
+    val byScore = sc.groupBy("sc")
+      .agg(count(lit(1)).as("c"), sum(col("label")).as("p"))
+    val w = Window.orderBy(col("sc")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore
+      .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("t2", col("p") * (lit(2L) * col("cb") + col("c") + 1L))
+    ranked.agg(sum(col("p")).as("n_pos"),
+        (sum(col("c")) - sum(col("p"))).as("n_neg"), sum(col("t2")).as("r2x2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r2x2") - col("n_pos") * (col("n_pos") + 1L)).as("u2"),
+        expr("CAST((r2x2 - n_pos * (n_pos + 1)) * 1000000 " +
+          "DIV (2 * n_pos * n_neg) AS BIGINT)").as("auc_micro"))
+  }
+
+  /** Frequency-capped reach curve (the ad/engagement dedup question
+    * "how many users saw ≥ k"): per type, reach at caps 1..5 from one
+    * (user, type) count table — cumulative thresholds, no distinct
+    * per cap.
+    */
+  private def qReachFrequency(s: SparkSession, dir: String): DataFrame = {
+    val uc = Tables.events(s, dir).groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    uc.groupBy("event_type")
+      .agg(sum(when(col("c") >= 1L, 1L).otherwise(0L)).as("reach_1"),
+        sum(when(col("c") >= 5L, 1L).otherwise(0L)).as("reach_5"),
+        sum(when(col("c") >= 10L, 1L).otherwise(0L)).as("reach_10"),
+        sum(when(col("c") >= 20L, 1L).otherwise(0L)).as("reach_20"),
+        max(col("c")).as("max_freq"))
+      .orderBy("event_type")
+  }
+
+  /** Malformed-record handling on the CSV front door: PERMISSIVE mode
+    * with `columnNameOfCorruptRecord` — bad rows land in a counted
+    * quarantine bucket with their raw text preserved, never a silent
+    * null or a job abort. Fixed micro-fixture (10 good + 3 bad rows),
+    * so the semantics are pinned independent of SF.
+    */
+  private def qCsvMalformed(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(s"${System.getProperty("java.io.tmpdir")}/graft_badcsv")
+    Files.createDirectories(base)
+    val lines = (1 to 10).map(i => s"$i,${i * 100}") ++
+      Seq("11,notanumber", "garbage line no comma", "13,")
+    Files.write(base.resolve("part-0.csv"),
+      ("event_id,cents" +: lines).mkString("\n").getBytes("UTF-8"))
+    s.read.schema("event_id BIGINT, cents BIGINT, _corrupt STRING")
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(base.toString)
+      .select(when(col("_corrupt").isNull, "good").otherwise("quarantined")
+        .as("bucket"), col("cents"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("bucket")
+  }
+
+  /** `binaryFile` source — the multimodal ingest front door: opaque
+    * bytes plus metadata columns. The gate writes the first 10 docs as
+    * raw UTF-8 files, reads them back as binary, and proves count,
+    * byte length, and an md5-prefix xor of the CONTENT — so a single
+    * flipped byte anywhere breaks it. (Modification time is excluded:
+    * metadata, not data.)
+    */
+  private def qBinarySource(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tag = new java.io.File(dir).getName
+    val base = Paths.get(s"${System.getProperty("java.io.tmpdir")}/graft_bin_$tag")
+    Files.createDirectories(base)
+    t(s, dir, "documents").filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        Files.write(base.resolve(f"doc_${r.getLong(0)}%03d.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+    s.read.format("binaryFile").load(base.toString)
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).as("total_bytes"),
+        expr("bit_xor(CAST(conv(substring(md5(content), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_md5_xor"))
+  }
+
+  /** Avro source round-trip — the row-oriented member of the format
+    * matrix (bundled in spark-sql since Spark 4): same rows, same
+    * aggregate, through `.format("avro")`.
+    */
+  private def qAvroSource(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.FormatsFixture.ensure(s, dir)
+    // the avro classes ship inside spark-sql here but without a
+    // DataSourceRegister service entry, so the short name doesn't
+    // resolve — the fully-qualified provider does
+    s.read.format("org.apache.spark.sql.avro.AvroFileFormat")
+      .load(s"$d/events_avro")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("tu")).as("sum_tu"))
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -5682,6 +5793,11 @@ object SparkEntry {
     "q257_null_safe_join" -> (qNullSafeJoin(_, _)),
     "q258_partition_evolution" -> (qPartitionEvolution(_, _)),
     "q259_regex_log_parse" -> (qRegexLogParse(_, _)),
+    "q260_auc_eval" -> (qAucEval(_, _)),
+    "q261_reach_frequency" -> (qReachFrequency(_, _)),
+    "q262_csv_malformed" -> (qCsvMalformed(_, _)),
+    "q263_binary_source" -> (qBinarySource(_, _)),
+    "q264_avro_source" -> (qAvroSource(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -10094,6 +10210,77 @@ object SparkEntry {
         |            ELSE 'mismatch' END AS status,
         |       COUNT(*)::BIGINT AS n, SUM(pid)::BIGINT AS id_sum
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q260: q187's score chain, distinct-score tie-averaged ranks,
+    // all-integer Mann-Whitney
+    "q260_auc_eval" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' '))::BIGINT AS n_tok,
+        |         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+        |         length(text)::BIGINT AS n_chars
+        |  FROM documents),
+        |sc AS (
+        |  SELECT CAST(floor(1.0 / (1.0 + exp(-((30 * n_tok + 7 * n_uniq
+        |           - n_chars - 500) / 100.0))) * 1000000.0 + 0.5) AS BIGINT) AS sc,
+        |         CASE WHEN n_uniq * 3 > n_tok * 2 THEN 1 ELSE 0 END AS label
+        |  FROM f),
+        |g AS (SELECT sc, COUNT(*)::BIGINT AS c, SUM(label)::BIGINT AS p
+        |      FROM sc GROUP BY 1),
+        |r AS (
+        |  SELECT c, p,
+        |    COALESCE(SUM(c) OVER (ORDER BY sc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM g),
+        |a AS (
+        |  SELECT SUM(p)::BIGINT AS n_pos, (SUM(c) - SUM(p))::BIGINT AS n_neg,
+        |         SUM(p * (2 * cb + c + 1))::BIGINT AS r2x2
+        |  FROM r)
+        |SELECT n_pos, n_neg,
+        |       (r2x2 - n_pos * (n_pos + 1))::BIGINT AS u2,
+        |       ((r2x2 - n_pos * (n_pos + 1)) * 1000000
+        |        // (2 * n_pos * n_neg))::BIGINT AS auc_micro
+        |FROM a""".stripMargin,
+
+    // q261: reach thresholds off one (user, type) count table
+    "q261_reach_frequency" ->
+      """WITH uc AS (
+        |  SELECT user_id, event_type, COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |       SUM(CASE WHEN c >= 1 THEN 1 ELSE 0 END)::BIGINT AS reach_1,
+        |       SUM(CASE WHEN c >= 5 THEN 1 ELSE 0 END)::BIGINT AS reach_5,
+        |       SUM(CASE WHEN c >= 10 THEN 1 ELSE 0 END)::BIGINT AS reach_10,
+        |       SUM(CASE WHEN c >= 20 THEN 1 ELSE 0 END)::BIGINT AS reach_20,
+        |       MAX(c)::BIGINT AS max_freq
+        |FROM uc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q262: the pinned PERMISSIVE semantics — a wrong TOKEN COUNT
+    // quarantines ("garbage line no comma"); a field-level conversion
+    // failure ("11,notanumber") and a trailing empty field ("13,")
+    // stay structurally good with NULL cents. 12 good (Σ = 5500), 1
+    // quarantined.
+    "q262_csv_malformed" ->
+      """SELECT * FROM (
+        |  SELECT 'good' AS bucket, 12::BIGINT AS n, 5500::BIGINT AS sum_cents
+        |  UNION ALL
+        |  SELECT 'quarantined', 1::BIGINT, NULL::BIGINT)
+        |ORDER BY bucket""".stripMargin,
+
+    // q263: the same bytes the files carry, recomputed from the table
+    "q263_binary_source" ->
+      """SELECT COUNT(*)::BIGINT AS n_files,
+        |       SUM(strlen(text))::BIGINT AS total_bytes,
+        |       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT)::BIGINT
+        |         AS content_md5_xor
+        |FROM documents WHERE doc_id < 10""".stripMargin,
+
+    // q264: original-table aggregate — Avro round-trip is value-lossless
+    "q264_avro_source" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |       SUM(epoch_us(ts) - 1704067200000000)::BIGINT AS sum_tu
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */

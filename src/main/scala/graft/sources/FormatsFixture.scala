@@ -34,7 +34,7 @@ object FormatsFixture {
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val d = dir(sfDir)
     val done = Seq("docs_gen1", "docs_gen2", "events_bytype", "events_jsonl",
-        "events_csv", "events_orc")
+        "events_csv", "events_orc", "events_avro")
       .forall(p => new java.io.File(s"$d/$p/_SUCCESS").exists())
     if (done) return d
     val docs = graft.Tables.load(spark, sfDir, "documents")
@@ -56,6 +56,11 @@ object FormatsFixture {
     ev.write.mode("overwrite").json(s"$d/events_jsonl")
     ev.write.mode("overwrite").option("header", "true").csv(s"$d/events_csv")
     ev.write.mode("overwrite").orc(s"$d/events_orc")
+    // Avro classes ship inside spark-sql here (no service entry, so
+    // the fully-qualified provider) — the row-oriented format
+    ev.write.mode("overwrite")
+      .format("org.apache.spark.sql.avro.AvroFileFormat")
+      .save(s"$d/events_avro")
     d
   }
 }
