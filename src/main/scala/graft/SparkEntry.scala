@@ -5532,6 +5532,112 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** XML source round-trip (Spark 4 ships the former spark-xml as a
+    * registered built-in): the same event rows through
+    * `.write.format("xml")` / rowTag read, aggregated per type —
+    * the last member of the format matrix.
+    */
+  private def qXmlSource(s: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_xml_$tag"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .write.mode("overwrite").option("rowTag", "event").format("xml").save(out)
+    s.read.schema("event_id BIGINT, event_type STRING, cents BIGINT")
+      .option("rowTag", "event").format("xml").load(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy("event_type")
+  }
+
+  /** `dropDuplicatesWithinWatermark` (Spark 3.5+): exact dedup whose
+    * state is BOUNDED by the watermark instead of growing forever —
+    * the only way streaming dedup survives an unbounded key space.
+    * Duplicates injected within the bound must drop; the surviving
+    * mass equals batch distinct-per-key.
+    */
+  private def qStreamDedupWithin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[(java.sql.Timestamp, Long, String, Long)].collect()
+      .sortBy(r => (r._1.getTime, r._2))
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+    val name = s"q266_dedupwm_${streamGateN.incrementAndGet()}"
+    val q = startNarrow(s)(
+      mem.toDF().toDF("ts", "user_id", "event_type", "cents")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start())
+    try {
+      // one batch, every row fed twice: with the initial watermark at
+      // zero no state evicts mid-batch, so the API's guarantee (drop
+      // duplicates within the bound) applies to EVERY pair — the
+      // cross-batch re-emission after state expiry is an
+      // implementation freedom ("may drop beyond") the gate stays off
+      mem.addData((rows ++ rows).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_id")
+  }
+
+  /** The `Observation` / `Dataset.observe` metrics API — pipeline
+    * observability without a second scan: row count, null count, and
+    * cents total ride the SAME pass that computes the business
+    * aggregate, then surface as a one-row frame.
+    */
+  private def qObserveMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation(
+      s"q267_obs_${streamGateN.incrementAndGet()}")
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("total_cents"),
+        count(when(col("cents") > 2000L, 1)).as("n_large"))
+    // the action that materializes the observed pass
+    val nTypes = e.groupBy("event_type").agg(count(lit(1))).count()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("total_cents").asInstanceOf[Long],
+      m("n_large").asInstanceOf[Long], nTypes))
+      .toDF("n_rows", "total_cents", "n_large", "n_types")
+  }
+
+  /** Catalog DML surface: CTAS into a managed table, INSERT INTO
+    * appends, `spark.table` reads it back — the warehouse front door
+    * next to q243's SQL-over-views. The table is per-SF-named and
+    * fully rebuilt each run (idempotent).
+    */
+  private def qCatalogCtas(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_ctas_${new java.io.File(dir).getName.replace(".", "_")}"
+    Tables.events(s, dir).createOrReplaceTempView("graft_ctas_src")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(
+      s"""CREATE TABLE $tbl USING parquet AS
+         |SELECT event_id, event_type,
+         |       CAST(round(value * 100) AS BIGINT) AS cents
+         |FROM graft_ctas_src WHERE event_id % 2 = 0""".stripMargin)
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT event_id, event_type,
+         |       CAST(round(value * 100) AS BIGINT) AS cents
+         |FROM graft_ctas_src WHERE event_id % 2 <> 0""".stripMargin)
+    s.table(tbl).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -5798,6 +5904,10 @@ object SparkEntry {
     "q262_csv_malformed" -> (qCsvMalformed(_, _)),
     "q263_binary_source" -> (qBinarySource(_, _)),
     "q264_avro_source" -> (qAvroSource(_, _)),
+    "q265_xml_source" -> (qXmlSource(_, _)),
+    "q266_stream_dedup_within" -> (qStreamDedupWithin(_, _)),
+    "q267_observe_metrics" -> (qObserveMetrics(_, _)),
+    "q268_catalog_ctas" -> (qCatalogCtas(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -10280,6 +10390,36 @@ object SparkEntry {
       """SELECT event_type, COUNT(*)::BIGINT AS n,
         |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
         |       SUM(epoch_us(ts) - 1704067200000000)::BIGINT AS sum_tu
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q265: XML round-trip is value-lossless on integer columns
+    "q265_xml_source" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |       SUM(event_id)::BIGINT AS id_checksum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q266: each (user, type) key survives exactly once
+    "q266_stream_dedup_within" ->
+      """WITH k AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT user_id, COUNT(*)::BIGINT AS n_rows,
+        |       COUNT(DISTINCT event_type)::BIGINT AS n_types
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q267: the observed metrics equal the direct aggregates
+    "q267_observe_metrics" ->
+      """SELECT COUNT(*)::BIGINT AS n_rows,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_cents,
+        |       SUM(CASE WHEN CAST(round(value * 100) AS BIGINT) > 2000
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_large,
+        |       COUNT(DISTINCT event_type)::BIGINT AS n_types
+        |FROM events""".stripMargin,
+
+    // q268: CTAS half + INSERT half re-assemble the source
+    "q268_catalog_ctas" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |       SUM(event_id)::BIGINT AS id_checksum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
