@@ -5638,6 +5638,51 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** WordPiece-style tokenizer APPLICATION — greedy longest-match-
+    * first segmentation against a fixed subword vocabulary (the
+    * tokenize step of every LLM data pipeline; single characters are
+    * the implicit fallback, so coverage is total). The per-word scan
+    * is a sequential recurrence, expressed as ONE codegen'd
+    * `aggregate` fold over character positions — no UDF, no driver
+    * loop — and replayed by the oracle's recursive CTE. Corpus
+    * occurrence counts ride the same pass.
+    */
+  private def qWordpieceApply(s: SparkSession, dir: String): DataFrame = {
+    def arr(units: Seq[String]) = units.map(u => s"'$u'").mkString("array(", ", ", ")")
+    val fold =
+      s"""aggregate(sequence(1, length(w)),
+         |  named_struct('pos', 1, 'cnt', CAST(0 AS BIGINT)),
+         |  (st, i) -> IF(i < st.pos, st,
+         |    IF(array_contains(${arr(WordpieceV4)}, substr(w, i, 4)),
+         |       named_struct('pos', i + 4, 'cnt', st.cnt + 1L),
+         |    IF(array_contains(${arr(WordpieceV3)}, substr(w, i, 3)),
+         |       named_struct('pos', i + 3, 'cnt', st.cnt + 1L),
+         |    IF(array_contains(${arr(WordpieceV2)}, substr(w, i, 2)),
+         |       named_struct('pos', i + 2, 'cnt', st.cnt + 1L),
+         |       named_struct('pos', i + 1, 'cnt', st.cnt + 1L))))),
+         |  st -> st.cnt)""".stripMargin
+    Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("n_chars", length(col("w")).cast("long"))
+      .withColumn("n_tokens", expr(fold))
+      .withColumn("compression_micro",
+        expr("CAST(n_chars * 1000000 DIV n_tokens AS BIGINT)"))
+      .orderBy("w")
+  }
+
+  /** The q269 subword vocabulary, shared verbatim with the oracle:
+    * longest match wins, ties impossible (one unit per position per
+    * length).
+    */
+  private val WordpieceV4 = Seq("join", "hash", "scan", "tabl", "valu",
+    "part", "merg", "wind", "filt", "colu", "cust", "batc", "data", "fast",
+    "slow", "orde", "vect", "smal")
+  private val WordpieceV3 = Seq("row", "key", "agg", "ine", "ter", "der",
+    "ort", "umn", "ark", "lue")
+  private val WordpieceV2 = Seq("er", "or", "in", "an", "le", "at", "ch",
+    "al", "ow", "ne", "om", "ar", "sp")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -5908,6 +5953,7 @@ object SparkEntry {
     "q266_stream_dedup_within" -> (qStreamDedupWithin(_, _)),
     "q267_observe_metrics" -> (qObserveMetrics(_, _)),
     "q268_catalog_ctas" -> (qCatalogCtas(_, _)),
+    "q269_wordpiece_apply" -> (qWordpieceApply(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -10421,6 +10467,30 @@ object SparkEntry {
         |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
         |       SUM(event_id)::BIGINT AS id_checksum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q269: the same greedy longest-match recurrence as a recursive CTE
+    "q269_wordpiece_apply" -> {
+      def inList(units: Seq[String]) = units.map(u => s"'$u'").mkString(", ")
+      s"""WITH RECURSIVE words AS (
+         |  SELECT w, COUNT(*)::BIGINT AS n_occurrences FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY 1),
+         |step(w, pos, cnt) AS (
+         |  SELECT w, 1, 0 FROM words
+         |  UNION ALL
+         |  SELECT w,
+         |    pos + CASE WHEN substr(w, pos, 4) IN (${inList(WordpieceV4)}) THEN 4
+         |               WHEN substr(w, pos, 3) IN (${inList(WordpieceV3)}) THEN 3
+         |               WHEN substr(w, pos, 2) IN (${inList(WordpieceV2)}) THEN 2
+         |               ELSE 1 END,
+         |    cnt + 1
+         |  FROM step WHERE pos <= strlen(w)),
+         |done AS (SELECT w, cnt FROM step WHERE pos > strlen(w))
+         |SELECT d.w, n_occurrences, strlen(d.w)::BIGINT AS n_chars,
+         |       cnt::BIGINT AS n_tokens,
+         |       (strlen(d.w) * 1000000 // cnt)::BIGINT AS compression_micro
+         |FROM done d JOIN words USING (w) ORDER BY d.w""".stripMargin
+    },
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
