@@ -5622,6 +5622,16 @@ object SparkEntry {
     val tbl = s"graft_ctas_${new java.io.File(dir).getName.replace(".", "_")}"
     Tables.events(s, dir).createOrReplaceTempView("graft_ctas_src")
     s.sql(s"DROP TABLE IF EXISTS $tbl")
+    // a fresh JVM gets a fresh in-memory metastore but inherits the
+    // on-disk warehouse: DROP can't see last run's table, so its
+    // leftover LOCATION must go too or CTAS refuses
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, tbl)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     s.sql(
       s"""CREATE TABLE $tbl USING parquet AS
          |SELECT event_id, event_type,
@@ -5682,6 +5692,128 @@ object SparkEntry {
     "ort", "umn", "ark", "lue")
   private val WordpieceV2 = Seq("er", "or", "in", "an", "le", "at", "ch",
     "al", "ow", "ne", "om", "ar", "sp")
+
+  /** Typed `cogroup` (KeyValueGroupedDataset) — the Dataset API's
+    * two-sided per-key reconciliation: purchase activity from the
+    * orders star vs event activity from the stream, matched per user
+    * in one co-partitioned pass (both sides shuffle once on the key;
+    * no join + re-aggregate round trip). Group iterators fold to
+    * bounded counters only.
+    */
+  private def qTypedCogroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .as[(Long, Long)].groupByKey(_._1)
+    val events = Tables.events(s, dir)
+      .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[(Long, Long)].groupByKey(_._1)
+    orders.cogroup(events) { (user, os, es) =>
+      var no = 0L; var co = 0L
+      os.foreach { r => no += 1; co += r._2 }
+      var ne = 0L; var ce = 0L
+      es.foreach { r => ne += 1; ce += r._2 }
+      Iterator.single((user, no, co, ne, ce))
+    }.toDF("user_id", "n_orders", "order_cents", "n_events", "event_cents")
+      .filter(col("n_events") > 0L) // events users are the 1..150 band
+      .orderBy("user_id")
+  }
+
+  /** HLL accuracy gate: `approx_count_distinct` is DETERMINISTIC
+    * (max-merge sketches are aggregation-order-independent), so the
+    * gate pins Spark's estimate against the exact NDV with a 5% bound
+    * — the q73-recall-floor discipline for cardinality sketches. The
+    * oracle asserts the bound (engines' HLL implementations differ,
+    * the estimate itself is engine-local).
+    */
+  private def qHllAccuracy(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_ndv"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_ndv"))
+      .select(col("event_type"), col("exact_ndv"),
+        (abs(col("approx_ndv") - col("exact_ndv")) * 100L <=
+          col("exact_ndv") * 5L).as("within_5pct"))
+      .orderBy("event_type")
+
+  /** `unionByName(allowMissingColumns = true)` — the in-memory
+    * schema-evolution union (q200 gates the read-time variant): gen2's
+    * extra column NULL-fills for gen1 rows, column ORDER differences
+    * are resolved by name, never by position.
+    */
+  private def qUnionByName(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val gen1 = docs.filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("lang"))
+    val gen2 = docs.filter(col("doc_id") >= 250)
+      // deliberately different column order + an extra column
+      .select(col("n_chars").as("quality"), col("lang"), col("doc_id"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), count(col("quality")).as("n_with_quality"),
+        sum(col("quality")).as("sum_quality"))
+      .orderBy("lang")
+  }
+
+  /** Custom typed `Aggregator` (the Dataset-API UDAF surface): an
+    * exact integer mean as a (sum, count) pair with floor division at
+    * the finish — registered and invoked as a column like any builtin,
+    * partial-merged like any builtin (the zero/reduce/merge contract
+    * IS the map-side-combine contract).
+    */
+  private def qTypedAggregator(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val meanCents = new org.apache.spark.sql.expressions.Aggregator[
+        Long, (Long, Long), Long] {
+      def zero = (0L, 0L)
+      def reduce(b: (Long, Long), a: Long) = (b._1 + a, b._2 + 1)
+      def merge(x: (Long, Long), y: (Long, Long)) = (x._1 + y._1, x._2 + y._2)
+      def finish(r: (Long, Long)) = if (r._2 == 0) 0L else r._1 / r._2
+      def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[(Long, Long)]]
+      def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Long]]
+    }
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    e.as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(meanCents.toColumn.name("mean_cents_floor"))
+      .toDF("event_type", "mean_cents_floor")
+      .orderBy("event_type")
+  }
+
+  /** `foreachBatch` sink — the escape hatch that lets a stream reuse
+    * ANY batch writer (here: per-micro-batch parquet appends into one
+    * directory). Three batches land three increments; the read-back
+    * union must equal the batch rollup exactly.
+    */
+  private def qForeachBatchSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = new java.io.File(dir).getName
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_feb_${tag}_${streamGateN.incrementAndGet()}"
+    val rows = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val q = startNarrow(s)(
+      mem.toDF().toDF("event_id", "event_type", "cents")
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$out-ckpt").start())
+    try
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    finally q.stop()
+    s.read.parquet(out).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy("event_type")
+  }
 
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5954,6 +6086,11 @@ object SparkEntry {
     "q267_observe_metrics" -> (qObserveMetrics(_, _)),
     "q268_catalog_ctas" -> (qCatalogCtas(_, _)),
     "q269_wordpiece_apply" -> (qWordpieceApply(_, _)),
+    "q270_typed_cogroup" -> (qTypedCogroup(_, _)),
+    "q271_hll_accuracy" -> (qHllAccuracy(_, _)),
+    "q272_union_by_name" -> (qUnionByName(_, _)),
+    "q273_typed_aggregator" -> (qTypedAggregator(_, _)),
+    "q274_foreach_batch_sink" -> (qForeachBatchSink(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -10491,6 +10628,54 @@ object SparkEntry {
          |       (strlen(d.w) * 1000000 // cnt)::BIGINT AS compression_micro
          |FROM done d JOIN words USING (w) ORDER BY d.w""".stripMargin
     },
+
+    // q270: per-user two-sided rollup ≡ aggregate-then-left-join
+    "q270_typed_cogroup" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, COUNT(*)::BIGINT AS n_orders,
+        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |           AS order_cents
+        |  FROM orders GROUP BY 1),
+        |e AS (
+        |  SELECT user_id, COUNT(*)::BIGINT AS n_events,
+        |         SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS event_cents
+        |  FROM events GROUP BY 1)
+        |SELECT e.user_id, COALESCE(n_orders, 0)::BIGINT AS n_orders,
+        |       COALESCE(order_cents, 0)::BIGINT AS order_cents,
+        |       n_events, event_cents
+        |FROM e LEFT JOIN o USING (user_id) ORDER BY 1""".stripMargin,
+
+    // q271: the bound is the assertion; the estimate is engine-local
+    "q271_hll_accuracy" ->
+      """SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_ndv,
+        |       TRUE AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q272: NULL-filled union by name
+    "q272_union_by_name" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, NULL::BIGINT AS quality FROM documents
+        |  WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 250)
+        |SELECT lang, COUNT(*)::BIGINT AS n,
+        |       COUNT(quality)::BIGINT AS n_with_quality,
+        |       SUM(quality)::BIGINT AS sum_quality
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q273: zero/reduce/merge/finish ≡ floor-divided positive mean
+    "q273_typed_aggregator" ->
+      """SELECT event_type,
+        |       (SUM(CAST(round(value * 100) AS BIGINT))
+        |        // COUNT(*))::BIGINT AS mean_cents_floor
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q274: three per-batch parquet appends re-assemble the source
+    "q274_foreach_batch_sink" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |       SUM(event_id)::BIGINT AS id_checksum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
