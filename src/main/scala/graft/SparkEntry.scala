@@ -5815,6 +5815,124 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** ListState rolling window gate
+    * ([[graft.streaming.EventStreams.Rolling3Processor]]): trailing-3
+    * cents sum per user over 3 micro-batches ≡ the batch ROWS BETWEEN
+    * 2 PRECEDING frame — completing the transformWithState state-
+    * primitive matrix (q224 MapState, q234 ValueState + timers, here
+    * ListState).
+    */
+  private def qStreamRolling3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("tu"))
+      .as[EventStreams.TsEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.TsEvent]
+    val name = s"q275_roll3_${streamGateN.incrementAndGet()}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = startNarrow(s)(
+        EventStreams.rolling3Stream(mem.toDS()).toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start())
+      try
+        evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq); q.processAllAvailable()
+        }
+      finally q.stop()
+    } finally prevProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    s.table(name).orderBy("user_id", "event_id")
+  }
+
+  /** Calendar arithmetic surface (`add_months` / `last_day` /
+    * quarter truncation): orders rolled to fiscal quarters with
+    * month-end payment-due dates — the date algebra every reporting
+    * pipeline leans on, exact by construction.
+    */
+  private def qCalendarOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        to_date(col("o_orderdate")).as("d"))
+      .withColumn("quarter", date_trunc("quarter", col("d")).cast("date"))
+      .withColumn("due", last_day(add_months(col("d"), 2)))
+      .groupBy(date_format(col("quarter"), "yyyy-MM-dd").as("quarter"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        countDistinct(date_format(col("due"), "yyyy-MM-dd")).as("n_due_dates"),
+        max(date_format(col("due"), "yyyy-MM-dd")).as("max_due"))
+      .orderBy("quarter")
+
+  /** Spark 4 collation surface: `UTF8_LCASE` makes comparisons,
+    * grouping and DISTINCT case-insensitive at the TYPE level — no
+    * lower() scattered through business logic. The gate mixes case
+    * deterministically and proves collated distinct/grouping equal
+    * the explicit-lowercase rollup.
+    */
+  private def qCollation(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        // upper-case every 3rd row's type: 'click' vs 'CLICK'
+        expr("CASE WHEN event_id % 3 = 0 THEN upper(event_type) " +
+          "ELSE event_type END").as("mixed"))
+      .select(col("event_id"),
+        expr("collate(mixed, 'UTF8_LCASE')").as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .select(expr("CAST(t AS STRING COLLATE UTF8_BINARY)").as("event_type_any_case"),
+        col("n"))
+      // the group representative is whichever case arrived first —
+      // normalize for a stable output
+      .withColumn("event_type", lower(col("event_type_any_case")))
+      .drop("event_type_any_case")
+      .orderBy("event_type")
+
+  /** Map-typed columns + higher-order `transform_values` /
+    * `map_filter`: per-user type→count maps built with
+    * `map_from_entries`, values scaled, low-mass entries filtered at
+    * the MAP level, then exploded back to rows for the gate.
+    */
+  private def qMapHof(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("c"))))
+        .as("m"))
+      .select(col("user_id"),
+        explode(expr(
+          "map_filter(transform_values(m, (k, v) -> v * 10), (k, v) -> v >= 100)"))
+          .as(Seq("event_type", "scaled")))
+      .orderBy("user_id", "event_type")
+
+  /** `try_*` ANSI-safe arithmetic: under ANSI mode a division by zero
+    * or an overflow ABORTS the job — `try_divide` / `try_add` /
+    * `try_multiply` give per-row NULL instead, the right failure
+    * shape for data pipelines. The gate exercises all three on
+    * engineered zero/overflow rows.
+    */
+  private def qTryArithmetic(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("div7", expr("try_divide(cents, event_id % 7)"))
+      .withColumn("ovf",
+        expr("try_multiply(CAST(9e17 AS BIGINT), CASE WHEN event_id % 1000 = 0 THEN 100 ELSE 1 END)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("div7")).as("n_divisible"),
+        sum(when(col("ovf").isNull, 1L).otherwise(0L)).as("n_overflowed"),
+        sum(expr("CAST(floor(div7 * 100 + 0.5) AS BIGINT)")).as("sum_div7_c"))
+      .orderBy("event_type")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -6091,6 +6209,11 @@ object SparkEntry {
     "q272_union_by_name" -> (qUnionByName(_, _)),
     "q273_typed_aggregator" -> (qTypedAggregator(_, _)),
     "q274_foreach_batch_sink" -> (qForeachBatchSink(_, _)),
+    "q275_stream_rolling3" -> (qStreamRolling3(_, _)),
+    "q276_calendar_ops" -> (qCalendarOps(_, _)),
+    "q277_collation" -> (qCollation(_, _)),
+    "q278_map_hof" -> (qMapHof(_, _)),
+    "q279_try_arithmetic" -> (qTryArithmetic(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -10676,6 +10799,68 @@ object SparkEntry {
         |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
         |       SUM(event_id)::BIGINT AS id_checksum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q275: the batch ROWS BETWEEN 2 PRECEDING frame
+    "q275_stream_rolling3" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |       SUM(cents) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS sum_last3
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    // q276: both engines clamp month arithmetic the same way, and
+    // last_day depends only on the resulting MONTH
+    "q276_calendar_ops" ->
+      """WITH o AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |x AS (
+        |  SELECT cents, date_trunc('quarter', d) AS q,
+        |         last_day(d + INTERVAL 2 MONTH) AS due
+        |  FROM o)
+        |SELECT strftime(q, '%Y-%m-%d') AS quarter, COUNT(*)::BIGINT AS n,
+        |       SUM(cents)::BIGINT AS sum_cents,
+        |       COUNT(DISTINCT strftime(due, '%Y-%m-%d'))::BIGINT AS n_due_dates,
+        |       MAX(strftime(due, '%Y-%m-%d')) AS max_due
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q277: case-insensitive grouping ≡ grouping on lower()
+    "q277_collation" ->
+      """SELECT lower(CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+        |                  ELSE event_type END) AS event_type,
+        |       COUNT(*)::BIGINT AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q278: scale-then-filter on the flattened rows
+    "q278_map_hof" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, event_type, (c * 10)::BIGINT AS scaled
+        |FROM c WHERE c * 10 >= 100
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // q279: per-row NULL on zero-divisor / overflow, spelled as CASE
+    "q279_try_arithmetic" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE cents / (event_id % 7) END AS div7,
+        |    CASE WHEN event_id % 1000 = 0 THEN 1 ELSE 0 END AS ovf
+        |  FROM e)
+        |SELECT event_type, COUNT(*)::BIGINT AS n,
+        |       COUNT(div7)::BIGINT AS n_divisible,
+        |       SUM(ovf)::BIGINT AS n_overflowed,
+        |       SUM(CAST(floor(div7 * 100 + 0.5) AS BIGINT))::BIGINT AS sum_div7_c
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */

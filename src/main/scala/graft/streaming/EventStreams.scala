@@ -352,4 +352,51 @@ object EventStreams {
       .transformWithState(new TimerSessionProcessor(gapSeconds * 1000000L),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  final case class Rolling3Out(user_id: Long, event_id: Long, sum_last3: Long)
+
+  /** Rolling last-3 sum per user on `transformWithState` with
+    * LISTSTATE — the third state primitive (q224 MapState, q234
+    * ValueState+timers): the window's elements append/trim as list
+    * entries, so state writes touch O(window) values and the store
+    * never deserializes a monolithic blob. Emits the trailing-3 sum on
+    * every event — the streaming twin of a ROWS BETWEEN 2 PRECEDING
+    * frame.
+    */
+  class Rolling3Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TsEvent, Rolling3Out] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => Encs}
+    @transient private var win: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      win = getHandle.getListState("win", Encs.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TsEvent],
+                                 tv: TimerValues): Iterator[Rolling3Out] = {
+      // event-time order (the q192 convention); `tu` carries the VALUE
+      // being summed, not the clock
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = win.get().toVector // ≤ 3 elements by invariant
+      val out = sorted.map { e =>
+        cur = (cur :+ e.tu).takeRight(3)
+        Rolling3Out(key, e.event_id, cur.sum)
+      }
+      win.clear()
+      cur.foreach(win.appendValue)
+      out.iterator
+    }
+  }
+
+  /** `transformWithState` wiring for [[Rolling3Processor]]; carries
+    * cents in the `tu` slot (the processor is value-agnostic).
+    */
+  def rolling3Stream(events: Dataset[TsEvent]): Dataset[Rolling3Out] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new Rolling3Processor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }
