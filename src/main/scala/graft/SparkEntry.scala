@@ -5933,6 +5933,74 @@ object SparkEntry {
         sum(expr("CAST(floor(div7 * 100 + 0.5) AS BIGINT)")).as("sum_div7_c"))
       .orderBy("event_type")
 
+  /** Point-in-time dimension join (the warehouse PIT shape): each
+    * lineitem reads the customer's order PRIORITY as it stood at ship
+    * time — the as-of backward join ([[graft.operators.AsOfJoin]])
+    * against the per-customer priority history, with same-day history
+    * deduped to one row (max orderkey wins) so the lookup is
+    * single-valued on both engines. Leakage-safe by construction: a
+    * future order can never label a past shipment.
+    */
+  private def qPitPriorityJoin(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("ck"), col("o_orderdate").as("odate"))
+      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+    val items = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("o_custkey").as("ck"), col("l_shipdate"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qc"))
+    graft.operators.AsOfJoin.asof(items, hist,
+        "l_shipdate", "odate", Seq("ck"), Seq("prio"), "backward")
+      .groupBy(coalesce(col("prio"), lit("NO_HISTORY")).as("priority_at_ship"))
+      .agg(count(lit(1)).as("n_items"), sum(col("qc")).as("sum_qty_c"))
+      .orderBy("priority_at_ship")
+  }
+
+  /** LOCF / forward-fill imputation (q150's interpolation sibling):
+    * every 7th reading is knocked out, then filled with the LAST
+    * OBSERVED value under the per-user event_id order — one
+    * `last(ignoreNulls)` frame window, the canonical gap-carry.
+    * Leading gaps stay NULL and are counted, not invented.
+    */
+  private def qLocfImpute(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      expr("CASE WHEN event_id % 7 = 0 THEN NULL " +
+        "ELSE CAST(round(value * 100) AS BIGINT) END").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("filled", last(col("cents"), ignoreNulls = true).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("filled").isNull, 1L).otherwise(0L)).as("n_unfilled"),
+        sum(col("filled")).as("sum_filled"))
+      .orderBy("user_id")
+  }
+
+  /** Pinball (quantile) loss at q = 0.9 — the eval metric for
+    * quantile forecasts: against the per-type floor-mean predictor,
+    * loss×10 = 9·(y−ŷ)⁺ + 1·(ŷ−y)⁺, exact integers end to end. A
+    * model that under-predicts the tail pays 9× — the gate shows the
+    * asymmetry on real residuals.
+    */
+  private def qPinballLoss(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+    val pred = e.groupBy("event_type")
+      .agg(expr("CAST(sum(y) DIV count(1) AS BIGINT)").as("yhat"))
+    e.join(broadcast(pred), "event_type")
+      .withColumn("pb10",
+        when(col("y") >= col("yhat"), (col("y") - col("yhat")) * 9L)
+          .otherwise(col("yhat") - col("y")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("yhat")).as("yhat"),
+        sum(col("pb10")).as("sum_pinball_x10"))
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -6214,6 +6282,9 @@ object SparkEntry {
     "q277_collation" -> (qCollation(_, _)),
     "q278_map_hof" -> (qMapHof(_, _)),
     "q279_try_arithmetic" -> (qTryArithmetic(_, _)),
+    "q280_pit_priority_join" -> (qPitPriorityJoin(_, _)),
+    "q281_locf_impute" -> (qLocfImpute(_, _)),
+    "q282_pinball_loss" -> (qPinballLoss(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -10861,6 +10932,54 @@ object SparkEntry {
         |       SUM(ovf)::BIGINT AS n_overflowed,
         |       SUM(CAST(floor(div7 * 100 + 0.5) AS BIGINT))::BIGINT AS sum_div7_c
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q280: DuckDB's native ASOF join over the same deduped history
+    "q280_pit_priority_join" ->
+      """WITH hist AS (
+        |  SELECT o_custkey AS ck, o_orderdate AS odate,
+        |         arg_max(o_orderpriority, o_orderkey) AS prio
+        |  FROM orders GROUP BY 1, 2),
+        |items AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS ck, l.l_shipdate,
+        |         CAST(round(l.l_quantity * 100) AS BIGINT) AS qc
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |pit AS (
+        |  SELECT i.qc, h.prio
+        |  FROM items i ASOF LEFT JOIN hist h
+        |    ON i.ck = h.ck AND i.l_shipdate >= h.odate)
+        |SELECT COALESCE(prio, 'NO_HISTORY') AS priority_at_ship,
+        |       COUNT(*)::BIGINT AS n_items, SUM(qc)::BIGINT AS sum_qty_c
+        |FROM pit GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q281: forward-fill as an ASOF self-join on the unique event_id
+    // axis (no IGNORE NULLS dependence in the oracle dialect)
+    "q281_locf_impute" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CASE WHEN event_id % 7 = 0 THEN NULL
+        |              ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events),
+        |nn AS (SELECT user_id, event_id, cents FROM e WHERE cents IS NOT NULL),
+        |f AS (
+        |  SELECT e.user_id, e.cents, nn.cents AS filled
+        |  FROM e ASOF LEFT JOIN nn
+        |    ON e.user_id = nn.user_id AND e.event_id >= nn.event_id)
+        |SELECT user_id, COUNT(*)::BIGINT AS n_rows,
+        |       SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+        |       SUM(CASE WHEN filled IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unfilled,
+        |       SUM(filled)::BIGINT AS sum_filled
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q282: identical integer asymmetric loss
+    "q282_pinball_loss" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |p AS (SELECT event_type, SUM(y) // COUNT(*) AS yhat FROM e GROUP BY 1)
+        |SELECT e.event_type, COUNT(*)::BIGINT AS n, MAX(yhat)::BIGINT AS yhat,
+        |       SUM(CASE WHEN y >= yhat THEN (y - yhat) * 9
+        |                ELSE yhat - y END)::BIGINT AS sum_pinball_x10
+        |FROM e JOIN p USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
