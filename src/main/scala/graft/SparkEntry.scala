@@ -5761,21 +5761,27 @@ object SparkEntry {
     * partial-merged like any builtin (the zero/reduce/merge contract
     * IS the map-side-combine contract).
     */
+  /** Capture-free: an inline anonymous Aggregator would close over the
+    * enclosing method's SparkSession through the implicit-encoder
+    * lookup — serializable under Verify's per-query cloned sessions
+    * but not under a shared session carrying an ObservationManager.
+    */
+  private class MeanCentsAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Long, (Long, Long), Long] {
+    def zero = (0L, 0L)
+    def reduce(b: (Long, Long), a: Long) = (b._1 + a, b._2 + 1)
+    def merge(x: (Long, Long), y: (Long, Long)) = (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Long, Long)) = if (r._2 == 0) 0L else r._1 / r._2
+    def bufferEncoder = org.apache.spark.sql.Encoders.product[(Long, Long)]
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
   private def qTypedAggregator(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val meanCents = new org.apache.spark.sql.expressions.Aggregator[
-        Long, (Long, Long), Long] {
-      def zero = (0L, 0L)
-      def reduce(b: (Long, Long), a: Long) = (b._1 + a, b._2 + 1)
-      def merge(x: (Long, Long), y: (Long, Long)) = (x._1 + y._1, x._2 + y._2)
-      def finish(r: (Long, Long)) = if (r._2 == 0) 0L else r._1 / r._2
-      def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[(Long, Long)]]
-      def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Long]]
-    }
     val e = Tables.events(s, dir).select(col("event_type"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     e.as[(String, Long)].groupByKey(_._1).mapValues(_._2)
-      .agg(meanCents.toColumn.name("mean_cents_floor"))
+      .agg(new MeanCentsAgg().toColumn.name("mean_cents_floor"))
       .toDF("event_type", "mean_cents_floor")
       .orderBy("event_type")
   }
@@ -5999,6 +6005,102 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), max(col("yhat")).as("yhat"),
         sum(col("pb10")).as("sum_pinball_x10"))
       .orderBy("event_type")
+  }
+
+  /** Signup-cohort LTV curves (growth analytics beyond q119's
+    * retention grid): users cohort by first-seen day, and each
+    * subsequent activity day contributes to the cohort's cumulative
+    * revenue-per-age curve. Ages are exact day arithmetic; the
+    * cumulative is a window over the ≤ |cohorts|×|ages| rollup, never
+    * the event table.
+    */
+  private def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"),
+      to_date(col("ts")).as("day"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cohort = e.groupBy("user_id").agg(min(col("day")).as("cday"))
+    val daily = e.join(cohort, "user_id")
+      .withColumn("age_days", datediff(col("day"), col("cday")).cast("long"))
+      .groupBy(col("cday"), col("age_days"))
+      .agg(sum(col("cents")).as("day_cents"),
+        countDistinct(col("user_id")).as("active_users"))
+    val w = Window.partitionBy(col("cday")).orderBy(col("age_days"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum_cents", sum(col("day_cents")).over(w))
+      .select(date_format(col("cday"), "yyyy-MM-dd").as("cohort_day"),
+        col("age_days"), col("active_users"), col("day_cents"), col("cum_cents"))
+      .orderBy("cohort_day", "age_days")
+  }
+
+  /** Macro/micro F1 from the q219 confusion matrix — the eval-family
+    * closer (confusion q219, AUC q260, NDCG q222, calibration q232,
+    * pinball q282): per-class precision/recall/F1 as exact micro
+    * integers (F1 = 2·tp·10⁶ DIV (2·tp + fp + fn) — one division,
+    * no float), plus the micro-average row (label −1).
+    */
+  private def qF1Eval(s: SparkSession, dir: String): DataFrame = {
+    val cm = qKnnClassify(s, dir) // (true_label, pred_label, n)
+      .localCheckpoint() // consumed by three aggregates below
+    val tp = cm.filter(col("true_label") === col("pred_label"))
+      .groupBy(col("true_label").as("label")).agg(sum(col("n")).as("tp"))
+    val byTrue = cm.groupBy(col("true_label").as("label"))
+      .agg(sum(col("n")).as("n_true"))
+    val byPred = cm.groupBy(col("pred_label").as("label"))
+      .agg(sum(col("n")).as("n_pred"))
+    val perClass = byTrue.join(byPred, Seq("label"), "full")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .withColumn("f1_micro6", expr(
+        "CASE WHEN 2 * tp + (n_pred - tp) + (n_true - tp) = 0 THEN 0 " +
+          "ELSE CAST(2 * tp * 1000000 DIV (2 * tp + (n_pred - tp) + (n_true - tp)) AS BIGINT) END"))
+    val overall = perClass.agg(sum(col("tp")).as("tp"),
+        sum(col("n_true")).as("n_true"), sum(col("n_pred")).as("n_pred"))
+      .select(lit(-1L).as("label"), col("tp"), col("n_true"), col("n_pred"),
+        expr("CAST(2 * tp * 1000000 DIV (2 * tp + (n_pred - tp) + (n_true - tp)) AS BIGINT)")
+          .as("f1_micro6"))
+    perClass.union(overall).orderBy("label")
+  }
+
+  /** Zero-exchange bucketed join gate
+    * ([[graft.operators.Bucketing]]): orders and customer persist
+    * bucketed+sorted on the customer key, so the revenue-by-segment
+    * join plans a SortMergeJoin with NO Exchange and NO Sort — the
+    * write-time pre-shuffle that pays for itself on every subsequent
+    * query of a 100 TB fact table. (BucketingSpec asserts the
+    * exchange-free plan; this gate pins the bytes.)
+    */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName.replace(".", "_")
+    val (tOrd, tCust) = (s"graft_bkt_ord_$tag", s"graft_bkt_cust_$tag")
+    // q268's discipline: a fresh JVM's metastore forgot the tables but
+    // their warehouse directories survived
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(tOrd, tCust).foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = java.nio.file.Paths.get(wh, tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    graft.operators.Bucketing.writeBucketed(
+      t(s, dir, "orders").select(col("o_custkey").as("ck"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")),
+      tOrd, "ck", 8)
+    graft.operators.Bucketing.writeBucketed(
+      t(s, dir, "customer").select(col("c_custkey").as("ck"),
+        col("c_mktsegment")),
+      tCust, "ck", 8)
+    graft.operators.Bucketing.bucketedJoin(s, tOrd, tCust, "ck")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("c_mktsegment")
   }
 
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
@@ -6285,6 +6387,9 @@ object SparkEntry {
     "q280_pit_priority_join" -> (qPitPriorityJoin(_, _)),
     "q281_locf_impute" -> (qLocfImpute(_, _)),
     "q282_pinball_loss" -> (qPinballLoss(_, _)),
+    "q283_cohort_ltv" -> (qCohortLtv(_, _)),
+    "q284_f1_eval" -> (qF1Eval(_, _)),
+    "q285_bucketed_join" -> (qBucketedJoin(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -10979,6 +11084,95 @@ object SparkEntry {
         |       SUM(CASE WHEN y >= yhat THEN (y - yhat) * 9
         |                ELSE yhat - y END)::BIGINT AS sum_pinball_x10
         |FROM e JOIN p USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q283: identical day arithmetic and per-cohort cumulative
+    "q283_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cday FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT cday, (day - cday)::BIGINT AS age_days,
+        |         SUM(cents)::BIGINT AS day_cents,
+        |         COUNT(DISTINCT e.user_id)::BIGINT AS active_users
+        |  FROM e JOIN c ON c.user_id = e.user_id
+        |  GROUP BY 1, 2)
+        |SELECT strftime(cday, '%Y-%m-%d') AS cohort_day, age_days,
+        |       active_users, day_cents,
+        |       SUM(day_cents) OVER (PARTITION BY cday ORDER BY age_days
+        |         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+        |FROM d ORDER BY cohort_day, age_days""".stripMargin,
+
+    // q284: q219's confusion chain + exact single-division F1
+    "q284_f1_eval" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id, label, v FROM e WHERE vec_id % 10 <> 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         c.label AS n_label,
+        |         ROUND(list_dot_product(q.v, c.v)
+        |               / (sqrt(list_dot_product(q.v, q.v))
+        |                  * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+        |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+        |knn AS (
+        |  SELECT query_id, n_label FROM (
+        |    SELECT query_id, n_label,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5),
+        |votes AS (SELECT query_id, n_label, COUNT(*) AS votes
+        |          FROM knn GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT query_id, n_label AS pred_label FROM (
+        |    SELECT query_id, n_label,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY votes DESC, n_label) AS rk
+        |    FROM votes)
+        |  WHERE rk = 1),
+        |cm AS (
+        |  SELECT CAST(q.label AS BIGINT) AS true_label,
+        |         CAST(p.pred_label AS BIGINT) AS pred_label,
+        |         COUNT(*)::BIGINT AS n
+        |  FROM pred p JOIN q ON q.vec_id = p.query_id GROUP BY 1, 2),
+        |labels AS (
+        |  SELECT true_label AS label FROM cm
+        |  UNION SELECT pred_label FROM cm),
+        |pc AS (
+        |  SELECT l.label,
+        |    COALESCE((SELECT SUM(n) FROM cm
+        |              WHERE true_label = l.label AND pred_label = l.label), 0)
+        |      ::BIGINT AS tp,
+        |    COALESCE((SELECT SUM(n) FROM cm WHERE true_label = l.label), 0)
+        |      ::BIGINT AS n_true,
+        |    COALESCE((SELECT SUM(n) FROM cm WHERE pred_label = l.label), 0)
+        |      ::BIGINT AS n_pred
+        |  FROM labels l),
+        |withf AS (
+        |  SELECT label, tp, n_true, n_pred,
+        |    CASE WHEN 2 * tp + (n_pred - tp) + (n_true - tp) = 0 THEN 0
+        |         ELSE 2 * tp * 1000000 // (2 * tp + (n_pred - tp) + (n_true - tp))
+        |    END::BIGINT AS f1_micro6
+        |  FROM pc),
+        |overall AS (
+        |  SELECT -1::BIGINT AS label, SUM(tp)::BIGINT AS tp,
+        |         SUM(n_true)::BIGINT AS n_true, SUM(n_pred)::BIGINT AS n_pred,
+        |         (2 * SUM(tp) * 1000000
+        |          // (2 * SUM(tp) + (SUM(n_pred) - SUM(tp))
+        |             + (SUM(n_true) - SUM(tp))))::BIGINT AS f1_micro6
+        |  FROM withf)
+        |SELECT * FROM withf UNION ALL SELECT * FROM overall
+        |ORDER BY label""".stripMargin,
+
+    // q285: the co-located join must produce the plain join's bytes
+    "q285_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |         AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
