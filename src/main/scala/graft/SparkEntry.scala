@@ -6103,6 +6103,111 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** Streaming COMPLETE output mode (append q79 / q247 gates the
+    * other member): top-10 users by running cents total, re-emitted in
+    * full every trigger — the memory sink REPLACES its table each
+    * time, so after the last batch it holds exactly the batch answer.
+    * Complete mode is the right shape for small always-fresh
+    * leaderboards off an unbounded stream.
+    */
+  private def qStreamCompleteTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .sortBy(r => (r._1.getTime, r._2))
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val name = s"q286_topk_${streamGateN.incrementAndGet()}"
+    val q = startNarrow(s)(
+      mem.toDF().toDF("ts", "user_id", "cents")
+        .groupBy("user_id").agg(sum(col("cents")).as("total_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("total_cents").desc, col("user_id")).limit(10)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start())
+    try
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    finally q.stop()
+    s.table(name).orderBy(col("total_cents").desc, col("user_id"))
+  }
+
+  /** Nested-struct round trip with SCHEMA PRUNING: events written as
+    * document-shaped rows (id + meta struct), read back touching ONE
+    * leaf — `nestedSchemaPruning` pushes the single-field ReadSchema
+    * into the parquet scan, so the 100 TB document lake reads bytes
+    * for `meta.cents` alone. The gate pins the values; PLANS records
+    * the pruned scan.
+    */
+  private def qNestedStruct(s: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_nested_$tag"
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        struct(col("event_type").as("type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          struct(col("user_id"), unix_micros(col("ts")).as("tu")).as("who"))
+          .as("meta"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("meta.type").as("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("meta.cents")).as("sum_cents"),
+        countDistinct(col("meta.who.user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** Denormalize → renormalize round trip (the nested document-lake
+    * pattern): each order packs its lineitems into an ARRAY OF
+    * STRUCTS — ordered by linenumber so the nesting is deterministic —
+    * then the read side explodes them back and must reproduce the
+    * plain join's rollup. At scale the nested layout trades one
+    * write-time shuffle for ZERO read-time joins.
+    */
+  private def qDenormalize(s: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_denorm_$tag"
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qc"),
+        col("l_returnflag"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("qc"),
+        col("l_returnflag")))).as("items"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .select(col("l_orderkey"), explode(col("items")).as("it"))
+      .groupBy(col("it.l_returnflag").as("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("it.qc")).as("sum_qty_c"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  /** `explode_outer` null preservation — the generator-edge semantics
+    * that silently deletes rows when someone writes plain `explode`:
+    * docs too short to shingle keep exactly one NULL row, so corpus
+    * accounting still sums to the corpus.
+    */
+  private def qExplodeOuter(s: SparkSession, dir: String): DataFrame = {
+    val K = 8 // long shingles so short docs genuinely exist
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("lang"),
+        explode_outer(expr(
+          s"""CASE WHEN size(tok) >= $K
+             |  THEN transform(sequence(1, size(tok) - ${K - 1}),
+             |    i -> graft_md5hi60(concat('0:', concat_ws(' ', slice(tok, i, $K)))))
+             |  ELSE CAST(NULL AS ARRAY<BIGINT>) END""".stripMargin)).as("h"))
+    sh.groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(col("h")).as("n_shingles"),
+        sum(when(col("h").isNull, 1L).otherwise(0L)).as("n_short_docs"))
+      .orderBy("lang")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -6390,6 +6495,10 @@ object SparkEntry {
     "q283_cohort_ltv" -> (qCohortLtv(_, _)),
     "q284_f1_eval" -> (qF1Eval(_, _)),
     "q285_bucketed_join" -> (qBucketedJoin(_, _)),
+    "q286_stream_complete_topk" -> (qStreamCompleteTopk(_, _)),
+    "q287_nested_struct" -> (qNestedStruct(_, _)),
+    "q288_denormalize" -> (qDenormalize(_, _)),
+    "q289_explode_outer" -> (qExplodeOuter(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -11174,6 +11283,49 @@ object SparkEntry {
         |         AS sum_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q286: complete mode's final table is the batch leaderboard
+    "q286_stream_complete_topk" ->
+      """SELECT user_id, SUM(CAST(round(value * 100) AS BIGINT))::BIGINT
+        |         AS total_cents,
+        |       COUNT(*)::BIGINT AS n
+        |FROM events GROUP BY 1
+        |ORDER BY total_cents DESC, user_id LIMIT 10""".stripMargin,
+
+    // q287: the nested leaves aggregate exactly like the flat table
+    "q287_nested_struct" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |       COUNT(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q288: the renormalized rollup is the plain join's rollup
+    "q288_denormalize" ->
+      """SELECT l_returnflag, COUNT(*)::BIGINT AS n_items,
+        |       SUM(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT
+        |         AS sum_qty_c,
+        |       COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q289: short docs keep one NULL row — accounting sums to the corpus
+    "q289_explode_outer" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, i
+        |  FROM tk, generate_series(1, 100000) t(i)
+        |  WHERE i + 7 <= len(tok)),
+        |agg AS (
+        |  SELECT lang, COUNT(DISTINCT doc_id) AS n_long, COUNT(*) AS n_shingles
+        |  FROM sh GROUP BY 1),
+        |docs AS (SELECT lang, COUNT(*) AS n_docs,
+        |                SUM(CASE WHEN len(tok) < 8 THEN 1 ELSE 0 END) AS n_short
+        |         FROM tk GROUP BY 1)
+        |SELECT d.lang, d.n_docs::BIGINT AS n_docs,
+        |       COALESCE(n_shingles, 0)::BIGINT AS n_shingles,
+        |       d.n_short::BIGINT AS n_short_docs
+        |FROM docs d LEFT JOIN agg a ON a.lang = d.lang
+        |ORDER BY d.lang""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
