@@ -6208,6 +6208,99 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Config shadow run (the safe-rollout screen for curation-rule
+    * changes): the q18-style keep rule evaluated under the LIVE config
+    * and a candidate config in ONE pass, reporting only the flip
+    * matrix — how many docs each (live, candidate) decision pair
+    * holds, per language. A candidate that would silently drop half a
+    * language shows up before it ships.
+    */
+  private def qConfigShadow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("uniq"))
+      .withColumn("live", col("toks") >= 10L && col("uniq") * 3L > col("toks"))
+      .withColumn("cand", col("toks") >= 40L && col("uniq") * 2L > col("toks"))
+      .groupBy("lang", "live", "cand")
+      .agg(count(lit(1)).as("n"), sum(col("toks")).as("tokens"))
+      .orderBy("lang", "live", "cand")
+
+  /** Schema-as-data audit: the two table generations' ACTUAL schemas
+    * (as read from their files) emitted as rows — drift review
+    * becomes a queryable diff instead of an eyeball job.
+    */
+  private def qSchemaAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = graft.sources.FormatsFixture.ensure(s, dir)
+    def rows(gen: String, df: DataFrame) =
+      df.schema.fields.map(f => (gen, f.name, f.dataType.simpleString)).toSeq
+    (rows("gen1", s.read.parquet(s"$d/docs_gen1")) ++
+      rows("gen2", s.read.parquet(s"$d/docs_gen2")))
+      .toDF("generation", "field", "dtype")
+      .orderBy("generation", "field")
+  }
+
+  /** Label-conflict detection (training-data QA): identical text
+    * bodies carrying DIFFERENT language labels — exact-hash groups
+    * with more than one distinct label, the annotation noise any
+    * labeled corpus accumulates. One md5-keyed aggregate.
+    */
+  private def qLabelConflicts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(md5(col("text")).as("h"), col("lang"), col("doc_id"))
+      .groupBy("h")
+      .agg(countDistinct(col("lang")).as("n_labels"),
+        count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        sort_array(collect_set(col("lang"))).as("labels"))
+      .filter(col("n_labels") > 1L)
+      .select(col("first_doc"), col("n_docs"), col("n_labels"),
+        concat_ws(",", col("labels")).as("labels"))
+      .orderBy("first_doc")
+
+  /** Empty-input robustness: four stateful operator shapes driven
+    * with provably-empty inputs must return empty — not throw, not
+    * fabricate rows. The gate's output is the per-operator row count
+    * (all zero) from ACTUAL execution.
+    */
+  private def qEmptyInputs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val none = Tables.events(s, dir).filter(lit(false))
+    val asofN = graft.operators.AsOfJoin.asof(
+      none.select(col("user_id"), col("ts"), col("event_id")),
+      none.select(col("user_id"), col("ts").as("ts2"), col("value")),
+      "ts", "ts2", Seq("user_id"), Seq("value")).count()
+    val winN = none
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id")))).count()
+    val aggN = none.groupBy("event_type").agg(sum(col("value"))).count()
+    val dedupN = Dedup.exactGroups(
+      t(s, dir, "documents").filter(lit(false)), "doc_id", "text").count()
+    import s.implicits._
+    Seq(("asof_join", asofN), ("window_rank", winN),
+      ("grouped_agg", aggN), ("exact_dedup", dedupN))
+      .toDF("op", "n_rows").orderBy("op")
+  }
+
+  /** NULL aggregate semantics pinned (the SQL rules every migration
+    * trips over): over an all-NULL column COUNT(*) counts rows,
+    * COUNT(col) is 0, SUM/MIN/MAX/AVG are NULL, and COUNT(DISTINCT)
+    * ignores NULLs entirely.
+    */
+  private def qNullSemantics(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CASE WHEN event_id % 5 = 0 THEN CAST(round(value * 100) AS BIGINT) END")
+          .as("sparse"),
+        expr("CAST(NULL AS BIGINT)").as("void"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), count(col("sparse")).as("n_sparse"),
+        sum(col("sparse")).as("sum_sparse"),
+        count(col("void")).as("n_void"), sum(col("void")).as("sum_void"),
+        max(col("void")).as("max_void"),
+        countDistinct(col("sparse")).as("ndv_sparse"))
+      .orderBy("event_type")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -6499,6 +6592,11 @@ object SparkEntry {
     "q287_nested_struct" -> (qNestedStruct(_, _)),
     "q288_denormalize" -> (qDenormalize(_, _)),
     "q289_explode_outer" -> (qExplodeOuter(_, _)),
+    "q290_config_shadow" -> (qConfigShadow(_, _)),
+    "q291_schema_audit" -> (qSchemaAudit(_, _)),
+    "q292_label_conflicts" -> (qLabelConflicts(_, _)),
+    "q293_empty_inputs" -> (qEmptyInputs(_, _)),
+    "q294_null_semantics" -> (qNullSemantics(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -11306,6 +11404,60 @@ object SparkEntry {
         |         AS sum_qty_c,
         |       COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q290: the flip matrix of live vs candidate keep rules
+    "q290_config_shadow" ->
+      """WITH d AS (
+        |  SELECT lang, len(string_split(text, ' '))::BIGINT AS toks,
+        |         len(list_distinct(string_split(text, ' ')))::BIGINT AS uniq
+        |  FROM documents)
+        |SELECT lang, (toks >= 10 AND uniq * 3 > toks) AS live,
+        |       (toks >= 40 AND uniq * 2 > toks) AS cand,
+        |       COUNT(*)::BIGINT AS n, SUM(toks)::BIGINT AS tokens
+        |FROM d GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // q291: the generations' written schemas, as literals
+    "q291_schema_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('gen1', 'doc_id', 'bigint'), ('gen1', 'text', 'string'),
+        |  ('gen2', 'doc_id', 'bigint'), ('gen2', 'quality', 'bigint'),
+        |  ('gen2', 'text', 'string'))
+        |  t(generation, field, dtype)
+        |ORDER BY generation, field""".stripMargin,
+
+    // q292: md5 groups carrying >1 distinct label
+    "q292_label_conflicts" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS h, COUNT(DISTINCT lang) AS n_labels,
+        |         COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+        |         array_to_string(list_sort(list_distinct(list(lang))), ',')
+        |           AS labels
+        |  FROM documents GROUP BY 1)
+        |SELECT first_doc, n_docs::BIGINT AS n_docs,
+        |       n_labels::BIGINT AS n_labels, labels
+        |FROM g WHERE n_labels > 1 ORDER BY first_doc""".stripMargin,
+
+    // q293: executed-on-empty operators return zero rows
+    "q293_empty_inputs" ->
+      """SELECT * FROM (VALUES
+        |  ('asof_join', 0::BIGINT), ('exact_dedup', 0::BIGINT),
+        |  ('grouped_agg', 0::BIGINT), ('window_rank', 0::BIGINT))
+        |  t(op, n_rows)
+        |ORDER BY op""".stripMargin,
+
+    // q294: COUNT(*) vs COUNT(col) vs NULL-yielding aggregates
+    "q294_null_semantics" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n_rows,
+        |  COUNT(CASE WHEN event_id % 5 = 0 THEN 1 END)::BIGINT AS n_sparse,
+        |  SUM(CASE WHEN event_id % 5 = 0
+        |           THEN CAST(round(value * 100) AS BIGINT) END)::BIGINT
+        |    AS sum_sparse,
+        |  0::BIGINT AS n_void, NULL::BIGINT AS sum_void,
+        |  NULL::BIGINT AS max_void,
+        |  COUNT(DISTINCT CASE WHEN event_id % 5 = 0
+        |        THEN CAST(round(value * 100) AS BIGINT) END)::BIGINT
+        |    AS ndv_sparse
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q289: short docs keep one NULL row — accounting sums to the corpus
     "q289_explode_outer" ->
