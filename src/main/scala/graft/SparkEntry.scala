@@ -6301,6 +6301,60 @@ object SparkEntry {
         countDistinct(col("sparse")).as("ndv_sparse"))
       .orderBy("event_type")
 
+  /** The training-data pipeline END TO END in one plan — quality
+    * filter → exact-dup survivorship → 512-token chunking → hash
+    * split — the composition a user actually ships, proving the
+    * stages COMPOSE (each is individually gated elsewhere: q18/q290,
+    * q11/q50, q68, q49). Per split: document, chunk and token mass.
+    * One md5 shuffle for survivorship; chunk fanout is a per-row
+    * sequence explode; the split is a pure hash function.
+    */
+  private def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("uniq"))
+      .filter(col("toks") >= 10L && col("uniq") * 3L > col("toks"))
+    val survivors = docs
+      .withColumn("h", md5(col("text")))
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("keeper"))
+    val chunks = survivors
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, CAST((toks - 1) DIV 512 AS INT))")).as("ci"))
+      .withColumn("chunk_toks",
+        least(lit(512L), col("toks") - col("ci").cast("long") * 512L))
+    chunks
+      .withColumn("split",
+        expr("CASE WHEN conv(substring(md5(concat('s:', doc_id)), 1, 15), 16, 10) " +
+          "% 20 = 0 THEN 'val' ELSE 'train' END"))
+      .groupBy("split")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"), sum(col("chunk_toks")).as("sum_tokens"))
+      .orderBy("split")
+  }
+
+  /** Salted two-phase aggregation (the hot-key survival pattern where
+    * AQE can't help — it re-plans joins, not aggregations): the
+    * engineered hot key (half the users collapse to key 0) first
+    * aggregates under (key, salt) so its rows spread over 16 reducers,
+    * then the ≤16 partials per key collapse in a second, trivially
+    * skew-free pass. Identical bytes to the direct rollup.
+    */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      expr("CASE WHEN user_id <= 75 THEN 0 ELSE user_id END").as("k"),
+      col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    e.withColumn("salt", col("event_id") % 16L)
+      .groupBy("k", "salt")
+      .agg(sum(col("cents")).as("pc"), count(lit(1)).as("pn"))
+      .groupBy("k")
+      .agg(sum(col("pc")).as("sum_cents"), sum(col("pn")).as("n"))
+      .orderBy("k")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -6597,6 +6651,8 @@ object SparkEntry {
     "q292_label_conflicts" -> (qLabelConflicts(_, _)),
     "q293_empty_inputs" -> (qEmptyInputs(_, _)),
     "q294_null_semantics" -> (qNullSemantics(_, _)),
+    "q295_pipeline_e2e" -> (qPipelineE2e(_, _)),
+    "q296_salted_agg" -> (qSaltedAgg(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -11457,6 +11513,41 @@ object SparkEntry {
         |  COUNT(DISTINCT CASE WHEN event_id % 5 = 0
         |        THEN CAST(round(value * 100) AS BIGINT) END)::BIGINT
         |    AS ndv_sparse
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q295: the composed filter → survivor → chunk → split chain
+    "q295_pipeline_e2e" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, len(string_split(text, ' '))::BIGINT AS toks,
+        |         len(list_distinct(string_split(text, ' ')))::BIGINT AS uniq
+        |  FROM documents),
+        |elig AS (SELECT * FROM d WHERE toks >= 10 AND uniq * 3 > toks),
+        |surv AS (
+        |  SELECT e.doc_id, e.toks FROM elig e
+        |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+        |        FROM elig GROUP BY 1) k
+        |    ON md5(e.text) = k.h AND e.doc_id = k.keeper),
+        |chunks AS (
+        |  SELECT doc_id, toks, ci,
+        |         LEAST(512, toks - ci * 512) AS chunk_toks
+        |  FROM surv, generate_series(0, 100000) t(ci)
+        |  WHERE ci <= (toks - 1) // 512),
+        |sp AS (
+        |  SELECT doc_id, chunk_toks,
+        |    CASE WHEN ('0x' || substr(md5('s:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |              % 20 = 0
+        |         THEN 'val' ELSE 'train' END AS split
+        |  FROM chunks)
+        |SELECT split, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+        |       COUNT(*)::BIGINT AS n_chunks,
+        |       SUM(chunk_toks)::BIGINT AS sum_tokens
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q296: the two-phase rollup's bytes equal the direct rollup
+    "q296_salted_agg" ->
+      """SELECT CASE WHEN user_id <= 75 THEN 0 ELSE user_id END AS k,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |       COUNT(*)::BIGINT AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q289: short docs keep one NULL row — accounting sums to the corpus
