@@ -7012,34 +7012,36 @@ object SparkEntry {
 
     "q29_lsh_neardup" -> lshOracleSql,
 
+    // q30/q31/q32/q56: plane equi-joins (the q34/q100 pattern) —
+    // per-pixel tile_i[idx+1] array indexing wedges DuckDB's planner
+    // at mask scale (20-47 s each; the planes join in ~1 s)
     "q30_zonal_grouped_count" ->
       s"""WITH m AS (SELECT * FROM ${zfp("mask_aoi.parquet")}),
-         |n AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=nlcd/zoom=0")}),
-         |s AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=soil/zoom=0")})
-         |SELECT 'List(' || COALESCE(n.tile_i[m.idx + 1], -2147483648)
-         |    || ', ' || COALESCE(s.tile_i[m.idx + 1], -2147483648) || ')' AS vals,
+         |n AS (SELECT key_col, key_row, idx, v FROM ${zfp("plane_nlcd.parquet")}),
+         |s AS (SELECT key_col, key_row, idx, v FROM ${zfp("plane_soil.parquet")})
+         |SELECT 'List(' || COALESCE(n.v, -2147483648)
+         |    || ', ' || COALESCE(s.v, -2147483648) || ')' AS vals,
          |  COUNT(*) AS cnt
-         |FROM m LEFT JOIN n USING (key_col, key_row)
-         |       LEFT JOIN s USING (key_col, key_row)
+         |FROM m LEFT JOIN n USING (key_col, key_row, idx)
+         |       LEFT JOIN s USING (key_col, key_row, idx)
          |GROUP BY 1 ORDER BY vals""".stripMargin,
 
     "q31_zonal_average" ->
       s"""WITH m AS (SELECT * FROM ${zfp("mask_aoi.parquet")}),
-         |s AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=soil/zoom=0")}),
-         |t AS (SELECT key_col, key_row, tile_d FROM ${zfp("tiles/raster_id=slope/zoom=0")})
-         |SELECT 'List(' || COALESCE(s.tile_i[m.idx + 1], -2147483648) || ')' AS vals,
-         |  ROUND(SUM(CASE WHEN t.tile_d[m.idx + 1] IS NULL
-         |                   OR isnan(t.tile_d[m.idx + 1]) THEN 0.0
-         |                 ELSE t.tile_d[m.idx + 1] END) / COUNT(*), 6) AS avg_v
-         |FROM m LEFT JOIN s USING (key_col, key_row)
-         |       LEFT JOIN t USING (key_col, key_row)
+         |s AS (SELECT key_col, key_row, idx, v FROM ${zfp("plane_soil.parquet")}),
+         |t AS (SELECT key_col, key_row, idx, v FROM ${zfp("plane_slope.parquet")})
+         |SELECT 'List(' || COALESCE(s.v, -2147483648) || ')' AS vals,
+         |  ROUND(SUM(CASE WHEN t.v IS NULL OR isnan(t.v) THEN 0.0
+         |                 ELSE t.v END) / COUNT(*), 6) AS avg_v
+         |FROM m LEFT JOIN s USING (key_col, key_row, idx)
+         |       LEFT JOIN t USING (key_col, key_row, idx)
          |GROUP BY 1 ORDER BY vals""".stripMargin,
 
     "q32_zonal_summary" ->
       s"""WITH m AS (SELECT * FROM ${zfp("mask_aoi.parquet")}),
-         |t AS (SELECT key_col, key_row, tile_d FROM ${zfp("tiles/raster_id=slope/zoom=0")}),
-         |px AS (SELECT t.tile_d[m.idx + 1] AS v
-         |       FROM m LEFT JOIN t USING (key_col, key_row))
+         |t AS (SELECT key_col, key_row, idx, v FROM ${zfp("plane_slope.parquet")}),
+         |px AS (SELECT t.v AS v
+         |       FROM m LEFT JOIN t USING (key_col, key_row, idx))
          |SELECT 0 AS idx, 'slope' AS raster_id,
          |  ROUND(MIN(CASE WHEN isnan(v) THEN NULL ELSE v END), 6) AS min_v,
          |  ROUND(SUM(CASE WHEN v IS NULL OR isnan(v) THEN 0.0 ELSE v END)
@@ -7375,13 +7377,13 @@ object SparkEntry {
 
     "q56_zonal_area_count" ->
       s"""WITH m AS (SELECT * FROM ${zfp("mask_aoi_area.parquet")}),
-         |n AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=nlcd/zoom=0")}),
-         |s AS (SELECT key_col, key_row, tile_i FROM ${zfp("tiles/raster_id=soil/zoom=0")})
-         |SELECT 'List(' || COALESCE(n.tile_i[m.idx + 1], -2147483648)
-         |    || ', ' || COALESCE(s.tile_i[m.idx + 1], -2147483648) || ')' AS vals,
+         |n AS (SELECT key_col, key_row, idx, v FROM ${zfp("plane_nlcd.parquet")}),
+         |s AS (SELECT key_col, key_row, idx, v FROM ${zfp("plane_soil.parquet")})
+         |SELECT 'List(' || COALESCE(n.v, -2147483648)
+         |    || ', ' || COALESCE(s.v, -2147483648) || ')' AS vals,
          |  COUNT(*) AS cnt
-         |FROM m LEFT JOIN n USING (key_col, key_row)
-         |       LEFT JOIN s USING (key_col, key_row)
+         |FROM m LEFT JOIN n USING (key_col, key_row, idx)
+         |       LEFT JOIN s USING (key_col, key_row, idx)
          |GROUP BY 1 ORDER BY vals""".stripMargin,
 
     "q57_zonal_overview_count" ->
@@ -10257,8 +10259,9 @@ object SparkEntry {
     // is spelled as a sign-split floor-div
     "q218_power_iteration" ->
       s"""WITH $gramCtes,
-         |up AS (SELECT i, j, SUM(v)::BIGINT AS sxy FROM p GROUP BY 1, 2),
-         |afull AS (
+         |up AS MATERIALIZED (
+         |  SELECT i, j, SUM(v)::BIGINT AS sxy FROM p GROUP BY 1, 2),
+         |afull AS MATERIALIZED (
          |  SELECT i, j, sxy FROM up
          |  UNION ALL SELECT j, i, sxy FROM up WHERE i <> j),
          |v0 AS (SELECT DISTINCT i, 1048576::BIGINT AS v FROM afull),
@@ -11588,11 +11591,14 @@ object SparkEntry {
     * the upper-triangle component pairs.
     */
   private def gramCtes: String =
-    """q AS (
+    // MATERIALIZED: DuckDB inlines CTEs by default, so the unrolled
+    // q218 iteration chain would otherwise re-evaluate the whole Gram
+    // build per reference (the q34/q100 lesson — 105 s → ~1 s)
+    """q AS MATERIALIZED (
       |  SELECT list_transform(embedding,
       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
       |  FROM embeddings),
-      |p AS (
+      |p AS MATERIALIZED (
       |  SELECT CAST(i AS BIGINT) AS i, CAST(j.g AS BIGINT) AS j,
       |         qv[i] * qv[j.g] AS v
       |  FROM q, generate_series(1, 128) t(i), generate_series(1, 128) j(g)
@@ -11604,12 +11610,14 @@ object SparkEntry {
     * arithmetic [[qPowerIteration]] runs on the driver.
     */
   private def powerIterCtes: String =
+    // w_k feeds BOTH m_k and v_{k+1}: unmaterialized, each level would
+    // double the inlined plan — exponential in the 8 rounds
     (0 until 8).map { k =>
-      s"""w$k AS (
+      s"""w$k AS MATERIALIZED (
          |  SELECT a.i, SUM(a.sxy * v.v)::BIGINT AS w
          |  FROM afull a JOIN v$k v ON v.i = a.j GROUP BY 1),
          |m$k AS (SELECT GREATEST(MAX(ABS(w)) // 1048576, 1) AS denom FROM w$k),
-         |v${k + 1} AS (
+         |v${k + 1} AS MATERIALIZED (
          |  SELECT i, CASE WHEN w >= 0 THEN w // denom
          |                 ELSE -((-w) // denom) END AS v
          |  FROM w$k, m$k)""".stripMargin
