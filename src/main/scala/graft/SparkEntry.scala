@@ -5794,7 +5794,10 @@ object SparkEntry {
   private def qForeachBatchSink(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tag = new java.io.File(dir).getName
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_feb_${tag}_${streamGateN.incrementAndGet()}"
+    // nanoTime: the counter restarts per JVM, and a FRESH MemoryStream
+    // resuming a PREVIOUS JVM's leftover checkpoint dies with
+    // sliceEnd < sliceStart (q248's discipline)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_feb_${tag}_${streamGateN.incrementAndGet()}_${System.nanoTime()}"
     val rows = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
