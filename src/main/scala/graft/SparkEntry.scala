@@ -6358,6 +6358,51 @@ object SparkEntry {
       .orderBy("k")
   }
 
+  /** Dedup-index quality eval: precision/recall of the MinHash-LSH
+    * candidate set against exact 3-shingle Jaccard ≥ 0.6 ground truth
+    * — the eval the recall-floor ANN gates (q73/q103) run for
+    * vectors, here for text. Both sides are pair sets keyed (a < b);
+    * one full-outer join over two ≤|pairs| frames yields the
+    * confusion counts, and the micro ratios are single divisions.
+    */
+  private def qDedupPrEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 12, bands = 4)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_lsh"))
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.6)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_true"))
+    lsh.join(truth, Seq("doc_a", "doc_b"), "full")
+      .agg(sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
+        sum(coalesce(col("in_true"), lit(0L))).as("n_true"),
+        sum(when(col("in_lsh").isNotNull && col("in_true").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("n_lsh"), col("n_true"), col("n_hit"),
+        expr("CAST(n_hit * 1000000 DIV n_lsh AS BIGINT)").as("precision_micro"),
+        expr("CAST(n_hit * 1000000 DIV n_true AS BIGINT)").as("recall_micro"))
+  }
+
+  /** Stratified k-fold assignment (exact per-stratum balance, not
+    * expected balance): within each language, docs order by their md5
+    * hash and take fold = rank % 5 — every stratum's folds differ by
+    * at most one document, which a plain hash-mod split only achieves
+    * in expectation. One per-stratum window; the assignment stays a
+    * pure function of (corpus, lang, doc_id).
+    */
+  private def qStratifiedKfold(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      // conv returns STRING — cast, or the sort is lexicographic
+      expr("CAST(conv(substring(md5(concat('f:', doc_id)), 1, 15), 16, 10) AS BIGINT)")
+        .as("hk"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+    d.withColumn("fold", (row_number().over(w) - 1) % 5)
+      .groupBy(col("lang"), col("fold").cast("long").as("fold"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("lang", "fold")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -6656,6 +6701,8 @@ object SparkEntry {
     "q294_null_semantics" -> (qNullSemantics(_, _)),
     "q295_pipeline_e2e" -> (qPipelineE2e(_, _)),
     "q296_salted_agg" -> (qSaltedAgg(_, _)),
+    "q297_dedup_pr_eval" -> (qDedupPrEval(_, _)),
+    "q298_stratified_kfold" -> (qStratifiedKfold(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -11555,6 +11602,54 @@ object SparkEntry {
         |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
         |       COUNT(*)::BIGINT AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q297: q13's LSH buckets vs exact 3-shingle Jaccard ≥ 0.6 truth
+    "q297_dedup_pr_eval" ->
+      s"""WITH ${minhashCtes()},
+         |lsh AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc),
+         |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+         |  FROM hs a JOIN hs b ON a.h1 = b.h1 AND a.h2 = b.h2
+         |    AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  -- the engine filters on the 4-decimal ROUNDED jaccard
+         |  -- (q12's convention) — mirror it, not the cross-multiply
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+         |  WHERE ROUND(i::DOUBLE / (sa.n_sh + sb.n_sh - i), 4) >= 0.6),
+         |j AS (
+         |  SELECT COALESCE(l.doc_a, t.doc_a) AS doc_a,
+         |         CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh,
+         |         CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_true
+         |  FROM lsh l FULL JOIN truth t
+         |    ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b)
+         |SELECT SUM(in_lsh)::BIGINT AS n_lsh, SUM(in_true)::BIGINT AS n_true,
+         |       SUM(in_lsh * in_true)::BIGINT AS n_hit,
+         |       (SUM(in_lsh * in_true) * 1000000 // SUM(in_lsh))::BIGINT
+         |         AS precision_micro,
+         |       (SUM(in_lsh * in_true) * 1000000 // SUM(in_true))::BIGINT
+         |         AS recall_micro
+         |FROM j""".stripMargin,
+
+    // q298: identical per-stratum (hash, doc_id) order and rank % 5
+    "q298_stratified_kfold" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         ('0x' || substr(md5('f:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) - 1) % 5
+        |      AS fold
+        |  FROM d)
+        |SELECT lang, CAST(fold AS BIGINT) AS fold, COUNT(*)::BIGINT AS n_docs,
+        |       MIN(doc_id)::BIGINT AS first_doc
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q289: short docs keep one NULL row — accounting sums to the corpus
     "q289_explode_outer" ->
