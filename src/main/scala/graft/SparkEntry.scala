@@ -6403,6 +6403,57 @@ object SparkEntry {
       .orderBy("lang", "fold")
   }
 
+  /** Zipf rank–frequency screen ("does this corpus look like natural
+    * language"): the top-20 vocabulary ranks with the ideal Zipf
+    * prediction freq₁/rank and the exact micro deviation — synthetic
+    * or templated corpora show up as flat curves. All integers; the
+    * rank order is the (freq desc, token) total order.
+    */
+  private def qZipfScreen(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("tok")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok"))).cast("long"))
+    val f1 = top.filter(col("rank") === 1L).select(col("freq").as("f1"))
+    top.crossJoin(broadcast(f1))
+      .select(col("rank"), col("tok"), col("freq"),
+        expr("CAST(f1 DIV rank AS BIGINT)").as("zipf_pred"),
+        expr("CAST(abs(freq * rank - f1) * 1000000 DIV f1 AS BIGINT)")
+          .as("zipf_dev_micro"))
+      .orderBy("rank")
+  }
+
+  /** The corpus DATASHEET (Gebru et al.'s datasheets-for-datasets,
+    * as one row of exact integers): size, vocabulary, duplication,
+    * language spread, length distribution — the card attached to a
+    * training-data release. Everything partial-aggregates in two
+    * passes (corpus scan + token scan); at 100 TB the datasheet costs
+    * what a count does.
+    */
+  private def qCorpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"), md5(col("text")).as("h"))
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("h")).as("n_unique_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("toks")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      min(col("toks")).as("min_doc_toks"),
+      max(col("toks")).as("max_doc_toks"),
+      expr("CAST(sum(toks) DIV count(1) AS BIGINT)").as("mean_doc_toks"))
+    val vocab = toks.agg(countDistinct(col("tok")).as("vocab_size"))
+    base.crossJoin(broadcast(vocab))
+      .withColumn("dup_docs_micro",
+        expr("CAST((n_docs - n_unique_docs) * 1000000 DIV n_docs AS BIGINT)"))
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -6703,6 +6754,8 @@ object SparkEntry {
     "q296_salted_agg" -> (qSaltedAgg(_, _)),
     "q297_dedup_pr_eval" -> (qDedupPrEval(_, _)),
     "q298_stratified_kfold" -> (qStratifiedKfold(_, _)),
+    "q299_zipf_screen" -> (qZipfScreen(_, _)),
+    "q300_corpus_datasheet" -> (qCorpusDatasheet(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -11650,6 +11703,48 @@ object SparkEntry {
         |SELECT lang, CAST(fold AS BIGINT) AS fold, COUNT(*)::BIGINT AS n_docs,
         |       MIN(doc_id)::BIGINT AS first_doc
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q299: identical (freq desc, tok) top-20 and integer Zipf math
+    "q299_zipf_screen" ->
+      """WITH f AS (
+        |  SELECT tok, COUNT(*)::BIGINT AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |top AS (
+        |  SELECT tok, freq,
+        |         ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+        |  FROM f ORDER BY freq DESC, tok LIMIT 20),
+        |f1 AS (SELECT freq AS f1 FROM top WHERE rank = 1)
+        |SELECT CAST(rank AS BIGINT) AS rank, tok, freq,
+        |       (f1 // rank)::BIGINT AS zipf_pred,
+        |       (ABS(freq * rank - f1) * 1000000 // f1)::BIGINT
+        |         AS zipf_dev_micro
+        |FROM top, f1 ORDER BY rank""".stripMargin,
+
+    // q300: the one-row corpus card — two partial-aggregated passes
+    "q300_corpus_datasheet" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         len(string_split(text, ' '))::BIGINT AS toks,
+        |         md5(text) AS h
+        |  FROM documents),
+        |base AS (
+        |  SELECT COUNT(*)::BIGINT AS n_docs,
+        |         COUNT(DISTINCT h)::BIGINT AS n_unique_docs,
+        |         COUNT(DISTINCT lang)::BIGINT AS n_langs,
+        |         SUM(toks)::BIGINT AS n_tokens,
+        |         SUM(n_chars)::BIGINT AS n_chars,
+        |         MIN(toks)::BIGINT AS min_doc_toks,
+        |         MAX(toks)::BIGINT AS max_doc_toks,
+        |         (SUM(toks) // COUNT(*))::BIGINT AS mean_doc_toks
+        |  FROM d),
+        |v AS (
+        |  SELECT COUNT(DISTINCT tok)::BIGINT AS vocab_size FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+        |SELECT base.*, v.vocab_size,
+        |       ((n_docs - n_unique_docs) * 1000000 // n_docs)::BIGINT
+        |         AS dup_docs_micro
+        |FROM base, v""".stripMargin,
 
     // q289: short docs keep one NULL row — accounting sums to the corpus
     "q289_explode_outer" ->
