@@ -6454,6 +6454,98 @@ object SparkEntry {
         expr("CAST((n_docs - n_unique_docs) * 1000000 DIV n_docs AS BIGINT)"))
   }
 
+  /** MinHash Jaccard-ESTIMATE accuracy (the sketch-accuracy eval the
+    * family still lacked — q271 gates HLL, q297 gates the candidate
+    * set): for every exact-Jaccard ≥ 0.5 pair, the signature estimate
+    * matching_lanes/12 sits within 2 lanes (±1/6) of truth. Matching
+    * lanes are exact integers; truth is q12's rounded Jaccard. The
+    * estimator's variance bound J(1−J)/k is what makes banded LSH
+    * tunable at all — this gate measures it on real pairs.
+    */
+  private def qMinhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+      n = 3, numHashes = 12).localCheckpoint()
+    val lanes = (0 until 12).map(i =>
+      when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5)
+    truth
+      .join(sigs.as("a"), col("doc_a") === col("a.doc"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc"))
+      .withColumn("match_lanes", lanes)
+      .withColumn("est_micro", expr("CAST(match_lanes * 1000000 DIV 12 AS BIGINT)"))
+      .withColumn("true_micro", expr("CAST(round(jaccard * 1000000) AS BIGINT)"))
+      .withColumn("within_2_lanes",
+        abs(col("est_micro") - col("true_micro")) <= lit(2000000L / 12L * 2L))
+      .groupBy("within_2_lanes")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("match_lanes")).as("min_lanes"),
+        max(col("match_lanes")).as("max_lanes"))
+      .orderBy("within_2_lanes")
+  }
+
+  /** Distinct users per hopping window — q255's sliding frame carrying
+    * a DISTINCT aggregate (the dedup-inside-window shape that breaks
+    * naive incrementalization): each event expands to its 4 windows,
+    * one countDistinct per (window, type). State is window-bounded.
+    */
+  private def qSlidingDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n_users"))
+      .orderBy("ws", "event_type")
+
+  /** Hapax-bearing documents (the rare-token curation feature): docs
+    * containing corpus-unique tokens are disproportionately noise OR
+    * highly informative — either way a screening signal. The hapax
+    * vocabulary is a frequency-1 filter on the token rollup,
+    * broadcast back; per language, the doc share carrying hapaxes and
+    * the hapax mass.
+    */
+  private def qHapaxDocs(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val hapax = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+      .filter(col("f") === 1L).select("tok")
+    val perDoc = toks.join(broadcast(hapax), Seq("tok"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hapax"))
+    t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_hapax", coalesce(col("n_hapax"), lit(0L)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hapax") > 0L, 1L).otherwise(0L)).as("n_hapax_docs"),
+        sum(col("n_hapax")).as("total_hapax"))
+      .orderBy("lang")
+  }
+
+  /** `recursiveFileLookup` — reading a nested non-partition directory
+    * tree (the layout crawler dumps actually arrive in): files two
+    * levels deep, no partition columns, one option instead of a glob
+    * per level.
+    */
+  private def qRecursiveLookup(s: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rec_$tag"
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    ev.filter(col("event_id") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$base/a/x")
+    ev.filter(col("event_id") % 3 === 1)
+      .write.mode("overwrite").parquet(s"$base/a/y/deep")
+    ev.filter(col("event_id") % 3 === 2)
+      .write.mode("overwrite").parquet(s"$base/b")
+    s.read.option("recursiveFileLookup", "true").parquet(base)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -6756,6 +6848,10 @@ object SparkEntry {
     "q298_stratified_kfold" -> (qStratifiedKfold(_, _)),
     "q299_zipf_screen" -> (qZipfScreen(_, _)),
     "q300_corpus_datasheet" -> (qCorpusDatasheet(_, _)),
+    "q301_minhash_estimate" -> (qMinhashEstimate(_, _)),
+    "q302_sliding_distinct" -> (qSlidingDistinct(_, _)),
+    "q303_hapax_docs" -> (qHapaxDocs(_, _)),
+    "q304_recursive_lookup" -> (qRecursiveLookup(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -11745,6 +11841,72 @@ object SparkEntry {
         |       ((n_docs - n_unique_docs) * 1000000 // n_docs)::BIGINT
         |         AS dup_docs_micro
         |FROM base, v""".stripMargin,
+
+    // q301: signature-lane agreement vs the rounded exact Jaccard;
+    // bound literal 333332 = floor(2e6/12)*2 shared with the engine
+    "q301_minhash_estimate" -> {
+      val laneSum = (0 until 12)
+        .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH ${minhashCtes()},
+         |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+         |  FROM hs a JOIN hs b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT doc_a, doc_b,
+         |         ROUND(i::DOUBLE / (sa.n_sh + sb.n_sh - i), 4) AS j
+         |  FROM inter JOIN sizes sa ON sa.doc = doc_a
+         |             JOIN sizes sb ON sb.doc = doc_b
+         |  WHERE ROUND(i::DOUBLE / (sa.n_sh + sb.n_sh - i), 4) >= 0.5),
+         |lanes AS (
+         |  SELECT t.j, ($laneSum) AS match_lanes
+         |  FROM truth t JOIN sig a ON a.doc = t.doc_a
+         |               JOIN sig b ON b.doc = t.doc_b)
+         |SELECT ABS(match_lanes * 1000000 // 12
+         |           - CAST(ROUND(j * 1000000) AS BIGINT)) <= 333332
+         |         AS within_2_lanes,
+         |       COUNT(*)::BIGINT AS n_pairs,
+         |       MIN(match_lanes)::BIGINT AS min_lanes,
+         |       MAX(match_lanes)::BIGINT AS max_lanes
+         |FROM lanes GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // q302: the 4-window expansion carrying COUNT(DISTINCT)
+    "q302_sliding_distinct" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 900000000 AS slot, event_type, user_id
+        |  FROM events),
+        |w AS (
+        |  SELECT (slot - g.g) * 900000000 AS ws_us, event_type, user_id
+        |  FROM e, generate_series(0, 3) g(g))
+        |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS ws,
+        |       event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q303: frequency-1 vocabulary, semi-join, per-language rollup
+    "q303_hapax_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |hapax AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) = 1),
+        |pd AS (
+        |  SELECT doc_id, COUNT(*)::BIGINT AS n_hapax
+        |  FROM toks SEMI JOIN hapax USING (tok) GROUP BY 1)
+        |SELECT d.lang, COUNT(*)::BIGINT AS n_docs,
+        |       SUM(CASE WHEN COALESCE(n_hapax, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_hapax_docs,
+        |       SUM(COALESCE(n_hapax, 0))::BIGINT AS total_hapax
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q304: the nested tree re-assembles the source
+    "q304_recursive_lookup" ->
+      """SELECT event_type, COUNT(*)::BIGINT AS n,
+        |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |       SUM(event_id)::BIGINT AS id_checksum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q289: short docs keep one NULL row — accounting sums to the corpus
     "q289_explode_outer" ->
