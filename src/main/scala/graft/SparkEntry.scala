@@ -6546,6 +6546,76 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Kaplan–Meier churn survival (the retention curve with proper
+    * censoring): users active on the corpus's final day are CENSORED,
+    * not churned; per churn day, the risk set, the churn count, the
+    * per-day log-hazard (q207's floor(ln·10⁶) per-row discipline) and
+    * the cumulative log-survival. The user-day reduction is two
+    * aggregates; the cumulative runs over ≤|days| rollup rows.
+    */
+  private def qSurvivalKm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val span = e.agg(max(col("day")).as("max_day"))
+    val lastDay = e.groupBy("user_id").agg(max(col("day")).as("last_day"))
+      .crossJoin(broadcast(span))
+    val churn = lastDay.filter(col("last_day") < col("max_day"))
+      .groupBy(col("last_day").as("day")).agg(count(lit(1)).as("d_churn"))
+    // risk set at day d = users whose last_day ≥ d: suffix count over
+    // the ≤|days| rollup (total minus prefix of earlier last_days)
+    val byDay = lastDay.groupBy(col("last_day").as("day")).agg(count(lit(1)).as("ending"))
+    val tot = lastDay.agg(count(lit(1)).as("n_users"))
+    val wDays = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byDay.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_users") - coalesce(sum(col("ending")).over(wDays), lit(0L)))
+      .select(col("day"), col("n_risk"))
+    val wCum = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    churn.join(risk, "day")
+      .filter(col("d_churn") < col("n_risk")) // ln(0) guard, same both sides
+      .withColumn("h_micro",
+        expr("CAST(floor(ln(1.0 - CAST(d_churn AS DOUBLE) / n_risk) * 1000000.0) AS BIGINT)"))
+      .withColumn("cum_ln_micro", sum(col("h_micro")).over(wCum))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_risk"), col("d_churn"), col("h_micro"), col("cum_ln_micro"))
+      .orderBy("day")
+  }
+
+  /** Simpson diversity index per source (the ecology measure reused
+    * for corpus mix monitoring): Σ nᵢ(nᵢ−1) / N(N−1) in exact micro
+    * integers — probability two random docs share a language. One
+    * two-level aggregate.
+    */
+  private def qSimpsonDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("ni"))
+      .groupBy("source")
+      .agg(sum(col("ni")).as("n_docs"),
+        sum(col("ni") * (col("ni") - 1L)).as("same_pairs2"))
+      .select(col("source"), col("n_docs"),
+        expr("CAST(same_pairs2 * 1000000 DIV (n_docs * (n_docs - 1)) AS BIGINT)")
+          .as("simpson_micro"))
+      .orderBy("source")
+
+  /** Burstiness (Fano factor) of per-user daily activity: the
+    * variance-to-mean ratio of daily event counts — regular robots sit
+    * near 0, bursty humans well above 1. Zero-days enter through the
+    * corpus-wide day count; everything is the exact integer moment
+    * identity (N·Σx² − (Σx)²) / (Σx·(N−1)).
+    */
+  private def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val nDays = e.agg(countDistinct(col("day")).as("nd"))
+    val daily = e.groupBy("user_id", "day").agg(count(lit(1)).as("x"))
+    daily.groupBy("user_id")
+      .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).as("active_days"))
+      .crossJoin(broadcast(nDays))
+      .select(col("user_id"), col("active_days"), col("sx").as("n_events"),
+        expr("CAST((nd * sxx - sx * sx) * 1000000 DIV (sx * (nd - 1)) AS BIGINT)")
+          .as("fano_micro"))
+      .orderBy("user_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -6852,6 +6922,9 @@ object SparkEntry {
     "q302_sliding_distinct" -> (qSlidingDistinct(_, _)),
     "q303_hapax_docs" -> (qHapaxDocs(_, _)),
     "q304_recursive_lookup" -> (qRecursiveLookup(_, _)),
+    "q305_survival_km" -> (qSurvivalKm(_, _)),
+    "q306_simpson_diversity" -> (qSimpsonDiversity(_, _)),
+    "q307_burstiness" -> (qBurstiness(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -11907,6 +11980,57 @@ object SparkEntry {
         |       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
         |       SUM(event_id)::BIGINT AS id_checksum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q305: identical censoring rule, suffix risk sets, per-row
+    // floor(ln·1e6) hazard and cumulative
+    "q305_survival_km" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |mx AS (SELECT MAX(day) AS max_day FROM e),
+        |ld AS (SELECT user_id, MAX(day) AS last_day FROM e GROUP BY 1),
+        |churn AS (
+        |  SELECT last_day AS day, COUNT(*)::BIGINT AS d_churn
+        |  FROM ld, mx WHERE last_day < max_day GROUP BY 1),
+        |byday AS (SELECT last_day AS day, COUNT(*)::BIGINT AS ending
+        |          FROM ld GROUP BY 1),
+        |tot AS (SELECT COUNT(*)::BIGINT AS n_users FROM ld),
+        |risk AS (
+        |  SELECT day, n_users - COALESCE(SUM(ending) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byday, tot),
+        |h AS (
+        |  SELECT c.day, r.n_risk, c.d_churn,
+        |    CAST(floor(ln(1.0 - CAST(d_churn AS DOUBLE) / n_risk)
+        |         * 1000000.0) AS BIGINT) AS h_micro
+        |  FROM churn c JOIN risk r ON r.day = c.day
+        |  WHERE c.d_churn < r.n_risk)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_risk::BIGINT AS n_risk,
+        |       d_churn, h_micro,
+        |       SUM(h_micro) OVER (ORDER BY day
+        |         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_ln_micro
+        |FROM h ORDER BY day""".stripMargin,
+
+    // q306: the exact integer same-pair identity
+    "q306_simpson_diversity" ->
+      """WITH c AS (
+        |  SELECT source, lang, COUNT(*)::BIGINT AS ni
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, SUM(ni)::BIGINT AS n_docs,
+        |       (SUM(ni * (ni - 1)) * 1000000
+        |        // (SUM(ni) * (SUM(ni) - 1)))::BIGINT AS simpson_micro
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q307: the exact integer moment identity; zero-days via the
+    // corpus-wide day count
+    "q307_burstiness" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |nd AS (SELECT COUNT(DISTINCT day)::BIGINT AS nd FROM e),
+        |d AS (SELECT user_id, day, COUNT(*)::BIGINT AS x
+        |      FROM e GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*)::BIGINT AS active_days,
+        |       SUM(x)::BIGINT AS n_events,
+        |       ((nd * SUM(x * x) - SUM(x) * SUM(x)) * 1000000
+        |        // (SUM(x) * (nd - 1)))::BIGINT AS fano_micro
+        |FROM d, nd GROUP BY user_id, nd ORDER BY user_id""".stripMargin,
 
     // q289: short docs keep one NULL row — accounting sums to the corpus
     "q289_explode_outer" ->
