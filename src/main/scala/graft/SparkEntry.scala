@@ -6616,6 +6616,56 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Week-over-week change report (the BI staple): weekly cents per
+    * type, the previous week via one key-partitioned lag, delta in
+    * exact cents and micro percent (floor-divided — sign-safe because
+    * both engines floor negative quotients identically here via the
+    * sign-split). First weeks report NULL, not zero.
+    */
+  private def qWowChange(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 604800000000L
+    val e = Tables.events(s, dir).select(col("event_type"),
+      unix_micros(col("ts")).as("tu"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val b = e.agg(min(col("tu")).as("lo"))
+    val weekly = e.crossJoin(broadcast(b))
+      .withColumn("week", expr(s"(tu - lo) DIV $W"))
+      .groupBy("event_type", "week").agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    weekly.withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("delta_c", col("cents") - col("prev"))
+      .withColumn("pct_micro", expr(
+        """CASE WHEN prev IS NULL THEN NULL
+          |     WHEN cents >= prev THEN (cents - prev) * 1000000 DIV prev
+          |     ELSE -((prev - cents) * 1000000 DIV prev) END""".stripMargin))
+      .orderBy("event_type", "week")
+  }
+
+  /** Feature-staleness guard (the feature-store serving rule): each
+    * purchase reads the user's latest prior `view` via the as-of
+    * backward join, but a match older than 30 minutes is STALE and
+    * must serve as NULL — bounded staleness, not just "latest".
+    * Reports fresh / stale / no-history mass per user band.
+    */
+  private def qStalenessGuard(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts"), unix_micros(col("ts")).as("tu"), col("event_type"))
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("tu").as("p_tu"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("tu").as("v_tu"))
+    graft.operators.AsOfJoin.asof(pur, views,
+        "ts", "v_ts", Seq("user_id"), Seq("v_tu"), "backward")
+      .withColumn("status", expr(
+        """CASE WHEN v_tu IS NULL THEN 'no_history'
+          |     WHEN p_tu - v_tu <= 1800000000 THEN 'fresh'
+          |     ELSE 'stale' END""".stripMargin))
+      .groupBy(expr("CAST(user_id % 10 AS BIGINT)").as("band"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("band", "status")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -6925,6 +6975,8 @@ object SparkEntry {
     "q305_survival_km" -> (qSurvivalKm(_, _)),
     "q306_simpson_diversity" -> (qSimpsonDiversity(_, _)),
     "q307_burstiness" -> (qBurstiness(_, _)),
+    "q308_wow_change" -> (qWowChange(_, _)),
+    "q309_staleness_guard" -> (qStalenessGuard(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -12031,6 +12083,49 @@ object SparkEntry {
         |       ((nd * SUM(x * x) - SUM(x) * SUM(x)) * 1000000
         |        // (SUM(x) * (nd - 1)))::BIGINT AS fano_micro
         |FROM d, nd GROUP BY user_id, nd ORDER BY user_id""".stripMargin,
+
+    // q308: identical weekly buckets, lag, sign-split floor pct
+    "q308_wow_change" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tu,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT MIN(tu) AS lo FROM e),
+        |wk AS (
+        |  SELECT event_type, (tu - lo) // 604800000000 AS week,
+        |         SUM(cents)::BIGINT AS cents
+        |  FROM e, b GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, week, cents,
+        |         lag(cents) OVER (PARTITION BY event_type ORDER BY week) AS prev
+        |  FROM wk)
+        |SELECT event_type, week, cents, prev,
+        |       (cents - prev)::BIGINT AS delta_c,
+        |       (CASE WHEN prev IS NULL THEN NULL
+        |             WHEN cents >= prev THEN (cents - prev) * 1000000 // prev
+        |             ELSE -((prev - cents) * 1000000 // prev) END)::BIGINT
+        |         AS pct_micro
+        |FROM l ORDER BY event_type, week""".stripMargin,
+
+    // q309: DuckDB ASOF with the staleness CASE on top
+    "q309_staleness_guard" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type, ts
+        |  FROM events),
+        |pur AS (SELECT user_id, event_id, ts, tu AS p_tu
+        |        FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS v_ts, tu AS v_tu
+        |      FROM e WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.user_id, p.p_tu, v.v_tu
+        |  FROM pur p ASOF LEFT JOIN v
+        |    ON p.user_id = v.user_id AND p.ts >= v.v_ts)
+        |SELECT CAST(user_id % 10 AS BIGINT) AS band,
+        |       CASE WHEN v_tu IS NULL THEN 'no_history'
+        |            WHEN p_tu - v_tu <= 1800000000 THEN 'fresh'
+        |            ELSE 'stale' END AS status,
+        |       COUNT(*)::BIGINT AS n
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q289: short docs keep one NULL row — accounting sums to the corpus
     "q289_explode_outer" ->
