@@ -6666,6 +6666,66 @@ object SparkEntry {
       .orderBy("band", "status")
   }
 
+  /** Degree assortativity of the co-purchase graph (do hub products
+    * co-occur with hubs?): Pearson r over symmetrized per-edge
+    * endpoint degrees — exact integer moments end to end, one sqrt at
+    * the finish (IEEE-exactly-rounded, q155's discipline). Degrees
+    * come from one groupBy over the distinct edge set; the moment
+    * pass touches edges once.
+    */
+  private def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("ua"), col("b.p").as("ub")).distinct()
+    val deg = edges.select(col("ua").as("n")).union(edges.select(col("ub")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val sym = edges
+      .join(deg.select(col("n").as("ua"), col("d").as("da")), "ua")
+      .join(deg.select(col("n").as("ub"), col("d").as("db")), "ub")
+      .select(col("da").as("x"), col("db").as("y"))
+      .union(edges
+        .join(deg.select(col("n").as("ua"), col("d").as("da")), "ua")
+        .join(deg.select(col("n").as("ub"), col("d").as("db")), "ub")
+        .select(col("db").as("x"), col("da").as("y")))
+    sym.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("m"), col("sxy"),
+        expr("""CAST(floor((m * sxy - sx * sy)
+               |  / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+               |         * CAST(m * syy - sy * sy AS DOUBLE))
+               |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin)
+          .as("assortativity_micro"))
+  }
+
+  /** Information gain IG(event_type ; user band) — the feature-
+    * selection screen next to WOE (q158) and χ² (q147): marginal
+    * minus conditional entropy, every ln floored to micro-nats PER
+    * TERM (q142's discipline) so the sums are exact integers and
+    * partial-aggregation-order-free.
+    */
+  private def qInfoGain(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(expr("CAST(user_id % 10 AS BIGINT)").as("band"), col("event_type"))
+    val n = e.count() // bounded driver scalar, pinned by the oracle
+    val marg = e.groupBy("event_type").agg(count(lit(1)).as("c"))
+      .select(sum(expr(
+        s"c * CAST(floor(ln(CAST(c AS DOUBLE) / $n) * 1000000.0) AS BIGINT)"))
+        .as("s_marg"))
+    val bandTot = e.groupBy("band").agg(count(lit(1)).as("nb"))
+    val cond = e.groupBy("band", "event_type").agg(count(lit(1)).as("c"))
+      .join(broadcast(bandTot), "band")
+      .select(sum(expr(
+        "c * CAST(floor(ln(CAST(c AS DOUBLE) / nb) * 1000000.0) AS BIGINT)"))
+        .as("s_cond"))
+    marg.crossJoin(cond)
+      .select(expr(s"CAST(-s_marg DIV $n AS BIGINT)").as("h_label_micro"),
+        expr(s"CAST(-s_cond DIV $n AS BIGINT)").as("h_cond_micro"),
+        expr(s"CAST(-s_marg DIV $n - -s_cond DIV $n AS BIGINT)").as("ig_micro"))
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -6977,6 +7037,8 @@ object SparkEntry {
     "q307_burstiness" -> (qBurstiness(_, _)),
     "q308_wow_change" -> (qWowChange(_, _)),
     "q309_staleness_guard" -> (qStalenessGuard(_, _)),
+    "q310_assortativity" -> (qAssortativity(_, _)),
+    "q311_info_gain" -> (qInfoGain(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -12126,6 +12188,55 @@ object SparkEntry {
         |            ELSE 'stale' END AS status,
         |       COUNT(*)::BIGINT AS n
         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q310: identical moments and the single finish-sqrt
+    "q310_assortativity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.p AS ua, b.p AS ub
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |deg AS (
+        |  SELECT n, COUNT(*)::BIGINT AS d FROM (
+        |    SELECT ua AS n FROM edges UNION ALL SELECT ub FROM edges)
+        |  GROUP BY 1),
+        |sym AS (
+        |  SELECT da.d AS x, db.d AS y
+        |  FROM edges JOIN deg da ON da.n = ua JOIN deg db ON db.n = ub
+        |  UNION ALL
+        |  SELECT db.d, da.d
+        |  FROM edges JOIN deg da ON da.n = ua JOIN deg db ON db.n = ub),
+        |mo AS (
+        |  SELECT COUNT(*)::BIGINT AS m, SUM(x)::BIGINT AS sx,
+        |         SUM(y)::BIGINT AS sy, SUM(x * x)::BIGINT AS sxx,
+        |         SUM(y * y)::BIGINT AS syy, SUM(x * y)::BIGINT AS sxy
+        |  FROM sym)
+        |SELECT m, sxy,
+        |       CAST(floor((m * sxy - sx * sy)
+        |         / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+        |                * CAST(m * syy - sy * sy AS DOUBLE))
+        |         * 1000000.0 + 0.5) AS BIGINT) AS assortativity_micro
+        |FROM mo""".stripMargin,
+
+    // q311: q142's per-term floor(ln·1e6) discipline on both entropies
+    "q311_info_gain" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id % 10 AS BIGINT) AS band, event_type FROM events),
+        |n AS (SELECT COUNT(*)::BIGINT AS n FROM e),
+        |marg AS (
+        |  SELECT SUM(c * CAST(floor(ln(CAST(c AS DOUBLE) / n.n)
+        |             * 1000000.0) AS BIGINT))::BIGINT AS s_marg
+        |  FROM (SELECT event_type, COUNT(*)::BIGINT AS c FROM e GROUP BY 1), n),
+        |bt AS (SELECT band, COUNT(*)::BIGINT AS nb FROM e GROUP BY 1),
+        |cond AS (
+        |  SELECT SUM(c * CAST(floor(ln(CAST(c AS DOUBLE) / nb)
+        |             * 1000000.0) AS BIGINT))::BIGINT AS s_cond
+        |  FROM (SELECT band, event_type, COUNT(*)::BIGINT AS c
+        |        FROM e GROUP BY 1, 2) x JOIN bt USING (band))
+        |SELECT CAST(-s_marg // n.n AS BIGINT) AS h_label_micro,
+        |       CAST(-s_cond // n.n AS BIGINT) AS h_cond_micro,
+        |       CAST(-s_marg // n.n - -s_cond // n.n AS BIGINT) AS ig_micro
+        |FROM marg, cond, n""".stripMargin,
 
     // q289: short docs keep one NULL row — accounting sums to the corpus
     "q289_explode_outer" ->
