@@ -6726,6 +6726,60 @@ object SparkEntry {
         expr(s"CAST(-s_marg DIV $n - -s_cond DIV $n AS BIGINT)").as("ig_micro"))
   }
 
+  /** Embedding hygiene screen (the ANN pre-flight): quantized integer
+    * norms² per vector, flagged against exact P5/P95 order-statistic
+    * bounds (q221's rank discipline) — near-zero or blown-up vectors
+    * poison cosine similarity before any index is built. Map-only
+    * norms, one sort window for the bounds, broadcast back.
+    */
+  private def qEmbeddingQa(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = t(s, dir, "embeddings").select(col("vec_id"),
+      expr(
+        """aggregate(transform(embedding,
+          |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)),
+          |  0L, (a, x) -> a + x * x)""".stripMargin).as("norm2"))
+    val w = Window.orderBy(col("norm2"))
+    val ranked = v.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val cuts = ranked.agg(
+      max(when(col("rn") === expr("(n * 5 + 99) DIV 100"), col("norm2"))).as("p5"),
+      max(when(col("rn") === expr("(n * 95 + 99) DIV 100"), col("norm2"))).as("p95"))
+    v.crossJoin(broadcast(cuts))
+      .withColumn("flag", expr(
+        """CASE WHEN norm2 < p5 THEN 'low' WHEN norm2 > p95 THEN 'high'
+          |     ELSE 'ok' END""".stripMargin))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n_vectors"), min(col("norm2")).as("min_norm2"),
+        max(col("norm2")).as("max_norm2"))
+      .orderBy("flag")
+  }
+
+  /** Near-zero-variance feature screen (caret's nzv, the silent
+    * model-killer): for each q239-style feature, the most-common-value
+    * share and distinct ratio in exact micros — a feature whose top
+    * value covers ≥95% or with ≤2 distinct values carries no signal.
+    * One melt + two aggregate levels.
+    */
+  private def qNzvScreen(s: SparkSession, dir: String): DataFrame = {
+    val long = qFeatureStore(s, dir)
+      .select("user_id", "n_view", "n_click", "n_purchase", "n_error",
+        "n_signup", "days_active")
+      .unpivot(Array(col("user_id")),
+        Array(col("n_view"), col("n_click"), col("n_purchase"),
+          col("n_error"), col("n_signup"), col("days_active")),
+        "feature", "value")
+    val vc = long.groupBy("feature", "value").agg(count(lit(1)).as("c"))
+    vc.groupBy("feature")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_freq"))
+      .select(col("feature"), col("n_distinct"),
+        expr("CAST(top_freq * 1000000 DIV n AS BIGINT)").as("top_share_micro"),
+        expr("CAST(n_distinct * 1000000 DIV n AS BIGINT)").as("distinct_micro"),
+        expr("top_freq * 100 >= n * 95 OR n_distinct <= 2").as("nzv_flag"))
+      .orderBy("feature")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -7039,6 +7093,8 @@ object SparkEntry {
     "q309_staleness_guard" -> (qStalenessGuard(_, _)),
     "q310_assortativity" -> (qAssortativity(_, _)),
     "q311_info_gain" -> (qInfoGain(_, _)),
+    "q312_embedding_qa" -> (qEmbeddingQa(_, _)),
+    "q313_nzv_screen" -> (qNzvScreen(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -12237,6 +12293,55 @@ object SparkEntry {
         |       CAST(-s_cond // n.n AS BIGINT) AS h_cond_micro,
         |       CAST(-s_marg // n.n - -s_cond // n.n AS BIGINT) AS ig_micro
         |FROM marg, cond, n""".stripMargin,
+
+    // q312: identical quantized norms and ceil-rank bounds
+    "q312_embedding_qa" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) ^ 2))
+        |      AS norm2_raw
+        |  FROM embeddings),
+        |v2 AS (SELECT vec_id, CAST(norm2_raw AS BIGINT) AS norm2 FROM v),
+        |r AS (
+        |  SELECT norm2, ROW_NUMBER() OVER (ORDER BY norm2) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM v2),
+        |cuts AS (
+        |  SELECT MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN norm2 END) AS p5,
+        |         MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN norm2 END) AS p95
+        |  FROM r)
+        |SELECT CASE WHEN norm2 < p5 THEN 'low' WHEN norm2 > p95 THEN 'high'
+        |            ELSE 'ok' END AS flag,
+        |       COUNT(*)::BIGINT AS n_vectors, MIN(norm2)::BIGINT AS min_norm2,
+        |       MAX(norm2)::BIGINT AS max_norm2
+        |FROM v2, cuts GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q313: melt + two aggregate levels, exact micro shares
+    "q313_nzv_screen" ->
+      """WITH fs AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+        |    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+        |    COUNT(DISTINCT CAST(ts AS DATE))::BIGINT AS days_active
+        |  FROM events GROUP BY 1),
+        |long AS (
+        |  SELECT 'n_view' AS feature, n_view AS value FROM fs
+        |  UNION ALL SELECT 'n_click', n_click FROM fs
+        |  UNION ALL SELECT 'n_purchase', n_purchase FROM fs
+        |  UNION ALL SELECT 'n_error', n_error FROM fs
+        |  UNION ALL SELECT 'n_signup', n_signup FROM fs
+        |  UNION ALL SELECT 'days_active', days_active FROM fs),
+        |vc AS (SELECT feature, value, COUNT(*)::BIGINT AS c
+        |       FROM long GROUP BY 1, 2)
+        |SELECT feature, COUNT(*)::BIGINT AS n_distinct,
+        |       (MAX(c) * 1000000 // SUM(c))::BIGINT AS top_share_micro,
+        |       (COUNT(*) * 1000000 // SUM(c))::BIGINT AS distinct_micro,
+        |       (MAX(c) * 100 >= SUM(c) * 95 OR COUNT(*) <= 2) AS nzv_flag
+        |FROM vc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q289: short docs keep one NULL row — accounting sums to the corpus
     "q289_explode_outer" ->
