@@ -6780,6 +6780,46 @@ object SparkEntry {
       .orderBy("feature")
   }
 
+  /** Order-to-ship latency SLA report: exact P50/P95 latency days per
+    * order priority (q221's ceil-rank order statistics — no
+    * interpolated percentile, no cross-engine float), plus the
+    * SLA-breach mass above 60 days. One key-partitioned sort window.
+    */
+  private def qShipLatencySla(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lat_days"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("lat_days"))
+    li.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("prio"))))
+      .groupBy("prio")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n * 50 + 99) DIV 100"), col("lat_days"))).as("p50_days"),
+        max(when(col("rn") === expr("(n * 95 + 99) DIV 100"), col("lat_days"))).as("p95_days"),
+        sum(when(col("lat_days") > 60L, 1L).otherwise(0L)).as("n_breach_60d"))
+      .orderBy("prio")
+  }
+
+  /** DAU/MAU stickiness (the engagement-quality ratio): per day,
+    * distinct actives over the calendar month's distinct actives, in
+    * exact micros. Two distinct-rollups joined on month — never a
+    * distinct over a sliding frame.
+    */
+  private def qStickiness(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      to_date(col("ts")).as("day"),
+      date_format(col("ts"), "yyyy-MM").as("month"))
+    val dau = e.groupBy("day", "month").agg(countDistinct(col("user_id")).as("dau"))
+    val mau = e.groupBy("month").agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(broadcast(mau), "month")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"),
+        col("mau"), expr("CAST(dau * 1000000 DIV mau AS BIGINT)").as("stickiness_micro"))
+      .orderBy("day")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -7095,6 +7135,8 @@ object SparkEntry {
     "q311_info_gain" -> (qInfoGain(_, _)),
     "q312_embedding_qa" -> (qEmbeddingQa(_, _)),
     "q313_nzv_screen" -> (qNzvScreen(_, _)),
+    "q314_ship_latency_sla" -> (qShipLatencySla(_, _)),
+    "q315_stickiness" -> (qStickiness(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -12342,6 +12384,41 @@ object SparkEntry {
         |       (COUNT(*) * 1000000 // SUM(c))::BIGINT AS distinct_micro,
         |       (MAX(c) * 100 >= SUM(c) * 95 OR COUNT(*) <= 2) AS nzv_flag
         |FROM vc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q314: ceil-rank order statistics on integer latency days
+    "q314_ship_latency_sla" ->
+      """WITH li AS (
+        |  SELECT o_orderpriority AS prio,
+        |         (CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE))::BIGINT
+        |           AS lat_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (
+        |  SELECT prio, lat_days,
+        |         ROW_NUMBER() OVER (PARTITION BY prio ORDER BY lat_days) AS rn,
+        |         COUNT(*) OVER (PARTITION BY prio) AS n
+        |  FROM li)
+        |SELECT prio, MAX(n)::BIGINT AS n,
+        |       MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN lat_days END)::BIGINT
+        |         AS p50_days,
+        |       MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN lat_days END)::BIGINT
+        |         AS p95_days,
+        |       SUM(CASE WHEN lat_days > 60 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_breach_60d
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q315: two distinct rollups joined on the calendar month
+    "q315_stickiness" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         strftime(ts, '%Y-%m') AS month
+        |  FROM events),
+        |dau AS (SELECT day, month, COUNT(DISTINCT user_id)::BIGINT AS dau
+        |        FROM e GROUP BY 1, 2),
+        |mau AS (SELECT month, COUNT(DISTINCT user_id)::BIGINT AS mau
+        |        FROM e GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, dau, mau,
+        |       (dau * 1000000 // mau)::BIGINT AS stickiness_micro
+        |FROM dau JOIN mau USING (month) ORDER BY day""".stripMargin,
 
     // q289: short docs keep one NULL row — accounting sums to the corpus
     "q289_explode_outer" ->
