@@ -2548,6 +2548,10 @@ object SparkEntry {
     * micro-BM25 through the inverted-index join.
     */
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    // materialize the JVM idf6 fixture the oracle equi-joins (the
+    // q137/q138 plane-dump pattern — kills the cross-libm floor(ln)
+    // fragility that made this gate's hash driver-red in round 6)
+    graft.sources.RetrievalFixture.ensure(s, dir)
     val docs = t(s, dir, "documents")
     graft.pipeline.Retrieval.bm25TopK(
       docs.filter(col("doc_id") % 100 =!= 0),
@@ -3367,6 +3371,8 @@ object SparkEntry {
     */
   private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the oracle reads the same JVM idf6 fixture as q139 (same corpus)
+    graft.sources.RetrievalFixture.ensure(s, dir)
     val docs = t(s, dir, "documents")
     val emb = t(s, dir, "embeddings")
     val lex = graft.pipeline.Retrieval.bm25TopK(
@@ -4167,7 +4173,14 @@ object SparkEntry {
     val grid = e.select(col("user_id")).distinct()
       .crossJoin(broadcast(b))
       .select(col("user_id"), col("lo"),
-        explode(expr(s"sequence(0, CAST((hi - lo) DIV $W AS INT) - 1)")).as("k"))
+        // empty-span guard: a span shorter than one window gives upper
+        // bound -1, and sequence(0, -1) DEFAULTS to step -1 — two
+        // bogus descending cutoffs [0, -1] instead of zero windows
+        explode(expr(
+          s"""CASE WHEN (hi - lo) DIV $W >= 1
+             |  THEN sequence(0, CAST((hi - lo) DIV $W AS INT) - 1)
+             |  ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
+          .as("k"))
       .select(col("user_id"), col("k").cast("long").as("k"),
         (col("lo") + col("k").cast("long") * W).as("cutoff_us"))
     // (tu - lo + W - 1) is nonnegative, so DIV (trunc) == floor on
@@ -6592,7 +6605,12 @@ object SparkEntry {
       .agg(sum(col("ni")).as("n_docs"),
         sum(col("ni") * (col("ni") - 1L)).as("same_pairs2"))
       .select(col("source"), col("n_docs"),
-        expr("CAST(same_pairs2 * 1000000 DIV (n_docs * (n_docs - 1)) AS BIGINT)")
+        // n_docs > 1 guard: a single-doc source would divide by zero,
+        // which ERRORS under the suite's ANSI mode (qTargetEncodeLoo's
+        // gn > 1 convention)
+        expr("""CASE WHEN n_docs > 1
+               |  THEN CAST(same_pairs2 * 1000000 DIV (n_docs * (n_docs - 1)) AS BIGINT)
+               |  ELSE NULL END""".stripMargin)
           .as("simpson_micro"))
       .orderBy("source")
 
@@ -6611,7 +6629,11 @@ object SparkEntry {
         count(lit(1)).as("active_days"))
       .crossJoin(broadcast(nDays))
       .select(col("user_id"), col("active_days"), col("sx").as("n_events"),
-        expr("CAST((nd * sxx - sx * sx) * 1000000 DIV (sx * (nd - 1)) AS BIGINT)")
+        // nd > 1 guard: a single-day corpus would divide by zero under
+        // ANSI mode (the q306 convention)
+        expr("""CASE WHEN nd > 1
+               |  THEN CAST((nd * sxx - sx * sx) * 1000000 DIV (sx * (nd - 1)) AS BIGINT)
+               |  ELSE NULL END""".stripMargin)
           .as("fano_micro"))
       .orderBy("user_id")
   }
@@ -6709,10 +6731,15 @@ object SparkEntry {
   private def qInfoGain(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .select(expr("CAST(user_id % 10 AS BIGINT)").as("band"), col("event_type"))
-    val n = e.count() // bounded driver scalar, pinned by the oracle
+    // corpus total as a broadcast one-row aggregate (the q305/q307
+    // pattern) — an eager e.count() here would run a scan at
+    // DataFrame-CONSTRUCTION time and bake a data-dependent literal
+    // into the plan text
+    val tot = e.agg(count(lit(1)).as("n"))
     val marg = e.groupBy("event_type").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(tot))
       .select(sum(expr(
-        s"c * CAST(floor(ln(CAST(c AS DOUBLE) / $n) * 1000000.0) AS BIGINT)"))
+        "c * CAST(floor(ln(CAST(c AS DOUBLE) / n) * 1000000.0) AS BIGINT)"))
         .as("s_marg"))
     val bandTot = e.groupBy("band").agg(count(lit(1)).as("nb"))
     val cond = e.groupBy("band", "event_type").agg(count(lit(1)).as("c"))
@@ -6720,10 +6747,10 @@ object SparkEntry {
       .select(sum(expr(
         "c * CAST(floor(ln(CAST(c AS DOUBLE) / nb) * 1000000.0) AS BIGINT)"))
         .as("s_cond"))
-    marg.crossJoin(cond)
-      .select(expr(s"CAST(-s_marg DIV $n AS BIGINT)").as("h_label_micro"),
-        expr(s"CAST(-s_cond DIV $n AS BIGINT)").as("h_cond_micro"),
-        expr(s"CAST(-s_marg DIV $n - -s_cond DIV $n AS BIGINT)").as("ig_micro"))
+    marg.crossJoin(cond).crossJoin(broadcast(tot))
+      .select(expr("CAST(-s_marg DIV n AS BIGINT)").as("h_label_micro"),
+        expr("CAST(-s_cond DIV n AS BIGINT)").as("h_cond_micro"),
+        expr("CAST(-s_marg DIV n - -s_cond DIV n AS BIGINT)").as("ig_micro"))
   }
 
   /** Embedding hygiene screen (the ANN pre-flight): quantized integer
@@ -7189,6 +7216,17 @@ object SparkEntry {
     s"read_parquet('$d/$rel/*.parquet')"
   }
 
+
+  /** BM25 idf6-fixture read for the q139/q199 oracles — same sfDir
+    * resolution as [[zfp]]; [[graft.sources.RetrievalFixture]] (invoked
+    * by the q139/q199 query defs) materializes the JVM-computed
+    * quantized-idf table before the oracle runs, so the oracle never
+    * calls `ln` itself (the cross-libm floor-boundary fix).
+    */
+  private def bmf: String = {
+    val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+    s"read_parquet('${graft.sources.RetrievalFixture.dir(sfDir)}/idf6.parquet/*.parquet')"
+  }
 
   /** Formats-fixture dir for the source-surface oracles (q200) — same
     * sfDir resolution as [[zfp]]; [[graft.sources.FormatsFixture]]
@@ -9061,13 +9099,14 @@ object SparkEntry {
         |  sum(CASE WHEN dot > 0 THEN 1 ELSE 0 END)::BIGINT AS n_bits
         |FROM d GROUP BY 1 ORDER BY vec_id""".stripMargin,
 
-    // q139: same inverted-index BM25, micro-integer scores — ln is
-    // quantized to idf6 immediately, the double chain is written in
-    // the IDENTICAL literal order as Retrieval.bm25TopK (same tree ⇒
-    // same IEEE bits ⇒ same floor), per-term scores floor to BIGINT
-    // before the order-insensitive integer sum
+    // q139: same inverted-index BM25, micro-integer scores — the ONLY
+    // transcendental (idf6 = floor(ln·1e6+0.5)) is read from the JVM
+    // fixture dump (round-6 driver red: DuckDB's ln rounds one ulp
+    // differently at a floor boundary on some builds); everything else
+    // (tf, dl, stats, the IEEE-exact score chain in IDENTICAL literal
+    // order, top-k) is recomputed independently here
     "q139_bm25" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
         |qs AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id % 100 = 0),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
         |dl AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM toks),
@@ -9076,10 +9115,7 @@ object SparkEntry {
         |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
         |  GROUP BY 1, 2),
         |stats AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS total FROM dl),
-        |idf AS (
-        |  SELECT term,
-        |    CAST(floor(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS idf6
-        |  FROM (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY 1), stats),
+        |idf AS (SELECT term, idf6 FROM $bmf),
         |qt AS (
         |  SELECT DISTINCT query_id, term
         |  FROM (SELECT query_id, unnest(string_split(text, ' ')) AS term FROM qs)),
@@ -9087,7 +9123,7 @@ object SparkEntry {
         |  SELECT q.query_id, p.doc_id,
         |    SUM(CAST(floor((i.idf6 * (p.tf * 2.2)) /
         |          (p.tf + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.total AS DOUBLE) / s.n))))
-        |          + 0.5) AS BIGINT)) AS score_micro,
+        |          + 0.5) AS BIGINT))::BIGINT AS score_micro,
         |    COUNT(*)::BIGINT AS n_terms
         |  FROM qt q JOIN post p USING (term) JOIN idf i USING (term)
         |       JOIN dl d ON d.doc_id = p.doc_id, stats s
@@ -10038,10 +10074,11 @@ object SparkEntry {
         |       SUM(1 - is_test - is_embargo)::BIGINT AS n_train
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // q199: q139's BM25 chain (k=50, two queries) + q20's cosine chain
-    // (k=50), fused by the identical integer RRF quotient
+    // q199: q139's BM25 chain (k=50, two queries; idf6 from the same
+    // JVM fixture — no oracle-side ln) + q20's cosine chain (k=50),
+    // fused by the identical integer RRF quotient
     "q199_hybrid_rrf" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
         |qs AS (SELECT doc_id AS query_id, text FROM documents
         |       WHERE doc_id IN (100, 200)),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
@@ -10051,10 +10088,7 @@ object SparkEntry {
         |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
         |  GROUP BY 1, 2),
         |stats AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS total FROM dl),
-        |idf AS (
-        |  SELECT term,
-        |    CAST(floor(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS idf6
-        |  FROM (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY 1), stats),
+        |idf AS (SELECT term, idf6 FROM $bmf),
         |qt AS (
         |  SELECT DISTINCT query_id, term
         |  FROM (SELECT query_id, unnest(string_split(text, ' ')) AS term FROM qs)),
@@ -12227,8 +12261,8 @@ object SparkEntry {
         |  SELECT source, lang, COUNT(*)::BIGINT AS ni
         |  FROM documents GROUP BY 1, 2)
         |SELECT source, SUM(ni)::BIGINT AS n_docs,
-        |       (SUM(ni * (ni - 1)) * 1000000
-        |        // (SUM(ni) * (SUM(ni) - 1)))::BIGINT AS simpson_micro
+        |       (CASE WHEN SUM(ni) > 1 THEN SUM(ni * (ni - 1)) * 1000000
+        |        // (SUM(ni) * (SUM(ni) - 1)) ELSE NULL END)::BIGINT AS simpson_micro
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q307: the exact integer moment identity; zero-days via the
@@ -12240,8 +12274,8 @@ object SparkEntry {
         |      FROM e GROUP BY 1, 2)
         |SELECT user_id, COUNT(*)::BIGINT AS active_days,
         |       SUM(x)::BIGINT AS n_events,
-        |       ((nd * SUM(x * x) - SUM(x) * SUM(x)) * 1000000
-        |        // (SUM(x) * (nd - 1)))::BIGINT AS fano_micro
+        |       (CASE WHEN nd > 1 THEN (nd * SUM(x * x) - SUM(x) * SUM(x)) * 1000000
+        |        // (SUM(x) * (nd - 1)) ELSE NULL END)::BIGINT AS fano_micro
         |FROM d, nd GROUP BY user_id, nd ORDER BY user_id""".stripMargin,
 
     // q308: identical weekly buckets, lag, sign-split floor pct

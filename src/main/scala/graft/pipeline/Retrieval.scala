@@ -31,6 +31,36 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** The quantized idf table: (term, idf6) with
+    * `idf6 = floor(ln(1 + (N − df + 0.5)/(df + 0.5)) · 1e6 + 0.5)`.
+    * Exposed separately so the oracle gate can read a JVM-dumped copy
+    * (the q137/q138 fixture-plane pattern) instead of re-deriving `ln`
+    * on a libm whose rounding may differ by one ulp at a floor
+    * boundary — the cross-engine fragility that made q139's hash
+    * driver-red in round 6.
+    */
+  def idf6Table(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = corpus.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val post = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    idf6FromPostings(post, stats)
+  }
+
+  /** idf6 from pre-built postings + corpus stats (shared by
+    * [[bm25TopK]] so the corpus is scanned once). */
+  private def idf6FromPostings(post: DataFrame, stats: DataFrame): DataFrame =
+    // explicit DOUBLE casts keep this off Spark's DECIMAL arithmetic
+    // (a bare `n - df + 0.5` would scale-round divisions the oracle
+    // computes in doubles)
+    post.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), expr(
+        "CAST(floor(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * 1000000.0 + 0.5) AS BIGINT)")
+        .as("idf6"))
+
   /** Top-`k` corpus documents per query by BM25 (k1 = 1.2, b = 0.75,
     * query terms as a SET). Output: (query_id, rank, doc_id,
     * score_micro, n_terms) with rank 1-based by (score desc, doc_id).
@@ -47,14 +77,7 @@ object Retrieval {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val stats = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
-    // explicit DOUBLE casts keep this off Spark's DECIMAL arithmetic
-    // (a bare `n - df + 0.5` would scale-round divisions the oracle
-    // computes in doubles)
-    val idf = post.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .select(col("term"), expr(
-        "CAST(floor(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * 1000000.0 + 0.5) AS BIGINT)")
-        .as("idf6"))
+    val idf = idf6FromPostings(post.drop("dl"), stats)
     val qt = queries
       .select(col(idCol).as("query_id"), explode(split(col(textCol), " ")).as("term"))
       .distinct()

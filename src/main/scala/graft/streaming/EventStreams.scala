@@ -319,7 +319,14 @@ object EventStreams {
         else if (e.tu - cur.last > gapUs) {
           out += TimerSessionOut(key, cur.start, cur.last, cur.n)
           cur = TimerSessionState(e.tu, e.tu, 1L)
-        } else cur = TimerSessionState(cur.start, e.tu, cur.n + 1L)
+        } else
+          // min/max guards: a CROSS-batch late event (allowed within
+          // the watermark, inside the gap) must never regress the
+          // session end — that would emit a wrong session_end and
+          // re-arm the timer EARLY, closing the session prematurely —
+          // nor miss extending the start backwards
+          cur = TimerSessionState(math.min(cur.start, e.tu),
+            math.max(cur.last, e.tu), cur.n + 1L)
       }
       if (cur != null) {
         st.update(cur)

@@ -146,6 +146,45 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("timerSessionStream: a cross-batch late event cannot regress session_end") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(id: Long, min: Int, user: Long) =
+        EventStreams.TsEvent(id, ts(min), user, min * 60000000L)
+      val mem = MemoryStream[EventStreams.TsEvent]
+      val q = EventStreams.timerSessionStream(mem.toDS(), gapSeconds = 600,
+          watermark = "20 minutes")
+        .toDF().writeStream.format("memory").queryName("tws_timer_late")
+        .outputMode("append").start()
+      try {
+        mem.addData(ev(1, 10, 1), ev(2, 15, 1))
+        q.processAllAvailable()
+        // a LATE event in the NEXT batch — allowed by the 20-min
+        // watermark, inside the 10-min gap, but with tu < the session's
+        // current last (min 12 < 15). Pre-fix this regressed `last` to
+        // 12 and re-armed the timer early; it must instead only bump n.
+        mem.addData(ev(3, 12, 1))
+        q.processAllAvailable()
+        // advance the watermark far enough to fire user 1's timer
+        mem.addData(ev(4, 60, 2))
+        q.processAllAvailable()
+        mem.addData(ev(5, 61, 2))
+        q.processAllAvailable()
+        val got = spark.table("tws_timer_late").as[EventStreams.TimerSessionOut]
+          .collect().filter(_.user_id == 1L)
+        assert(got.toSeq == Seq(EventStreams.TimerSessionOut(
+          1L, 10 * 60000000L, 15 * 60000000L, 3L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("dedupStream drops exact duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
