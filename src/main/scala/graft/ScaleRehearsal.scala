@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale rehearsal for the candidate-volume queries (judge r6 item 4).
+  *
+  * The driver ships test data only up to sf0.1, so this main builds
+  * deterministic scaled corpora FROM sf0.1 (never touching
+  * /root/testdata) and measures, at 1×/3×/10× (10× of sf0.1 ≈ sf1):
+  *
+  *   - q12  n-gram Jaccard pairs      — candidate = co-shingled pairs
+  *   - q152 triangles                 — candidate = wedge count (in output)
+  *   - q169 sorted neighborhood       — candidate = window·n by construction
+  *   - q181 PPJoin prefix filter      — candidate = post-prefix/length pairs
+  *
+  * Scaling constructions (all hash-deterministic, no RNG):
+  *
+  * '''documents''' — replica r of doc id maps every token t to
+  * `"r<r>_" + t` when `xxhash64(t, r)` is even, else keeps t, and gets
+  * doc_id' = id + r·ID_STRIDE. Within a replica the map is a function
+  * of the token alone, so token/shingle EQUALITY structure — and hence
+  * every within-replica pair the dedup ops emit — is exactly the
+  * original corpus's. Across replicas two docs share only tokens both
+  * replicas kept (~25% of positions) and 5-gram shingles only where 5
+  * consecutive tokens were kept in both (~0.25⁵), so cross-replica
+  * similarity sits far below the q12 (J ≥ 0.5) and q181 (J ≥ 9/10)
+  * gates. A sound blocking scheme must therefore scale candidates
+  * ~linearly in k; quadratic growth would flag a filter that leaks
+  * across unrelated sub-corpora.
+  *
+  * '''lineitem co-purchase graph''' — replica r shifts orderkey and
+  * partkey by r·stride (disjoint copies). This is exactly TPC-H's own
+  * statistical scaling: parts and orders both grow with sf, so
+  * per-part degree stays constant and wedges/triangles grow linearly.
+  *
+  * Emits one JSON line per (query, k) with wall seconds, output rows,
+  * and candidate counts, then a summary — pasted into BENCH_NOTES.md.
+  */
+object ScaleRehearsal {
+  private val ID_STRIDE = 10000000L
+
+  private def scaledDocs(base: DataFrame, k: Int): DataFrame = {
+    if (k == 1) return base.select("doc_id", "text")
+    val reps = base.select(col("doc_id"), col("text"))
+      .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+    reps.select(
+      (col("doc_id") + col("r") * ID_STRIDE).as("doc_id"),
+      expr(s"""array_join(transform(split(text, ' '), t ->
+        CASE WHEN pmod(xxhash64(t, r), 2) = 0
+             THEN concat('r', CAST(r AS STRING), '_', t) ELSE t END), ' ')""")
+        .as("text"))
+  }
+
+  private def scaledItems(base: DataFrame, k: Int): DataFrame = {
+    if (k == 1) return base.select("l_orderkey", "l_partkey")
+    base.select(col("l_orderkey"), col("l_partkey"))
+      .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+      .select((col("l_orderkey") + col("r") * ID_STRIDE).as("l_orderkey"),
+        (col("l_partkey") + col("r") * ID_STRIDE).as("l_partkey"))
+  }
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val ks = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-scale-rehearsal").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "96g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val items0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    def emit(q: String, k: Int, sec: Double, out: Long, cand: Long): Unit = {
+      val line = s"""{"query":"$q","k":$k,"sec":${f"$sec%.2f"},"out_rows":$out,"candidates":$cand}"""
+      println(line); rows += line
+    }
+
+    for (k <- ks) {
+      val docs = scaledDocs(docs0, k).localCheckpoint() // pin: generation cost out of op timings
+      val items = scaledItems(items0, k).localCheckpoint()
+      val nDocs = docs.count()
+      println(s"== k=$k: $nDocs docs, ${items.count()} lineitem rows")
+
+      // q12: candidates = co-shingled distinct pairs = run at minJaccard=0
+      val (c12, _) = time(pipeline.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 5, minJaccard = 0.0).count())
+      val (o12, s12) = time(pipeline.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 5, minJaccard = 0.5).count())
+      emit("q12_dedup_ngram", k, s12, o12, c12)
+
+      // q152: wedge count is in the output row
+      val distinctItems = items.distinct()
+      val edges = distinctItems.as("a").join(distinctItems.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("ua"), col("b.l_partkey").as("ub"))
+      val (r152, s152) = time(
+        pipeline.Graph.triangleStats(edges, "ua", "ub").collect().head)
+      emit("q152_triangles", k, s152, 1L, r152.getAs[Long]("n_wedges"))
+
+      // q169: window = 4 ⇒ candidates ≤ 4·n by construction
+      val (o169, s169) = time {
+          // the q169 gate's op, re-run on the SCALED docs
+          val d = pipeline.Prefix.withGlobalPosition(
+            docs.select(col("doc_id"), col("text"),
+              pipeline.TextAnalysis.fingerprint(col("text")).as("fp")),
+            Seq("fp", "doc_id"))
+          val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+            col("pos").as("ra"), expr("pos div 4").as("bkt"))
+          val b = d.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+            col("pos").as("rb"))
+            .withColumn("bkt", explode(array(expr("rb div 4"),
+              expr("rb div 4 - 1"))))
+          a.join(b, "bkt")
+            .filter(col("rb") > col("ra") && col("rb") <= col("ra") + 4)
+            .withColumn("ja", expr("array_distinct(split(ta, ' '))"))
+            .withColumn("jb", expr("array_distinct(split(tb, ' '))"))
+            .withColumn("inter", expr("CAST(size(array_intersect(ja, jb)) AS BIGINT)"))
+            .withColumn("uni",
+              expr("CAST(size(ja) AS BIGINT) + CAST(size(jb) AS BIGINT) - inter"))
+            .filter(expr("inter * 2 >= uni"))
+            .count()
+      }
+      emit("q169_sorted_neighborhood", k, s169, o169, 4L * nDocs)
+
+      // q181: candidate stage exposed by Dedup.prefixFilterCandidates
+      val prepared = docs
+        .select(col("doc_id").as("doc"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("len", size(col("toks")).cast("long"))
+        .localCheckpoint()
+      val (c181, _) = time(
+        pipeline.Dedup.prefixFilterCandidates(prepared, 9, 10).count())
+      val (o181, s181) = time(pipeline.Dedup.prefixFilterJaccardPairs(
+        docs, "doc_id", "text", tNum = 9, tDen = 10).count())
+      emit("q181_prefix_join", k, s181, o181, c181)
+    }
+    println("SCALE_REHEARSAL_DONE")
+    rows.foreach(println)
+    spark.stop()
+  }
+}

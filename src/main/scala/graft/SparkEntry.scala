@@ -6876,6 +6876,155 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  // ---- q317–q328: round-7 additions ----
+
+  /** Mann–Whitney U ([[graft.pipeline.Stats.mannWhitneyU]]): urgent
+    * orders vs the rest on totalprice cents — doubled midranks keep
+    * every statistic on exact BIGINTs (no z-score sqrt in the gate).
+    */
+  private def qMannWhitney(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.mannWhitneyU(
+      t(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderpriority")),
+      "cents", (col("o_orderpriority") === "1-URGENT").cast("long"))
+
+  /** Mann–Kendall trend ([[graft.pipeline.Stats.mannKendall]]) of each
+    * event type's daily activity: C/D/tied pair counts and S = C − D
+    * over the calendar-bounded per-day series.
+    */
+  private def qMannKendall(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.mannKendall(
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c")),
+      Seq("event_type"), "day", "c")
+      .orderBy("event_type")
+
+  /** Cramér's V ([[graft.pipeline.Stats.cramersV]]) of the lang ×
+    * source contingency — effect size on top of the q147 χ² cell
+    * discipline, finished by one integral division.
+    */
+  private def qCramersV(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.cramersV(
+      t(s, dir, "documents"), col("lang"), col("source"))
+
+  /** Herfindahl–Hirschman revenue concentration per nation
+    * ([[graft.pipeline.Stats.herfindahl]]): DECIMAL(38,0) squared
+    * moments, one integral division — is any nation's demand captured
+    * by a handful of customers?
+    */
+  private def qHerfindahl(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.herfindahl(
+      t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nationkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")),
+      Seq("nationkey"), "o_custkey", "cents")
+      .orderBy("nationkey")
+
+  /** Cohen's kappa ([[graft.pipeline.TextAnalysis.cohensKappa]])
+    * between the recorded `lang` label and the q19 marker-word
+    * language heuristic — the label-vs-heuristic consistency gate a
+    * labeling pipeline runs before trusting either source; exact
+    * micros, zero libm.
+    */
+  private def qCohensKappa(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.cohensKappa(
+      t(s, dir, "documents"),
+      col("lang"), TextAnalysis.languageId(col("text")))
+
+  /** Trailing 7-day rolling view↔purchase correlation
+    * ([[graft.pipeline.Stats.rollingCorrMoments]]): exact BIGINT
+    * co-moments per day plus the signed squared correlation in micros
+    * (DECIMAL finish — no sqrt, no float summation order).
+    */
+  private def qRollingCorr(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.rollingCorrMoments(
+      Tables.events(s, dir)
+        .groupBy(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("day_num"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y")),
+      "day_num", "x", "y", window = 7)
+      .orderBy("day_num")
+
+  /** BPE first-merge statistics
+    * ([[graft.pipeline.TextAnalysis.bpePairStats]]): corpus-weighted
+    * adjacent char-pair counts off the ROLLED-UP vocabulary (Heaps'
+    * law makes that sublinear in corpus size), top-20 merge candidates.
+    */
+  private def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.bpePairStats(
+      t(s, dir, "documents"), "text", k = 20)
+
+  /** Cross-source shingle overlap matrix
+    * ([[graft.pipeline.Dedup.crossSourceOverlap]]): shared 8-gram
+    * counts + overlap coefficient per source pair — the
+    * corpus-contamination screen that runs BEFORE any document pair
+    * is compared.
+    */
+  private def qCrossSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Dedup.crossSourceOverlap(
+      t(s, dir, "documents"), "source", "text", n = 8)
+      .orderBy("src_a", "src_b")
+
+  /** Rarity-weighted Jaccard over LSH candidates
+    * ([[graft.pipeline.Dedup.weightedJaccardPairs]]): w(t) = N−df+1
+    * integer weights restore near-dup signal on boilerplate-heavy
+    * corpora with zero libm surface; candidates via the q13 MinHash
+    * bands, verify candidate-bounded.
+    */
+  private def qWeightedJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Dedup.weightedJaccardPairs(
+      t(s, dir, "documents"), "doc_id", "text", minMicro = 500000L)
+      .orderBy("doc_a", "doc_b")
+
+  /** Boilerplate 8-gram coverage
+    * ([[graft.pipeline.Dedup.boilerplateCoverage]]): per-doc token
+    * positions covered by grams occurring in ≥ 10 docs — the mass a
+    * boilerplate-stripping pass removes.
+    */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Dedup.boilerplateCoverage(
+      t(s, dir, "documents"), "doc_id", "text", n = 8, minDf = 10L)
+      .orderBy("doc")
+
+  /** SQL LATERAL correlated subquery (Spark 4 LateralJoin): top-3
+    * customers by account balance per nation through
+    * `, LATERAL (... ORDER BY ... LIMIT 3)` — the remaining SQL-join
+    * spelling the suite didn't exercise (DataFrame top-k-per-group is
+    * q25). DuckDB runs the identical statement.
+    */
+  private def qLateralTopk(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("q327_nation")
+    t(s, dir, "customer").createOrReplaceTempView("q327_customer")
+    s.sql(
+      """SELECT n.n_name, c.c_name, c.acctbal_cents
+        |FROM q327_nation n,
+        |  LATERAL (SELECT c_name,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |           FROM q327_customer
+        |           WHERE c_nationkey = n.n_nationkey
+        |           ORDER BY acctbal_cents DESC, c_name LIMIT 3) c
+        |ORDER BY n.n_name, c.acctbal_cents DESC, c.c_name""".stripMargin)
+  }
+
+  /** Common-neighbor link prediction
+    * ([[graft.pipeline.Graph.linkPrediction]]) on the co-purchase
+    * graph: top-20 non-adjacent pairs by shared-neighbor count, with
+    * the preferential-attachment product — hub centers (degree > 64)
+    * suppressed, candidates only via shared-neighbor equi-joins.
+    */
+  private def qLinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("ua"), col("b.p").as("ub"))
+    graft.pipeline.Graph.linkPrediction(edges, "ua", "ub", k = 20, maxDegree = 64L)
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -7194,6 +7343,18 @@ object SparkEntry {
     "q314_ship_latency_sla" -> (qShipLatencySla(_, _)),
     "q315_stickiness" -> (qStickiness(_, _)),
     "q316_recursive_chain" -> (qRecursiveChain(_, _)),
+    "q317_mann_whitney" -> (qMannWhitney(_, _)),
+    "q318_mann_kendall" -> (qMannKendall(_, _)),
+    "q319_cramers_v" -> (qCramersV(_, _)),
+    "q320_herfindahl" -> (qHerfindahl(_, _)),
+    "q321_cohens_kappa" -> (qCohensKappa(_, _)),
+    "q322_rolling_corr" -> (qRollingCorr(_, _)),
+    "q323_bpe_pairs" -> (qBpePairs(_, _)),
+    "q324_cross_source_overlap" -> (qCrossSourceOverlap(_, _)),
+    "q325_weighted_jaccard" -> (qWeightedJaccard(_, _)),
+    "q326_boilerplate" -> (qBoilerplate(_, _)),
+    "q327_lateral_topk" -> (qLateralTopk(_, _)),
+    "q328_link_prediction" -> (qLinkPrediction(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -12528,6 +12689,251 @@ object SparkEntry {
         |       d.n_short::BIGINT AS n_short_docs
         |FROM docs d LEFT JOIN agg a ON a.lang = d.lang
         |ORDER BY d.lang""".stripMargin,
+
+    // q317: doubled midranks — 2·rank(v) = 2·less + tied + 1 keeps
+    // every Mann–Whitney statistic on exact BIGINTs
+    "q317_mann_whitney" ->
+      """WITH e AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |         CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS a
+        |  FROM orders),
+        |c AS (SELECT v, SUM(a)::BIGINT AS ca, SUM(1 - a)::BIGINT AS cb
+        |      FROM e GROUP BY 1),
+        |cum AS (
+        |  SELECT ca, cb, ca + cb AS c,
+        |         COALESCE(SUM(ca + cb) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS less
+        |  FROM c)
+        |SELECT SUM(ca)::BIGINT AS n1, SUM(cb)::BIGINT AS n2,
+        |       SUM(ca * (2 * less + c + 1))::BIGINT AS r1_twice,
+        |       (SUM(ca * (2 * less + c + 1)) - SUM(ca) * (SUM(ca) + 1))::BIGINT AS u1_twice,
+        |       SUM(c * c * c - c)::BIGINT AS tie_cubes
+        |FROM cum""".stripMargin,
+
+    // q318: pair join over the PRE-AGGREGATED daily series
+    "q318_mann_kendall" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type,
+        |  SUM(CASE WHEN b.c > a.c THEN 1 ELSE 0 END)::BIGINT AS concordant,
+        |  SUM(CASE WHEN b.c < a.c THEN 1 ELSE 0 END)::BIGINT AS discordant,
+        |  SUM(CASE WHEN b.c = a.c THEN 1 ELSE 0 END)::BIGINT AS tied,
+        |  (SUM(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) -
+        |   SUM(CASE WHEN b.c < a.c THEN 1 ELSE 0 END))::BIGINT AS s_stat
+        |FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q319: the q147 per-cell floor(·10⁶) chain summed (order-free on
+    // integers), one integral division to V²
+    "q319_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, COUNT(*)::BIGINT AS o
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, SUM(o)::BIGINT AS ra FROM cells GROUP BY 1),
+        |cb AS (SELECT b, SUM(o)::BIGINT AS cb FROM cells GROUP BY 1),
+        |n AS (SELECT SUM(o)::BIGINT AS n FROM cells),
+        |grid AS (
+        |  SELECT ra.a, cb.b, ra.ra, cb.cb, COALESCE(c.o, 0)::BIGINT AS o
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cells c ON c.a = ra.a AND c.b = cb.b),
+        |terms AS (
+        |  SELECT a, b, o,
+        |    CAST(floor((o - (CAST(ra AS DOUBLE) * cb) / n.n) *
+        |      (o - (CAST(ra AS DOUBLE) * cb) / n.n) / ((CAST(ra AS DOUBLE) * cb) / n.n)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+        |  FROM grid, n)
+        |SELECT n.n AS n, COUNT(DISTINCT a)::BIGINT AS r, COUNT(DISTINCT b)::BIGINT AS c,
+        |       SUM(chi2_micro)::BIGINT AS chi2_micro_sum,
+        |       (SUM(chi2_micro) // (n.n * least(COUNT(DISTINCT a) - 1,
+        |                                        COUNT(DISTINCT b) - 1)))::BIGINT AS v2_micro
+        |FROM terms, n GROUP BY n.n""".stripMargin,
+
+    // q320: squared cent totals overflow BIGINT — HUGEINT moments,
+    // one integral division (the engine rides DECIMAL(38,0))
+    "q320_herfindahl" ->
+      """WITH rev AS (
+        |  SELECT c_nationkey AS nationkey, o_custkey,
+        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT nationkey, COUNT(*)::BIGINT AS n_members, SUM(s)::BIGINT AS total,
+        |       ((SUM(s::HUGEINT * s) * 1000000) //
+        |        (SUM(s)::HUGEINT * SUM(s)))::BIGINT AS hhi_micro
+        |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q321: recorded lang vs the q19 marker heuristic; κ in exact
+    // micros off HUGEINT moments
+    "q321_cohens_kappa" ->
+      """WITH pred AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+        |         WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+        |         WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+        |         WHEN s_de > s_en THEN 'de'
+        |         ELSE 'en' END AS b
+        |  FROM (
+        |    SELECT lang,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the', 'a', 'order', 'table', 'key'))) AS s_en,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('window', 'group', 'batch', 'stream'))) AS s_de,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('query', 'merge', 'vector', 'part'))) AS s_fr,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('data', 'row', 'scan', 'filter'))) AS s_es
+        |    FROM documents)),
+        |cells AS (SELECT a, b, COUNT(*)::BIGINT AS o FROM pred GROUP BY 1, 2),
+        |ra AS (SELECT a, SUM(o)::BIGINT AS r FROM cells GROUP BY 1),
+        |cb AS (SELECT b, SUM(o)::BIGINT AS c FROM cells GROUP BY 1),
+        |chance AS (SELECT SUM(r::HUGEINT * c) AS sum_rc FROM ra JOIN cb ON a = b),
+        |agree AS (SELECT COALESCE(SUM(o), 0)::BIGINT AS n_agree FROM cells WHERE a = b),
+        |tot AS (SELECT SUM(o)::BIGINT AS n FROM cells)
+        |SELECT n, n_agree, sum_rc::BIGINT AS sum_rc,
+        |       (((n::HUGEINT * n_agree - sum_rc) * 1000000) //
+        |        (n::HUGEINT * n - sum_rc))::BIGINT AS kappa_micro
+        |FROM tot, agree, chance""".stripMargin,
+
+    // q322: BIGINT co-moments over RANGE 6 PRECEDING on the integer
+    // day axis; signed r²·10⁶ via HUGEINT integral division
+    "q322_rolling_corr" ->
+      """WITH d AS (
+        |  SELECT (CAST(ts AS DATE) - DATE '1970-01-01')::BIGINT AS day_num,
+        |         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS x,
+        |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT day_num,
+        |    COUNT(*) OVER w AS n, SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+        |    SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+        |    SUM(x * y) OVER w AS sxy
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT day_num, n::BIGINT AS n, sx::BIGINT AS sx, sy::BIGINT AS sy,
+        |    sxx::BIGINT AS sxx, syy::BIGINT AS syy, sxy::BIGINT AS sxy,
+        |    (n * sxy - sx * sy)::BIGINT AS num,
+        |    ((n * sxx - sx * sx)::HUGEINT * (n * syy - sy * sy)) AS den
+        |  FROM m)
+        |SELECT day_num, n, sx, sy, sxx, syy, sxy,
+        |  CASE WHEN den > 0 THEN
+        |    (CASE WHEN num >= 0 THEN 1 ELSE -1 END) *
+        |      ((num::HUGEINT * num * 1000000) // den)::BIGINT
+        |  END AS corr2s_micro
+        |FROM f ORDER BY day_num""".stripMargin,
+
+    // q323: pair counts off the rolled-up vocabulary, weighted by
+    // word occurrences — ties at the cut broken lexicographically
+    "q323_bpe_pairs" ->
+      """WITH v AS (
+        |  SELECT tok AS w, COUNT(*)::BIGINT AS n_occ
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT substr(w, i, 2) AS pair, SUM(n_occ)::BIGINT AS cnt
+        |  FROM v, generate_series(1, 100000) t(i)
+        |  WHERE i + 1 <= len(w)
+        |  GROUP BY 1)
+        |SELECT pair, cnt FROM p ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    // q324: everything aggregates on the shingle hash; pairs bounded
+    // by the source count, never a document join
+    "q324_cross_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source AS src,
+        |         ('0x' || substr(md5('0:' || array_to_string(tok[i:i+7], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, string_split(text, ' ') AS tok FROM documents),
+        |       generate_series(1, 100000) t(i)
+        |  WHERE i + 7 <= len(tok)),
+        |sizes AS (SELECT src, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, COUNT(*)::BIGINT AS inter
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter, sa.n_sh AS na, sb.n_sh AS nb,
+        |       (inter * 1000000 // least(sa.n_sh, sb.n_sh))::BIGINT AS overlap_micro
+        |FROM inter JOIN sizes sa ON sa.src = src_a JOIN sizes sb ON sb.src = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // q325: q13's MinHash band candidates + rarity-weighted verify —
+    // w(t) = N − df + 1, all integers
+    "q325_weighted_jaccard" ->
+      s"""WITH ${minhashCtes()},
+         |cand AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc),
+         |tk AS (
+         |  SELECT DISTINCT doc_id AS doc, tok AS t
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |df AS (SELECT t, COUNT(*)::BIGINT AS df FROM tk GROUP BY 1),
+         |nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+         |w AS (SELECT doc, t, (n_docs - df + 1)::BIGINT AS w
+         |      FROM tk JOIN df USING (t) CROSS JOIN nd),
+         |wtot AS (SELECT doc, SUM(w)::BIGINT AS wsum FROM w GROUP BY 1),
+         |iw AS (
+         |  SELECT c.doc_a, c.doc_b, SUM(wa.w)::BIGINT AS inter_w
+         |  FROM cand c
+         |  JOIN w wa ON wa.doc = c.doc_a
+         |  JOIN w wb ON wb.doc = c.doc_b AND wb.t = wa.t
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter_w,
+         |       (ta.wsum + tb.wsum - inter_w)::BIGINT AS union_w,
+         |       (inter_w * 1000000 // (ta.wsum + tb.wsum - inter_w))::BIGINT AS wj_micro
+         |FROM iw JOIN wtot ta ON ta.doc = doc_a JOIN wtot tb ON tb.doc = doc_b
+         |WHERE inter_w * 1000000 // (ta.wsum + tb.wsum - inter_w) >= 500000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q326: grams ≥ 10 docs are boilerplate; covered = distinct token
+    // positions under any matching occurrence (0-based starts)
+    "q326_boilerplate" ->
+      """WITH tk AS (SELECT doc_id AS doc, string_split(text, ' ') AS tok FROM documents),
+        |docs AS (SELECT doc, len(tok)::BIGINT AS n_tokens FROM tk),
+        |occ AS (
+        |  SELECT doc, i - 1 AS pos,
+        |         ('0x' || substr(md5('0:' || array_to_string(tok[i:i+7], ' ')), 1, 15))::BIGINT AS h
+        |  FROM tk, generate_series(1, 100000) t(i)
+        |  WHERE i + 7 <= len(tok)),
+        |boiler AS (
+        |  SELECT h FROM (SELECT DISTINCT doc, h FROM occ)
+        |  GROUP BY h HAVING COUNT(*) >= 10),
+        |cov AS (
+        |  SELECT doc, COUNT(DISTINCT pos + j)::BIGINT AS n_covered
+        |  FROM occ JOIN boiler USING (h), generate_series(0, 7) g(j)
+        |  GROUP BY doc)
+        |SELECT d.doc, d.n_tokens, COALESCE(c.n_covered, 0)::BIGINT AS n_covered,
+        |       (d.n_tokens - COALESCE(c.n_covered, 0))::BIGINT AS n_retained
+        |FROM docs d LEFT JOIN cov c USING (doc) ORDER BY d.doc""".stripMargin,
+
+    // q327: the IDENTICAL correlated LATERAL statement
+    "q327_lateral_topk" ->
+      """SELECT n.n_name, c.c_name, c.acctbal_cents
+        |FROM nation n,
+        |  LATERAL (SELECT c_name,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |           FROM customer
+        |           WHERE c_nationkey = n.n_nationkey
+        |           ORDER BY acctbal_cents DESC, c_name LIMIT 3) c
+        |ORDER BY n.n_name, c.acctbal_cents DESC, c.c_name""".stripMargin,
+
+    // q328: candidates only via shared neighbors; hub centers
+    // (degree > 64) suppressed; adjacency removed by NOT EXISTS
+    "q328_link_prediction" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u AS n, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT n, COUNT(*)::BIGINT AS d FROM adj GROUP BY 1),
+        |small AS (SELECT adj.n, adj.nb FROM adj JOIN deg USING (n) WHERE d <= 64),
+        |cn AS (
+        |  SELECT x.nb AS u, y.nb AS v, COUNT(*)::BIGINT AS cn
+        |  FROM small x JOIN small y ON x.n = y.n AND x.nb < y.nb
+        |  GROUP BY 1, 2),
+        |nonadj AS (
+        |  SELECT cn.* FROM cn
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v))
+        |SELECT na.u, na.v, na.cn, (du.d * dv.d)::BIGINT AS pref_attach
+        |FROM nonadj na JOIN deg du ON du.n = na.u JOIN deg dv ON dv.n = na.v
+        |ORDER BY na.cn DESC, na.u, na.v LIMIT 20""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */

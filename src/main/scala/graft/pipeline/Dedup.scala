@@ -357,6 +357,25 @@ object Dedup {
         array_distinct(split(col(textCol), " ")).as("toks"))
       .withColumn("len", size(col("toks")).cast("long"))
       .localCheckpoint() // tokens + verify both read it; pin one evaluation
+    val cand = prefixFilterCandidates(docs, tNum, tDen)
+    cand
+      .join(docs.select(col("doc").as("doc_a"), col("toks").as("ja")), "doc_a")
+      .join(docs.select(col("doc").as("doc_b"), col("toks").as("jb")), "doc_b")
+      .withColumn("inter", expr("CAST(size(array_intersect(ja, jb)) AS BIGINT)"))
+      .withColumn("uni",
+        expr("CAST(size(ja) AS BIGINT) + CAST(size(jb) AS BIGINT) - inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
+
+  /** The PPJoin candidate stage alone (distinct `(doc_a, doc_b)`
+    * pairs surviving the prefix + length filters, before the exact
+    * verify) — exposed so scale rehearsals can measure candidate
+    * volume, the quantity that decides whether the filter survives a
+    * 100× corpus. `docs` must carry `(doc, toks, len)` as prepared by
+    * [[prefixFilterJaccardPairs]].
+    */
+  def prefixFilterCandidates(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val toks = docs.select(col("doc"), explode(col("toks")).as("token"))
     val freq = toks.groupBy("token").agg(count(lit(1)).as("tf"))
     val ranked = Prefix.withGlobalPosition(freq, Seq("tf", "token"))
@@ -372,20 +391,125 @@ object Dedup {
       .select(col("doc"), col("trank"), col("len"))
     // length filter (PPJoin): J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t — prunes
     // incompatible-size candidates before they reach the exact verify
-    val cand = prefix.as("a").join(prefix.as("b"),
+    prefix.as("a").join(prefix.as("b"),
         col("a.trank") === col("b.trank") && col("a.doc") < col("b.doc") &&
           col("b.len") * tDen >= col("a.len") * tNum &&
           col("a.len") * tDen >= col("b.len") * tNum)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    cand
-      .join(docs.select(col("doc").as("doc_a"), col("toks").as("ja")), "doc_a")
-      .join(docs.select(col("doc").as("doc_b"), col("toks").as("jb")), "doc_b")
-      .withColumn("inter", expr("CAST(size(array_intersect(ja, jb)) AS BIGINT)"))
-      .withColumn("uni",
-        expr("CAST(size(ja) AS BIGINT) + CAST(size(jb) AS BIGINT) - inter"))
-      .filter(col("inter") * tDen >= col("uni") * tNum)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
+
+  /** Per-document boilerplate coverage: an n-gram is "boilerplate"
+    * when it occurs in ≥ minDf distinct documents (navigation chrome,
+    * license footers, template text — the curation step between exact
+    * dedup and near-dedup). Reports, per doc, how many token
+    * POSITIONS are covered by at least one boilerplate n-gram
+    * occurrence — the mass a boilerplate-stripping pass would remove.
+    *
+    * Scale shape: grams travel as 60-bit hashes; the df rollup and
+    * the boilerplate semi-join are gram-keyed aggregates/joins (the
+    * q53 contamination-screen shape); covered positions explode only
+    * from MATCHED occurrences (boilerplate is a small gram minority
+    * by construction) and dedupe per (doc, pos) before counting.
+    */
+  def boilerplateCoverage(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8, minDf: Long = 10L): DataFrame = {
+    val docs = Par.spread(df).select(col(idCol).as("doc"),
+        split(col(textCol), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .localCheckpoint() // occurrence + df + per-doc rollup share one eval
+    // positional (non-distinct) n-grams: pos = 0-based start index
+    val occ = docs
+      .select(col("doc"), col("n_tokens"), posexplode(expr(
+        s"CASE WHEN size(toks) >= $n THEN transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $n))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as(Seq("pos", "g")))
+      .select(col("doc"), col("n_tokens"), col("pos"), hash60("g", 0).as("h"))
+    val boiler = occ.select(col("doc"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("h")
+    val covered = occ.join(boiler, "h")
+      .select(col("doc"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy("doc").agg(count(lit(1)).as("n_covered"))
+    docs.select(col("doc"), col("n_tokens"))
+      .join(covered, Seq("doc"), "left")
+      .na.fill(0L, Seq("n_covered"))
+      .select(col("doc"), col("n_tokens"), col("n_covered"),
+        (col("n_tokens") - col("n_covered")).as("n_retained"))
+  }
+
+  /** Pairwise cross-source shingle overlap — the corpus-contamination
+    * matrix: for every pair of sources, how many distinct n-gram
+    * shingles they share, and the overlap coefficient
+    * |A∩B| / min(|A|,|B|) in micros. The screen that catches one
+    * source republishing another (or a benchmark leaking into a crawl
+    * slice) BEFORE documents are compared pairwise.
+    *
+    * Scale shape: everything aggregates on the shingle hash. Pairs
+    * emerge per-shingle from the sorted source list via the
+    * posexplode-suffix pattern (bounded by the source count, not the
+    * corpus), never from a document join.
+    */
+  def crossSourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+                         n: Int = 8): DataFrame = {
+    val sh = Par.spread(df)
+      .select(col(srcCol).as("src"), explode(wordShingles(textCol, n)).as("s"))
+      .select(col("src"), hash60("s", 0).as("h")).distinct()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.groupBy("h")
+      .agg(sort_array(collect_list(col("src"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(posexplode(col("ss")).as(Seq("i", "src_a")), col("ss"))
+      .select(col("src_a"),
+        explode(expr("slice(ss, i + 2, size(ss) - i - 1)")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("src").as("src_a"), col("n_sh").as("na")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n_sh").as("nb")), "src_b")
+      .withColumn("overlap_micro",
+        expr("inter * 1000000L DIV least(na, nb)"))
+  }
+
+  /** Rarity-weighted Jaccard verify over LSH candidate pairs: token
+    * weight w(t) = N − df(t) + 1 (integer — rare tokens dominate, the
+    * discrete stand-in for idf that needs no logarithm), pair score
+    * wJ = Σ_{t∈A∩B} w / Σ_{t∈A∪B} w in exact micros. Boilerplate-heavy
+    * corpora defeat unweighted Jaccard (shared chrome inflates every
+    * pair); weighting by rarity restores the signal — with zero libm
+    * surface, unlike idf-weighted variants.
+    *
+    * Scale shape: candidates come from [[minhashLshPairs]] (band
+    * bucket equi-joins); the verify joins the exploded token table
+    * twice on (doc, token) — candidate-bounded, never all-pairs. The
+    * df rollup is one token-keyed aggregate; per-doc weight totals one
+    * doc-keyed aggregate.
+    */
+  def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                           minMicro: Long = 500000L): DataFrame = {
+    val docs = Par.spread(df)
+      .select(col(idCol).as("doc"), col(textCol).as("text"))
+      .localCheckpoint() // LSH candidates + token weights share one eval
+    val cand = minhashLshPairs(docs, "doc", "text", n = 3, numHashes = 12, bands = 4)
+    val toks = docs
+      .select(col("doc"), explode(array_distinct(split(col("text"), " "))).as("t"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val wtoks = toks
+      .join(toks.groupBy("t").agg(count(lit(1)).as("df")), "t")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc"), col("t"), (col("n_docs") - col("df") + 1L).as("w"))
+    val wtot = wtoks.groupBy("doc").agg(sum(col("w")).as("wsum"))
+    val interW = cand
+      .join(wtoks.select(col("doc").as("doc_a"), col("t"), col("w")), "doc_a")
+      .join(wtoks.select(col("doc").as("doc_b"), col("t")), Seq("doc_b", "t"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("w")).as("inter_w"))
+    interW
+      .join(wtot.select(col("doc").as("doc_a"), col("wsum").as("wa")), "doc_a")
+      .join(wtot.select(col("doc").as("doc_b"), col("wsum").as("wb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter_w"),
+        (col("wa") + col("wb") - col("inter_w")).as("union_w"))
+      .withColumn("wj_micro", expr("inter_w * 1000000L DIV union_w"))
+      .filter(col("wj_micro") >= minMicro)
   }
 
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,

@@ -564,6 +564,144 @@ object Stats {
     * single-task global sort); one final scalar aggregate. The totals
     * join is a broadcast of one row.
     */
+  /** Mann–Whitney U rank-sum statistic between two samples, in exact
+    * integers. Ranks are midranks over the pooled sample; to stay on
+    * BIGINTs every rank is carried DOUBLED (a midrank is a
+    * half-integer, so 2·rank is integral): for a value v with
+    * `less` pooled observations below it and `c` tied at it,
+    * 2·midrank(v) = 2·less + c + 1. Then
+    * `r1_twice = Σ_A 2·midrank`, `u1_twice = r1_twice − n1·(n1+1)`
+    * (twice the classical U₁), and `tie_cubes = Σ t³−t` feeds the
+    * variance correction downstream (kept integral; the z-score's
+    * sqrt is deliberately left out of the gated output — the
+    * cross-libm-fragile step the q139 postmortem banned).
+    *
+    * Scale shape: one `groupBy` on the value, the distributed
+    * exclusive prefix sum ([[Prefix.withPrefixSums]] — no single-task
+    * window), one final aggregate. Nothing quadratic, nothing
+    * collected beyond per-partition offsets.
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String, isFirst: Column): DataFrame = {
+    val counts = df
+      .select(col(valueCol).cast("long").as("v"), isFirst.cast("long").as("a"))
+      .groupBy("v")
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val cum = Prefix.withPrefixSums(counts, Seq("v"), Seq("ca", "cb"))
+      .withColumn("c", col("ca") + col("cb"))
+      .withColumn("less", col("prefix_ca") + col("prefix_cb"))
+    cum.agg(
+        sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+        sum(col("ca") * (lit(2L) * col("less") + col("c") + 1L)).as("r1_twice"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("tie_cubes"))
+      .select(col("n1"), col("n2"), col("r1_twice"),
+        (col("r1_twice") - col("n1") * (col("n1") + 1L)).as("u1_twice"),
+        col("tie_cubes"))
+  }
+
+  /** Mann–Kendall trend statistic per group: concordant / discordant /
+    * tied pair counts and S = C − D over the (orderCol, valueCol)
+    * series — the non-parametric "is this drifting" screen that needs
+    * no distributional assumption and stays in exact integers.
+    *
+    * Scale shape: the pair join is per-group over the ALREADY
+    * AGGREGATED series (one row per order position — for daily series
+    * the calendar bounds it at ~365·years rows per group), so the
+    * self-equi-join on the group key costs |group|² over small,
+    * bounded groups — never over raw events.
+    */
+  def mannKendall(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                  valueCol: String): DataFrame = {
+    val s = df.select((groupCols.map(col) :+ col(orderCol).as("__t") :+
+      col(valueCol).cast("long").as("__v")): _*)
+    val pairs = s.as("a").join(s.as("b"),
+      groupCols.map(c => col(s"a.$c") === col(s"b.$c"))
+        .reduce(_ && _) && col("a.__t") < col("b.__t"))
+    pairs.groupBy(groupCols.map(c => col(s"a.$c").as(c)): _*)
+      .agg(
+        sum(when(col("b.__v") > col("a.__v"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("b.__v") < col("a.__v"), 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("b.__v") === col("a.__v"), 1L).otherwise(0L)).as("tied"))
+      .withColumn("s_stat", col("concordant") - col("discordant"))
+  }
+
+  /** Cramér's V (bias-uncorrected) of a two-way contingency table as
+    * floored micro-integers: per-cell χ² contributions come from
+    * [[chiSquare]] (the established per-cell floor(·10⁶) discipline —
+    * integer-summable in any order, so no float-summation-order
+    * hazard), and V² = χ²/(n·min(r−1, c−1)) is one integer division
+    * at the end. No transcendental anywhere (the sqrt to V itself is
+    * the caller's presentation step, not gated).
+    */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = chiSquare(df, aCol, bCol)
+    val dims = cells.agg(
+      countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"),
+      sum(col("o")).as("n"), sum(col("chi2_micro")).as("chi2_micro_sum"))
+    dims.select(col("n"), col("r"), col("c"), col("chi2_micro_sum"),
+      expr("chi2_micro_sum DIV (n * least(r - 1, c - 1))").as("v2_micro"))
+  }
+
+  /** Herfindahl–Hirschman concentration index per group over integer
+    * "mass" values (cents discipline): HHI·10⁶ = ⌊10⁶·Σsᵢ²/S²⌋ where
+    * sᵢ is each member's mass. Squares of large cent totals overflow
+    * BIGINT, so the moments ride DECIMAL(38,0) and the finish is one
+    * integral division — exact on any engine, no floats at all.
+    *
+    * Scale shape: member rollup + group rollup, two partial-aggregated
+    * shuffles on the natural keys.
+    */
+  def herfindahl(df: DataFrame, groupCols: Seq[String], memberCol: String,
+                 valueCol: String): DataFrame = {
+    val members = df.groupBy((groupCols :+ memberCol).map(col): _*)
+      .agg(sum(col(valueCol)).cast("decimal(38,0)").as("s"))
+    members.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("s")).as("total"),
+        sum(col("s") * col("s")).as("sumsq"))
+      .select((groupCols.map(col) :+ col("n_members") :+
+        col("total").cast("long").as("total") :+
+        expr("CAST((sumsq * 1000000) DIV (total * total) AS BIGINT)")
+          .as("hhi_micro")): _*)
+  }
+
+  /** Trailing rolling correlation between two integer series keyed by
+    * an integer time axis, reported as exact co-moments plus a
+    * signed squared correlation in micros:
+    * num = n·Σxy − Σx·Σy, den = (n·Σx² − (Σx)²)·(n·Σy² − (Σy)²),
+    * corr2s_micro = sign(num)·⌊10⁶·num²/den⌋. The moments are BIGINT
+    * window sums; num²·10⁶ rides DECIMAL(38,0); one integral division
+    * finishes — deterministic with zero libm surface, and the caller
+    * gets the exact moments to compute a float r if it wants one.
+    *
+    * Scale shape: the window runs over the PRE-AGGREGATED per-tick
+    * series (one row per time key), `RANGE BETWEEN w−1 PRECEDING` on
+    * the integer axis — calendar-bounded state, never raw events.
+    */
+  def rollingCorrMoments(series: DataFrame, timeCol: String,
+                         xCol: String, yCol: String, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(timeCol))
+      .rangeBetween(-(window - 1).toLong, Window.currentRow)
+    val m = series
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col(xCol)).over(w))
+      .withColumn("sy", sum(col(yCol)).over(w))
+      .withColumn("sxx", sum(col(xCol) * col(xCol)).over(w))
+      .withColumn("syy", sum(col(yCol) * col(yCol)).over(w))
+      .withColumn("sxy", sum(col(xCol) * col(yCol)).over(w))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      // n·Σx² products can pair up past BIGINT range: den on DECIMAL(38,0)
+      .withColumn("den",
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)") *
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("decimal(38,0)"))
+    m.select(col(timeCol), col("n"), col("sx"), col("sy"),
+      col("sxx"), col("syy"), col("sxy"),
+      when(col("den") > 0,
+        when(col("num") >= 0L, 1L).otherwise(-1L) *
+          expr("CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000) DIV den AS BIGINT)"))
+        .as("corr2s_micro"))
+  }
+
   def ksTwoSample(df: DataFrame, valueCol: String, isFirst: Column): DataFrame = {
     val counts = df
       .select(col(valueCol).cast("long").as("v"), isFirst.cast("long").as("a"))

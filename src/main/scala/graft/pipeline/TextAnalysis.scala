@@ -164,6 +164,59 @@ object TextAnalysis {
     * (length band + minimum stopword ratio) so pipelines can filter
     * without materializing the full metrics row.
     */
+  /** Corpus-weighted adjacent character-pair counts — the statistic a
+    * byte-pair-encoding trainer computes for its first merge (Sennrich
+    * et al. 2016): for every occurrence of every word, every adjacent
+    * 2-char window, weighted by word occurrence count. Returns the k
+    * most frequent pairs (ties broken lexicographically) — the merge
+    * candidates in priority order.
+    *
+    * Scale shape: words roll up FIRST (one token-keyed aggregate), so
+    * the quadratic-ish pair explode runs over the distinct vocabulary
+    * weighted by counts, not over the raw token stream — vocabulary is
+    * sublinear in corpus size (Heaps' law), the stream is not.
+    */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    val words = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_occ"))
+    words
+      .filter(length(col("w")) >= 2)
+      .select(col("n_occ"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("n_occ")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** Cohen's kappa between two label columns in exact micros:
+    * κ = (p_o − p_e)/(1 − p_e) — with observed agreement and chance
+    * agreement both rationals in integer counts,
+    * κ_micro = ⌊10⁶·(N·Σ_agree − Σ_l r_l·c_l)/(N² − Σ_l r_l·c_l)⌋ is
+    * one integral division on DECIMAL(38,0) moments. The
+    * inter-annotator (or model-vs-heuristic) consistency gate a
+    * labeling pipeline runs before trusting either source.
+    *
+    * Scale shape: one cell rollup on (a, b); marginals and the finish
+    * are broadcast-sized aggregates of the cell table.
+    */
+  def cohensKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum(col("o")).as("r"))
+    val cb = cells.groupBy("b").agg(sum(col("o")).as("c"))
+    val chance = ra.join(cb, col("a") === col("b"))
+      .agg(sum(col("r").cast("decimal(38,0)") * col("c")).as("sum_rc"))
+    val agree = cells.filter(col("a") === col("b"))
+      .agg(coalesce(sum(col("o")), lit(0L)).as("n_agree"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    broadcast(n).crossJoin(broadcast(agree)).crossJoin(broadcast(chance))
+      .select(col("n"), col("n_agree"), col("sum_rc").cast("long").as("sum_rc"),
+        expr("CAST(((CAST(n AS DECIMAL(38,0)) * n_agree - sum_rc) * 1000000) " +
+          "DIV (CAST(n AS DECIMAL(38,0)) * n - sum_rc) AS BIGINT)")
+          .as("kappa_micro"))
+  }
+
   def keepFlag(t: Column,
                stopwords: Seq[String] = Seq("the", "a", "data", "key", "order")): Column = {
     val nTokens = size(tokens(t)).cast("long")
