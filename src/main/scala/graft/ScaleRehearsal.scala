@@ -71,11 +71,8 @@ object ScaleRehearsal {
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val ks = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 3, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .appName("graft-scale-rehearsal").master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "96g")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .appName("graft-scale-rehearsal")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -7025,6 +7025,142 @@ object SparkEntry {
     graft.pipeline.Graph.linkPrediction(edges, "ua", "ub", k = 20, maxDegree = 64L)
   }
 
+  /** Streaming `session_window` aggregation — the built-in session API
+    * (q105) under a watermark in append mode: sessions finalize only
+    * once the watermark passes their close. One sentinel event on a
+    * reserved user advances the GLOBAL watermark far enough to flush
+    * every session, then drops out of the result. The oracle is the
+    * q105 batch rule plus the per-session cents rollup — stream ≡
+    * batch, the property every incremental pipeline must prove.
+    */
+  private def qStreamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val gap = 3600L
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    if (evs.isEmpty)
+      return s.createDataFrame(Seq.empty[(Long, String, Long, Long)])
+        .toDF("user_id", "session_start", "n_events", "cents")
+    val horizon = evs.iterator.map(_.ts.getTime).max
+    val sentinel = EventStreams.Event(-1L,
+      new java.sql.Timestamp(horizon + 4 * gap * 1000), -999L, "sentinel", 0.0)
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val name = s"q329_swin_${streamGateN.incrementAndGet()}"
+    val agged = mem.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val q = startNarrow(s)(agged.writeStream.format("memory").queryName(name)
+      .outputMode("append").start())
+    try {
+      evs.grouped(math.max(1, evs.length / 5)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      mem.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .filter(col("user_id") =!= -999L)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("cents"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999) with discount d = 3/4 — EXACT-RATIONAL:
+    * P_KN(w2|w1) = max(c12−d,0)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+    * over the common denominator 4·c1·N1+(··), so
+    * pkn_micro = ⌊10⁶·((4c12−3)·nbt + 3·n1a·ncw2)/(4·c1·nbt)⌋ is pure
+    * BIGINT arithmetic — the LM-smoothing computation with zero libm.
+    * Top-50 bigrams by raw count (lexicographic tie-break).
+    *
+    * Scale shape: bigrams are a map-only transform of the token
+    * array; every statistic is a keyed partial aggregate of the
+    * bigram-type table; the four scalars broadcast.
+    */
+  private def qKneserNey(s: SparkSession, dir: String): DataFrame = {
+    val bg = t(s, dir, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(0, size(toks) - 2),
+          |    i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))
+          |ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"""
+          .stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1a"))
+    val cw2 = c12.groupBy("w2").agg(count(lit(1)).as("ncw2"))
+    val nbt = c12.agg(count(lit(1)).as("nbt"))
+    c12.join(c1, "w1").join(cw2, "w2").crossJoin(broadcast(nbt))
+      .withColumn("pkn_micro", expr(
+        "((4 * c12 - 3) * nbt + 3 * n1a * ncw2) * 1000000 DIV (4 * c1 * nbt)"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n1a"),
+        col("ncw2"), col("nbt"), col("pkn_micro"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  /** Near-dup cluster-size census: the q13 LSH pairs, closed into
+    * components ([[graft.pipeline.Graph.connectedComponents]] — the
+    * q51 composition), rolled up to a cluster-size histogram — the
+    * one-page answer to "how duplicated is this corpus", and the
+    * input to survivorship budgeting (how much mass dedup removes).
+    */
+  private def qDedupClusterStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val edges = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 12, bands = 4)
+    graft.pipeline.Graph.connectedComponents(
+        docs.select(col("doc_id")), "doc_id", edges, "doc_a", "doc_b")
+      .groupBy("group_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
+  /** Simpson's-paradox screen: urgent-vs-low average order value,
+    * overall and within each nation — the reversal flag is an exact
+    * integer cross-product sign test (sum_a·n_b vs sum_b·n_a on
+    * DECIMAL(38,0)), no division anywhere. The aggregation-bias gate
+    * every BI rollup should run before trusting a topline comparison.
+    */
+  private def qSimpsonParadox(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nationkey"),
+        col("o_orderpriority").as("prio"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .filter(col("prio").isin("1-URGENT", "5-LOW"))
+      .withColumn("is_a", (col("prio") === "1-URGENT").cast("long"))
+    def signed(df: DataFrame, keys: Seq[String]) = df
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("is_a")).as("n_a"),
+        sum(col("is_a") * col("cents")).as("sum_a"),
+        sum(lit(1L) - col("is_a")).as("n_b"),
+        sum((lit(1L) - col("is_a")) * col("cents")).as("sum_b"))
+      .withColumn("sign", expr(
+        """CASE WHEN CAST(sum_a AS DECIMAL(38,0)) * n_b >
+          |          CAST(sum_b AS DECIMAL(38,0)) * n_a THEN 1
+          |     WHEN CAST(sum_a AS DECIMAL(38,0)) * n_b <
+          |          CAST(sum_b AS DECIMAL(38,0)) * n_a THEN -1
+          |     ELSE 0 END""".stripMargin))
+    val overall = signed(o, Seq.empty).select(col("sign").as("overall_sign"))
+    signed(o, Seq("nationkey"))
+      .crossJoin(broadcast(overall))
+      .select(col("nationkey"), col("n_a"), col("sum_a"), col("n_b"),
+        col("sum_b"), col("sign").as("within_sign"), col("overall_sign"),
+        (col("sign") * col("overall_sign") === -1).as("reversed"))
+      .orderBy("nationkey")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -7355,6 +7491,10 @@ object SparkEntry {
     "q326_boilerplate" -> (qBoilerplate(_, _)),
     "q327_lateral_topk" -> (qLateralTopk(_, _)),
     "q328_link_prediction" -> (qLinkPrediction(_, _)),
+    "q329_stream_session_window" -> (qStreamSessionWindow(_, _)),
+    "q330_kneser_ney" -> (qKneserNey(_, _)),
+    "q331_dedup_cluster_stats" -> (qDedupClusterStats(_, _)),
+    "q332_simpson_paradox" -> (qSimpsonParadox(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -12934,6 +13074,104 @@ object SparkEntry {
         |SELECT na.u, na.v, na.cn, (du.d * dv.d)::BIGINT AS pref_attach
         |FROM nonadj na JOIN deg du ON du.n = na.u JOIN deg dv ON dv.n = na.v
         |ORDER BY na.cn DESC, na.u, na.v LIMIT 20""".stripMargin,
+
+    // q329: the q105 batch session rule + per-session cents — the
+    // stream≡batch equivalence oracle for session_window-under-watermark
+    "q329_stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch(ts) AS sec,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, ts, sec, cents,
+        |         CASE WHEN lag(sec) OVER w IS NULL
+        |              OR sec - lag(sec) OVER w >= 3600 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, cents,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM m)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       COUNT(*) AS n_events, SUM(cents)::BIGINT AS cents
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // q330: exact-rational interpolated Kneser–Ney over the common
+    // denominator 4·c1·nbt (d = 3/4) — pure BIGINT arithmetic
+    "q330_kneser_ney" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS tok FROM documents),
+        |bg AS (
+        |  SELECT tok[i] AS w1, tok[i + 1] AS w2
+        |  FROM tk, generate_series(1, 100000) t(i)
+        |  WHERE i + 1 <= len(tok)),
+        |c12 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c12)::BIGINT AS c1, COUNT(*)::BIGINT AS n1a
+        |       FROM c12 GROUP BY 1),
+        |cw2 AS (SELECT w2, COUNT(*)::BIGINT AS ncw2 FROM c12 GROUP BY 1),
+        |nbt AS (SELECT COUNT(*)::BIGINT AS nbt FROM c12)
+        |SELECT w1, w2, c12, c1, n1a, ncw2, nbt,
+        |       (((4 * c12 - 3) * nbt + 3 * n1a * ncw2) * 1000000 //
+        |        (4 * c1 * nbt))::BIGINT AS pkn_micro
+        |FROM c12 JOIN c1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN nbt
+        |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // q331: the q51 recursive closure rolled up to a size histogram
+    "q331_dedup_cluster_stats" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(doc, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
+         |), comp AS (
+         |  SELECT doc, MIN(lbl) AS group_id FROM reach GROUP BY 1
+         |), sizes AS (
+         |  SELECT group_id, COUNT(*)::BIGINT AS cluster_size FROM comp GROUP BY 1)
+         |SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q332: reversal = exact integer cross-product sign test on
+    // HUGEINT — no division anywhere
+    "q332_simpson_paradox" ->
+      """WITH o AS (
+        |  SELECT c_nationkey AS nationkey, o_orderpriority AS prio,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS is_a
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |per AS (
+        |  SELECT nationkey, SUM(is_a)::BIGINT AS n_a,
+        |         SUM(is_a * cents)::BIGINT AS sum_a,
+        |         SUM(1 - is_a)::BIGINT AS n_b,
+        |         SUM((1 - is_a) * cents)::BIGINT AS sum_b
+        |  FROM o GROUP BY 1),
+        |tot AS (
+        |  SELECT SUM(is_a)::BIGINT AS n_a, SUM(is_a * cents)::BIGINT AS sum_a,
+        |         SUM(1 - is_a)::BIGINT AS n_b,
+        |         SUM((1 - is_a) * cents)::BIGINT AS sum_b
+        |  FROM o),
+        |sg AS (
+        |  SELECT nationkey, n_a, sum_a, n_b, sum_b,
+        |    CASE WHEN sum_a::HUGEINT * n_b > sum_b::HUGEINT * n_a THEN 1
+        |         WHEN sum_a::HUGEINT * n_b < sum_b::HUGEINT * n_a THEN -1
+        |         ELSE 0 END AS within_sign
+        |  FROM per),
+        |osg AS (
+        |  SELECT CASE WHEN sum_a::HUGEINT * n_b > sum_b::HUGEINT * n_a THEN 1
+        |              WHEN sum_a::HUGEINT * n_b < sum_b::HUGEINT * n_a THEN -1
+        |              ELSE 0 END AS overall_sign
+        |  FROM tot)
+        |SELECT nationkey, n_a, sum_a, n_b, sum_b, within_sign, overall_sign,
+        |       (within_sign * overall_sign = -1) AS reversed
+        |FROM sg CROSS JOIN osg ORDER BY nationkey""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
