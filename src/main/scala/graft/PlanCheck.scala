@@ -68,7 +68,18 @@ object PlanCheck {
     // push iterations join the residual frontier to adjacency
     "q184_ppr" -> Seq(),
     // the zonal pushdown checks PlanCheck has always made, now pinned
-    "q10_pruned_scan" -> Seq("PushedFilters"))
+    "q10_pruned_scan" -> Seq("PushedFilters"),
+    // round-7 candidate-volume queries: pair generation rides the
+    // shingle-hash / token / band-bucket equi-joins — never a cartesian
+    "q12_dedup_ngram" -> Seq(),
+    "q324_cross_source_overlap" -> Seq(),
+    "q325_weighted_jaccard" -> Seq(),
+    "q326_boilerplate" -> Seq(),
+    // shared-neighbor equi-joins + anti-join on the edge key
+    "q328_link_prediction" -> Seq(),
+    // every KN statistic joins on w1/w2; scalars broadcast (a 1-row
+    // BroadcastNestedLoopJoin is fine, a CartesianProduct is not)
+    "q330_kneser_ney" -> Seq())
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()

@@ -5699,20 +5699,27 @@ object SparkEntry {
     * loop — and replayed by the oracle's recursive CTE. Corpus
     * occurrence counts ride the same pass.
     */
-  private def qWordpieceApply(s: SparkSession, dir: String): DataFrame = {
+  /** The q269 WordPiece greedy-longest-match scan as ONE codegen'd
+    * `aggregate` fold over character positions of column `w` — shared
+    * by q269 and the q333 fertility rollup.
+    */
+  private def wordpieceFoldExpr: String = {
     def arr(units: Seq[String]) = units.map(u => s"'$u'").mkString("array(", ", ", ")")
-    val fold =
-      s"""aggregate(sequence(1, length(w)),
-         |  named_struct('pos', 1, 'cnt', CAST(0 AS BIGINT)),
-         |  (st, i) -> IF(i < st.pos, st,
-         |    IF(array_contains(${arr(WordpieceV4)}, substr(w, i, 4)),
-         |       named_struct('pos', i + 4, 'cnt', st.cnt + 1L),
-         |    IF(array_contains(${arr(WordpieceV3)}, substr(w, i, 3)),
-         |       named_struct('pos', i + 3, 'cnt', st.cnt + 1L),
-         |    IF(array_contains(${arr(WordpieceV2)}, substr(w, i, 2)),
-         |       named_struct('pos', i + 2, 'cnt', st.cnt + 1L),
-         |       named_struct('pos', i + 1, 'cnt', st.cnt + 1L))))),
-         |  st -> st.cnt)""".stripMargin
+    s"""aggregate(sequence(1, length(w)),
+       |  named_struct('pos', 1, 'cnt', CAST(0 AS BIGINT)),
+       |  (st, i) -> IF(i < st.pos, st,
+       |    IF(array_contains(${arr(WordpieceV4)}, substr(w, i, 4)),
+       |       named_struct('pos', i + 4, 'cnt', st.cnt + 1L),
+       |    IF(array_contains(${arr(WordpieceV3)}, substr(w, i, 3)),
+       |       named_struct('pos', i + 3, 'cnt', st.cnt + 1L),
+       |    IF(array_contains(${arr(WordpieceV2)}, substr(w, i, 2)),
+       |       named_struct('pos', i + 2, 'cnt', st.cnt + 1L),
+       |       named_struct('pos', i + 1, 'cnt', st.cnt + 1L))))),
+       |  st -> st.cnt)""".stripMargin
+  }
+
+  private def qWordpieceApply(s: SparkSession, dir: String): DataFrame = {
+    val fold = wordpieceFoldExpr
     Tables.load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_occurrences"))
@@ -7161,6 +7168,138 @@ object SparkEntry {
       .orderBy("nationkey")
   }
 
+  /** Tokenizer fertility per language: subword tokens per word
+    * OCCURRENCE under the q269 WordPiece vocabulary — the
+    * tokenizer-equity metric (which languages pay more tokens per
+    * word) every multilingual training-data budget needs. The greedy
+    * scan runs once per DISTINCT word (vocabulary-sized, Heaps-law
+    * sublinear), then per-language occurrence counts weight it.
+    */
+  private def qTokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val byLang = t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("n_occ"))
+    val perWord = byLang.select(col("w")).distinct()
+      .withColumn("n_tok", expr(wordpieceFoldExpr))
+    byLang.join(perWord, "w")
+      .groupBy("lang")
+      .agg(sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * col("n_tok")).as("n_subtokens"))
+      .withColumn("fertility_micro",
+        expr("n_subtokens * 1000000 DIV n_words"))
+      .orderBy("lang")
+  }
+
+  /** Source novelty audit: processing sources in lexicographic order,
+    * how much of each source's distinct 8-gram mass is NEW (first
+    * owner = this source)? The incremental-onboarding question — "does
+    * crawl slice N+1 still add anything" — as one shingle-keyed
+    * aggregate: first owner = MIN(source) per shingle hash.
+    */
+  private def qSourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("source").as("src"),
+        explode(Dedup.wordShingles("text", 8)).as("g"))
+      .select(col("src"), Dedup.hash60("g", 0).as("h")).distinct()
+    val novel = sh.groupBy("h").agg(min(col("src")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("n_novel"))
+    sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
+      .join(novel, Seq("src"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .withColumn("novelty_micro", expr("n_novel * 1000000L DIV n_sh"))
+      .orderBy("src")
+  }
+
+  /** Centered 7-day moving-average detrend of daily view counts in
+    * exact integers: residual×7 = 7·x − Σ window (only full windows) —
+    * the additive-decomposition step without a single division or
+    * float. Feeds anomaly screens that must not inherit float noise.
+    */
+  private def qMaDetrend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(s, dir)
+      .filter(col("event_type") === "view")
+      .groupBy(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+        .cast("long").as("day_num"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-3L, 3L)
+    d.withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum7", sum(col("x")).over(w))
+      .filter(col("n_win") === 7L)
+      .select(col("day_num"), col("x"), col("sum7"),
+        (col("x") * 7L - col("sum7")).as("residual_x7"))
+      .orderBy("day_num")
+  }
+
+  /** Weekday seasonality index: avg daily events per weekday over the
+    * overall daily avg, as one exact integer rational
+    * idx = sum_wd·n_days/(n_wd·sum_all) in micros (q147's
+    * DuckDB-vs-Spark `dayofweek` off-by-one handled the same way).
+    */
+  private def qWeekdayIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("wd", expr("CAST(dayofweek(day) - 1 AS BIGINT)"))
+    val tot = d.agg(count(lit(1)).as("n_days"), sum(col("x")).as("sum_all"))
+    d.groupBy("wd")
+      .agg(count(lit(1)).as("n_wd"), sum(col("x")).as("sum_wd"))
+      .crossJoin(broadcast(tot))
+      .select(col("wd"), col("n_wd"), col("sum_wd"),
+        expr("""CAST((CAST(sum_wd AS DECIMAL(38,0)) * n_days * 1000000)
+                DIV (CAST(n_wd AS DECIMAL(38,0)) * sum_all) AS BIGINT)""")
+          .as("index_micro"))
+      .orderBy("wd")
+  }
+
+  /** CHAINED stateful streaming operators (Spark ≥3.4 multi-stateful
+    * support): 10-minute tumbling counts per event type, then an
+    * hourly MAX/SUM of those counts — both aggregations in ONE
+    * streaming query (`window(window_col, ...)` over the first
+    * window), append mode, sessions flushed by a sentinel-advanced
+    * watermark. Oracle = the batch two-level rollup; tumbling windows
+    * align to the unix epoch in both engines.
+    */
+  private def qStreamChainedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    if (evs.isEmpty)
+      return s.createDataFrame(Seq.empty[(String, String, Long, Long)])
+        .toDF("hour_start", "event_type", "max_10min", "n_events")
+    val horizon = evs.iterator.map(_.ts.getTime).max
+    val sentinel = EventStreams.Event(-1L,
+      new java.sql.Timestamp(horizon + 3 * 3600 * 1000), -999L, "sentinel", 0.0)
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val name = s"q337_chain_${streamGateN.incrementAndGet()}"
+    val counts = mem.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val hourly = counts
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(max(col("c")).as("max_10min"), sum(col("c")).as("n_events"))
+    val q = startNarrow(s)(hourly.writeStream.format("memory").queryName(name)
+      .outputMode("append").start())
+    try {
+      evs.grouped(math.max(1, evs.length / 5)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      mem.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .filter(col("event_type") =!= "sentinel")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"), col("max_10min"), col("n_events"))
+      .orderBy("hour_start", "event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -7495,6 +7634,11 @@ object SparkEntry {
     "q330_kneser_ney" -> (qKneserNey(_, _)),
     "q331_dedup_cluster_stats" -> (qDedupClusterStats(_, _)),
     "q332_simpson_paradox" -> (qSimpsonParadox(_, _)),
+    "q333_tokenizer_fertility" -> (qTokenizerFertility(_, _)),
+    "q334_source_novelty" -> (qSourceNovelty(_, _)),
+    "q335_ma_detrend" -> (qMaDetrend(_, _)),
+    "q336_weekday_index" -> (qWeekdayIndex(_, _)),
+    "q337_stream_chained_agg" -> (qStreamChainedAgg(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -13172,6 +13316,98 @@ object SparkEntry {
         |SELECT nationkey, n_a, sum_a, n_b, sum_b, within_sign, overall_sign,
         |       (within_sign * overall_sign = -1) AS reversed
         |FROM sg CROSS JOIN osg ORDER BY nationkey""".stripMargin,
+
+    // q333: the q269 recursive WordPiece scan on DISTINCT words,
+    // weighted by per-language occurrence counts
+    "q333_tokenizer_fertility" -> {
+      def inList(units: Seq[String]) = units.map(u => s"'$u'").mkString(", ")
+      s"""WITH RECURSIVE occ AS (
+         |  SELECT lang, w, COUNT(*)::BIGINT AS n_occ FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |words AS (SELECT DISTINCT w FROM occ),
+         |step(w, pos, cnt) AS (
+         |  SELECT w, 1, 0 FROM words
+         |  UNION ALL
+         |  SELECT w,
+         |    pos + CASE WHEN substr(w, pos, 4) IN (${inList(WordpieceV4)}) THEN 4
+         |               WHEN substr(w, pos, 3) IN (${inList(WordpieceV3)}) THEN 3
+         |               WHEN substr(w, pos, 2) IN (${inList(WordpieceV2)}) THEN 2
+         |               ELSE 1 END,
+         |    cnt + 1
+         |  FROM step WHERE pos <= strlen(w)),
+         |done AS (SELECT w, cnt::BIGINT AS n_tok FROM step WHERE pos > strlen(w))
+         |SELECT lang, SUM(n_occ)::BIGINT AS n_words,
+         |       SUM(n_occ * n_tok)::BIGINT AS n_subtokens,
+         |       (SUM(n_occ * n_tok) * 1000000 // SUM(n_occ))::BIGINT
+         |         AS fertility_micro
+         |FROM occ JOIN done USING (w)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // q334: first owner = MIN(source) per shingle hash
+    "q334_source_novelty" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source AS src,
+        |         ('0x' || substr(md5('0:' || array_to_string(tok[i:i+7], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, string_split(text, ' ') AS tok FROM documents),
+        |       generate_series(1, 100000) t(i)
+        |  WHERE i + 7 <= len(tok)),
+        |novel AS (
+        |  SELECT src, COUNT(*)::BIGINT AS n_novel
+        |  FROM (SELECT h, MIN(src) AS src FROM sh GROUP BY 1) GROUP BY 1),
+        |tot AS (SELECT src, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY 1)
+        |SELECT t.src, t.n_sh, COALESCE(n.n_novel, 0)::BIGINT AS n_novel,
+        |       (COALESCE(n.n_novel, 0) * 1000000 // t.n_sh)::BIGINT AS novelty_micro
+        |FROM tot t LEFT JOIN novel n ON n.src = t.src
+        |ORDER BY t.src""".stripMargin,
+
+    // q335: full centered windows only; residual carried ×7 — zero
+    // division anywhere
+    "q335_ma_detrend" ->
+      """WITH d AS (
+        |  SELECT (CAST(ts AS DATE) - DATE '1970-01-01')::BIGINT AS day_num,
+        |         COUNT(*)::BIGINT AS x
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |m AS (
+        |  SELECT day_num, x,
+        |    COUNT(*) OVER w AS n_win, SUM(x) OVER w AS sum7
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |SELECT day_num, x, sum7::BIGINT AS sum7,
+        |       (x * 7 - sum7)::BIGINT AS residual_x7
+        |FROM m WHERE n_win = 7 ORDER BY day_num""".stripMargin,
+
+    // q336: one exact rational per weekday (DuckDB dayofweek is
+    // already 0-based where Spark's is 1-based — the q147 shift)
+    "q336_weekday_index" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS x
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT dayofweek(day)::BIGINT AS wd, x FROM d),
+        |tot AS (SELECT COUNT(*)::BIGINT AS n_days, SUM(x)::BIGINT AS sum_all FROM w)
+        |SELECT wd, COUNT(*)::BIGINT AS n_wd, SUM(x)::BIGINT AS sum_wd,
+        |       ((SUM(x)::HUGEINT * n_days * 1000000) //
+        |        (COUNT(*)::HUGEINT * sum_all))::BIGINT AS index_micro
+        |FROM w, tot GROUP BY wd, n_days, sum_all ORDER BY wd""".stripMargin,
+
+    // q337: both tumbling levels align to the unix epoch in both
+    // engines — bucket arithmetic spelled out, no time_bucket origin
+    // subtleties
+    "q337_stream_chained_agg" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) // 600000000 * 600) AS w10,
+        |         COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |h AS (
+        |  SELECT event_type, (w10 // 3600 * 3600) AS hr,
+        |         MAX(c)::BIGINT AS max_10min, SUM(c)::BIGINT AS n_events
+        |  FROM b GROUP BY 1, 2)
+        |SELECT strftime(TIMESTAMP '1970-01-01' + hr * INTERVAL 1 SECOND,
+        |         '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+        |       max_10min, n_events
+        |FROM h ORDER BY hour_start, event_type""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
