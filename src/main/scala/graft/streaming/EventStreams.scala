@@ -375,20 +375,38 @@ object EventStreams {
         Long, TsEvent, Rolling3Out] {
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
     import org.apache.spark.sql.{Encoders => Encs}
-    @transient private var win: org.apache.spark.sql.streaming.ListState[Long] = _
+    // state = the ≤3 LATEST events BY EVENT TIME as (tsMillis, event_id,
+    // value) triples — not bare values by arrival order. A cross-batch
+    // late event (allowed within the watermark) then INSERTS at its
+    // event-time position: every SUBSEQUENT window is exactly the
+    // batch answer (the kept top-3-by-time set is correct inductively —
+    // an event older than all three kept can be in no future window
+    // either), and the late event's own emission sums the ≤3 events
+    // at-or-before it that are still in state. The arrival-order
+    // variant this replaces silently shifted every later window by one
+    // slot — the same cross-batch ordering trap the TimerSession
+    // max-clamp fix closed.
+    @transient private var win: org.apache.spark.sql.streaming
+      .ListState[(Long, Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      win = getHandle.getListState("win", Encs.scalaLong, TTLConfig.NONE)
+      win = getHandle.getListState("win",
+        Encs.tuple(Encs.scalaLong, Encs.scalaLong, Encs.scalaLong),
+        TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[TsEvent],
                                  tv: TimerValues): Iterator[Rolling3Out] = {
       // event-time order (the q192 convention); `tu` carries the VALUE
       // being summed, not the clock
       val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var cur = win.get().toVector // ≤ 3 elements by invariant
+      var cur = win.get().toVector // ≤ 3 triples, event-time ascending
       val out = sorted.map { e =>
-        cur = (cur :+ e.tu).takeRight(3)
-        Rolling3Out(key, e.event_id, cur.sum)
+        val trip = (e.ts.getTime, e.event_id, e.tu)
+        cur = ((cur :+ trip).sortBy(t => (t._1, t._2))).takeRight(3)
+        // the event's own window: the ≤3 kept events at-or-before it
+        val upTo = cur.filter(t =>
+          t._1 < trip._1 || (t._1 == trip._1 && t._2 <= trip._2))
+        Rolling3Out(key, e.event_id, upTo.takeRight(3).map(_._3).sum)
       }
       win.clear()
       cur.foreach(win.appendValue)

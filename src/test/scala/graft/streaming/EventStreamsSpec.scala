@@ -185,6 +185,47 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rolling3Stream: a cross-batch late event lands in event-time position") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // tu carries the summed VALUE; event time is ts
+      def ev(id: Long, min: Int, v: Long) =
+        EventStreams.TsEvent(id, ts(min), 1L, v)
+      val mem = MemoryStream[EventStreams.TsEvent]
+      val q = EventStreams.rolling3Stream(mem.toDS())
+        .toDF().writeStream.format("memory").queryName("tws_roll_late")
+        .outputMode("append").start()
+      try {
+        mem.addData(ev(1, 10, 100L), ev(2, 20, 200L))
+        q.processAllAvailable()
+        // LATE event (min 15) arrives in the NEXT batch: it must
+        // INSERT between the two seen events, not append after them
+        mem.addData(ev(3, 15, 50L))
+        q.processAllAvailable()
+        // the next in-order event's window must be the BATCH answer
+        // {15,20,30} = 50+200+400, not the arrival-order {20,15,30}
+        // which a value-list state would also give here — and the
+        // window after that must slide out min 15, not min 20
+        mem.addData(ev(4, 30, 400L))
+        q.processAllAvailable()
+        mem.addData(ev(5, 40, 800L))
+        q.processAllAvailable()
+        val got = spark.table("tws_roll_late").as[EventStreams.Rolling3Out]
+          .collect().map(o => o.event_id -> o.sum_last3).toMap
+        assert(got(3L) == 150L)  // the late event's own window {10,15} — the batch answer
+        assert(got(4L) == 650L)  // {15,20,30} = 50+200+400
+        assert(got(5L) == 1400L) // {20,30,40} = 200+400+800
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("dedupStream drops exact duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
