@@ -7300,6 +7300,135 @@ object SparkEntry {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Shingle containment screen — the ASYMMETRIC near-dup direction
+    * Jaccard misses: a short document wholly embedded in a long one
+    * scores low Jaccard but containment |A∩B|/min(|A|,|B|) ≈ 1 (the
+    * overlap coefficient; the quote/excerpt/sub-document duplication
+    * case). Same one-shuffle group-then-combine pair generation as
+    * q12; flagged at ≥ 9/10 in exact micros.
+    */
+  private def qContainmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "documents")
+    val sh = df.select(col("doc_id").as("doc"),
+        explode(Dedup.wordShingles("text", 5)).as("g"))
+      .select(col("doc"), Dedup.hash60("g", 0).as("h"))
+    val sizes = df.select(col("doc_id").as("doc"),
+      size(Dedup.wordShingles("text", 5)).cast("long").as("n_sh"))
+    val inter = sh.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("containment_micro",
+        expr("inter * 1000000L DIV least(na, nb)"))
+      .filter(col("containment_micro") >= 900000L)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        col("containment_micro"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Quoted-multiline CSV roundtrip (`multiLine=true`): every space in
+    * the document text becomes an embedded newline inside a quoted
+    * field — the crawler-export shape that silently shreds rows when
+    * parsed line-by-line. The gate writes the CSV, reads it back
+    * through the multiline parser, and aggregates; the oracle computes
+    * the SAME aggregate from the original parquet, so any row split,
+    * quote slip, or token loss breaks the hash.
+    */
+  private def qCsvMultiline(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csvml_${System.nanoTime()}"
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(col("text"), " ", "\n").as("text"))
+      .coalesce(2)
+      .write.option("header", "true").mode("overwrite").csv(out)
+    s.read.option("header", "true").option("multiLine", "true")
+      .schema("doc_id BIGINT, lang STRING, text STRING")
+      .csv(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(size(split(col("text"), "\n")).cast("long")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Tukey IQR fences per event type in exact integers: quartiles as
+    * ceil-rank order statistics (the q314 convention), fences carried
+    * DOUBLED (Q1 − 1.5·IQR = (5Q1 − 3Q3)/2, so 2·fence is integral),
+    * outliers counted against 2·cents — the boxplot rule with zero
+    * floats, next to the MAD rule (q149) it complements.
+    */
+  private def qIqrFences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"))
+    val ranked = e.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val qs = ranked.groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n * 25 + 99) DIV 100"), col("cents"))).as("q1"),
+        max(when(col("rn") === expr("(n * 75 + 99) DIV 100"), col("cents"))).as("q3"))
+      .withColumn("lo2", expr("5 * q1 - 3 * q3"))
+      .withColumn("hi2", expr("5 * q3 - 3 * q1"))
+    e.join(qs, "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        sum(when(col("cents") * 2L < col("lo2"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("cents") * 2L > col("hi2"), 1L).otherwise(0L)).as("n_high"))
+      .orderBy("event_type")
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) on the customer→part
+    * purchase bipartite graph, 3 iterations, INTEGER-SCALED: after
+    * each half-step scores renormalize to ⌊s·10⁶/max(s)⌋ — integral
+    * division on DECIMAL(38,0) products replaces the float L2 norm,
+    * so the chain is deterministic on any engine at any degree. Top-20
+    * authorities (score desc, part asc).
+    *
+    * Scale shape: each half-step is one join of the score vector to
+    * the edge list + one keyed aggregate; max(s) is a broadcast
+    * scalar. Same bounded-iteration discipline as q95/q218.
+    */
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct().localCheckpoint()
+    var hub = edges.select(col("cust")).distinct()
+      .withColumn("h", lit(1000000L)).localCheckpoint()
+    var auth: DataFrame = null
+    var i = 0
+    while (i < 3) {
+      val a0 = edges.join(hub, "cust")
+        .groupBy("part").agg(sum(col("h")).as("s"))
+      val amax = a0.agg(max(col("s")).as("m"))
+      auth = a0.crossJoin(broadcast(amax))
+        .select(col("part"),
+          expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000000 DIV m AS BIGINT)").as("a"))
+        .localCheckpoint()
+      val h0 = edges.join(auth, "part")
+        .groupBy("cust").agg(sum(col("a")).as("s"))
+      val hmax = h0.agg(max(col("s")).as("m"))
+      hub = h0.crossJoin(broadcast(hmax))
+        .select(col("cust"),
+          expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000000 DIV m AS BIGINT)").as("h"))
+        .localCheckpoint()
+      i += 1
+    }
+    auth.select(col("part"), col("a").as("authority_micro"))
+      .orderBy(col("authority_micro").desc, col("part"))
+      .limit(20)
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -7639,6 +7768,10 @@ object SparkEntry {
     "q335_ma_detrend" -> (qMaDetrend(_, _)),
     "q336_weekday_index" -> (qWeekdayIndex(_, _)),
     "q337_stream_chained_agg" -> (qStreamChainedAgg(_, _)),
+    "q338_containment_dedup" -> (qContainmentDedup(_, _)),
+    "q339_csv_multiline" -> (qCsvMultiline(_, _)),
+    "q340_iqr_fences" -> (qIqrFences(_, _)),
+    "q341_hits" -> (qHits(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -13408,6 +13541,91 @@ object SparkEntry {
         |         '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
         |       max_10min, n_events
         |FROM h ORDER BY hour_start, event_type""".stripMargin,
+
+    // q338: overlap coefficient ≥ 9/10 over the shared-shingle pairs
+    "q338_containment_dedup" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS doc,
+        |         ('0x' || substr(md5('0:' || array_to_string(tok[i:i+4], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |       generate_series(1, 100000) t(i)
+        |  WHERE i + 4 <= len(tok)),
+        |sizes AS (SELECT doc, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*)::BIGINT AS inter
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc < b.doc GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, sa.n_sh AS na, sb.n_sh AS nb,
+        |       (inter * 1000000 // least(sa.n_sh, sb.n_sh))::BIGINT
+        |         AS containment_micro
+        |FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+        |WHERE inter * 1000000 // least(sa.n_sh, sb.n_sh) >= 900000
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q339: the engine roundtrips the quoted-multiline CSV; the oracle
+    // recomputes the aggregate from the source parquet — any row
+    // split or token loss in the multiline parse breaks the hash
+    "q339_csv_multiline" ->
+      """SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        |       SUM(doc_id)::BIGINT AS sum_doc_id,
+        |       SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q340: ceil-rank quartiles (the q314 convention), doubled Tukey
+    // fences — value-at-rank is tie-order independent
+    "q340_iqr_fences" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, cents,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |q AS (
+        |  SELECT event_type, MAX(n)::BIGINT AS n,
+        |         MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN cents END)::BIGINT AS q1,
+        |         MAX(CASE WHEN rn = (n * 75 + 99) // 100 THEN cents END)::BIGINT AS q3
+        |  FROM r GROUP BY 1)
+        |SELECT e.event_type, MAX(n)::BIGINT AS n, MAX(q1)::BIGINT AS q1,
+        |       MAX(q3)::BIGINT AS q3,
+        |       SUM(CASE WHEN cents * 2 < 5 * q1 - 3 * q3 THEN 1 ELSE 0 END)::BIGINT AS n_low,
+        |       SUM(CASE WHEN cents * 2 > 5 * q3 - 3 * q1 THEN 1 ELSE 0 END)::BIGINT AS n_high
+        |FROM e JOIN q USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q341: three unrolled HITS iterations, HUGEINT renormalization —
+    // MATERIALIZED so DuckDB does not inline the chain per level
+    "q341_hits" ->
+      """WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT DISTINCT cust, 1000000::BIGINT AS h FROM edges),
+        |a1r AS MATERIALIZED (
+        |  SELECT part, SUM(h)::BIGINT AS s FROM edges JOIN h0 USING (cust) GROUP BY 1),
+        |a1 AS MATERIALIZED (
+        |  SELECT part, (s::HUGEINT * 1000000 // (SELECT MAX(s) FROM a1r))::BIGINT AS a
+        |  FROM a1r),
+        |h1r AS MATERIALIZED (
+        |  SELECT cust, SUM(a)::BIGINT AS s FROM edges JOIN a1 USING (part) GROUP BY 1),
+        |h1 AS MATERIALIZED (
+        |  SELECT cust, (s::HUGEINT * 1000000 // (SELECT MAX(s) FROM h1r))::BIGINT AS h
+        |  FROM h1r),
+        |a2r AS MATERIALIZED (
+        |  SELECT part, SUM(h)::BIGINT AS s FROM edges JOIN h1 USING (cust) GROUP BY 1),
+        |a2 AS MATERIALIZED (
+        |  SELECT part, (s::HUGEINT * 1000000 // (SELECT MAX(s) FROM a2r))::BIGINT AS a
+        |  FROM a2r),
+        |h2r AS MATERIALIZED (
+        |  SELECT cust, SUM(a)::BIGINT AS s FROM edges JOIN a2 USING (part) GROUP BY 1),
+        |h2 AS MATERIALIZED (
+        |  SELECT cust, (s::HUGEINT * 1000000 // (SELECT MAX(s) FROM h2r))::BIGINT AS h
+        |  FROM h2r),
+        |a3r AS MATERIALIZED (
+        |  SELECT part, SUM(h)::BIGINT AS s FROM edges JOIN h2 USING (cust) GROUP BY 1),
+        |a3 AS MATERIALIZED (
+        |  SELECT part, (s::HUGEINT * 1000000 // (SELECT MAX(s) FROM a3r))::BIGINT AS a
+        |  FROM a3r)
+        |SELECT part, a AS authority_micro FROM a3
+        |ORDER BY a DESC, part LIMIT 20""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
