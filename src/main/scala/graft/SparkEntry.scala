@@ -7429,6 +7429,124 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Theil–Sen (1968) robust trend of daily event counts per type:
+    * the median over all C(n_days,2) pairwise slopes — insensitive to
+    * ~29% outlier days, the robust complement to the OLS trend gate.
+    * Slopes in micro/day via the +10⁹ offset inside the division
+    * ((Δc·10⁶ + Δd·10⁹) DIV Δd, positive because |Δc·10⁶| < Δd·10⁹
+    * for any daily-count delta under 1000) so truncating and flooring
+    * division agree; median as the q340 ceil-rank order statistic.
+    *
+    * Scale shape: the pair grid is over the DAILY AGGREGATE (n_days²
+    * per type, bounded by the calendar), never over raw events.
+    */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val a = daily.select(col("event_type"), col("d").as("da"), col("c").as("ca"))
+    val b = daily.select(col("event_type"), col("d").as("db"), col("c").as("cb"))
+    val pairs = a.join(b, Seq("event_type"))
+      .filter(col("da") < col("db"))
+      .select(col("event_type"),
+        expr("((cb - ca) * 1000000 + (db - da) * 1000000000) DIV (db - da)")
+          .as("s_off"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("s_off"))
+    val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy("event_type")
+      .agg(max(col("np")).as("n_pairs"),
+        max(when(col("rn") === expr("(np * 50 + 99) DIV 100"), col("s_off")))
+          .as("med_off"))
+      .join(nd, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        (col("med_off") - 1000000000L).as("slope_micro_per_day"))
+      .orderBy("event_type")
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013) per event
+    * type: unit = user, pre-period covariate x = Σ round(value) over
+    * days 1–15, outcome y = Σ over days 16–30. Emits
+    * θ = cov(x,y)/var(x) and the variance-reduction factor
+    * ρ² = cov²/(var(x)·var(y)) — the fraction of outcome variance the
+    * covariate removes — in exact integer micros: the n·Σxy − ΣxΣy
+    * moment forms stay in BIGINT, the scaled divisions widen to
+    * DECIMAL(38,0)/HUGEINT (the q341 convention), θ uses the +10⁹
+    * in-division offset (covariance can be negative; Spark DIV
+    * truncates, DuckDB // floors — identical only over positives).
+    *
+    * Scale shape: one shuffle to user×type units, one moment agg.
+    */
+  private def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"), col("user_id"),
+      expr("CAST(round(value) AS BIGINT)").as("v"),
+      expr("CASE WHEN dayofmonth(ts) <= 15 THEN 1 ELSE 0 END").as("pre"))
+    val ux = e.groupBy("event_type", "user_id")
+      .agg(sum(expr("v * pre")).as("x"), sum(expr("v * (1 - pre)")).as("y"))
+    ux.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("x * y")).as("sxy"), sum(expr("y * y")).as("syy"))
+      .select(col("event_type"), col("n_users"),
+        expr("""CASE WHEN n_users * sxx - sx * sx > 0
+               THEN CAST((CAST(n_users * sxy - sx * sy AS DECIMAL(38,0)) * 1000000
+                     + CAST(n_users * sxx - sx * sx AS DECIMAL(38,0)) * 1000000000)
+                    DIV (n_users * sxx - sx * sx) AS BIGINT) - 1000000000
+               ELSE NULL END""").as("theta_micro"),
+        expr("""CASE WHEN n_users * sxx - sx * sx > 0
+                     AND n_users * syy - sy * sy > 0
+               THEN CAST(CAST(n_users * sxy - sx * sy AS DECIMAL(38,0))
+                    * CAST(n_users * sxy - sx * sy AS DECIMAL(38,0)) * 1000000
+                    DIV (CAST(n_users * sxx - sx * sx AS DECIMAL(38,0))
+                         * CAST(n_users * syy - sy * sy AS DECIMAL(38,0))) AS BIGINT)
+               ELSE NULL END""").as("rho2_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Deterministic bootstrap CI of the mean document token count per
+    * language: 100 resamples where doc d's multiplicity in resample b
+    * is hash60("17:d:b") mod 3 ∈ {0,1,2} (mean 1 — a seeded integer
+    * stand-in for the multinomial draw, reproducible on any engine),
+    * each resample's weighted mean in exact milli-tokens, the 90% CI
+    * as the 5th/95th ceil-rank order statistics over the 100 means.
+    *
+    * Scale shape: the ×100 explode is map-only (no shuffle until the
+    * (lang,b) agg — 100·|langs| groups); the percentile window runs
+    * over 100 rows per language.
+    */
+  private def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("tok"))
+    val res = d.select(col("lang"), col("doc_id"), col("tok"),
+        explode(expr("sequence(0, 99)")).as("b"))
+      .withColumn("w", expr("graft_md5hi60(concat('17:', " +
+        "CAST(doc_id AS STRING), ':', CAST(b AS STRING))) % 3"))
+      .groupBy("lang", "b")
+      .agg(sum(expr("w * tok")).as("swt"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0L)
+      .select(col("lang"), col("b"),
+        expr("(swt * 1000) DIV sw").as("mean_milli"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("mean_milli"), col("b"))
+    val ci = res.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .groupBy("lang")
+      .agg(max(col("nb")).as("n_resamples"),
+        max(when(col("rn") === expr("(nb * 5 + 99) DIV 100"), col("mean_milli")))
+          .as("ci_lo_milli"),
+        max(when(col("rn") === expr("(nb * 95 + 99) DIV 100"), col("mean_milli")))
+          .as("ci_hi_milli"))
+    d.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        expr("(SUM(tok) * 1000) DIV COUNT(*)").as("mean_milli"))
+      .join(ci, "lang")
+      .select(col("lang"), col("n_docs"), col("mean_milli"),
+        col("n_resamples"), col("ci_lo_milli"), col("ci_hi_milli"))
+      .orderBy("lang")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -7772,6 +7890,9 @@ object SparkEntry {
     "q339_csv_multiline" -> (qCsvMultiline(_, _)),
     "q340_iqr_fences" -> (qIqrFences(_, _)),
     "q341_hits" -> (qHits(_, _)),
+    "q342_theil_sen" -> (qTheilSen(_, _)),
+    "q343_cuped" -> (qCuped(_, _)),
+    "q344_bootstrap_ci" -> (qBootstrapCi(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -13626,6 +13747,101 @@ object SparkEntry {
         |  FROM a3r)
         |SELECT part, a AS authority_micro FROM a3
         |ORDER BY a DESC, part LIMIT 20""".stripMargin,
+
+    // q342: median pairwise slope over the daily aggregate; +1e9
+    // offset inside the division keeps it over positives
+    "q342_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) AS d,
+        |         COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type,
+        |         (((b.c - a.c) * 1000000 + (b.d - a.d) * 1000000000)
+        |          // (b.d - a.d))::BIGINT AS s_off
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d < b.d),
+        |r AS (
+        |  SELECT event_type, s_off,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY s_off) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS np
+        |  FROM pairs),
+        |m AS (
+        |  SELECT event_type, MAX(np)::BIGINT AS n_pairs,
+        |         MAX(CASE WHEN rn = (np * 50 + 99) // 100 THEN s_off END) AS med_off
+        |  FROM r GROUP BY 1),
+        |nd AS (SELECT event_type, COUNT(*)::BIGINT AS n_days FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, n_pairs,
+        |       (med_off - 1000000000)::BIGINT AS slope_micro_per_day
+        |FROM m JOIN nd USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // q343: CUPED θ and ρ² in exact integer micros — moment forms in
+    // BIGINT, scaled divisions on HUGEINT, +1e9 offset for θ's sign
+    "q343_cuped" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, CAST(round(value) AS BIGINT) AS v,
+        |         CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS pre
+        |  FROM events),
+        |ux AS (
+        |  SELECT event_type, user_id, SUM(v * pre)::BIGINT AS x,
+        |         SUM(v * (1 - pre))::BIGINT AS y
+        |  FROM e GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n_users,
+        |         SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+        |         SUM(x * x)::BIGINT AS sxx, SUM(x * y)::BIGINT AS sxy,
+        |         SUM(y * y)::BIGINT AS syy
+        |  FROM ux GROUP BY 1)
+        |SELECT event_type, n_users,
+        |       CASE WHEN n_users * sxx - sx * sx > 0
+        |       THEN (((n_users * sxy - sx * sy)::HUGEINT * 1000000
+        |              + (n_users * sxx - sx * sx)::HUGEINT * 1000000000)
+        |             // (n_users * sxx - sx * sx) - 1000000000)::BIGINT
+        |       ELSE NULL END AS theta_micro,
+        |       CASE WHEN n_users * sxx - sx * sx > 0
+        |            AND n_users * syy - sy * sy > 0
+        |       THEN ((n_users * sxy - sx * sy)::HUGEINT
+        |             * (n_users * sxy - sx * sy) * 1000000
+        |             // ((n_users * sxx - sx * sx)::HUGEINT
+        |                * (n_users * syy - sy * sy)))::BIGINT
+        |       ELSE NULL END AS rho2_micro
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // q344: hash-multiplicity bootstrap — w(d,b) = md5-hash60 mod 3,
+    // 100 resample means in milli-tokens, 5th/95th ceil-rank CI
+    "q344_bootstrap_ci" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS tok
+        |  FROM documents),
+        |res AS (
+        |  SELECT lang, b,
+        |         SUM((('0x' || substr(md5('17:' || doc_id || ':' || b), 1, 15))::BIGINT
+        |              % 3) * tok)::BIGINT AS swt,
+        |         SUM(('0x' || substr(md5('17:' || doc_id || ':' || b), 1, 15))::BIGINT
+        |             % 3)::BIGINT AS sw
+        |  FROM d, generate_series(0, 99) t(b) GROUP BY 1, 2),
+        |mm AS (
+        |  SELECT lang, b, (swt * 1000 // sw)::BIGINT AS mean_milli
+        |  FROM res WHERE sw > 0),
+        |r AS (
+        |  SELECT lang, mean_milli,
+        |         row_number() OVER (PARTITION BY lang ORDER BY mean_milli, b) AS rn,
+        |         COUNT(*) OVER (PARTITION BY lang) AS nb
+        |  FROM mm),
+        |ci AS (
+        |  SELECT lang, MAX(nb)::BIGINT AS n_resamples,
+        |         MAX(CASE WHEN rn = (nb * 5 + 99) // 100 THEN mean_milli END)::BIGINT
+        |           AS ci_lo_milli,
+        |         MAX(CASE WHEN rn = (nb * 95 + 99) // 100 THEN mean_milli END)::BIGINT
+        |           AS ci_hi_milli
+        |  FROM r GROUP BY 1),
+        |base AS (
+        |  SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        |         (SUM(tok) * 1000 // COUNT(*))::BIGINT AS mean_milli
+        |  FROM d GROUP BY 1)
+        |SELECT lang, n_docs, mean_milli, n_resamples, ci_lo_milli, ci_hi_milli
+        |FROM base JOIN ci USING (lang) ORDER BY lang""".stripMargin,
+
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
