@@ -7547,6 +7547,213 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998): for every 50th document as a query, candidates are the
+    * top-20 docs by token-overlap relevance; MMR then picks 5
+    * iteratively by argmax λ·rel − (1−λ)·max_{s∈S} sim(d,s) with
+    * λ = 0.7 — ALL-INTEGER: rel normalized to overlap·10⁶/max-overlap,
+    * sim is token-set Jaccard in micros, the score carried ×10
+    * (7·rel − 3·maxsim) so λ never becomes a float. Greedy argmax
+    * ties break (score desc, doc asc). The diversification stage the
+    * RRF-fusion gate (q199) doesn't cover.
+    *
+    * Scale shape: relevance + pair similarity come from token
+    * equi-joins (never all-pairs over the corpus); the 5-step greedy
+    * loop runs on the bounded per-query candidate set (≤20 docs,
+    * ≤190 pairs per query).
+    */
+  private def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+        .as("tok"))
+    val nTok = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val qToks = toks.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val overlap = qToks.join(toks.filter(col("doc_id") % 50 =!= 0), "tok")
+      .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("ov"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ov").desc, col("doc_id"))
+    val cand = overlap.withColumn("cr", row_number().over(wq))
+      .filter(col("cr") <= 20)
+      .withColumn("mxov", max(col("ov")).over(Window.partitionBy(col("query_id"))))
+      .select(col("query_id"), col("doc_id"),
+        expr("(ov * 1000000) DIV mxov").as("rel"))
+    // all candidate pairs of a query, Jaccard micro (0 when no overlap)
+    val ca = cand.select(col("query_id"), col("doc_id").as("da"))
+    val cb = cand.select(col("query_id"), col("doc_id").as("db"))
+    val inter = ca.join(toks.select(col("doc_id").as("da"), col("tok")), "da")
+      .join(cb.join(toks.select(col("doc_id").as("db"), col("tok")), "db"),
+        Seq("query_id", "tok"))
+      .filter(col("da") < col("db"))
+      .groupBy("query_id", "da", "db").agg(count(lit(1)).as("inter"))
+    val psim0 = ca.join(cb, "query_id").filter(col("da") < col("db"))
+      .join(inter, Seq("query_id", "da", "db"), "left")
+      .join(nTok.select(col("doc_id").as("da"), col("n_tok").as("na")), "da")
+      .join(nTok.select(col("doc_id").as("db"), col("n_tok").as("nb")), "db")
+      .select(col("query_id"), col("da"), col("db"),
+        expr("(coalesce(inter, 0) * 1000000) DIV (na + nb - coalesce(inter, 0))")
+          .as("sim"))
+    val psim = psim0.unionByName(psim0.select(col("query_id"),
+      col("db").as("da"), col("da").as("db"), col("sim"))
+      .select(col("query_id"), col("da"), col("db"), col("sim")))
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    var sel = cand.withColumn("score", col("rel") * 7L)
+      .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+      .select(col("query_id"), lit(1).as("k"), col("doc_id"), col("score"))
+    var all = sel
+    var k = 2
+    while (k <= 5) {
+      val rem = cand.join(all.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      val ms = rem
+        .join(psim.withColumnRenamed("da", "doc_id").withColumnRenamed("db", "sd"),
+          Seq("query_id", "doc_id"))
+        .join(all.select(col("query_id"), col("doc_id").as("sd")),
+          Seq("query_id", "sd"))
+        .groupBy("query_id", "doc_id").agg(max(col("sim")).as("maxsim"))
+      val pick = rem.join(ms, Seq("query_id", "doc_id"), "left")
+        .withColumn("score",
+          expr("7 * rel - 3 * coalesce(maxsim, 0)"))
+        .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+        .select(col("query_id"), lit(k).as("k"), col("doc_id"), col("score"))
+      all = all.unionByName(pick)
+      k += 1
+    }
+    all.select(col("query_id"), col("k"), col("doc_id"), col("score"))
+      .orderBy("query_id", "k")
+  }
+
+  /** Shapley-value marketing attribution (Shapley 1953; the method
+    * behind data-driven attribution): players = the four non-purchase
+    * channels a user touches strictly before their first purchase,
+    * v(S) = converted users whose touched set ⊆ S (computed for all
+    * 16 masks by a subset-sum over the 16-row mask-count table), and
+    * φ_i = Σ_{S∌i} |S|!(3−|S|)!/4! · (v(S∪i) − v(S)) — the factorial
+    * weights cleared to /24 so φ is emitted as an exact integer micro
+    * (·10⁶ DIV 24). Complements the heuristic U-shaped/positional/
+    * time-decay attribution gates with the axiomatic one.
+    *
+    * Scale shape: users collapse to a 16-row mask histogram; the
+    * subset/Shapley algebra is a bounded 16×16 self-join.
+    */
+  private def qShapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tu"))
+    val firstP = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("tu")).as("pt"))
+    val masks = e.join(firstP, "user_id").filter(col("tu") < col("pt"))
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"),
+        expr("""CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+               WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END""").as("bit"))
+      .groupBy("user_id")
+      .agg(expr("CAST(sum(DISTINCT bit) AS INT)").as("mask"))
+    // converted users with zero prior channel events carry mask 0
+    val cm = firstP.join(masks, Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0)).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("c"))
+    val allS = s.range(16).select(col("id").cast("int").as("sm"))
+    val v = broadcast(allS).join(broadcast(cm),
+        expr("(mask & sm) = mask"), "left")
+      .groupBy("sm").agg(coalesce(sum(col("c")), lit(0L)).as("v"))
+    val channels = s.createDataFrame(Seq((1, "click"), (2, "error"),
+      (4, "signup"), (8, "view"))).toDF("bit", "channel")
+    val wS = broadcast(channels).join(broadcast(v), expr("(sm & bit) = 0"))
+      .select(col("channel"), col("bit"), col("sm"), col("v").as("v0"),
+        expr("""CASE bit_count(sm) WHEN 0 THEN 6 WHEN 1 THEN 2
+               WHEN 2 THEN 2 WHEN 3 THEN 6 END""").as("w"))
+      .join(broadcast(v).select(col("sm").as("smi"), col("v").as("v1")),
+        expr("smi = (sm | bit)"))
+    wS.groupBy("channel")
+      .agg(expr("CAST(sum(w * (v1 - v0)) * 1000000 DIV 24 AS BIGINT)")
+        .as("phi_micro"))
+      .orderBy("channel")
+  }
+
+  /** Local clustering coefficient (Watts–Strogatz 1998) on the
+    * order-co-purchase part graph: cc(v) = 2·tri(v)/(deg(v)(deg(v)−1))
+    * in micros. Triangles come from the q152 degree-ordered wedge join
+    * (wedges built at the lower-degree endpoint, closed against the
+    * edge set — no cartesian), then each closed triangle credits all
+    * three corners. Top-50 by (cc desc, part asc) among deg ≥ 2 nodes.
+    */
+  private def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val edges0 = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = edges0.join(edges0.withColumnRenamed("p", "q"), "ok")
+      .filter(col("p") < col("q")).select("p", "q").distinct()
+    val deg = edges.select(col("p").as("v")).unionAll(edges.select(col("q").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient edges low-degree → high-degree (tie: lower id first)
+    val dA = deg.select(col("v").as("p"), col("deg").as("dp"))
+    val dB = deg.select(col("v").as("q"), col("deg").as("dq"))
+    val or = edges.join(dA, "p").join(dB, "q")
+      .select(
+        when(col("dp") < col("dq") ||
+          (col("dp") === col("dq") && col("p") < col("q")), col("p"))
+          .otherwise(col("q")).as("lo"),
+        when(col("dp") < col("dq") ||
+          (col("dp") === col("dq") && col("p") < col("q")), col("q"))
+          .otherwise(col("p")).as("hi"))
+    val wedges = or.join(or.withColumnsRenamed(Map("lo" -> "lo2", "hi" -> "hi2")),
+        col("lo") === col("lo2"))
+      .filter(col("hi") < col("hi2"))
+      .select(col("lo").as("a"), col("hi").as("b"), col("hi2").as("c"))
+    val tris = wedges.join(
+      edges.select(col("p").as("b"), col("q").as("c")), Seq("b", "c"))
+    val triPerV = tris.select(col("a").as("v"))
+      .unionAll(tris.select(col("b").as("v")))
+      .unionAll(tris.select(col("c").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(triPerV, Seq("v"), "left")
+      .select(col("v").as("part"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("cc_micro",
+        expr("(tri * 2 * 1000000) DIV (deg * (deg - 1))"))
+      .orderBy(col("cc_micro").desc, col("part"))
+      .limit(50)
+  }
+
+  /** Wilcoxon signed-rank (1945) on the paired per-user pre/post sums
+    * (the q343 CUPED units): per event type, d = post − pre over users
+    * with d ≠ 0, |d| ranked with the tie-corrected doubled average
+    * rank from the |d| HISTOGRAM (the q317 pattern — never a global
+    * row sort), W⁺/W⁻ as doubled rank sums and the matched-pairs
+    * rank-biserial effect size (W⁺−W⁻)/(W⁺+W⁻) in micros (division
+    * via the +2·10⁶ offset so both engines' integer division agree on
+    * negative effects).
+    */
+  private def qWilcoxonSigned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"), col("user_id"),
+      expr("CAST(round(value) AS BIGINT)").as("v"),
+      expr("CASE WHEN dayofmonth(ts) <= 15 THEN 1 ELSE 0 END").as("pre"))
+    val d = e.groupBy("event_type", "user_id")
+      .agg(expr("sum(v * (1 - pre)) - sum(v * pre)").as("d"))
+      .filter(col("d") =!= 0L)
+      .select(col("event_type"), col("d"), abs(col("d")).as("ad"))
+    val hist = d.groupBy("event_type", "ad").agg(
+        count(lit(1)).as("nv"),
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("npos"))
+      .withColumn("cumb", coalesce(sum(col("nv")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("ad"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("r2", expr("2 * cumb + nv + 1"))
+    hist.groupBy("event_type")
+      .agg(sum(col("nv")).as("n_nonzero"),
+        sum(expr("npos * r2")).as("w_plus_x2"),
+        sum(expr("(nv - npos) * r2")).as("w_minus_x2"))
+      .withColumn("rb_micro",
+        expr("""((w_plus_x2 - w_minus_x2) * 1000000
+               + (w_plus_x2 + w_minus_x2) * 2000000)
+               DIV (w_plus_x2 + w_minus_x2) - 2000000"""))
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -7893,6 +8100,10 @@ object SparkEntry {
     "q342_theil_sen" -> (qTheilSen(_, _)),
     "q343_cuped" -> (qCuped(_, _)),
     "q344_bootstrap_ci" -> (qBootstrapCi(_, _)),
+    "q345_mmr_rerank" -> (qMmrRerank(_, _)),
+    "q346_shapley_attribution" -> (qShapleyAttribution(_, _)),
+    "q347_clustering_coeff" -> (qClusteringCoeff(_, _)),
+    "q348_wilcoxon_signed" -> (qWilcoxonSigned(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -13842,6 +14053,228 @@ object SparkEntry {
         |SELECT lang, n_docs, mean_milli, n_resamples, ci_lo_milli, ci_hi_milli
         |FROM base JOIN ci USING (lang) ORDER BY lang""".stripMargin,
 
+    // q345: 5 unrolled MMR picks — integer rel (overlap/max-overlap
+    // micros), token Jaccard micros, score ×10 so λ=0.7 stays integral
+    "q345_mmr_rerank" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |ntok AS MATERIALIZED (
+        |  SELECT doc_id, COUNT(*)::BIGINT AS n_tok FROM toks GROUP BY 1),
+        |ov AS (
+        |  SELECT q.doc_id AS query_id, d.doc_id AS doc_id, COUNT(*)::BIGINT AS ov
+        |  FROM toks q JOIN toks d ON q.tok = d.tok
+        |  WHERE q.doc_id % 50 = 0 AND d.doc_id % 50 <> 0
+        |  GROUP BY 1, 2),
+        |cand AS MATERIALIZED (
+        |  SELECT query_id, doc_id, (ov * 1000000 // mxov)::BIGINT AS rel
+        |  FROM (SELECT query_id, doc_id, ov,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY ov DESC, doc_id) AS cr,
+        |          MAX(ov) OVER (PARTITION BY query_id) AS mxov
+        |        FROM ov)
+        |  WHERE cr <= 20),
+        |iv AS (
+        |  SELECT ca.query_id, ca.doc_id AS da, cb.doc_id AS db,
+        |         COUNT(*)::BIGINT AS inter
+        |  FROM cand ca
+        |  JOIN toks ta ON ta.doc_id = ca.doc_id
+        |  JOIN cand cb ON cb.query_id = ca.query_id AND ca.doc_id < cb.doc_id
+        |  JOIN toks tb ON tb.doc_id = cb.doc_id AND tb.tok = ta.tok
+        |  GROUP BY 1, 2, 3),
+        |ps0 AS MATERIALIZED (
+        |  SELECT ca.query_id, ca.doc_id AS da, cb.doc_id AS db,
+        |         (COALESCE(i.inter, 0) * 1000000
+        |          // (na.n_tok + nb.n_tok - COALESCE(i.inter, 0)))::BIGINT AS sim
+        |  FROM cand ca
+        |  JOIN cand cb ON cb.query_id = ca.query_id AND ca.doc_id < cb.doc_id
+        |  LEFT JOIN iv i ON i.query_id = ca.query_id
+        |    AND i.da = ca.doc_id AND i.db = cb.doc_id
+        |  JOIN ntok na ON na.doc_id = ca.doc_id
+        |  JOIN ntok nb ON nb.doc_id = cb.doc_id),
+        |psim AS MATERIALIZED (
+        |  SELECT query_id, da, db, sim FROM ps0
+        |  UNION ALL SELECT query_id, db AS da, da AS db, sim FROM ps0),
+        |s1 AS MATERIALIZED (
+        |  SELECT query_id, 1 AS k, doc_id, (rel * 7)::BIGINT AS score
+        |  FROM (SELECT query_id, doc_id, rel, row_number() OVER (
+        |          PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rk
+        |        FROM cand) WHERE rk = 1),
+        |sel1 AS (SELECT query_id, doc_id FROM s1),
+        |s2 AS MATERIALIZED (
+        |  SELECT query_id, 2 AS k, doc_id, score FROM (
+        |    SELECT c.query_id, c.doc_id,
+        |           (7 * c.rel - 3 * COALESCE(m.maxsim, 0))::BIGINT AS score,
+        |           row_number() OVER (PARTITION BY c.query_id
+        |             ORDER BY 7 * c.rel - 3 * COALESCE(m.maxsim, 0) DESC,
+        |                      c.doc_id) AS rk
+        |    FROM cand c
+        |    LEFT JOIN (SELECT p.query_id, p.da AS doc_id, MAX(p.sim) AS maxsim
+        |               FROM psim p JOIN sel1 s
+        |                 ON s.query_id = p.query_id AND s.doc_id = p.db
+        |               GROUP BY 1, 2) m
+        |      ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel1 s
+        |      WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id))
+        |  WHERE rk = 1),
+        |sel2 AS (SELECT * FROM sel1 UNION ALL SELECT query_id, doc_id FROM s2),
+        |s3 AS MATERIALIZED (
+        |  SELECT query_id, 3 AS k, doc_id, score FROM (
+        |    SELECT c.query_id, c.doc_id,
+        |           (7 * c.rel - 3 * COALESCE(m.maxsim, 0))::BIGINT AS score,
+        |           row_number() OVER (PARTITION BY c.query_id
+        |             ORDER BY 7 * c.rel - 3 * COALESCE(m.maxsim, 0) DESC,
+        |                      c.doc_id) AS rk
+        |    FROM cand c
+        |    LEFT JOIN (SELECT p.query_id, p.da AS doc_id, MAX(p.sim) AS maxsim
+        |               FROM psim p JOIN sel2 s
+        |                 ON s.query_id = p.query_id AND s.doc_id = p.db
+        |               GROUP BY 1, 2) m
+        |      ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel2 s
+        |      WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id))
+        |  WHERE rk = 1),
+        |sel3 AS (SELECT * FROM sel2 UNION ALL SELECT query_id, doc_id FROM s3),
+        |s4 AS MATERIALIZED (
+        |  SELECT query_id, 4 AS k, doc_id, score FROM (
+        |    SELECT c.query_id, c.doc_id,
+        |           (7 * c.rel - 3 * COALESCE(m.maxsim, 0))::BIGINT AS score,
+        |           row_number() OVER (PARTITION BY c.query_id
+        |             ORDER BY 7 * c.rel - 3 * COALESCE(m.maxsim, 0) DESC,
+        |                      c.doc_id) AS rk
+        |    FROM cand c
+        |    LEFT JOIN (SELECT p.query_id, p.da AS doc_id, MAX(p.sim) AS maxsim
+        |               FROM psim p JOIN sel3 s
+        |                 ON s.query_id = p.query_id AND s.doc_id = p.db
+        |               GROUP BY 1, 2) m
+        |      ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel3 s
+        |      WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id))
+        |  WHERE rk = 1),
+        |sel4 AS (SELECT * FROM sel3 UNION ALL SELECT query_id, doc_id FROM s4),
+        |s5 AS MATERIALIZED (
+        |  SELECT query_id, 5 AS k, doc_id, score FROM (
+        |    SELECT c.query_id, c.doc_id,
+        |           (7 * c.rel - 3 * COALESCE(m.maxsim, 0))::BIGINT AS score,
+        |           row_number() OVER (PARTITION BY c.query_id
+        |             ORDER BY 7 * c.rel - 3 * COALESCE(m.maxsim, 0) DESC,
+        |                      c.doc_id) AS rk
+        |    FROM cand c
+        |    LEFT JOIN (SELECT p.query_id, p.da AS doc_id, MAX(p.sim) AS maxsim
+        |               FROM psim p JOIN sel4 s
+        |                 ON s.query_id = p.query_id AND s.doc_id = p.db
+        |               GROUP BY 1, 2) m
+        |      ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM sel4 s
+        |      WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id))
+        |  WHERE rk = 1)
+        |SELECT query_id, k, doc_id, score FROM (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        |  UNION ALL SELECT * FROM s5)
+        |ORDER BY query_id, k""".stripMargin,
+
+    // q346: Shapley attribution — v(S) by subset-sum over the 16-row
+    // mask histogram; factorial weights cleared to //24
+    "q346_shapley_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+        |fp AS (
+        |  SELECT user_id, MIN(tu) AS pt FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |mk AS (
+        |  SELECT f.user_id, COALESCE(m.mask, 0) AS mask
+        |  FROM fp f LEFT JOIN (
+        |    SELECT e.user_id,
+        |           SUM(DISTINCT CASE e.event_type WHEN 'click' THEN 1
+        |             WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+        |             WHEN 'view' THEN 8 ELSE 0 END)::INT AS mask
+        |    FROM e JOIN fp ON fp.user_id = e.user_id
+        |    WHERE e.tu < fp.pt AND e.event_type <> 'purchase'
+        |    GROUP BY 1) m ON m.user_id = f.user_id),
+        |cm AS (SELECT mask, COUNT(*)::BIGINT AS c FROM mk GROUP BY 1),
+        |alls AS (SELECT range::INT AS sm FROM range(16)),
+        |v AS (
+        |  SELECT sm, COALESCE(SUM(c), 0)::BIGINT AS v
+        |  FROM alls LEFT JOIN cm ON (cm.mask & alls.sm) = cm.mask
+        |  GROUP BY 1),
+        |ch AS (SELECT * FROM (VALUES (1, 'click'), (2, 'error'),
+        |         (4, 'signup'), (8, 'view')) t(bit, channel)),
+        |terms AS (
+        |  SELECT ch.channel,
+        |         CASE bit_count(v0.sm) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |           WHEN 2 THEN 2 WHEN 3 THEN 6 END AS w,
+        |         v0.v AS v0, v1.v AS v1
+        |  FROM ch JOIN v v0 ON (v0.sm & ch.bit) = 0
+        |       JOIN v v1 ON v1.sm = (v0.sm | ch.bit))
+        |SELECT channel,
+        |       (SUM(w * (v1 - v0)) * 1000000 // 24)::BIGINT AS phi_micro
+        |FROM terms GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // q347: per-node clustering coefficient via the degree-ordered
+    // wedge join (q152's orientation), each triangle credits 3 corners
+    "q347_clustering_coeff" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS p, b.p AS q
+        |  FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p),
+        |deg AS MATERIALIZED (
+        |  SELECT v, COUNT(*)::BIGINT AS deg FROM (
+        |    SELECT p AS v FROM edges UNION ALL SELECT q AS v FROM edges)
+        |  GROUP BY 1),
+        |ored AS MATERIALIZED (
+        |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p < q)
+        |           THEN p ELSE q END AS lo,
+        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p < q)
+        |           THEN q ELSE p END AS hi
+        |  FROM edges JOIN deg da ON da.v = edges.p
+        |       JOIN deg db ON db.v = edges.q),
+        |tris AS MATERIALIZED (
+        |  SELECT o1.lo AS a, o1.hi AS b, o2.hi AS c
+        |  FROM ored o1 JOIN ored o2 ON o1.lo = o2.lo AND o1.hi < o2.hi
+        |  JOIN edges e ON e.p = o1.hi AND e.q = o2.hi),
+        |tv AS (
+        |  SELECT v, COUNT(*)::BIGINT AS tri FROM (
+        |    SELECT a AS v FROM tris UNION ALL SELECT b AS v FROM tris
+        |    UNION ALL SELECT c AS v FROM tris) GROUP BY 1)
+        |SELECT deg.v AS part, deg.deg, COALESCE(tv.tri, 0)::BIGINT AS tri,
+        |       (COALESCE(tv.tri, 0) * 2 * 1000000
+        |        // (deg.deg * (deg.deg - 1)))::BIGINT AS cc_micro
+        |FROM deg LEFT JOIN tv ON tv.v = deg.v
+        |WHERE deg.deg >= 2
+        |ORDER BY cc_micro DESC, part LIMIT 50""".stripMargin,
+
+    // q348: Wilcoxon signed-rank from the |d| histogram; doubled
+    // average ranks; effect size via the +2e6 sign offset
+    "q348_wilcoxon_signed" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, CAST(round(value) AS BIGINT) AS v,
+        |         CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS pre
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type,
+        |         SUM(v * (1 - pre)) - SUM(v * pre) AS d,
+        |         abs(SUM(v * (1 - pre)) - SUM(v * pre)) AS ad
+        |  FROM e GROUP BY event_type, user_id
+        |  HAVING SUM(v * (1 - pre)) - SUM(v * pre) <> 0),
+        |hist AS (
+        |  SELECT event_type, ad, COUNT(*)::BIGINT AS nv,
+        |         SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS npos,
+        |         COALESCE(SUM(COUNT(*)) OVER (PARTITION BY event_type
+        |           ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND 1 PRECEDING), 0)::BIGINT AS cumb
+        |  FROM d GROUP BY event_type, ad),
+        |agg AS (
+        |  SELECT event_type, SUM(nv)::BIGINT AS n_nonzero,
+        |         SUM(npos * (2 * cumb + nv + 1))::BIGINT AS w_plus_x2,
+        |         SUM((nv - npos) * (2 * cumb + nv + 1))::BIGINT AS w_minus_x2
+        |  FROM hist GROUP BY 1)
+        |SELECT event_type, n_nonzero, w_plus_x2, w_minus_x2,
+        |       (((w_plus_x2 - w_minus_x2) * 1000000
+        |         + (w_plus_x2 + w_minus_x2) * 2000000)
+        |        // (w_plus_x2 + w_minus_x2) - 2000000)::BIGINT AS rb_micro
+        |FROM agg ORDER BY event_type""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
