@@ -7754,6 +7754,136 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Stream–stream LEFT SEMI interval join gate
+    * ([[graft.streaming.EventStreams.streamStreamLeftSemiJoin]]):
+    * views that convert — a purchase by the same user lands within
+    * 3600 s — emitted once with left columns only, fed through two real
+    * MemoryStreams in micro-batches (the q140 harness), gated against
+    * the batch EXISTS semi join. The fourth watermarked stream-join
+    * shape next to inner/left-outer/full-outer.
+    */
+  private def qStreamSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .filter(col("event_type").isin("view", "purchase"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx = s.sqlContext
+    val lmem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val rmem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val name = s"q349_semi_${streamGateN.incrementAndGet()}"
+    val joined = EventStreams.streamStreamLeftSemiJoin(
+      lmem.toDF(), rmem.toDF(),
+      "user_id", withinSeconds = 3600, watermark = "30 minutes")
+    val q = startNarrow(s)(joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start())
+    try {
+      evs.grouped(math.max(1, evs.length / 2 + 1)).foreach { chunk =>
+        lmem.addData(chunk.filter(_.event_type == "view").toSeq)
+        rmem.addData(chunk.filter(_.event_type == "purchase").toSeq)
+        q.processAllAvailable()
+      }
+      val horizon = if (evs.isEmpty) 0L else evs.iterator.map(_.ts.getTime).max
+      Seq(1, 2).foreach { round =>
+        val sts = new java.sql.Timestamp(horizon + round * 2 * (3600L + 1800L) * 1000)
+        lmem.addData(Seq(EventStreams.Event(-round.toLong, sts, -1L, "view", 0.0)))
+        rmem.addData(Seq(EventStreams.Event(-round.toLong, sts, -1L, "purchase", 0.0)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+      .filter(col("k") >= 0)
+      .select(col("k"), col("l_id"),
+        date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts"))
+      .orderBy("k", "l_id")
+  }
+
+  /** TIMESTAMP_NTZ parquet roundtrip: events' instants cast to the
+    * zone-naive type, written and read back (parquet
+    * isAdjustedToUTC=false path), with the read-back schema's type
+    * preservation PINNED INTO THE HASH (`ntz_preserved`), then NTZ
+    * interval arithmetic + field extraction aggregated per shifted
+    * hour — the storage-type surface the TZ-aware datetime gates
+    * (q45/q276) don't touch.
+    */
+  private def qNtzRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_ntz_${System.nanoTime()}"
+    Tables.events(s, dir).select(col("event_id"),
+        expr("CAST(ts AS TIMESTAMP_NTZ)").as("tsn"))
+      .coalesce(2).write.mode("overwrite").parquet(out)
+    val r = s.read.parquet(out)
+    val isNtz = r.schema("tsn").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
+    r.select(expr("tsn + INTERVAL 90 MINUTE").as("t2"))
+      .groupBy(date_format(date_trunc("hour", col("t2")), "yyyy-MM-dd HH:mm:ss")
+        .as("hr"))
+      .agg(count(lit(1)).as("n"),
+        sum(minute(col("t2")).cast("long")).as("sum_min"))
+      .withColumn("ntz_preserved", lit(if (isNtz) 1L else 0L))
+      .orderBy("hr")
+  }
+
+  /** Edge locality of a hash sharding, measured as the exact
+    * modularity numerator: shard the co-purchase part graph by
+    * part % 8 (the naive 100 TB placement) and emit per shard the
+    * intra-shard edge count e_c, the degree mass a_c, and the exact
+    * per-shard modularity contribution 4m·e_c − a_c² (the rational
+    * numerator over 4m² — kept undivided so no float and no sign
+    * offset is needed). Low/negative contributions = a sharding that
+    * sends most edges cross-shard — the quantity a graph placement
+    * planner actually optimizes.
+    */
+  private def qPartitionModularity(s: SparkSession, dir: String): DataFrame = {
+    val po = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = po.join(po.withColumnRenamed("p", "q"), "ok")
+      .filter(col("p") < col("q")).select("p", "q").distinct()
+    val mdf = edges.agg(count(lit(1)).as("m"))
+    val eIn = edges.filter(col("p") % 8 === col("q") % 8)
+      .groupBy((col("p") % 8).as("shard")).agg(count(lit(1)).as("e_in"))
+    val aSum = edges.select(col("p").as("v")).unionAll(edges.select(col("q").as("v")))
+      .groupBy((col("v") % 8).as("shard")).agg(count(lit(1)).as("a_sum"))
+    aSum.join(eIn, Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("e_in"), lit(0L)).as("e_in"),
+        col("a_sum"))
+      .crossJoin(broadcast(mdf))
+      .select(col("shard"), col("e_in"), col("a_sum"), col("m"),
+        expr("4 * m * e_in - a_sum * a_sum").as("contrib_num"))
+      .orderBy("shard")
+  }
+
+  /** PERMISSIVE JSON ingestion with `columnNameOfCorruptRecord`: the
+    * corpus is round-tripped through JSONL with every 7th line
+    * truncated mid-object; the read-back parse routes malformed lines
+    * to the corrupt-record column (all data fields null) and the gate
+    * aggregates good rows per language plus the `_corrupt` bucket —
+    * the JSON error-recovery surface beside the CSV one (q262).
+    */
+  private def qJsonCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonc_${System.nanoTime()}"
+    t(s, dir, "documents").select(
+        when(col("doc_id") % 7 === 0,
+          concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+            lit(", \"lang\": ")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          .as("value"))
+      .coalesce(2).write.mode("overwrite").text(out)
+    s.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _bad STRING")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .option("mode", "PERMISSIVE")
+      .json(out)
+      .groupBy(when(col("_bad").isNotNull, lit("_corrupt"))
+        .otherwise(col("lang")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -8104,6 +8234,10 @@ object SparkEntry {
     "q346_shapley_attribution" -> (qShapleyAttribution(_, _)),
     "q347_clustering_coeff" -> (qClusteringCoeff(_, _)),
     "q348_wilcoxon_signed" -> (qWilcoxonSigned(_, _)),
+    "q349_stream_semi_join" -> (qStreamSemiJoin(_, _)),
+    "q350_ntz_roundtrip" -> (qNtzRoundtrip(_, _)),
+    "q351_partition_modularity" -> (qPartitionModularity(_, _)),
+    "q352_json_corrupt" -> (qJsonCorrupt(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -14275,6 +14409,56 @@ object SparkEntry {
         |         + (w_plus_x2 + w_minus_x2) * 2000000)
         |        // (w_plus_x2 + w_minus_x2) - 2000000)::BIGINT AS rb_micro
         |FROM agg ORDER BY event_type""".stripMargin,
+
+    // q349: batch EXISTS semi join ≡ the streamed left-semi result
+    "q349_stream_semi_join" ->
+      """SELECT v.user_id AS k, v.event_id AS l_id,
+        |       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS l_ts
+        |FROM events v
+        |WHERE v.event_type = 'view' AND EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 3600 SECONDS)
+        |ORDER BY k, l_id""".stripMargin,
+
+    // q350: NTZ arithmetic recomputed on the session-UTC instants;
+    // ntz_preserved = 1 pins the read-back type in the hash
+    "q350_ntz_roundtrip" ->
+      """SELECT strftime(date_trunc('hour', ts + INTERVAL 90 MINUTE),
+        |         '%Y-%m-%d %H:%M:%S') AS hr,
+        |       COUNT(*)::BIGINT AS n,
+        |       SUM(minute(ts + INTERVAL 90 MINUTE))::BIGINT AS sum_min,
+        |       1::BIGINT AS ntz_preserved
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q351: exact modularity numerator 4m·e_c − a_c² per part%8 shard
+    "q351_partition_modularity" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS p, b.p AS q
+        |  FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p),
+        |mm AS (SELECT COUNT(*)::BIGINT AS m FROM edges),
+        |ein AS (
+        |  SELECT (p % 8) AS shard, COUNT(*)::BIGINT AS e_in
+        |  FROM edges WHERE p % 8 = q % 8 GROUP BY 1),
+        |asum AS (
+        |  SELECT (v % 8) AS shard, COUNT(*)::BIGINT AS a_sum FROM (
+        |    SELECT p AS v FROM edges UNION ALL SELECT q AS v FROM edges)
+        |  GROUP BY 1)
+        |SELECT shard, COALESCE(e_in, 0)::BIGINT AS e_in, a_sum, m,
+        |       (4 * m * COALESCE(e_in, 0) - a_sum * a_sum)::BIGINT AS contrib_num
+        |FROM asum LEFT JOIN ein USING (shard) CROSS JOIN mm
+        |ORDER BY shard""".stripMargin,
+
+    // q352: corrupt-line routing recomputed from the source parquet —
+    // every 7th doc lands in the _corrupt bucket with null fields
+    "q352_json_corrupt" ->
+      """SELECT CASE WHEN doc_id % 7 = 0 THEN '_corrupt' ELSE lang END AS lang,
+        |       COUNT(*)::BIGINT AS n_docs,
+        |       COALESCE(SUM(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END),
+        |         0)::BIGINT AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */

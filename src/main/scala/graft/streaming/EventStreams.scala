@@ -180,6 +180,19 @@ object EventStreams {
                          key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream–stream LEFT SEMI join — the fourth watermarked join shape:
+    * a left event is emitted (once, left columns only) iff a matching
+    * right event lands inside the interval window; unmatched left rows
+    * age out of state silently at the watermark. The streaming form of
+    * "keep views that converted within 10 minutes" — at scale the
+    * state and semantics of the inner join without materializing the
+    * match multiplicity.
+    */
+  def streamStreamLeftSemiJoin(left: DataFrame, right: DataFrame, key: String,
+                               withinSeconds: Long = 600,
+                               watermark: String = "10 minutes"): DataFrame =
+    streamStreamJoinType(left, right, key, withinSeconds, watermark, "left_semi")
+
   private def streamStreamJoinType(left: DataFrame, right: DataFrame,
                                    key: String, withinSeconds: Long,
                                    watermark: String, joinType: String): DataFrame = {
@@ -189,14 +202,18 @@ object EventStreams {
     val r = right.withWatermark("ts", watermark)
       .select(col(key).as("k"), col("ts").as("r_ts"),
         col("event_id").as("r_id"))
-    l.join(r,
+    val joined = l.join(r,
       l("k") === r("k") &&
         r("r_ts") >= l("l_ts") &&
         r("r_ts") <= l("l_ts") + expr(s"INTERVAL $withinSeconds SECONDS"),
       joinType)
+    if (joinType == "left_semi")
+      // semi join exposes left columns only
+      joined.select(col("k"), col("l_id"), col("l_ts"))
+    else
       // coalesce: under full_outer either side may be null-extended;
       // for inner/left_outer l.k is always present so this is identity
-      .select(coalesce(l("k"), r("k")).as("k"),
+      joined.select(coalesce(l("k"), r("k")).as("k"),
         col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
