@@ -7884,6 +7884,148 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985) over the
+    * embedding table — the diversity-sampling primitive of dataset
+    * distillation: seed with vec_id 0, then 7× pick the point whose
+    * min squared distance to the selected set is largest (maximin),
+    * ALL-INTEGER via milli-scaled components (round(x·1000), so d² is
+    * an exact BIGINT on any engine — no float cosine, no sqrt). Emits
+    * (k, center id, the maximin d² that won the pick).
+    *
+    * Scale shape: each round is ONE broadcast of the new center and a
+    * map-side min-update over the point set — k passes total, never a
+    * point×point matrix (the oracle pays the 500×500 matrix as the
+    * proof, the q181 brute-force-oracle convention).
+    */
+  private def qKcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("v"))
+      .localCheckpoint()
+    def d2(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+    val c1 = pts.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    var mind = pts.crossJoin(broadcast(c1))
+      .select(col("vec_id"), col("v"), expr(d2("v", "cv")).as("mind"))
+    var sel = c1.select(lit(1).as("k"), col("c_id"), lit(0L).as("sel_d2"))
+    var k = 2
+    while (k <= 8) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("mind").desc, col("vec_id"))
+      val pick = mind.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("mind").as("sel_d2"))
+        .localCheckpoint()
+      sel = sel.unionByName(pick.select(lit(k).as("k"), col("c_id"),
+        col("sel_d2")))
+      mind = mind.crossJoin(broadcast(pick.select(col("cv"))))
+        .select(col("vec_id"), col("v"),
+          least(col("mind"), expr(d2("v", "cv"))).as("mind"))
+      k += 1
+    }
+    sel.orderBy("k")
+  }
+
+  /** The 8-round unrolled k-center oracle: int-component table →
+    * full pairwise d² matrix (the quadratic proof lives oracle-side
+    * only) → alternating argmax-pick / min-update CTEs.
+    */
+  private def kcenterOracleSql: String = {
+    val head =
+      """WITH comp AS MATERIALIZED (
+        |  SELECT vec_id, i, CAST(round(x::DOUBLE * 1000) AS BIGINT) AS xi
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |d AS MATERIALIZED (
+        |  SELECT a.vec_id AS pa, b.vec_id AS pb,
+        |         SUM((a.xi - b.xi) * (a.xi - b.xi))::BIGINT AS d2
+        |  FROM comp a JOIN comp b ON a.i = b.i GROUP BY 1, 2),
+        |m1 AS MATERIALIZED (
+        |  SELECT pa AS vec_id, d2 AS mind FROM d WHERE pb = 0)""".stripMargin
+    val steps = (2 to 8).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT vec_id AS c_id, mind AS sel_d2 FROM m${k - 1}
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |m$k AS MATERIALIZED (
+         |  SELECT m.vec_id, LEAST(m.mind, d.d2) AS mind
+         |  FROM m${k - 1} m JOIN d ON d.pa = m.vec_id
+         |    AND d.pb = (SELECT c_id FROM c$k))""".stripMargin
+    }.mkString(",\n")
+    val sels = (2 to 8)
+      .map(k => s"SELECT $k AS k, c_id, sel_d2 FROM c$k")
+      .mkString("\n  UNION ALL ")
+    s"""$head,
+       |${steps}
+       |SELECT 1 AS k, 0::BIGINT AS c_id, 0::BIGINT AS sel_d2
+       |  UNION ALL $sels
+       |ORDER BY k""".stripMargin
+  }
+
+  /** Peak concurrency of the value-scaled exposure intervals
+    * [ts, ts + round(value·3600) s) per event type — the classic
+    * sweep-line: +1/−1 deltas collapsed per timestamp, cumulative net
+    * over the time-ordered per-type partition, peak = max level and
+    * the first microsecond it is reached. The capacity-planning
+    * metric (max simultaneous sessions) the coverage gates don't
+    * emit. One shuffle on event_type; no self-join.
+    */
+  private def qPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(s, dir).select(col("event_type"),
+      unix_micros(col("ts")).as("st"),
+      expr("unix_micros(ts) + CAST(round(value * 3600) AS BIGINT) * 1000000")
+        .as("en"))
+    val pts = iv.select(col("event_type"), col("st").as("t"), lit(1L).as("dp"))
+      .unionAll(iv.select(col("event_type"), col("en").as("t"),
+        lit(-1L).as("dp")))
+    val g = pts.groupBy("event_type", "t").agg(sum(col("dp")).as("net"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val conc = g.withColumn("level",
+      sum(col("net")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    conc.groupBy("event_type").agg(max(col("level")).as("peak"))
+      .join(conc, Seq("event_type"))
+      .filter(col("level") === col("peak"))
+      .groupBy("event_type")
+      .agg(max(col("peak")).as("peak"), min(col("t")).as("first_peak_us"))
+      .orderBy("event_type")
+  }
+
+  /** Right-to-erasure audit with a legal hold: users with
+    * user_id % 97 == 0 request deletion; purchases inside the last 7
+    * days before the corpus horizon are retained (the retention
+    * exemption), everything else of theirs is erased. Emits per event
+    * type the before/erased/held/after counts plus `residual` — rows
+    * of erasure users still present after the purge EXCLUDING held
+    * rows, pinned to 0 in the hash. One anti-join + one scan; the
+    * horizon is a broadcast one-row aggregate (never an eager
+    * driver-side count).
+    */
+  private def qErasureAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"), col("user_id"),
+      unix_micros(col("ts")).as("tu"))
+    val hz = e.agg(max(col("tu")).as("hz"))
+    val tagged = e.crossJoin(broadcast(hz)).select(col("event_type"),
+      col("user_id"), (col("user_id") % 97 === 0).as("req"),
+      (col("event_type") === "purchase" &&
+        col("tu") > col("hz") - lit(7L * 86400L * 1000000L)).as("hold"))
+    val before = tagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("req") && !col("hold"), 1L).otherwise(0L)).as("n_erased"),
+        sum(when(col("req") && col("hold"), 1L).otherwise(0L)).as("n_held"))
+    // the purge itself, then the audit re-checks the PURGED relation
+    val purged = tagged.filter(!col("req") || col("hold"))
+    val after = purged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("req") && !col("hold"), 1L).otherwise(0L)).as("residual"))
+    before.join(after, "event_type")
+      .select(col("event_type"), col("n_before"), col("n_erased"),
+        col("n_held"), col("n_after"), col("residual"))
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -8238,6 +8380,9 @@ object SparkEntry {
     "q350_ntz_roundtrip" -> (qNtzRoundtrip(_, _)),
     "q351_partition_modularity" -> (qPartitionModularity(_, _)),
     "q352_json_corrupt" -> (qJsonCorrupt(_, _)),
+    "q353_kcenter_coreset" -> (qKcenterCoreset(_, _)),
+    "q354_peak_concurrency" -> (qPeakConcurrency(_, _)),
+    "q355_erasure_audit" -> (qErasureAudit(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -14459,6 +14604,60 @@ object SparkEntry {
         |       COALESCE(SUM(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END),
         |         0)::BIGINT AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q353: the 8-round unrolled greedy — the oracle pays the full
+    // pairwise matrix (q181 convention), the engine never does
+    "q353_kcenter_coreset" -> kcenterOracleSql,
+
+    // q354: sweep-line peak concurrency — deltas collapsed per
+    // timestamp, cumulative net, first time the peak level is reached
+    "q354_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS st,
+        |         epoch_us(ts) + CAST(round(value * 3600) AS BIGINT) * 1000000 AS en
+        |  FROM events),
+        |pts AS (
+        |  SELECT event_type, st AS t, 1::BIGINT AS dp FROM iv
+        |  UNION ALL SELECT event_type, en AS t, -1::BIGINT AS dp FROM iv),
+        |g AS (
+        |  SELECT event_type, t, SUM(dp)::BIGINT AS net
+        |  FROM pts GROUP BY 1, 2),
+        |conc AS (
+        |  SELECT event_type, t,
+        |         SUM(net) OVER (PARTITION BY event_type ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS level
+        |  FROM g),
+        |pk AS (SELECT event_type, MAX(level)::BIGINT AS peak FROM conc GROUP BY 1)
+        |SELECT c.event_type, MAX(p.peak)::BIGINT AS peak,
+        |       MIN(c.t)::BIGINT AS first_peak_us
+        |FROM conc c JOIN pk p ON p.event_type = c.event_type
+        |  AND c.level = p.peak
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q355: erasure-with-legal-hold audit; residual recomputed on the
+    // purged relation and pinned to 0
+    "q355_erasure_audit" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS tu FROM events),
+        |hz AS (SELECT MAX(tu) AS hz FROM e),
+        |tagged AS (
+        |  SELECT event_type, user_id, (user_id % 97 = 0) AS req,
+        |         (event_type = 'purchase'
+        |          AND tu > hz - 7 * 86400 * 1000000::BIGINT) AS hold
+        |  FROM e CROSS JOIN hz),
+        |before_a AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n_before,
+        |         SUM(CASE WHEN req AND NOT hold THEN 1 ELSE 0 END)::BIGINT AS n_erased,
+        |         SUM(CASE WHEN req AND hold THEN 1 ELSE 0 END)::BIGINT AS n_held
+        |  FROM tagged GROUP BY 1),
+        |purged AS (SELECT * FROM tagged WHERE NOT req OR hold),
+        |after_a AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n_after,
+        |         SUM(CASE WHEN req AND NOT hold THEN 1 ELSE 0 END)::BIGINT AS residual
+        |  FROM purged GROUP BY 1)
+        |SELECT event_type, n_before, n_erased, n_held, n_after, residual
+        |FROM before_a JOIN after_a USING (event_type)
+        |ORDER BY event_type""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
