@@ -8026,6 +8026,52 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Spark 4 SQL pipe syntax (`|>`): the TPC-H-ish revenue rollup
+    * spelled as a pipeline — FROM … |> WHERE … |> AGGREGATE … GROUP
+    * BY … |> WHERE (post-agg) |> ORDER BY — gated against the
+    * classic-SQL oracle. Pins the new query surface itself: same
+    * Catalyst plan, different grammar.
+    */
+  private def qPipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders").foreach { n =>
+      t(s, dir, n).createOrReplaceTempView(s"pipe_$n")
+    }
+    s.sql(
+      """FROM pipe_lineitem
+        ||> WHERE l_discount > 0.02
+        ||> JOIN pipe_orders ON l_orderkey = o_orderkey
+        ||> EXTEND CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |     AS BIGINT) AS rev_cents
+        ||> AGGREGATE COUNT(*) AS n_lines, SUM(rev_cents) AS rev_cents
+        |     GROUP BY o_orderpriority, l_returnflag
+        ||> WHERE n_lines > 100
+        ||> ORDER BY o_orderpriority, l_returnflag""".stripMargin)
+  }
+
+  /** Dynamic-gap sessionization via the native `session_window` API
+    * with a PER-ROW gap expression (purchase events hold a session
+    * open 30 min, everything else 10 min) — the data-dependent-gap
+    * surface the fixed-gap gates (q105 batch, q329 streaming) don't
+    * touch. Oracle: session_window's documented merge semantics ARE
+    * interval union over [ts, ts+gap), so the oracle is the
+    * running-max island sweep with per-row ends.
+    */
+  private def qDynamicSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("user_id"),
+        session_window(col("ts"),
+          when(col("event_type") === "purchase", "30 minutes")
+            .otherwise("10 minutes")))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -8383,6 +8429,8 @@ object SparkEntry {
     "q353_kcenter_coreset" -> (qKcenterCoreset(_, _)),
     "q354_peak_concurrency" -> (qPeakConcurrency(_, _)),
     "q355_erasure_audit" -> (qErasureAudit(_, _)),
+    "q356_pipe_syntax" -> (qPipeSyntax(_, _)),
+    "q357_dynamic_session_window" -> (qDynamicSessionWindow(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -14658,6 +14706,48 @@ object SparkEntry {
         |SELECT event_type, n_before, n_erased, n_held, n_after, residual
         |FROM before_a JOIN after_a USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // q356: the pipe-syntax pipeline re-spelled as classic SQL
+    "q356_pipe_syntax" ->
+      """SELECT o_orderpriority, l_returnflag,
+        |       COUNT(*)::BIGINT AS n_lines,
+        |       SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |         AS BIGINT))::BIGINT AS rev_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_discount > 0.02
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) > 100
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q357: session_window's merge rule IS interval union over
+    // [ts, ts+gap) — running-max island sweep with per-type gaps
+    "q357_dynamic_session_window" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |         epoch_us(ts) + CASE WHEN event_type = 'purchase'
+        |           THEN 1800000000 ELSE 600000000 END AS en
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, st, en,
+        |         MAX(en) OVER (PARTITION BY user_id
+        |           ORDER BY st, en, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, st, en,
+        |         SUM(CASE WHEN pmax IS NULL OR st >= pmax THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY st, en, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, island, MIN(st) AS sst, MAX(en) AS sen,
+        |         COUNT(*)::BIGINT AS n_events
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id,
+        |       strftime(make_timestamp(sst), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(make_timestamp(sen), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       n_events
+        |FROM sess ORDER BY user_id, session_start""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
