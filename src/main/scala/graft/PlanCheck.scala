@@ -45,7 +45,13 @@ object PlanCheck {
       // q192 runs a full MemoryStream stateful query; q200–q202 write
       // the formats fixture on first construction
       "q192_stream_cusum", "q200_schema_merge", "q201_partitioned_scan",
-      "q202_jsonl_source")
+      "q202_jsonl_source",
+      // round-7 gates with eager construction: q339/q350/q352 write
+      // their roundtrip fixture on construction, q341/q353 run
+      // localCheckpoint iteration rounds, q349 executes a full
+      // MemoryStream query
+      "q339_csv_multiline", "q341_hits", "q349_stream_semi_join",
+      "q350_ntz_roundtrip", "q352_json_corrupt", "q353_kcenter_coreset")
 
   /** Plan assertions for the candidate-volume queries (round-6 judge
     * item 6): the scale-safety claims — "candidates via equi-join,
@@ -79,7 +85,18 @@ object PlanCheck {
     "q328_link_prediction" -> Seq(),
     // every KN statistic joins on w1/w2; scalars broadcast (a 1-row
     // BroadcastNestedLoopJoin is fine, a CartesianProduct is not)
-    "q330_kneser_ney" -> Seq())
+    "q330_kneser_ney" -> Seq(),
+    // round-7 heavies: MMR candidates + pair sims ride token
+    // equi-joins over the bounded per-query candidate set
+    "q345_mmr_rerank" -> Seq(),
+    // wedge join at the lower-degree endpoint, closed by edge equi-join
+    "q347_clustering_coeff" -> Seq("SortMergeJoin"),
+    // pair grid over the bounded daily aggregate, keyed by event_type
+    "q342_theil_sen" -> Seq(),
+    // shard aggregates + one broadcast scalar
+    "q351_partition_modularity" -> Seq(),
+    // ×100 resample explode is map-only; aggs keyed by (lang, b)
+    "q344_bootstrap_ci" -> Seq())
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()
