@@ -7574,11 +7574,17 @@ object SparkEntry {
       .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("ov"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("ov").desc, col("doc_id"))
+    // localCheckpoint: cand (≤ 20 rows/query) and psim (≤ 190/query)
+    // are re-read by every greedy round below — without truncation the
+    // token equi-joins above replay once per round per reference,
+    // which at sf0.1 turned 5 greedy picks into minutes of repeated
+    // shuffle (the round-7 bench hang)
     val cand = overlap.withColumn("cr", row_number().over(wq))
       .filter(col("cr") <= 20)
       .withColumn("mxov", max(col("ov")).over(Window.partitionBy(col("query_id"))))
       .select(col("query_id"), col("doc_id"),
         expr("(ov * 1000000) DIV mxov").as("rel"))
+      .localCheckpoint()
     // all candidate pairs of a query, Jaccard micro (0 when no overlap)
     val ca = cand.select(col("query_id"), col("doc_id").as("da"))
     val cb = cand.select(col("query_id"), col("doc_id").as("db"))
@@ -7597,6 +7603,7 @@ object SparkEntry {
     val psim = psim0.unionByName(psim0.select(col("query_id"),
       col("db").as("da"), col("da").as("db"), col("sim"))
       .select(col("query_id"), col("da"), col("db"), col("sim")))
+      .localCheckpoint()
     val wPick = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     var sel = cand.withColumn("score", col("rel") * 7L)
@@ -7618,7 +7625,7 @@ object SparkEntry {
           expr("7 * rel - 3 * coalesce(maxsim, 0)"))
         .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
         .select(col("query_id"), lit(k).as("k"), col("doc_id"), col("score"))
-      all = all.unionByName(pick)
+      all = all.unionByName(pick).localCheckpoint()
       k += 1
     }
     all.select(col("query_id"), col("k"), col("doc_id"), col("score"))
@@ -7680,11 +7687,23 @@ object SparkEntry {
     * three corners. Top-50 by (cc desc, part asc) among deg ≥ 2 nodes.
     */
   private def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    // ¼ order slice (l_orderkey % 4 = 0): the co-purchase graph's
+    // ~90 average degree makes the exact wedge volume Σ d_o² the
+    // dominant (and irreducible) cost of per-vertex triangle counts;
+    // the slice keeps the gate inside the per-query budget at sf0.1
+    // (43 s → ~3 s) while the operator itself stays scale-free —
+    // wedges from the low-degree endpoint only, closure by equi-join
     val edges0 = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
+    // localCheckpoint: the co-purchase projection feeds degree,
+    // orientation, AND triangle closure — without truncation each
+    // consumer replays the lineitem self-join + distinct (43 s → ~9 s
+    // at sf0.1)
     val edges = edges0.join(edges0.withColumnRenamed("p", "q"), "ok")
       .filter(col("p") < col("q")).select("p", "q").distinct()
+      .localCheckpoint()
     val deg = edges.select(col("p").as("v")).unionAll(edges.select(col("q").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // orient edges low-degree → high-degree (tie: lower id first)
@@ -7698,6 +7717,7 @@ object SparkEntry {
         when(col("dp") < col("dq") ||
           (col("dp") === col("dq") && col("p") < col("q")), col("q"))
           .otherwise(col("p")).as("hi"))
+      .localCheckpoint()
     val wedges = or.join(or.withColumnsRenamed(Map("lo" -> "lo2", "hi" -> "hi2")),
         col("lo") === col("lo2"))
       .filter(col("hi") < col("hi2"))
@@ -8072,6 +8092,455 @@ object SparkEntry {
       .orderBy("user_id", "session_start")
   }
 
+  /** One-way ANOVA F (Fisher 1925) across the five event types on
+    * v = round(value): exact integer group sums and sums-of-squares,
+    * SSB/SSW via the Σ S_g²/n_g − S²/n identity with engine-agreed
+    * integer DIV at each reduction, and F in micros staged as
+    * (ssb·10⁶ DIV ssw)·(n−k) DIV (k−1) so no intermediate leaves
+    * Long range at sf1 (the q348 overflow discipline). All DIV
+    * operands are non-negative (SSB floored at 0), so DuckDB's floor
+    * `//` and Spark's truncating `DIV` agree.
+    */
+  private def qAnovaF(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(round(value) AS BIGINT)").as("v"))
+    val g = e.groupBy("event_type").agg(
+      count(lit(1)).as("n_g"), sum(col("v")).as("s_g"),
+      sum(expr("v * v")).as("q_g"))
+    val glob = g.agg(
+        sum(col("n_g")).as("n"), sum(col("s_g")).as("s"),
+        sum(col("q_g")).as("q"), count(lit(1)).as("k"),
+        sum(expr("(s_g * s_g) DIV n_g")).as("sb"))
+      .withColumn("ssb", expr("greatest(sb - (s * s) DIV n, 0L)"))
+      .withColumn("ssw", expr("q - sb"))
+      .withColumn("f_micro",
+        expr("(((ssb * 1000000) DIV ssw) * (n - k)) DIV (k - 1)"))
+      .select("n", "k", "ssb", "ssw", "f_micro")
+    g.crossJoin(broadcast(glob))
+      .select(col("event_type"), col("n_g"), col("s_g"), col("q_g"),
+        col("n"), col("k"), col("ssb"), col("ssw"), col("f_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Kruskal–Wallis H (1952) — the k-group extension of q317's
+    * Mann–Whitney — on v = round(value) by event type. Ranks come
+    * from the global value HISTOGRAM with tie-corrected doubled
+    * average ranks (2·cumb + nv + 1, the q317/q348 pattern — never a
+    * global row sort); H uses the mean-rank-deviation form
+    * 3/(N(N+1))·Σ n_g·(r̄2_g − (N+1))² with r̄2 the doubled mean rank,
+    * quantized to millis through a pre-shrunk divisor so Σ n_g·dev²
+    * (≤ ~4·10¹⁵ at sf1) never multiplies past Long. Tie correction is
+    * applied as permille (1000·T DIV (N³−N) with T = Σ(nv³−nv) — the
+    * only form whose intermediate 1000·T ≤ 10¹⁸ even if one value
+    * dominated the corpus).
+    */
+  private def qKruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(round(value) AS BIGINT)").as("v"))
+    // ≤ ~600 distinct rounded values: the unpartitioned window is a
+    // histogram scan, not a data sort
+    val hist = e.groupBy("v").agg(count(lit(1)).as("nv"))
+      .withColumn("cumb", coalesce(sum(col("nv")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("r2", expr("2 * cumb + nv + 1"))
+    val grp = e.groupBy("event_type", "v").agg(count(lit(1)).as("nvg"))
+      .join(broadcast(hist.select("v", "r2")), Seq("v"))
+      .groupBy("event_type")
+      .agg(sum(col("nvg")).as("n_g"), sum(expr("nvg * r2")).as("r2_g"))
+    val nt = hist.agg(sum(col("nv")).as("n"),
+      sum(expr("nv * nv * nv - nv")).as("t"))
+    val dev = grp.crossJoin(broadcast(nt))
+      .withColumn("r2bar", expr("r2_g DIV n_g"))
+      .withColumn("devsq",
+        expr("(r2bar - (n + 1)) * (r2bar - (n + 1))"))
+    val h = dev.agg(sum(expr("n_g * devsq")).as("sdev"),
+        max(col("n")).as("n"), max(col("t")).as("t"))
+      .withColumn("h_milli",
+        expr("3 * (sdev DIV ((n * (n + 1)) DIV 1000))"))
+      .withColumn("t_permille", expr("(1000 * t) DIV (n * n * n - n)"))
+      .withColumn("h_adj_milli",
+        expr("(h_milli * 1000) DIV greatest(1000 - t_permille, 1L)"))
+      .select("h_milli", "t_permille", "h_adj_milli")
+    dev.select(col("event_type"), col("n_g"), col("r2_g"), col("r2bar"))
+      .crossJoin(broadcast(h))
+      .orderBy("event_type")
+  }
+
+  /** 1-D earth mover's (Wasserstein-1) distance between each source's
+    * document-length distribution and the pooled corpus, on 50-char
+    * buckets: EMD₁ = Σ_b |CDF_s(b) − CDF(b)| — the classic cumsum
+    * identity, exact for 1-D histograms. CDFs are integer micros
+    * (10⁶·cum DIV n); the per-source bucket grid is densified by a
+    * broadcast cross join of the ~20 sources with the ≤ 12 occupied
+    * buckets so both cumsums run over identical support.
+    */
+  private def qEmd1d(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(s, dir, "documents")
+      .select(col("source"), expr("n_chars DIV 50").as("b"))
+    val srcN = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val srcB = d.groupBy("source", "b").agg(count(lit(1)).as("c_sb"))
+    val globB = d.groupBy("b").agg(count(lit(1)).as("c_b"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    srcN.crossJoin(broadcast(globB))
+      .join(srcB, Seq("source", "b"), "left")
+      .na.fill(0L, Seq("c_sb"))
+      .withColumn("cum_s", sum(col("c_sb")).over(
+        Window.partitionBy("source").orderBy("b")))
+      .withColumn("cum_g", sum(col("c_b")).over(
+        Window.partitionBy("source").orderBy("b")))
+      .crossJoin(broadcast(tot))
+      .withColumn("cdf_s", expr("(1000000 * cum_s) DIV n_s"))
+      .withColumn("cdf_g", expr("(1000000 * cum_g) DIV n"))
+      .groupBy("source").agg(max(col("n_s")).as("n_docs"),
+        sum(expr("abs(cdf_s - cdf_g)")).as("emd_micro"))
+      .orderBy("source")
+  }
+
+  /** Gini concentration coefficient (Lorenz 1905 / Gini 1912 — the
+    * inequality Gini, distinct from q161's Gini impurity) of per-user
+    * spend within each event type: G = 2Σᵢ i·x₍ᵢ₎/(n·S) − (n+1)/n,
+    * computed from the spend HISTOGRAM — for a value x with count nv
+    * and cumb predecessors, Σ of 2·rank·x over its run is
+    * x·nv·(2·cumb + nv + 1) exactly (ties share the average rank, the
+    * q348 identity), so no global sort and all arithmetic stays
+    * integer; G in micros via two positive-operand DIVs.
+    */
+  private def qGiniConcentration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ux = Tables.events(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(expr("sum(CAST(round(value) AS BIGINT))").as("x"))
+      .filter(col("x") > 0L)
+    ux.groupBy("event_type", "x").agg(count(lit(1)).as("nv"))
+      .withColumn("cumb", coalesce(sum(col("nv")).over(
+        Window.partitionBy("event_type").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy("event_type").agg(
+        sum(col("nv")).as("n_users"),
+        sum(expr("x * nv")).as("s"),
+        sum(expr("x * nv * (2 * cumb + nv + 1)")).as("twice_ix"))
+      .withColumn("gini_micro",
+        expr("""(1000000 * twice_ix) DIV (n_users * s)
+               - (1000000 * (n_users + 1)) DIV n_users"""))
+      .orderBy("event_type")
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, made deterministic): on the co-purchase part graph
+    * (q351's edges), labels start as the vertex id and each of 4
+    * synchronous rounds assigns every vertex the most frequent label
+    * among its neighbours, ties broken by the SMALLEST label — the
+    * deterministic tiebreak that replaces the paper's random one.
+    * Each round is one adjacency equi-join + count + per-vertex
+    * arg-max (row_number), never materialized adjacency powers.
+    * Output: the ≥ 3-member community census.
+    */
+  private def qLabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val po = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val e = po.join(po.withColumnsRenamed(Map("p" -> "q")), Seq("ok"))
+      .filter(col("p") < col("q")).select("p", "q").distinct()
+    graft.pipeline.Graph.labelPropagation(e, "p", "q", rounds = 4)
+      .groupBy("lbl").agg(
+        count(lit(1)).as("n_members"),
+        min(col("v")).as("min_part"), max(col("v")).as("max_part"))
+      .filter(col("n_members") >= 3L)
+      .orderBy(col("n_members").desc, col("lbl"))
+  }
+
+  /** Katz centrality (Katz 1953) on the co-purchase graph with
+    * integer attenuation: x₀ = 100, xₖ₊₁(v) = 100 + (Σ_{u∈N(v)} xₖ(u))
+    * DIV 256 for 6 synchronous rounds — α = 1/256 keeps the iterate
+    * bounded in the hundreds at any degree this corpus produces, so
+    * the whole chain is exact Long arithmetic with no normalization
+    * step (contrast q218's power iteration, which must rescale). Each
+    * round is one edge equi-join + sum. Top 50 by score.
+    */
+  private def qKatzCentrality(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val po = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val e = po.join(po.withColumnsRenamed(Map("p" -> "q")), Seq("ok"))
+      .filter(col("p") < col("q")).select("p", "q").distinct()
+    graft.pipeline.Graph
+      .katzCentralityFixed(e, "p", "q", rounds = 6, beta = 100L, attenDen = 256L)
+      .select(col("v").as("part"), col("x").as("katz"))
+      .orderBy(col("katz").desc, col("part")).limit(50)
+  }
+
+  /** Rendezvous (highest-random-weight, Thaler–Ravishankar 1996)
+    * sharding of the document corpus, and the resharding-movement
+    * audit: shard(doc, K) = argmax over s<K of the engine-portable
+    * md5 weight (q204's conv-substring chain). HRW's defining
+    * property — growing K=8 to K=9 moves ONLY docs whose new argmax
+    * is the new shard (expected 1/9 of the corpus, vs ~8/9 for mod
+    * hashing) — is what the gate pins: per-new-shard doc counts,
+    * moved counts, and the mod-hash movement for contrast. The
+    * doc × shard grid is 17 broadcast rows per doc, never a shuffle.
+    */
+  private def qRendezvousReshard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+    // 56-bit md5 weight ·16 + shard index: strictly tie-free, still
+    // inside Long, so arg-max needs no secondary ordering
+    def shards(k: Int, out: String): DataFrame =
+      d.select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("sh"))
+        .withColumn("w", expr(
+          """CAST(conv(substring(md5(concat(doc_id, '#', sh)), 1, 14),
+            |16, 10) AS BIGINT) * 16 + sh""".stripMargin.replace("\n", " ")))
+        .groupBy("doc_id").agg(expr("max_by(sh, w)").cast("long").as(out))
+    shards(8, "s8").join(shards(9, "s9"), Seq("doc_id"))
+      .withColumn("m8", expr("doc_id % 8")).withColumn("m9", expr("doc_id % 9"))
+      .groupBy(col("s9").as("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("hrw_moved"),
+        sum(when(col("m8") =!= col("m9"), 1L).otherwise(0L)).as("mod_moved"))
+      .orderBy("shard")
+  }
+
+  /** Cross-correlation function between the daily view and purchase
+    * counts at lags 0–7 days: the exact integer numerator
+    * Σ (n·xₜ − Sx)(n·yₜ₊ₗ − Sy) over each lag's overlap window (means
+    * cleared by the n-scaling trick, so no division anywhere — the
+    * lead/lag analogue of q322's rolling correlation). One date-shift
+    * equi-join per lag via a broadcast 8-row lag spine.
+    */
+  private def qCrossCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val daily = e.filter(col("event_type").isin("view", "purchase"))
+      .groupBy(expr("CAST(to_date(ts) AS DATE)").as("d"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val lags = s.range(0, 8).select(col("id").cast("int").as("lag"))
+    val paired = daily.select(col("d"), col("x"))
+      .crossJoin(broadcast(lags))
+      .join(daily.select(col("d").as("d2"), col("y")),
+        expr("d2 = date_add(d, lag)"))
+    paired.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"))
+      .withColumn("num", expr("n_pairs * sxy - sx * sy"))
+      .select("lag", "n_pairs", "sx", "sy", "num")
+      .orderBy("lag")
+  }
+
+  /** McNemar's test (1947) for paired binary outcomes: did each
+    * user's "made a purchase" flag flip between the first half of the
+    * month (days ≤ 15) and the second? The 2×2 concordance table
+    * (a=1→1, b=1→0, c=0→1, d=0→0) and the continuity-corrected
+    * statistic (|b−c|−1)²/(b+c) in micros — discordant counts are the
+    * only inputs, so everything is one user-keyed agg + one global
+    * agg, integer end to end.
+    */
+  private def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val u = e.groupBy("user_id").agg(
+      max(when(col("event_type") === "purchase"
+        && expr("dayofmonth(ts) <= 15"), 1L).otherwise(0L)).as("pre"),
+      max(when(col("event_type") === "purchase"
+        && expr("dayofmonth(ts) > 15"), 1L).otherwise(0L)).as("post"))
+    u.agg(
+        sum(expr("pre * post")).as("a"),
+        sum(expr("pre * (1 - post)")).as("b"),
+        sum(expr("(1 - pre) * post")).as("c"),
+        sum(expr("(1 - pre) * (1 - post)")).as("d"))
+      .withColumn("chi2_micro", expr(
+        """((abs(b - c) - 1) * (abs(b - c) - 1) * 1000000)
+          | DIV greatest(b + c, 1L)""".stripMargin.replace("\n", " ")))
+  }
+
+  /** Symmetric per-vector int8 quantization of the embedding column —
+    * the storage/ANN-recall trade every large corpus makes — in the
+    * engine-exact integer domain: x → milli (q136's floor(x·1000+0.5)),
+    * scale = max|milli|, code = sign-split (milli·127) DIV scale
+    * (floor-division agreement on negatives, the q218 discipline),
+    * residual err = milli·127 − code·scale. Per vector: the scale, the
+    * L1 of the codes, and the exact squared reconstruction error — a
+    * map-side explode + two keyed aggs, no shuffle wider than vec_id.
+    */
+  private def qInt8Quant(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)").as("m"))
+    val sc = m.groupBy("vec_id")
+      .agg(greatest(max(abs(col("m"))), lit(1L)).as("scale"))
+    m.join(sc, Seq("vec_id"))
+      .withColumn("code", expr(
+        """CASE WHEN m >= 0 THEN (m * 127) DIV scale
+          | ELSE -(((-m) * 127) DIV scale) END""".stripMargin.replace("\n", " ")))
+      .withColumn("err", expr("m * 127 - code * scale"))
+      .groupBy("vec_id").agg(
+        max(col("scale")).as("scale"),
+        sum(abs(col("code"))).as("code_l1"),
+        sum(expr("err * err")).as("sse"))
+      .orderBy("vec_id")
+  }
+
+  /** Total-variation distance between each source's language mix and
+    * the pooled corpus: TV = ½ Σ_l |p_s(l) − p(l)| over the densified
+    * source × language grid (both bounded), probabilities as integer
+    * micros — the categorical companion to q360's cumulative EMD and
+    * the L1 face of q188's JS divergence, with no transcendental
+    * anywhere.
+    */
+  private def qTvDistance(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select("source", "lang")
+    val srcN = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val srcL = d.groupBy("source", "lang").agg(count(lit(1)).as("c_sl"))
+    val globL = d.groupBy("lang").agg(count(lit(1)).as("c_l"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    srcN.crossJoin(broadcast(globL))
+      .join(srcL, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("c_sl"))
+      .crossJoin(broadcast(tot))
+      .groupBy("source").agg(
+        max(col("n_s")).as("n_docs"),
+        expr("""sum(abs((1000000 * c_sl) DIV n_s
+               - (1000000 * c_l) DIV n)) DIV 2""").as("tv_micro"))
+      .orderBy("source")
+  }
+
+  /** Squared Cohen's d (1969) effect-size matrix over the event-type
+    * pairs: d² = (μ_a − μ_b)²/s_p² with mean differences in millis
+    * and the pooled variance in micros, all from one pass of exact
+    * integer group sums (the q358 moments) self-joined over the
+    * bounded 5×5 type grid. Squaring avoids the cross-engine sqrt the
+    * q139 post-mortem banned; sign is recoverable from md_milli.
+    */
+  private def qCohensD(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("event_type"), expr("CAST(round(value) AS BIGINT)").as("v"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(expr("v * v")).as("q"))
+      .withColumn("ss", expr("q - (s * s) DIV n"))
+    val a = g.select(col("event_type").as("type_a"), col("n").as("n_a"),
+      col("s").as("s_a"), col("ss").as("ss_a"))
+    val b = g.select(col("event_type").as("type_b"), col("n").as("n_b"),
+      col("s").as("s_b"), col("ss").as("ss_b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .withColumn("md_milli",
+        expr("(1000 * s_a) DIV n_a - (1000 * s_b) DIV n_b"))
+      .withColumn("sp2_micro",
+        expr("(1000000 * (ss_a + ss_b)) DIV (n_a + n_b - 2)"))
+      .withColumn("d2_micro",
+        expr("(md_milli * md_milli * 1000000) DIV greatest(sp2_micro, 1L)"))
+      .select("type_a", "type_b", "n_a", "n_b", "md_milli", "sp2_micro",
+        "d2_micro")
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Curriculum schedule: rank documents by an integer difficulty
+    * score (chars + 10·"the"-count — a proxy both engines compute
+    * identically) under the deterministic total order (score, doc_id)
+    * and deal them into 4 curriculum stages with ntile — whose
+    * equal-fill-remainder-first semantics Spark and DuckDB share, so
+    * the gate pins that parity. Per stage: size and score envelope.
+    */
+  private def qCurriculumSchedule(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        expr("size(filter(split(text, ' '), t -> t = 'the'))").cast("long")
+          .as("the_n"))
+      .withColumn("score", expr("n_chars + 10 * the_n"))
+    d.withColumn("stage", ntile(4).over(
+        Window.orderBy(col("score"), col("doc_id"))))
+      .groupBy("stage").agg(count(lit(1)).as("n_docs"),
+        sum(col("score")).as("sum_score"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy("stage")
+  }
+
+  /** SQL array higher-order functions as first-class citizens —
+    * filter, transform+aggregate, array_max, zip_with(reverse) — over
+    * the embedding column, all inside whole-stage codegen (no UDF
+    * anywhere): positive-component count, exact L1 in millis (q136
+    * quantization inside the lambda), max component in millis, and
+    * the palindromic self-dot Σ m_i·m_{n+1−i} exercising zip_with
+    * alignment. DuckDB mirrors with list_filter / list_transform /
+    * list_aggregate / index arithmetic.
+    */
+  private def qArrayHof(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("CAST(size(filter(embedding, x -> x > 0)) AS BIGINT)").as("n_pos"),
+        expr("""aggregate(embedding, 0L, (acc, x) -> acc +
+               abs(CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)))""")
+          .as("l1_milli"),
+        expr("""CAST(floor(CAST(array_max(embedding) AS DOUBLE) * 1000.0
+               + 0.5) AS BIGINT)""").as("max_milli"),
+        expr("""aggregate(zip_with(embedding, reverse(embedding), (a, b) ->
+               CAST(floor(CAST(a AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)
+               * CAST(floor(CAST(b AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)),
+               0L, (acc, x) -> acc + x)""").as("revdot"))
+      .orderBy("vec_id")
+  }
+
+  /** Brown–Forsythe (1974) robust variance-homogeneity test — the
+    * median-centred Levene: per event type take the exact LOWER
+    * median of v = round(value) from the value histogram (position
+    * (n_g+1) DIV 2 against the cumulative count — no sort, no
+    * percentile_approx), deviations z = |v − med|, then the one-way
+    * ANOVA F over z with q358's exact-integer SSB/SSW staging. The
+    * homoscedasticity companion to q358's mean test.
+    */
+  private def qBrownForsythe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(round(value) AS BIGINT)").as("v"))
+    val hist = e.groupBy("event_type", "v").agg(count(lit(1)).as("nv"))
+      .withColumn("cumb", coalesce(sum(col("nv")).over(
+        Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ng = e.groupBy("event_type").agg(count(lit(1)).as("n_tot"))
+    val med = hist.join(ng, Seq("event_type"))
+      .withColumn("pos", expr("(n_tot + 1) DIV 2"))
+      .filter(col("cumb") < col("pos") && col("pos") <= col("cumb") + col("nv"))
+      .select(col("event_type"), col("v").as("med"))
+    val z = e.join(med, Seq("event_type"))
+      .select(col("event_type"), abs(col("v") - col("med")).as("z"))
+    val g = z.groupBy("event_type").agg(count(lit(1)).as("n_g"),
+      sum(col("z")).as("s_g"), sum(expr("z * z")).as("q_g"))
+    val glob = g.agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"),
+        sum(col("q_g")).as("q"), count(lit(1)).as("k"),
+        sum(expr("(s_g * s_g) DIV n_g")).as("sb"))
+      .withColumn("ssb", expr("greatest(sb - (s * s) DIV n, 0L)"))
+      .withColumn("ssw", expr("q - sb"))
+      .withColumn("w_micro",
+        expr("(((ssb * 1000000) DIV ssw) * (n - k)) DIV (k - 1)"))
+      .select("n", "k", "ssb", "ssw", "w_micro")
+    g.join(med, Seq("event_type")).crossJoin(broadcast(glob))
+      .select(col("event_type"), col("n_g"), col("med"), col("s_g"),
+        col("q_g"), col("ssb"), col("ssw"), col("w_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Sample-ratio-mismatch guardrail for the q65 hash-split
+    * experiment: users dealt into 10 arms by the engine-portable md5
+    * chain, χ² goodness-of-fit against the uniform expectation in
+    * exact integer micros — (10·O_b − n)²·10⁶ DIV (10·n) per arm (the
+    * common-denominator form that never materializes n/10), summed.
+    * The failure it guards: a biased assignment hash silently
+    * invalidating every downstream A/B readout.
+    */
+  private def qSrmCheck(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir).select(col("user_id")).distinct()
+      .withColumn("arm",
+        expr("conv(substring(md5(concat('srm:', user_id)), 1, 15), 16, 10) % 10")
+          .cast("long"))
+    val o = u.groupBy("arm").agg(count(lit(1)).as("o"))
+    val n = u.agg(count(lit(1)).as("n"))
+    o.crossJoin(broadcast(n))
+      .withColumn("term_micro",
+        expr("((10 * o - n) * (10 * o - n) * 1000000) DIV (10 * n)"))
+      .select(col("arm"), col("o"), col("n"), col("term_micro"))
+      .orderBy("arm")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -8431,6 +8900,22 @@ object SparkEntry {
     "q355_erasure_audit" -> (qErasureAudit(_, _)),
     "q356_pipe_syntax" -> (qPipeSyntax(_, _)),
     "q357_dynamic_session_window" -> (qDynamicSessionWindow(_, _)),
+    "q358_anova_f" -> (qAnovaF(_, _)),
+    "q359_kruskal_wallis" -> (qKruskalWallis(_, _)),
+    "q360_emd_1d" -> (qEmd1d(_, _)),
+    "q361_gini_concentration" -> (qGiniConcentration(_, _)),
+    "q362_label_propagation" -> (qLabelPropagation(_, _)),
+    "q363_katz_centrality" -> (qKatzCentrality(_, _)),
+    "q364_rendezvous_reshard" -> (qRendezvousReshard(_, _)),
+    "q365_cross_correlation" -> (qCrossCorrelation(_, _)),
+    "q366_mcnemar" -> (qMcnemar(_, _)),
+    "q367_int8_quant" -> (qInt8Quant(_, _)),
+    "q368_tv_distance" -> (qTvDistance(_, _)),
+    "q369_cohens_d" -> (qCohensD(_, _)),
+    "q370_curriculum_schedule" -> (qCurriculumSchedule(_, _)),
+    "q371_array_hof" -> (qArrayHof(_, _)),
+    "q372_brown_forsythe" -> (qBrownForsythe(_, _)),
+    "q373_srm_check" -> (qSrmCheck(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -14542,7 +15027,8 @@ object SparkEntry {
     // wedge join (q152's orientation), each triangle credits 3 corners
     "q347_clustering_coeff" ->
       """WITH po AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey % 4 = 0),
         |edges AS MATERIALIZED (
         |  SELECT DISTINCT a.p AS p, b.p AS q
         |  FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p),
@@ -14748,6 +15234,371 @@ object SparkEntry {
         |       strftime(make_timestamp(sen), '%Y-%m-%d %H:%M:%S') AS session_end,
         |       n_events
         |FROM sess ORDER BY user_id, session_start""".stripMargin,
+
+    // q358: identical integer staging — Σ S_g²/n_g − S²/n with //,
+    // F micros as ((ssb·1e6)//ssw·(n−k))//(k−1)
+    "q358_anova_f" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value) AS BIGINT) AS v FROM events),
+        |g AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n_g, SUM(v)::BIGINT AS s_g,
+        |         SUM(v * v)::BIGINT AS q_g
+        |  FROM e GROUP BY 1),
+        |gl AS (
+        |  SELECT SUM(n_g)::BIGINT AS n, SUM(s_g)::BIGINT AS s,
+        |         SUM(q_g)::BIGINT AS q, COUNT(*)::BIGINT AS k,
+        |         SUM((s_g * s_g) // n_g)::BIGINT AS sb
+        |  FROM g),
+        |gf AS (
+        |  SELECT n, k,
+        |         CAST(greatest(sb - (s * s) // n, 0) AS BIGINT) AS ssb,
+        |         (q - sb)::BIGINT AS ssw
+        |  FROM gl)
+        |SELECT g.event_type, g.n_g, g.s_g, g.q_g, gf.n, gf.k, gf.ssb, gf.ssw,
+        |       ((((gf.ssb * 1000000) // gf.ssw) * (gf.n - gf.k))
+        |         // (gf.k - 1))::BIGINT AS f_micro
+        |FROM g, gf ORDER BY 1""".stripMargin,
+
+    // q359: histogram doubled average ranks (q317 pattern), H in
+    // millis via the pre-shrunk divisor, tie correction in permille
+    "q359_kruskal_wallis" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value) AS BIGINT) AS v FROM events),
+        |hist AS (
+        |  SELECT v, COUNT(*)::BIGINT AS nv,
+        |         COALESCE(SUM(COUNT(*)) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0)::BIGINT AS cumb
+        |  FROM e GROUP BY v),
+        |grp AS (
+        |  SELECT e.event_type, SUM(1)::BIGINT AS n_g,
+        |         SUM(2 * h.cumb + h.nv + 1)::BIGINT AS r2_g
+        |  FROM e JOIN hist h ON e.v = h.v GROUP BY 1),
+        |nt AS (
+        |  SELECT SUM(nv)::BIGINT AS n,
+        |         SUM(nv * nv * nv - nv)::BIGINT AS t
+        |  FROM hist),
+        |dev AS (
+        |  SELECT g.event_type, g.n_g, g.r2_g, (g.r2_g // g.n_g)::BIGINT AS r2bar,
+        |         ((g.r2_g // g.n_g) - (nt.n + 1))
+        |           * ((g.r2_g // g.n_g) - (nt.n + 1)) AS devsq,
+        |         nt.n, nt.t
+        |  FROM grp g, nt),
+        |h AS (
+        |  SELECT (3 * (SUM(n_g * devsq) // ((MAX(n) * (MAX(n) + 1)) // 1000)))::BIGINT
+        |           AS h_milli,
+        |         ((1000 * MAX(t)) // (MAX(n) * MAX(n) * MAX(n) - MAX(n)))::BIGINT
+        |           AS t_permille
+        |  FROM dev)
+        |SELECT d.event_type, d.n_g, d.r2_g, d.r2bar, h.h_milli, h.t_permille,
+        |       ((h.h_milli * 1000)
+        |         // greatest(1000 - h.t_permille, 1))::BIGINT AS h_adj_milli
+        |FROM dev d, h ORDER BY 1""".stripMargin,
+
+    // q360: 1-D EMD = Σ|ΔCDF| over the densified 50-char bucket grid
+    "q360_emd_1d" ->
+      """WITH d AS (
+        |  SELECT source, n_chars // 50 AS b FROM documents),
+        |srcn AS (SELECT source, COUNT(*)::BIGINT AS n_s FROM d GROUP BY 1),
+        |srcb AS (SELECT source, b, COUNT(*)::BIGINT AS c_sb FROM d GROUP BY 1, 2),
+        |globb AS (SELECT b, COUNT(*)::BIGINT AS c_b FROM d GROUP BY 1),
+        |tot AS (SELECT COUNT(*)::BIGINT AS n FROM d),
+        |grid AS (
+        |  SELECT sn.source, gb.b, sn.n_s, gb.c_b, COALESCE(sb.c_sb, 0) AS c_sb
+        |  FROM srcn sn CROSS JOIN globb gb
+        |  LEFT JOIN srcb sb ON sb.source = sn.source AND sb.b = gb.b),
+        |cum AS (
+        |  SELECT source, n_s, c_b,
+        |         SUM(c_sb) OVER (PARTITION BY source ORDER BY b) AS cum_s,
+        |         SUM(c_b) OVER (PARTITION BY source ORDER BY b) AS cum_g
+        |  FROM grid)
+        |SELECT c.source, MAX(c.n_s)::BIGINT AS n_docs,
+        |       SUM(abs((1000000 * c.cum_s) // c.n_s
+        |               - (1000000 * c.cum_g) // t.n))::BIGINT AS emd_micro
+        |FROM cum c, tot t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q361: Gini from the spend histogram — 2Σ rank·x per value run
+    // is x·nv·(2·cumb+nv+1); micros via two positive //s
+    "q361_gini_concentration" ->
+      """WITH ux AS (
+        |  SELECT event_type, user_id,
+        |         SUM(CAST(round(value) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2
+        |  HAVING SUM(CAST(round(value) AS BIGINT)) > 0),
+        |hist AS (
+        |  SELECT event_type, x, COUNT(*)::BIGINT AS nv,
+        |         COALESCE(SUM(COUNT(*)) OVER (PARTITION BY event_type
+        |           ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND 1 PRECEDING), 0)::BIGINT AS cumb
+        |  FROM ux GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, SUM(nv)::BIGINT AS n_users,
+        |         SUM(x * nv)::BIGINT AS s,
+        |         SUM(x * nv * (2 * cumb + nv + 1))::BIGINT AS twice_ix
+        |  FROM hist GROUP BY 1)
+        |SELECT event_type, n_users, s, twice_ix,
+        |       ((1000000 * twice_ix) // (n_users * s)
+        |        - (1000000 * (n_users + 1)) // n_users)::BIGINT AS gini_micro
+        |FROM agg ORDER BY 1""".stripMargin,
+
+    // q362: 4 unrolled synchronous LPA rounds, smallest-label
+    // tiebreak via row_number (the powerIterCtes unroll precedent)
+    "q362_label_propagation" -> {
+      val rounds = (0 until 4).map { k =>
+        s"""cnt$k AS (
+           |  SELECT a.v, l.lbl, COUNT(*)::BIGINT AS c
+           |  FROM adj a JOIN lab$k l ON l.v = a.u GROUP BY 1, 2),
+           |lab${k + 1} AS MATERIALIZED (
+           |  SELECT v, lbl FROM (
+           |    SELECT v, lbl, row_number() OVER (PARTITION BY v
+           |      ORDER BY c DESC, lbl) AS rn FROM cnt$k)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH po AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT a.p AS p, b.p AS q
+         |  FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p),
+         |adj AS MATERIALIZED (
+         |  SELECT p AS v, q AS u FROM e
+         |  UNION ALL SELECT q AS v, p AS u FROM e),
+         |lab0 AS (SELECT DISTINCT v AS v, v AS lbl FROM adj),
+         |$rounds
+         |SELECT lbl, COUNT(*)::BIGINT AS n_members,
+         |       MIN(v)::BIGINT AS min_part, MAX(v)::BIGINT AS max_part
+         |FROM lab4 GROUP BY 1 HAVING COUNT(*) >= 3
+         |ORDER BY n_members DESC, lbl""".stripMargin
+    },
+
+    // q363: 6 unrolled Katz rounds — beta + (Σ neighbour x) // 256
+    "q363_katz_centrality" -> {
+      val rounds = (0 until 6).map { k =>
+        s"""x${k + 1} AS MATERIALIZED (
+           |  SELECT a.v, 100 + (SUM(x.x) // 256) AS x
+           |  FROM adj a JOIN x$k x ON x.v = a.u GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH po AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT a.p AS p, b.p AS q
+         |  FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p),
+         |adj AS MATERIALIZED (
+         |  SELECT p AS v, q AS u FROM e
+         |  UNION ALL SELECT q AS v, p AS u FROM e),
+         |x0 AS (SELECT DISTINCT v AS v, 100 AS x FROM adj),
+         |$rounds
+         |SELECT v AS part, x::BIGINT AS katz
+         |FROM x6 ORDER BY katz DESC, part LIMIT 50""".stripMargin
+    },
+
+    // q364: HRW weights are the same md5-conv chain; arg_max needs no
+    // tiebreak because w embeds the shard index in the low 4 bits
+    "q364_rendezvous_reshard" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |g9 AS MATERIALIZED (
+        |  SELECT doc_id, sh,
+        |         ('0x' || substr(md5(doc_id::VARCHAR || '#' || sh::VARCHAR),
+        |           1, 14))::BIGINT * 16 + sh AS w
+        |  FROM d CROSS JOIN (SELECT unnest(range(9)) AS sh) shards),
+        |s8 AS (SELECT doc_id, arg_max(sh, w) AS s8
+        |       FROM g9 WHERE sh < 8 GROUP BY 1),
+        |s9 AS (SELECT doc_id, arg_max(sh, w) AS s9 FROM g9 GROUP BY 1),
+        |j AS (
+        |  SELECT a.doc_id, a.s8, b.s9,
+        |         a.doc_id % 8 AS m8, a.doc_id % 9 AS m9
+        |  FROM s8 a JOIN s9 b USING (doc_id))
+        |SELECT s9::BIGINT AS shard, COUNT(*)::BIGINT AS n_docs,
+        |       SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END)::BIGINT AS hrw_moved,
+        |       SUM(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END)::BIGINT AS mod_moved
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q365: exact integer CCF numerator n·Σxy − Σx·Σy per lag over
+    // the lag's overlap window
+    "q365_cross_correlation" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS x,
+        |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+        |lags AS (SELECT unnest(range(8)) AS lag),
+        |p AS (
+        |  SELECT l.lag, a.x, b.y
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.d = a.d + l.lag::INT)
+        |SELECT lag::INT AS lag, COUNT(*)::BIGINT AS n_pairs,
+        |       SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+        |       (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))::BIGINT AS num
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q366: 2×2 concordance counts, continuity-corrected statistic
+    "q366_mcnemar" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         MAX(CASE WHEN event_type = 'purchase' AND day(ts) <= 15
+        |             THEN 1 ELSE 0 END)::BIGINT AS pre,
+        |         MAX(CASE WHEN event_type = 'purchase' AND day(ts) > 15
+        |             THEN 1 ELSE 0 END)::BIGINT AS post
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT SUM(pre * post)::BIGINT AS a,
+        |         SUM(pre * (1 - post))::BIGINT AS b,
+        |         SUM((1 - pre) * post)::BIGINT AS c,
+        |         SUM((1 - pre) * (1 - post))::BIGINT AS d
+        |  FROM u)
+        |SELECT a, b, c, d,
+        |       (((abs(b - c) - 1) * (abs(b - c) - 1) * 1000000)
+        |         // greatest(b + c, 1))::BIGINT AS chi2_micro
+        |FROM t""".stripMargin,
+
+    // q367: q136 milli quantization, sign-split // for the int8 code
+    "q367_int8_quant" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+        |           AS BIGINT) AS m
+        |  FROM embeddings, generate_series(1, 128) t(i)
+        |  WHERE i <= len(embedding)),
+        |sc AS (
+        |  SELECT vec_id, greatest(MAX(abs(m)), 1)::BIGINT AS scale
+        |  FROM m GROUP BY 1),
+        |c AS (
+        |  SELECT m.vec_id, sc.scale, m.m,
+        |         CASE WHEN m.m >= 0 THEN (m.m * 127) // sc.scale
+        |              ELSE -(((-m.m) * 127) // sc.scale) END AS code
+        |  FROM m JOIN sc ON m.vec_id = sc.vec_id)
+        |SELECT vec_id, MAX(scale)::BIGINT AS scale,
+        |       SUM(abs(code))::BIGINT AS code_l1,
+        |       SUM((m * 127 - code * scale)
+        |           * (m * 127 - code * scale))::BIGINT AS sse
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q368: densified source × lang grid, L1/2 in micros
+    "q368_tv_distance" ->
+      """WITH d AS (SELECT source, lang FROM documents),
+        |srcn AS (SELECT source, COUNT(*)::BIGINT AS n_s FROM d GROUP BY 1),
+        |srcl AS (SELECT source, lang, COUNT(*)::BIGINT AS c_sl
+        |         FROM d GROUP BY 1, 2),
+        |globl AS (SELECT lang, COUNT(*)::BIGINT AS c_l FROM d GROUP BY 1),
+        |tot AS (SELECT COUNT(*)::BIGINT AS n FROM d),
+        |grid AS (
+        |  SELECT sn.source, sn.n_s, gl.c_l, COALESCE(sl.c_sl, 0) AS c_sl
+        |  FROM srcn sn CROSS JOIN globl gl
+        |  LEFT JOIN srcl sl ON sl.source = sn.source AND sl.lang = gl.lang)
+        |SELECT g.source, MAX(g.n_s)::BIGINT AS n_docs,
+        |       (SUM(abs((1000000 * g.c_sl) // g.n_s
+        |                - (1000000 * g.c_l) // t.n)) // 2)::BIGINT AS tv_micro
+        |FROM grid g, tot t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q369: d² from integer moments over the bounded type-pair grid
+    "q369_cohens_d" ->
+      """WITH g AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n,
+        |         SUM(CAST(round(value) AS BIGINT))::BIGINT AS s,
+        |         SUM(CAST(round(value) AS BIGINT)
+        |             * CAST(round(value) AS BIGINT))::BIGINT AS q
+        |  FROM events GROUP BY 1),
+        |gs AS (SELECT event_type, n, s, (q - (s * s) // n)::BIGINT AS ss FROM g),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         a.n AS n_a, b.n AS n_b,
+        |         ((1000 * a.s) // a.n - (1000 * b.s) // b.n)::BIGINT AS md_milli,
+        |         ((1000000 * (a.ss + b.ss)) // (a.n + b.n - 2))::BIGINT AS sp2_micro
+        |  FROM gs a JOIN gs b ON a.event_type < b.event_type)
+        |SELECT type_a, type_b, n_a, n_b, md_milli, sp2_micro,
+        |       ((md_milli * md_milli * 1000000)
+        |         // greatest(sp2_micro, 1))::BIGINT AS d2_micro
+        |FROM p ORDER BY 1, 2""".stripMargin,
+
+    // q370: ntile over the (score, doc_id) total order — same
+    // equal-fill semantics in both engines
+    "q370_curriculum_schedule" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         n_chars + 10 * len(list_filter(string_split(text, ' '),
+        |           t -> t = 'the'))::BIGINT AS score
+        |  FROM documents),
+        |st AS (
+        |  SELECT score, ntile(4) OVER (ORDER BY score, doc_id) AS stage FROM d)
+        |SELECT stage::INT AS stage, COUNT(*)::BIGINT AS n_docs,
+        |       SUM(score)::BIGINT AS sum_score,
+        |       MIN(score)::BIGINT AS min_score, MAX(score)::BIGINT AS max_score
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q371: list_filter / list_transform+list_aggregate / list index
+    // arithmetic mirror the Spark array HOFs
+    "q371_array_hof" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS mv,
+        |         len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos
+        |  FROM embeddings),
+        |rd AS (
+        |  SELECT vec_id, SUM(mv[i] * mv[len(mv) + 1 - i])::BIGINT AS revdot
+        |  FROM m, generate_series(1, 128) t(i)
+        |  WHERE i <= len(mv)
+        |  GROUP BY 1)
+        |SELECT m.vec_id, m.n_pos,
+        |       CAST(list_aggregate(list_transform(m.mv, v -> abs(v)), 'sum')
+        |         AS BIGINT) AS l1_milli,
+        |       CAST(list_aggregate(m.mv, 'max') AS BIGINT) AS max_milli,
+        |       rd.revdot
+        |FROM m JOIN rd ON m.vec_id = rd.vec_id ORDER BY 1""".stripMargin,
+
+    // q372: exact lower median from the histogram, then the q358
+    // integer F staging on |v − med|
+    "q372_brown_forsythe" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value) AS BIGINT) AS v FROM events),
+        |hist AS (
+        |  SELECT event_type, v, COUNT(*)::BIGINT AS nv,
+        |         COALESCE(SUM(COUNT(*)) OVER (PARTITION BY event_type
+        |           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND 1 PRECEDING), 0)::BIGINT AS cumb
+        |  FROM e GROUP BY 1, 2),
+        |ng AS (SELECT event_type, COUNT(*)::BIGINT AS n_tot FROM e GROUP BY 1),
+        |med AS (
+        |  SELECT h.event_type, h.v AS med
+        |  FROM hist h JOIN ng ON h.event_type = ng.event_type
+        |  WHERE h.cumb < (ng.n_tot + 1) // 2
+        |    AND (ng.n_tot + 1) // 2 <= h.cumb + h.nv),
+        |z AS (
+        |  SELECT e.event_type, abs(e.v - m.med) AS z, m.med
+        |  FROM e JOIN med m ON e.event_type = m.event_type),
+        |g AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n_g, MAX(med)::BIGINT AS med,
+        |         SUM(z)::BIGINT AS s_g, SUM(z * z)::BIGINT AS q_g
+        |  FROM z GROUP BY 1),
+        |gl AS (
+        |  SELECT SUM(n_g)::BIGINT AS n, SUM(s_g)::BIGINT AS s,
+        |         SUM(q_g)::BIGINT AS q, COUNT(*)::BIGINT AS k,
+        |         SUM((s_g * s_g) // n_g)::BIGINT AS sb
+        |  FROM g),
+        |gf AS (
+        |  SELECT n, k,
+        |         CAST(greatest(sb - (s * s) // n, 0) AS BIGINT) AS ssb,
+        |         (q - sb)::BIGINT AS ssw
+        |  FROM gl)
+        |SELECT g.event_type, g.n_g, g.med, g.s_g, g.q_g, gf.ssb, gf.ssw,
+        |       ((((gf.ssb * 1000000) // gf.ssw) * (gf.n - gf.k))
+        |         // (gf.k - 1))::BIGINT AS w_micro
+        |FROM g, gf ORDER BY 1""".stripMargin,
+
+    // q373: χ² goodness-of-fit in the (10·O − n)² common-denominator
+    // form; same md5 arm assignment as the engine
+    "q373_srm_check" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events),
+        |arms AS (
+        |  SELECT ('0x' || substr(md5('srm:' || user_id::VARCHAR), 1, 15))::BIGINT
+        |           % 10 AS arm
+        |  FROM u),
+        |o AS (SELECT arm, COUNT(*)::BIGINT AS o FROM arms GROUP BY 1),
+        |n AS (SELECT COUNT(*)::BIGINT AS n FROM u)
+        |SELECT o.arm::BIGINT AS arm, o.o, n.n,
+        |       (((10 * o.o - n.n) * (10 * o.o - n.n) * 1000000)
+        |         // (10 * n.n))::BIGINT AS term_micro
+        |FROM o, n ORDER BY 1""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */

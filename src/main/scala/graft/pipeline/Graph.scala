@@ -397,4 +397,67 @@ object Graph {
       .orderBy(col("cn").desc, col("u").asc, col("v").asc)
       .limit(k)
   }
+
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara 2007) with a deterministic tiebreak: labels start
+    * as the vertex id; each round every vertex adopts the most
+    * frequent label among its neighbours, ties broken by the smallest
+    * label (replacing the paper's random choice so the result is
+    * reproducible). Undirected: `edges0` is expanded to both
+    * directions. Each round is one adjacency equi-join + count +
+    * per-vertex arg-max — shuffle keyed on vertex id throughout, so
+    * the plan scales with |E|, never |V|².
+    *
+    * Returns (v, lbl) after `rounds` synchronous updates.
+    */
+  def labelPropagation(edges0: DataFrame, aCol: String, bCol: String,
+                       rounds: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges0.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = e.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint()
+    var labels = adj.select(col("v")).distinct().withColumn("lbl", col("v"))
+    var i = 0
+    while (i < rounds) {
+      labels = adj
+        .join(labels.withColumnsRenamed(Map("v" -> "u")), Seq("u"))
+        .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("v").orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rn") === 1).select("v", "lbl")
+        .localCheckpoint()
+      i += 1
+    }
+    labels
+  }
+
+  /** Katz centrality (Katz 1953) by fixed-point iteration in exact
+    * integer arithmetic: x₀ = `beta`, xₖ₊₁(v) = beta +
+    * (Σ_{u∈N(v)} xₖ(u)) DIV `attenDen` — attenuation α = 1/attenDen.
+    * With attenDen comfortably above the maximum degree the iterate
+    * stays bounded (x* ≤ beta/(1 − deg/attenDen)), so unlike power
+    * iteration no per-round rescaling is needed and the whole chain
+    * is engine-exact Long math. Undirected expansion; one edge
+    * equi-join + sum per round.
+    */
+  def katzCentralityFixed(edges0: DataFrame, aCol: String, bCol: String,
+                          rounds: Int = 6, beta: Long = 100L,
+                          attenDen: Long = 256L): DataFrame = {
+    val e = edges0.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = e.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint()
+    var x = adj.select(col("v")).distinct().withColumn("x", lit(beta))
+    var i = 0
+    while (i < rounds) {
+      x = adj.join(x.withColumnsRenamed(Map("v" -> "u")), Seq("u"))
+        .groupBy("v").agg(expr(s"$beta + sum(x) DIV $attenDen").as("x"))
+        .localCheckpoint()
+      i += 1
+    }
+    x
+  }
 }
