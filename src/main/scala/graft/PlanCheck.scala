@@ -96,7 +96,21 @@ object PlanCheck {
     // shard aggregates + one broadcast scalar
     "q351_partition_modularity" -> Seq(),
     // ×100 resample explode is map-only; aggs keyed by (lang, b)
-    "q344_bootstrap_ci" -> Seq())
+    "q344_bootstrap_ci" -> Seq(),
+    // q358-q373 additions: LPA/Katz rounds are adjacency equi-joins on
+    // the vertex key; densified metric grids (EMD/TV) cross only
+    // broadcast bounded sides; pair grids (Cohen's d) broadcast the
+    // 5-row moment table — CartesianProduct stays globally forbidden
+    "q359_kruskal_wallis" -> Seq(),
+    "q360_emd_1d" -> Seq(),
+    "q362_label_propagation" -> Seq(),
+    "q363_katz_centrality" -> Seq(),
+    "q364_rendezvous_reshard" -> Seq(),
+    "q365_cross_correlation" -> Seq(),
+    "q367_int8_quant" -> Seq(),
+    "q368_tv_distance" -> Seq(),
+    "q369_cohens_d" -> Seq(),
+    "q372_brown_forsythe" -> Seq())
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()
