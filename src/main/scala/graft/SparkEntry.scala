@@ -8541,6 +8541,151 @@ object SparkEntry {
       .orderBy("arm")
   }
 
+  /** Grid-based DBSCAN (the GriDBSCAN/cell decomposition of Ester et
+    * al.'s 1996 operator) on the first two embedding dims: milli
+    * quantization → 250-milli cells (shifted +32000 so both engines'
+    * integer division sees non-negative operands), core cells at
+    * ≥ 5 points, clusters = connected components of the 8-neighbour
+    * core-cell graph ([[graft.pipeline.Graph.connectedComponents]],
+    * min-id labels), border points assigned to the SMALLEST adjacent
+    * core cluster (the deterministic replacement for DBSCAN's
+    * visit-order tie), the rest noise (cluster −1). The cell grid
+    * bounds every join: 9 broadcast offsets, never point-to-point
+    * distances.
+    */
+  private def qDbscanGrid(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      expr("""(CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 1000.0
+             + 0.5) AS BIGINT) + 32000) DIV 250""").as("cx"),
+      expr("""(CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 1000.0
+             + 0.5) AS BIGINT) + 32000) DIV 250""").as("cy"))
+    val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n_pts"))
+      .withColumn("cell_id", expr("cx * 100000 + cy"))
+      .localCheckpoint()
+    val core = cells.filter(col("n_pts") >= 5L)
+    val offsets = s.range(0, 9).select(
+      expr("id % 3 - 1").as("dx"), expr("id DIV 3 - 1").as("dy"))
+    val nbr = core.crossJoin(broadcast(offsets))
+      .select(col("cell_id").as("a"),
+        expr("(cx + dx) * 100000 + (cy + dy)").as("b"))
+      .join(core.select(col("cell_id").as("b")), Seq("b"))
+      .filter(col("a") =!= col("b"))
+    val cc = graft.pipeline.Graph.connectedComponents(
+      core.select("cell_id"), "cell_id", nbr, "a", "b")
+      .select(col("doc").as("cell_id"), col("group_id").as("cluster_id"))
+    val clustered = core.join(cc, Seq("cell_id"))
+    val borderAssign = cells.join(core.select(col("cell_id")), Seq("cell_id"),
+        "left_anti")
+      .crossJoin(broadcast(offsets))
+      .select(col("cell_id"), col("n_pts"),
+        expr("(cx + dx) * 100000 + (cy + dy)").as("nb"))
+      .join(clustered.select(col("cell_id").as("nb"), col("cluster_id")),
+        Seq("nb"))
+      .groupBy("cell_id").agg(max(col("n_pts")).as("n_pts"),
+        min(col("cluster_id")).as("cluster_id"))
+    val clusterRows = clustered.groupBy("cluster_id").agg(
+        count(lit(1)).as("n_cells"), sum(col("n_pts")).as("core_pts"))
+      .join(borderAssign.groupBy("cluster_id")
+          .agg(sum(col("n_pts")).as("border_pts")),
+        Seq("cluster_id"), "left")
+      .na.fill(0L, Seq("border_pts"))
+    val noise = cells
+      .join(core.select(col("cell_id")), Seq("cell_id"), "left_anti")
+      .join(borderAssign.select(col("cell_id")), Seq("cell_id"), "left_anti")
+      .agg(coalesce(sum(col("n_pts")), lit(0L)).as("border_pts"))
+      .select(lit(-1L).as("cluster_id"), lit(0L).as("n_cells"),
+        lit(0L).as("core_pts"), col("border_pts"))
+    clusterRows.unionByName(noise).orderBy("cluster_id")
+  }
+
+  /** Z-order (Morton 1966) layout key and its locality dividend: parts
+    * bit-interleave (p_size, brand number) into a 12-bit Morton code
+    * via pure div/mod arithmetic (no engine bit-op dialect), then the
+    * per-256-code range stats — distinct sizes, distinct brands, size
+    * span — against the SAME stats for a round-robin (partkey % 16)
+    * layout. The gate pins the property a 100 TB table is Z-ordered
+    * FOR: a Z-range scan touches few distinct values of every
+    * interleaved dimension, so min/max zone maps prune it.
+    */
+  private def qZorderLocality(s: SparkSession, dir: String): DataFrame = {
+    val zExpr = (0 until 6).map { i =>
+      val p2 = 1L << i; val p4 = 1L << (2 * i)
+      s"((x DIV $p2) % 2) * $p4 + ((y DIV $p2) % 2) * ${2 * p4}"
+    }.mkString(" + ")
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("long").as("x"),
+        expr("CAST(substring(p_brand, 7, 2) AS BIGINT)").as("y"))
+      .withColumn("z", expr(zExpr))
+    val zb = p.select(lit("zorder").as("layout"),
+      expr("z DIV 256").as("bucket"), col("x"), col("y"))
+    val rb = p.select(lit("rowid").as("layout"),
+      expr("p_partkey % 16").as("bucket"), col("x"), col("y"))
+    zb.unionByName(rb).groupBy("layout", "bucket").agg(
+        count(lit(1)).as("n_parts"),
+        countDistinct(col("x")).as("nd_size"),
+        countDistinct(col("y")).as("nd_brand"),
+        (max(col("x")) - min(col("x"))).as("size_span"))
+      .orderBy("layout", "bucket")
+  }
+
+  /** Page–Hinkley drift test (1954/1971) over the daily event-count
+    * series per type: deviations from the RUNNING mean (the adaptive
+    * reference that distinguishes PH from q193's fixed-reference
+    * CUSUM) accumulated as U_t, alarm when U_t − min_{i≤t} U_i
+    * exceeds λ = 20 events·10⁶. Running mean in micros by integer
+    * DIV; everything else exact cumsums over two prefix windows.
+    */
+  private def qPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("CAST(to_date(ts) AS DATE)").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val wOrd = Window.partitionBy("event_type").orderBy("d")
+    val ph = daily
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("cum", sum(col("x")).over(wOrd))
+      .withColumn("term", expr("x * 1000000 - (cum * 1000000) DIV t"))
+      .withColumn("u", sum(col("term")).over(wOrd))
+      .withColumn("mmin", min(col("u")).over(wOrd))
+      .withColumn("excess", col("u") - col("mmin"))
+    ph.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        max(col("t")).cast("long").as("t_last"),
+        sum(when(col("excess") > 20000000L, 1L).otherwise(0L)).as("n_alarms"),
+        max(col("excess")).as("max_excess"),
+        min(when(col("excess") > 20000000L,
+          date_format(col("d"), "yyyy-MM-dd"))).as("first_alarm"))
+      .orderBy("event_type")
+  }
+
+  /** Two-sample power analysis (Cohen 1988): the sample size per arm
+    * that detects each event type's observed mean shift from the
+    * corpus mean at α = 0.05 / power = 0.8 —
+    * n = 2·((z_{α/2}+z_β)·σ/d)² with the z-sum as the integer constant
+    * 2802 millis, variance from exact integer moments in millis, the
+    * shift in millis, and a shared-ceiling division both engines
+    * compute identically. The experiment-design face of q373's SRM
+    * guardrail.
+    */
+  private def qPowerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("event_type"), expr("CAST(round(value) AS BIGINT)").as("v"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(expr("v * v")).as("q"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("mean_milli", expr("(1000 * s) DIV n"))
+      .withColumn("var_milli", expr("((n * q - s * s) * 1000) DIV (n * (n - 1))"))
+      .withColumn("d_milli",
+        expr("greatest(abs((1000 * s) DIV n - (1000 * ss) DIV nn), 1L)"))
+      .withColumn("n_req", expr(
+        """(2 * 7851204 * var_milli + 1000 * d_milli * d_milli - 1)
+          | DIV (1000 * d_milli * d_milli)""".stripMargin.replace("\n", " ")))
+      .select(col("event_type"), col("n"), col("mean_milli"),
+        col("var_milli"), col("d_milli"), col("n_req"))
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -8916,6 +9061,10 @@ object SparkEntry {
     "q371_array_hof" -> (qArrayHof(_, _)),
     "q372_brown_forsythe" -> (qBrownForsythe(_, _)),
     "q373_srm_check" -> (qSrmCheck(_, _)),
+    "q374_dbscan_grid" -> (qDbscanGrid(_, _)),
+    "q375_zorder_locality" -> (qZorderLocality(_, _)),
+    "q376_page_hinkley" -> (qPageHinkley(_, _)),
+    "q377_power_analysis" -> (qPowerAnalysis(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -15599,6 +15748,141 @@ object SparkEntry {
         |       (((10 * o.o - n.n) * (10 * o.o - n.n) * 1000000)
         |         // (10 * n.n))::BIGINT AS term_micro
         |FROM o, n ORDER BY 1""".stripMargin,
+
+    // q374: cell decomposition; CC over core cells via the q51
+    // recursive min-label pattern; border → smallest adjacent cluster
+    "q374_dbscan_grid" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT vec_id,
+        |         (CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0 + 0.5)
+        |            AS BIGINT) + 32000) // 250 AS cx,
+        |         (CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0 + 0.5)
+        |            AS BIGINT) + 32000) // 250 AS cy
+        |  FROM embeddings),
+        |cells AS MATERIALIZED (
+        |  SELECT cx, cy, cx * 100000 + cy AS cell_id, COUNT(*)::BIGINT AS n_pts
+        |  FROM pts GROUP BY 1, 2),
+        |core AS MATERIALIZED (SELECT * FROM cells WHERE n_pts >= 5),
+        |offs AS (
+        |  SELECT (i % 3 - 1) AS dx, (i // 3 - 1) AS dy
+        |  FROM generate_series(0, 8) t(i)),
+        |nbr AS MATERIALIZED (
+        |  SELECT a.cell_id AS src, b.cell_id AS dst
+        |  FROM core a CROSS JOIN offs o
+        |  JOIN core b ON b.cell_id = (a.cx + o.dx) * 100000 + (a.cy + o.dy)
+        |  WHERE a.cell_id <> b.cell_id),
+        |reach(cell_id, lbl) AS (
+        |  SELECT cell_id, cell_id FROM core
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN nbr e ON e.src = r.cell_id),
+        |cc AS MATERIALIZED (
+        |  SELECT cell_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+        |clustered AS (
+        |  SELECT c.cell_id, c.cx, c.cy, c.n_pts, cc.cluster_id
+        |  FROM core c JOIN cc ON c.cell_id = cc.cell_id),
+        |border AS MATERIALIZED (
+        |  SELECT nc.cell_id, MAX(nc.n_pts) AS n_pts,
+        |         MIN(cl.cluster_id) AS cluster_id
+        |  FROM cells nc CROSS JOIN offs o
+        |  JOIN clustered cl
+        |    ON cl.cell_id = (nc.cx + o.dx) * 100000 + (nc.cy + o.dy)
+        |  WHERE nc.cell_id NOT IN (SELECT cell_id FROM core)
+        |  GROUP BY 1),
+        |clusters AS (
+        |  SELECT cl.cluster_id, COUNT(*)::BIGINT AS n_cells,
+        |         SUM(cl.n_pts)::BIGINT AS core_pts,
+        |         COALESCE(MAX(b.bp), 0)::BIGINT AS border_pts
+        |  FROM clustered cl LEFT JOIN (
+        |    SELECT cluster_id, SUM(n_pts) AS bp FROM border GROUP BY 1) b
+        |    ON cl.cluster_id = b.cluster_id
+        |  GROUP BY 1),
+        |noise AS (
+        |  SELECT -1 AS cluster_id, 0 AS n_cells, 0 AS core_pts,
+        |         COALESCE(SUM(n_pts), 0)::BIGINT AS border_pts
+        |  FROM cells
+        |  WHERE cell_id NOT IN (SELECT cell_id FROM core)
+        |    AND cell_id NOT IN (SELECT cell_id FROM border))
+        |SELECT cluster_id::BIGINT AS cluster_id, n_cells::BIGINT AS n_cells,
+        |       core_pts::BIGINT AS core_pts, border_pts
+        |FROM clusters
+        |UNION ALL
+        |SELECT cluster_id::BIGINT, n_cells::BIGINT, core_pts::BIGINT, border_pts
+        |FROM noise
+        |ORDER BY 1""".stripMargin,
+
+    // q375: Morton code by div/mod interleave; zorder vs round-robin
+    // locality stats
+    "q375_zorder_locality" -> {
+      val zExpr = (0 until 6).map { i =>
+        val p2 = 1L << i; val p4 = 1L << (2 * i)
+        s"((x // $p2) % 2) * $p4 + ((y // $p2) % 2) * ${2 * p4}"
+      }.mkString(" + ")
+      s"""WITH p AS (
+         |  SELECT p_partkey, p_size::BIGINT AS x,
+         |         CAST(substr(p_brand, 7, 2) AS BIGINT) AS y
+         |  FROM part),
+         |z AS (
+         |  SELECT 'zorder' AS layout, ($zExpr) // 256 AS bucket, x, y FROM p
+         |  UNION ALL
+         |  SELECT 'rowid' AS layout, p_partkey % 16 AS bucket, x, y FROM p)
+         |SELECT layout, bucket::BIGINT AS bucket, COUNT(*)::BIGINT AS n_parts,
+         |       COUNT(DISTINCT x)::BIGINT AS nd_size,
+         |       COUNT(DISTINCT y)::BIGINT AS nd_brand,
+         |       (MAX(x) - MIN(x))::BIGINT AS size_span
+         |FROM z GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // q376: running-mean deviations, two prefix cumsums, λ = 20·10⁶
+    "q376_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |ph AS (
+        |  SELECT event_type, d, x,
+        |         row_number() OVER w AS t,
+        |         SUM(x) OVER w AS cum
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |u AS (
+        |  SELECT event_type, d, x, t,
+        |         SUM(x * 1000000 - (cum * 1000000) // t) OVER w AS u
+        |  FROM ph
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |ex AS (
+        |  SELECT event_type, d, t, u,
+        |         u - MIN(u) OVER w AS excess
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d))
+        |SELECT event_type, COUNT(*)::BIGINT AS n_days,
+        |       MAX(t)::BIGINT AS t_last,
+        |       SUM(CASE WHEN excess > 20000000 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_alarms,
+        |       MAX(excess)::BIGINT AS max_excess,
+        |       MIN(CASE WHEN excess > 20000000
+        |           THEN strftime(d, '%Y-%m-%d') END) AS first_alarm
+        |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q377: n per arm = 2·(2.802·σ/d)² with shared-ceiling division
+    "q377_power_analysis" ->
+      """WITH g AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n,
+        |         SUM(CAST(round(value) AS BIGINT))::BIGINT AS s,
+        |         SUM(CAST(round(value) AS BIGINT)
+        |             * CAST(round(value) AS BIGINT))::BIGINT AS q
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT SUM(n)::BIGINT AS nn, SUM(s)::BIGINT AS ss FROM g),
+        |x AS (
+        |  SELECT g.event_type, g.n,
+        |         ((1000 * g.s) // g.n)::BIGINT AS mean_milli,
+        |         (((g.n * g.q - g.s * g.s) * 1000)
+        |           // (g.n * (g.n - 1)))::BIGINT AS var_milli,
+        |         CAST(greatest(abs((1000 * g.s) // g.n
+        |           - (1000 * t.ss) // t.nn), 1) AS BIGINT) AS d_milli
+        |  FROM g, tot t)
+        |SELECT event_type, n, mean_milli, var_milli, d_milli,
+        |       ((2 * 7851204 * var_milli + 1000 * d_milli * d_milli - 1)
+        |         // (1000 * d_milli * d_milli))::BIGINT AS n_req
+        |FROM x ORDER BY 1""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
