@@ -8686,6 +8686,156 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Split conformal prediction (Vovk et al. 2005, the
+    * Papadopoulos/Lei split variant): calibration users (user_id%5<4)
+    * give the exact lower median per event type and the conformity
+    * scores |v − med|; q̂ = the ⌈0.9·(n+1)⌉-th smallest score read off
+    * the score histogram (capped at the max, never an approximate
+    * percentile); the held-out 1/5 then gates empirical coverage of
+    * med ± q̂ in micros. Distribution-free uncertainty quantification
+    * as two histogram scans + one broadcast join.
+    */
+  private def qConformalPrediction(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"), col("user_id"),
+      expr("CAST(round(value) AS BIGINT)").as("v"),
+      expr("CASE WHEN user_id % 5 < 4 THEN 1 ELSE 0 END").as("cal"))
+    def lowerMedian(src: DataFrame, valueCol: String): DataFrame = {
+      val hist = src.groupBy(col("event_type"), col(valueCol).as("val"))
+        .agg(count(lit(1)).as("nv"))
+        .withColumn("cumb", coalesce(sum(col("nv")).over(
+          Window.partitionBy("event_type").orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val ng = src.groupBy("event_type").agg(count(lit(1)).as("n_tot"))
+      hist.join(ng, Seq("event_type"))
+        .withColumn("pos", expr("(n_tot + 1) DIV 2"))
+        .filter(col("cumb") < col("pos")
+          && col("pos") <= col("cumb") + col("nv"))
+        .select(col("event_type"), col("val").as("med"), col("n_tot"))
+    }
+    val calE = e.filter(col("cal") === 1)
+    val med = lowerMedian(calE, "v").localCheckpoint()
+    val scores = calE.join(med, Seq("event_type"))
+      .select(col("event_type"), abs(col("v") - col("med")).as("sc"),
+        col("n_tot"))
+    val sHist = scores.groupBy(col("event_type"), col("sc"))
+      .agg(count(lit(1)).as("nv"), max(col("n_tot")).as("n_cal"))
+      .withColumn("cum", sum(col("nv")).over(
+        Window.partitionBy("event_type").orderBy("sc")))
+      .withColumn("k", expr("least((9 * (n_cal + 1) + 9) DIV 10, n_cal)"))
+    val qhat = sHist.filter(col("cum") >= col("k"))
+      .groupBy("event_type").agg(min(col("sc")).as("qhat"),
+        max(col("n_cal")).as("n_cal"))
+    val hold = e.filter(col("cal") === 0)
+      .join(med.select("event_type", "med"), Seq("event_type"))
+      .join(broadcast(qhat), Seq("event_type"))
+      .groupBy("event_type").agg(
+        max(col("med")).as("med"), max(col("qhat")).as("qhat"),
+        max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_hold"),
+        sum(when(abs(col("v") - col("med")) <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_in"))
+    hold.withColumn("cover_micro", expr("(1000000 * n_in) DIV n_hold"))
+      .select("event_type", "n_cal", "med", "qhat", "n_hold", "n_in",
+        "cover_micro")
+      .orderBy("event_type")
+  }
+
+  /** Clipped inverse-propensity-scoring estimator (Horvitz–Thompson
+    * 1952 / Bottou et al. 2013): the q373 md5 hash logs a 2-arm
+    * policy; the target policy always plays arm 1, so
+    * V̂ = (1/n)·Σ_{arm=1} r·ŵ with ŵ = min(1/p̂₁, 5) — propensity
+    * estimated from the log in micros, the weight clipped at 5× to
+    * bound variance, every division an engine-agreed positive DIV.
+    * Off-policy evaluation for bandit-logged training data, next to
+    * the naive on-policy mean for contrast.
+    */
+  private def qIpsEstimator(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), expr("CAST(round(value) AS BIGINT)").as("r"),
+        expr("conv(substring(md5(concat('arm:', event_id)), 1, 15), 16, 10) % 2")
+          .cast("long").as("arm"))
+    e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("arm")).as("n1"),
+        sum(expr("r * arm")).as("s1"),
+        sum(col("r")).as("s_all"))
+      .withColumn("p1_micro", expr("(1000000 * n1) DIV n"))
+      .withColumn("w_micro",
+        expr("least(1000000000000 DIV p1_micro, 5000000L)"))
+      .withColumn("ips_micro", expr("(w_micro * s1) DIV n"))
+      .withColumn("naive_micro", expr("(1000000 * s_all) DIV n"))
+      .select("event_type", "n", "n1", "p1_micro", "w_micro", "ips_micro",
+        "naive_micro")
+      .orderBy("event_type")
+  }
+
+  /** MASE forecast backtest (Hyndman–Koehler 2006): the seasonal-naive
+    * 7-day-lag forecast of the daily event count scored against the
+    * in-sample 1-step naive — MASE = Σ|xₜ−xₜ₋₇| / Σ|xₜ−xₜ₋₁| in
+    * micros over the common t ≥ 8 window. The scale-free forecast
+    * error every capacity model reports; two lag windows and one agg,
+    * all integer.
+    */
+  private def qMaseEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("CAST(to_date(ts) AS DATE)").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    daily
+      .withColumn("t", row_number().over(w))
+      .withColumn("l1", lag(col("x"), 1).over(w))
+      .withColumn("l7", lag(col("x"), 7).over(w))
+      .filter(col("t") >= 8)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_eval"),
+        sum(abs(col("x") - col("l7"))).as("sae7"),
+        sum(abs(col("x") - col("l1"))).as("sae1"))
+      .withColumn("mase_micro",
+        expr("(1000000 * sae7) DIV greatest(sae1, 1L)"))
+      .orderBy("event_type")
+  }
+
+  /** Mutual k-nearest-neighbour graph (the UMAP/HDBSCAN substrate) on
+    * the ¼ embedding subset: exact milli-integer dot products, top-5
+    * per vector under the deterministic (dot desc, id) order, an edge
+    * kept only when BOTH endpoints rank each other — then the
+    * mutual-degree census. The subset bounds the pairwise stage
+    * (500² at sf0.1, the oracle pays the same matrix per the q181
+    * convention); the symmetrization and census are keyed joins.
+    */
+  private def qMutualKnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"),
+        expr("""transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))""")
+          .as("mv"))
+      .localCheckpoint()
+    val dots = v.select(col("vec_id").as("a"), col("mv").as("va"))
+      .crossJoin(v.select(col("vec_id").as("b"), col("mv").as("vb")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        expr("""aggregate(zip_with(va, vb, (x, y) -> x * y), 0L,
+               (acc, e) -> acc + e)""").as("dot"))
+    val knn = dots.withColumn("rn", row_number().over(
+        Window.partitionBy("a").orderBy(col("dot").desc, col("b"))))
+      .filter(col("rn") <= 5).select("a", "b")
+      .localCheckpoint()
+    val mutual = knn.join(
+        knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+      .filter(col("a") < col("b"))
+    val mdeg = mutual.select(col("a").as("v"))
+      .unionAll(mutual.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    v.select(col("vec_id").as("v")).join(mdeg, Seq("v"), "left")
+      .na.fill(0L, Seq("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("deg")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -9065,6 +9215,10 @@ object SparkEntry {
     "q375_zorder_locality" -> (qZorderLocality(_, _)),
     "q376_page_hinkley" -> (qPageHinkley(_, _)),
     "q377_power_analysis" -> (qPowerAnalysis(_, _)),
+    "q378_conformal_prediction" -> (qConformalPrediction(_, _)),
+    "q379_ips_estimator" -> (qIpsEstimator(_, _)),
+    "q380_mase_eval" -> (qMaseEval(_, _)),
+    "q381_mutual_knn" -> (qMutualKnn(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -15883,6 +16037,128 @@ object SparkEntry {
         |       ((2 * 7851204 * var_milli + 1000 * d_milli * d_milli - 1)
         |         // (1000 * d_milli * d_milli))::BIGINT AS n_req
         |FROM x ORDER BY 1""".stripMargin,
+
+    // q378: calibration median + ⌈0.9(n+1)⌉-th score from histograms,
+    // holdout coverage in micros
+    "q378_conformal_prediction" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, CAST(round(value) AS BIGINT) AS v,
+        |         CASE WHEN user_id % 5 < 4 THEN 1 ELSE 0 END AS cal
+        |  FROM events),
+        |cale AS MATERIALIZED (SELECT * FROM e WHERE cal = 1),
+        |hist AS (
+        |  SELECT event_type, v AS val, COUNT(*)::BIGINT AS nv,
+        |         COALESCE(SUM(COUNT(*)) OVER (PARTITION BY event_type
+        |           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND 1 PRECEDING), 0)::BIGINT AS cumb
+        |  FROM cale GROUP BY 1, 2),
+        |ng AS (SELECT event_type, COUNT(*)::BIGINT AS n_tot
+        |       FROM cale GROUP BY 1),
+        |med AS MATERIALIZED (
+        |  SELECT h.event_type, h.val AS med, ng.n_tot
+        |  FROM hist h JOIN ng ON h.event_type = ng.event_type
+        |  WHERE h.cumb < (ng.n_tot + 1) // 2
+        |    AND (ng.n_tot + 1) // 2 <= h.cumb + h.nv),
+        |sc AS (
+        |  SELECT c.event_type, abs(c.v - m.med) AS sc, m.n_tot
+        |  FROM cale c JOIN med m ON c.event_type = m.event_type),
+        |sh AS (
+        |  SELECT event_type, sc, MAX(n_tot) AS n_cal,
+        |         SUM(COUNT(*)) OVER (PARTITION BY event_type
+        |           ORDER BY sc) AS cum
+        |  FROM sc GROUP BY 1, 2),
+        |qh AS MATERIALIZED (
+        |  SELECT event_type, MIN(sc) AS qhat, MAX(n_cal) AS n_cal
+        |  FROM sh
+        |  WHERE cum >= least((9 * (n_cal + 1) + 9) // 10, n_cal)
+        |  GROUP BY 1),
+        |hold AS (
+        |  SELECT e.event_type, MAX(q.n_cal)::BIGINT AS n_cal,
+        |         MAX(m.med)::BIGINT AS med, MAX(q.qhat)::BIGINT AS qhat,
+        |         COUNT(*)::BIGINT AS n_hold,
+        |         SUM(CASE WHEN abs(e.v - m.med) <= q.qhat
+        |             THEN 1 ELSE 0 END)::BIGINT AS n_in
+        |  FROM e
+        |  JOIN med m ON e.event_type = m.event_type
+        |  JOIN qh q ON e.event_type = q.event_type
+        |  WHERE e.cal = 0 GROUP BY 1)
+        |SELECT event_type, n_cal, med, qhat, n_hold, n_in,
+        |       ((1000000 * n_in) // n_hold)::BIGINT AS cover_micro
+        |FROM hold ORDER BY 1""".stripMargin,
+
+    // q379: same md5 arm; ŵ = min(1/p̂₁, 5) in micros
+    "q379_ips_estimator" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value) AS BIGINT) AS r,
+        |         ('0x' || substr(md5('arm:' || event_id::VARCHAR), 1, 15))::BIGINT
+        |           % 2 AS arm
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n, SUM(arm)::BIGINT AS n1,
+        |         SUM(r * arm)::BIGINT AS s1, SUM(r)::BIGINT AS s_all
+        |  FROM e GROUP BY 1),
+        |x AS (
+        |  SELECT event_type, n, n1, s1, s_all,
+        |         ((1000000 * n1) // n)::BIGINT AS p1_micro
+        |  FROM g)
+        |SELECT event_type, n, n1, p1_micro,
+        |       CAST(least(1000000000000 // p1_micro, 5000000) AS BIGINT)
+        |         AS w_micro,
+        |       ((least(1000000000000 // p1_micro, 5000000) * s1) // n)::BIGINT
+        |         AS ips_micro,
+        |       ((1000000 * s_all) // n)::BIGINT AS naive_micro
+        |FROM x ORDER BY 1""".stripMargin,
+
+    // q380: 7-observation seasonal naive vs 1-step naive, t ≥ 8
+    "q380_mase_eval" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (
+        |  SELECT event_type, x,
+        |         row_number() OVER w AS t,
+        |         lag(x, 1) OVER w AS l1,
+        |         lag(x, 7) OVER w AS l7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d))
+        |SELECT event_type, COUNT(*)::BIGINT AS n_eval,
+        |       SUM(abs(x - l7))::BIGINT AS sae7,
+        |       SUM(abs(x - l1))::BIGINT AS sae1,
+        |       ((1000000 * SUM(abs(x - l7)))
+        |         // greatest(SUM(abs(x - l1)), 1))::BIGINT AS mase_micro
+        |FROM lg WHERE t >= 8 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q381: exact milli dot matrix on the ¼ subset (oracle pays the
+    // same matrix), deterministic top-5, mutual symmetrization
+    "q381_mutual_knn" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |           CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS mv
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |comp AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b, a.mv[i] * b.mv[i] AS p
+        |  FROM v a, v b, generate_series(1, 128) t(i)
+        |  WHERE a.vec_id <> b.vec_id AND i <= len(a.mv)),
+        |d AS MATERIALIZED (
+        |  SELECT a, b, SUM(p)::BIGINT AS dot FROM comp GROUP BY 1, 2),
+        |knn AS MATERIALIZED (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, row_number() OVER (PARTITION BY a
+        |      ORDER BY dot DESC, b) AS rn FROM d)
+        |  WHERE rn <= 5),
+        |mutual AS (
+        |  SELECT k1.a, k1.b FROM knn k1
+        |  JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a
+        |  WHERE k1.a < k1.b),
+        |mdeg AS (
+        |  SELECT v2.v, COUNT(m.v) AS deg FROM
+        |    (SELECT vec_id AS v FROM v) v2
+        |  LEFT JOIN (SELECT a AS v FROM mutual
+        |             UNION ALL SELECT b AS v FROM mutual) m
+        |    ON v2.v = m.v
+        |  GROUP BY 1)
+        |SELECT deg::BIGINT AS deg, COUNT(*)::BIGINT AS n_vecs
+        |FROM mdeg GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
