@@ -8836,6 +8836,136 @@ object SparkEntry {
       .orderBy("deg")
   }
 
+  /** Bag-semantics set operations — EXCEPT ALL / INTERSECT ALL — on
+    * the (event_type, value-bucket) multiset of the month's first vs
+    * second half: multiset difference keeps max(m−n, 0) copies and
+    * intersection min(m, n), which DISTINCT-based set ops silently
+    * collapse. Spark's exceptAll/intersectAll against DuckDB's
+    * EXCEPT ALL/INTERSECT ALL, both then collapsed to per-row counts
+    * so the gate pins multiplicities, not just membership.
+    */
+  private def qBagOps(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(round(value) AS BIGINT) DIV 50").as("b"),
+      expr("dayofmonth(ts) <= 15").as("h1"))
+    val a = e.filter(col("h1")).select("event_type", "b")
+    val b = e.filter(!col("h1")).select("event_type", "b")
+    val ex = a.exceptAll(b).groupBy("event_type", "b")
+      .agg(count(lit(1)).as("n_except"))
+    val in = a.intersectAll(b).groupBy("event_type", "b")
+      .agg(count(lit(1)).as("n_intersect"))
+    ex.join(in, Seq("event_type", "b"), "full_outer")
+      .na.fill(0L, Seq("n_except", "n_intersect"))
+      .orderBy("event_type", "b")
+  }
+
+  /** Successive halving (Jamieson–Talwalkar 2016): 8 md5-hashed arms
+    * race on geometrically growing data budgets — ⅛ of events ranks
+    * all 8, the top 4 advance to ¼, the top 2 to ½, one champion
+    * remains — rank = (mean reward micro desc, arm asc), every
+    * elimination deterministic. The hyperparameter-tournament
+    * scheduler as three keyed aggs + three bounded windows; budget
+    * slices are id-hash prefixes so every engine sees the same data.
+    */
+  private def qSuccessiveHalving(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(
+      expr("CAST(round(value) AS BIGINT)").as("r"),
+      expr("conv(substring(md5(concat('sh:', event_id)), 1, 15), 16, 10) % 8")
+        .cast("long").as("arm"),
+      expr("event_id % 16").as("slice"))
+    def round(src: DataFrame, sliceLt: Int, rnd: Int, keep: Int): DataFrame =
+      src.filter(col("slice") < sliceLt)
+        .groupBy("arm").agg(count(lit(1)).as("n"), sum(col("r")).as("s"))
+        .withColumn("mean_micro", expr("(1000000 * s) DIV n"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("mean_micro").desc, col("arm"))))
+        .select(lit(rnd.toLong).as("round"), col("arm"), col("n"),
+          col("mean_micro"), col("rank").cast("long").as("rank"),
+          (col("rank") <= keep).cast("long").as("kept"))
+    val r1 = round(e, 2, 1, 4).localCheckpoint()
+    val s1 = r1.filter(col("kept") === 1L).select(col("arm"))
+    val r2 = round(e.join(s1, Seq("arm")), 4, 2, 2).localCheckpoint()
+    val s2 = r2.filter(col("kept") === 1L).select(col("arm"))
+    val r3 = round(e.join(s2, Seq("arm")), 8, 3, 1)
+    r1.unionByName(r2).unionByName(r3).orderBy("round", "rank")
+  }
+
+  /** Binary-segmentation changepoint (Scott–Knott / Vostrikova 1981,
+    * first split): over each type's daily count series, the split t
+    * maximizing the between-segment sum of squares
+    * S_t²/t + (S−S_t)²/(n−t) − S²/n, all terms exact-integer scaled
+    * to millis from one prefix-sum window, argmax under (score desc,
+    * t asc). The retrospective complement of q376's sequential
+    * Page–Hinkley.
+    */
+  private def qBinarySegmentation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("CAST(to_date(ts) AS DATE)").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("t", row_number().over(w))
+      .withColumn("st", sum(col("x")).over(w))
+    val tot = daily.groupBy("event_type")
+      .agg(max(col("t")).cast("long").as("n"), max(col("st")).as("s"))
+    daily.join(broadcast(tot), Seq("event_type"))
+      .filter(col("t") < col("n"))
+      .withColumn("score_milli", expr(
+        """(st * st * 1000) DIV t + ((s - st) * (s - st) * 1000) DIV (n - t)
+          | - (s * s * 1000) DIV n""".stripMargin.replace("\n", " ")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("score_milli").desc, col("t"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("t").cast("long").as("split_t"),
+        date_format(col("d"), "yyyy-MM-dd").as("split_date"),
+        col("score_milli"))
+      .orderBy("event_type")
+  }
+
+  /** Friedman test (1937) — the BLOCKED rank test q359's
+    * Kruskal–Wallis cannot replace: users are blocks, event types
+    * treatments; each complete block (user active in all 5 types)
+    * ranks the types by per-user mean value in millis with
+    * tie-averaged DOUBLED ranks from the bounded 5×5 within-block
+    * self-join; χ²_F = 3·Σ R2_j²/(n·k(k+1)) − 3n(k+1) in millis.
+    */
+  private def qFriedmanTest(s: SparkSession, dir: String): DataFrame = {
+    val um = Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(expr("(1000 * sum(CAST(round(value) AS BIGINT))) DIV count(1)")
+        .as("m"))
+    // k carried as a broadcast one-row agg, not an eager driver
+    // count() baked into the plan (the qInfoGain advice pattern)
+    val kdf = um.agg(countDistinct(col("event_type")).as("kk"))
+    val complete = um.groupBy("user_id").agg(count(lit(1)).as("nt"))
+      .crossJoin(broadcast(kdf))
+      .filter(col("nt") === col("kk")).select("user_id")
+    val blocks = um.join(broadcast(complete), Seq("user_id"))
+      .localCheckpoint()
+    val r2 = blocks.as("x").join(
+        blocks.select(col("user_id"), col("m").as("m2")).as("y"),
+        Seq("user_id"))
+      .groupBy(col("user_id"), col("event_type"), col("m"))
+      .agg(sum(when(col("m2") < col("m"), 2L).otherwise(0L)).as("lt2"),
+        sum(when(col("m2") === col("m"), 1L).otherwise(0L)).as("eqn"))
+      .withColumn("r2", expr("lt2 + eqn + 1"))
+    val byType = r2.groupBy("event_type")
+      .agg(sum(col("r2")).as("r2_sum"), count(lit(1)).as("n_blocks"))
+    val glob = byType.agg(
+        sum(expr("r2_sum * r2_sum")).as("sr2"),
+        max(col("n_blocks")).as("n"), count(lit(1)).as("kk"))
+      .withColumn("chi_milli", expr(
+        "(3000 * sr2) DIV (n * kk * (kk + 1)) - 3000 * n * (kk + 1)"))
+      .select("n", "kk", "chi_milli")
+    byType.crossJoin(broadcast(glob))
+      .select(col("event_type"), col("r2_sum"), col("n_blocks"),
+        col("n"), col("kk"), col("chi_milli"))
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -9219,6 +9349,10 @@ object SparkEntry {
     "q379_ips_estimator" -> (qIpsEstimator(_, _)),
     "q380_mase_eval" -> (qMaseEval(_, _)),
     "q381_mutual_knn" -> (qMutualKnn(_, _)),
+    "q382_bag_ops" -> (qBagOps(_, _)),
+    "q383_successive_halving" -> (qSuccessiveHalving(_, _)),
+    "q384_binary_segmentation" -> (qBinarySegmentation(_, _)),
+    "q385_friedman_test" -> (qFriedmanTest(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -16159,6 +16293,121 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT deg::BIGINT AS deg, COUNT(*)::BIGINT AS n_vecs
         |FROM mdeg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q382: true multiset difference/intersection, then per-row counts
+    "q382_bag_ops" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value) AS BIGINT) // 50 AS b,
+        |         day(ts) <= 15 AS h1
+        |  FROM events),
+        |a AS (SELECT event_type, b FROM e WHERE h1),
+        |bb AS (SELECT event_type, b FROM e WHERE NOT h1),
+        |ex AS (
+        |  SELECT event_type, b, COUNT(*)::BIGINT AS n_except
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM bb) GROUP BY 1, 2),
+        |inx AS (
+        |  SELECT event_type, b, COUNT(*)::BIGINT AS n_intersect
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM bb) GROUP BY 1, 2)
+        |SELECT COALESCE(ex.event_type, inx.event_type) AS event_type,
+        |       COALESCE(ex.b, inx.b) AS b,
+        |       COALESCE(n_except, 0)::BIGINT AS n_except,
+        |       COALESCE(n_intersect, 0)::BIGINT AS n_intersect
+        |FROM ex FULL OUTER JOIN inx
+        |  ON ex.event_type = inx.event_type AND ex.b = inx.b
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q383: three rounds on 1/8, 1/4, 1/2 id-hash slices; rank by
+    // (mean micro desc, arm); top 4 / 2 / 1 advance
+    "q383_successive_halving" -> {
+      def rnd(k: Int, sliceLt: Int, keep: Int, armFilter: String) =
+        s"""SELECT CAST($k AS BIGINT) AS round, arm, n, mean_micro,
+           |       rank, (rank <= $keep)::BIGINT AS kept
+           |FROM (
+           |  SELECT arm, COUNT(*)::BIGINT AS n,
+           |         ((1000000 * SUM(r)) // COUNT(*))::BIGINT AS mean_micro,
+           |         CAST(row_number() OVER (
+           |           ORDER BY (1000000 * SUM(r)) // COUNT(*) DESC, arm)
+           |           AS BIGINT) AS rank
+           |  FROM e WHERE slice < $sliceLt $armFilter
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT CAST(round(value) AS BIGINT) AS r,
+         |         ('0x' || substr(md5('sh:' || event_id::VARCHAR), 1, 15))::BIGINT
+         |           % 8 AS arm,
+         |         event_id % 16 AS slice
+         |  FROM events),
+         |r1 AS MATERIALIZED (${rnd(1, 2, 4, "")}),
+         |r2 AS MATERIALIZED (${rnd(2, 4, 2,
+            "AND arm IN (SELECT arm FROM r1 WHERE kept = 1)")}),
+         |r3 AS (${rnd(3, 8, 1,
+            "AND arm IN (SELECT arm FROM r2 WHERE kept = 1)")})
+         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+         |SELECT * FROM r3 ORDER BY round, rank""".stripMargin
+    },
+
+    // q384: argmax over split positions of the prefix-sum SSB, ties
+    // to the earliest t
+    "q384_binary_segmentation" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT event_type, d, x,
+        |         row_number() OVER w AS t,
+        |         SUM(x) OVER w AS st
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |tot AS (
+        |  SELECT event_type, MAX(t)::BIGINT AS n, MAX(st)::BIGINT AS s
+        |  FROM pre GROUP BY 1),
+        |scored AS (
+        |  SELECT p.event_type, p.d, p.t, tt.n,
+        |         (p.st * p.st * 1000) // p.t
+        |           + ((tt.s - p.st) * (tt.s - p.st) * 1000) // (tt.n - p.t)
+        |           - (tt.s * tt.s * 1000) // tt.n AS score_milli
+        |  FROM pre p JOIN tot tt ON p.event_type = tt.event_type
+        |  WHERE p.t < tt.n),
+        |best AS (
+        |  SELECT event_type, n, t, d, score_milli,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY score_milli DESC, t) AS rk
+        |  FROM scored)
+        |SELECT event_type, n AS n_days, t::BIGINT AS split_t,
+        |       strftime(d, '%Y-%m-%d') AS split_date,
+        |       score_milli::BIGINT AS score_milli
+        |FROM best WHERE rk = 1 ORDER BY 1""".stripMargin,
+
+    // q385: complete blocks, 5×5 within-block tie-averaged doubled
+    // ranks, χ²_F in millis
+    "q385_friedman_test" ->
+      """WITH um AS (
+        |  SELECT user_id, event_type,
+        |         ((1000 * SUM(CAST(round(value) AS BIGINT))) // COUNT(*))
+        |           ::BIGINT AS m
+        |  FROM events GROUP BY 1, 2),
+        |kd AS (SELECT COUNT(DISTINCT event_type)::BIGINT AS kk FROM um),
+        |complete AS (
+        |  SELECT user_id FROM um, kd GROUP BY 1, kd.kk
+        |  HAVING COUNT(*) = kd.kk),
+        |blocks AS MATERIALIZED (
+        |  SELECT u.* FROM um u JOIN complete c ON u.user_id = c.user_id),
+        |r2 AS (
+        |  SELECT x.user_id, x.event_type,
+        |         SUM(CASE WHEN y.m < x.m THEN 2 ELSE 0 END)
+        |           + SUM(CASE WHEN y.m = x.m THEN 1 ELSE 0 END) + 1 AS r2
+        |  FROM blocks x JOIN blocks y ON x.user_id = y.user_id
+        |  GROUP BY 1, 2, x.m),
+        |bt AS (
+        |  SELECT event_type, SUM(r2)::BIGINT AS r2_sum,
+        |         COUNT(*)::BIGINT AS n_blocks
+        |  FROM r2 GROUP BY 1),
+        |gl AS (
+        |  SELECT SUM(r2_sum * r2_sum)::BIGINT AS sr2,
+        |         MAX(n_blocks)::BIGINT AS n, COUNT(*)::BIGINT AS kk
+        |  FROM bt)
+        |SELECT bt.event_type, bt.r2_sum, bt.n_blocks, gl.n, gl.kk,
+        |       ((3000 * gl.sr2) // (gl.n * gl.kk * (gl.kk + 1))
+        |         - 3000 * gl.n * (gl.kk + 1))::BIGINT AS chi_milli
+        |FROM bt, gl ORDER BY 1""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
