@@ -8966,6 +8966,146 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Semantic-dedup operating-point sweep: the threshold-calibration
+    * table every embedding-dedup deployment needs before picking its
+    * cosine cutoff. On the ¼ subset, pair similarity is SIGNED squared
+    * cosine in micros — dot²·10⁶/(‖a‖²‖b‖²) via centi quantization and
+    * a ÷1000-rescaled denominator so the worst case stays in Long with
+    * no sqrt anywhere — and for each cos² threshold (0.5²…0.9²) the
+    * sweep reports pair count, duplicate-cluster count
+    * ([[graft.pipeline.Graph.connectedComponents]] per threshold), and
+    * docs swallowed. Monotone by construction; the oracle recomputes
+    * every point with recursive min-label CCs.
+    */
+  private def qThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"),
+        expr("""transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 100.0 + 0.5) AS BIGINT))""")
+          .as("cv"))
+      .withColumn("nrm", expr(
+        "aggregate(zip_with(cv, cv, (x, y) -> x * y), 0L, (acc, e) -> acc + e)"))
+      .localCheckpoint()
+    val pairs = v.select(col("vec_id").as("a"), col("cv").as("va"),
+        col("nrm").as("na"))
+      .crossJoin(v.select(col("vec_id").as("b"), col("cv").as("vb"),
+        col("nrm").as("nb")))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("""aggregate(zip_with(va, vb, (x, y) -> x * y), 0L,
+               (acc, e) -> acc + e)""").as("dot"),
+        col("na"), col("nb"))
+      .filter(col("dot") > 0L)
+      .withColumn("cos2_micro", expr(
+        "(dot * dot) DIV greatest((na DIV 1000) * (nb DIV 1000), 1L)"))
+      .localCheckpoint()
+    val thresholds = Seq(250000L, 360000L, 490000L, 640000L, 810000L)
+    thresholds.map { th =>
+      val p = pairs.filter(col("cos2_micro") >= th)
+      val cc = graft.pipeline.Graph.connectedComponents(
+        p.select(col("a").as("v")).unionAll(p.select(col("b").as("v")))
+          .distinct(), "v", p, "a", "b")
+      val cl = cc.groupBy("group_id").agg(count(lit(1)).as("sz"))
+        .filter(col("sz") >= 2L)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
+          coalesce(sum(col("sz")), lit(0L)).as("n_docs"))
+      p.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(cl)
+        .select(lit(th).as("threshold_micro"), col("n_pairs"),
+          col("n_clusters"), col("n_docs"))
+    }.reduce(_.unionByName(_)).orderBy("threshold_micro")
+  }
+
+  /** Heavy CHANGERS via paired Count–Min sketches (Cormode–Muthu 2005
+    * applied to change detection): the token frequency sketch of the
+    * even-doc half vs the odd-doc half (4 × 1024 md5 cells each, the
+    * q113 construction), every vocabulary token probed in both, and
+    * the largest |est₁ − est₂| surfaced next to the exact counts —
+    * the drift primitive that finds WHAT changed, where q376/q193
+    * only flag THAT something did. Sketches are mergeable partials;
+    * probes join on the cell key.
+    */
+  private def qHeavyChangers(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("half", expr("CAST(doc_id % 2 AS INT)"))
+    val rows = toks.crossJoin(broadcast(
+        s.range(0, 4).select(col("id").cast("int").as("r"))))
+      .withColumn("c",
+        expr("conv(substring(md5(concat(r, ':', tok)), 1, 15), 16, 10) % 1024"))
+    val sk = rows.groupBy("half", "r", "c").agg(count(lit(1)).as("cnt"))
+    val vocab = toks.groupBy("tok", "half").agg(count(lit(1)).as("exact"))
+      .groupBy("tok").agg(
+        sum(when(col("half") === 0, col("exact")).otherwise(0L)).as("exact0"),
+        sum(when(col("half") === 1, col("exact")).otherwise(0L)).as("exact1"))
+    val probes = vocab.select(col("tok"))
+      .crossJoin(broadcast(s.range(0, 4).select(col("id").cast("int").as("r"))))
+      .withColumn("c",
+        expr("conv(substring(md5(concat(r, ':', tok)), 1, 15), 16, 10) % 1024"))
+    val est = probes
+      .join(sk.filter(col("half") === 0)
+        .select(col("r"), col("c"), col("cnt").as("c0")), Seq("r", "c"), "left")
+      .join(sk.filter(col("half") === 1)
+        .select(col("r"), col("c"), col("cnt").as("c1")), Seq("r", "c"), "left")
+      .na.fill(0L, Seq("c0", "c1"))
+      .groupBy("tok").agg(min(col("c0")).as("est0"), min(col("c1")).as("est1"))
+    est.join(vocab, Seq("tok"))
+      .withColumn("delta", abs(col("est0") - col("est1")))
+      .orderBy(col("delta").desc, col("tok")).limit(20)
+      .select("tok", "est0", "est1", "delta", "exact0", "exact1")
+  }
+
+  /** RANK vs DENSE_RANK vs ROW_NUMBER tie semantics, pinned: per
+    * event type, users ranked by event count — RANK leaves gaps after
+    * ties, DENSE_RANK doesn't, ROW_NUMBER breaks them by the
+    * deterministic (n desc, user_id) order — and the gate keeps every
+    * row RANK admits into the top 3, so the tie-inclusion behaviour
+    * itself is what the hash compares.
+    */
+  private def qRankTies(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(s, dir).groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+    val wTie = Window.partitionBy("event_type").orderBy(col("n").desc)
+    val wRn = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("user_id"))
+    u.withColumn("rnk", rank().over(wTie).cast("long"))
+      .withColumn("drnk", dense_rank().over(wTie).cast("long"))
+      .withColumn("rn", row_number().over(wRn).cast("long"))
+      .filter(col("rnk") <= 3L)
+      .orderBy("event_type", "rn")
+  }
+
+  /** Histogram-intersection kernel (Swain–Ballard 1991) between every
+    * pair of sources' document-length distributions: K(a,b) =
+    * Σ_bucket min(p_a, p_b) with probabilities in integer micros over
+    * the shared 50-char bucket grid — the bounded-pair companion of
+    * q360's EMD (which measures distance to the pooled corpus, not
+    * pairwise affinity). 20 sources → 190 pairs, joined on the bucket
+    * key.
+    */
+  private def qHistIntersection(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("source"), expr("n_chars DIV 50").as("b"))
+    val srcN = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val grid = srcN.crossJoin(broadcast(
+        d.select(col("b")).distinct()))
+      .join(d.groupBy("source", "b").agg(count(lit(1)).as("c_sb")),
+        Seq("source", "b"), "left")
+      .na.fill(0L, Seq("c_sb"))
+      .withColumn("p_micro", expr("(1000000 * c_sb) DIV n_s"))
+      .select("source", "b", "p_micro")
+    grid.select(col("source").as("source_a"), col("b"),
+        col("p_micro").as("pa"))
+      .join(grid.select(col("source").as("source_b"), col("b"),
+        col("p_micro").as("pb")), Seq("b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(least(col("pa"), col("pb"))).as("hik_micro"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -9353,6 +9493,10 @@ object SparkEntry {
     "q383_successive_halving" -> (qSuccessiveHalving(_, _)),
     "q384_binary_segmentation" -> (qBinarySegmentation(_, _)),
     "q385_friedman_test" -> (qFriedmanTest(_, _)),
+    "q386_threshold_sweep" -> (qThresholdSweep(_, _)),
+    "q387_heavy_changers" -> (qHeavyChangers(_, _)),
+    "q388_rank_ties" -> (qRankTies(_, _)),
+    "q389_hist_intersection" -> (qHistIntersection(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -16408,6 +16552,127 @@ object SparkEntry {
         |       ((3000 * gl.sr2) // (gl.n * gl.kk * (gl.kk + 1))
         |         - 3000 * gl.n * (gl.kk + 1))::BIGINT AS chi_milli
         |FROM bt, gl ORDER BY 1""".stripMargin,
+
+    // q386: shared centi-dot base, then one recursive min-label CC
+    // per threshold — every sweep point recomputed independently
+    "q386_threshold_sweep" -> {
+      val pts = Seq(250000L, 360000L, 490000L, 640000L, 810000L)
+      val per = pts.zipWithIndex.map { case (th, i) =>
+        s"""e$i AS MATERIALIZED (
+           |  SELECT a AS src, b AS dst FROM pr WHERE cos2 >= $th
+           |  UNION SELECT b, a FROM pr WHERE cos2 >= $th),
+           |reach$i(v, lbl) AS (
+           |  SELECT src, src FROM e$i
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach$i r JOIN e$i e ON e.src = r.v),
+           |cc$i AS MATERIALIZED (
+           |  SELECT v, MIN(lbl) AS g FROM reach$i GROUP BY 1),
+           |cl$i AS (
+           |  SELECT COUNT(*)::BIGINT AS n_clusters,
+           |         COALESCE(SUM(sz), 0)::BIGINT AS n_docs
+           |  FROM (SELECT g, COUNT(*)::BIGINT AS sz FROM cc$i GROUP BY 1
+           |        HAVING COUNT(*) >= 2)),
+           |np$i AS (
+           |  SELECT COUNT(*)::BIGINT AS n_pairs FROM pr WHERE cos2 >= $th)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = pts.zipWithIndex.map { case (th, i) =>
+        s"""SELECT CAST($th AS BIGINT) AS threshold_micro, np$i.n_pairs,
+           |       cl$i.n_clusters, cl$i.n_docs FROM np$i, cl$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE v AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |           CAST(floor(CAST(x AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS cv
+         |  FROM embeddings WHERE vec_id % 4 = 0),
+         |comp AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b, a.cv[i] * b.cv[i] AS p
+         |  FROM v a, v b, generate_series(1, 128) t(i)
+         |  WHERE a.vec_id < b.vec_id AND i <= len(a.cv)),
+         |d AS MATERIALIZED (
+         |  SELECT a, b, SUM(p)::BIGINT AS dot FROM comp GROUP BY 1, 2),
+         |ncomp AS (
+         |  SELECT vec_id, cv[i] * cv[i] AS p
+         |  FROM v, generate_series(1, 128) t(i) WHERE i <= len(cv)),
+         |nr AS MATERIALIZED (
+         |  SELECT vec_id, SUM(p)::BIGINT AS nrm FROM ncomp GROUP BY 1),
+         |pr AS MATERIALIZED (
+         |  SELECT d.a, d.b,
+         |         (d.dot * d.dot)
+         |           // greatest((na.nrm // 1000) * (nb.nrm // 1000), 1) AS cos2
+         |  FROM d JOIN nr na ON na.vec_id = d.a
+         |  JOIN nr nb ON nb.vec_id = d.b
+         |  WHERE d.dot > 0),
+         |$per
+         |$rows
+         |ORDER BY threshold_micro""".stripMargin
+    },
+
+    // q387: two q113-style CMS sketches, vocabulary probes, top-20
+    // |est delta| with exact counts alongside
+    "q387_heavy_changers" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sk AS MATERIALIZED (
+        |  SELECT half, r,
+        |         ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 15))::BIGINT
+        |           % 1024 AS c,
+        |         COUNT(*)::BIGINT AS cnt
+        |  FROM toks, generate_series(0, 3) t(r) GROUP BY 1, 2, 3),
+        |vocab AS MATERIALIZED (
+        |  SELECT tok,
+        |         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS exact0,
+        |         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS exact1
+        |  FROM toks GROUP BY 1),
+        |probes AS (
+        |  SELECT v.tok, t.r,
+        |         ('0x' || substr(md5(t.r::VARCHAR || ':' || v.tok), 1, 15))::BIGINT
+        |           % 1024 AS c
+        |  FROM vocab v, generate_series(0, 3) t(r)),
+        |est AS (
+        |  SELECT p.tok, MIN(COALESCE(s0.cnt, 0))::BIGINT AS est0,
+        |         MIN(COALESCE(s1.cnt, 0))::BIGINT AS est1
+        |  FROM probes p
+        |  LEFT JOIN sk s0 ON s0.half = 0 AND s0.r = p.r AND s0.c = p.c
+        |  LEFT JOIN sk s1 ON s1.half = 1 AND s1.r = p.r AND s1.c = p.c
+        |  GROUP BY 1)
+        |SELECT e.tok, e.est0, e.est1,
+        |       abs(e.est0 - e.est1)::BIGINT AS delta, v.exact0, v.exact1
+        |FROM est e JOIN vocab v ON e.tok = v.tok
+        |ORDER BY delta DESC, e.tok LIMIT 20""".stripMargin,
+
+    // q388: RANK gaps / DENSE_RANK compaction / ROW_NUMBER total
+    // order, tie rows included via the RANK filter
+    "q388_rank_ties" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id, COUNT(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, n,
+        |         CAST(rank() OVER wt AS BIGINT) AS rnk,
+        |         CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY n DESC, user_id) AS BIGINT) AS rn
+        |  FROM u
+        |  WINDOW wt AS (PARTITION BY event_type ORDER BY n DESC))
+        |SELECT * FROM r WHERE rnk <= 3 ORDER BY event_type, rn""".stripMargin,
+
+    // q389: Σ min(p_a, p_b) micros over the shared bucket grid
+    "q389_hist_intersection" ->
+      """WITH d AS (SELECT source, n_chars // 50 AS b FROM documents),
+        |srcn AS (SELECT source, COUNT(*)::BIGINT AS n_s FROM d GROUP BY 1),
+        |bk AS (SELECT DISTINCT b FROM d),
+        |grid AS (
+        |  SELECT sn.source, bk.b,
+        |         (1000000 * COALESCE(sb.c_sb, 0)) // sn.n_s AS p_micro
+        |  FROM srcn sn CROSS JOIN bk
+        |  LEFT JOIN (SELECT source, b, COUNT(*)::BIGINT AS c_sb
+        |             FROM d GROUP BY 1, 2) sb
+        |    ON sb.source = sn.source AND sb.b = bk.b)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       SUM(least(a.p_micro, b.p_micro))::BIGINT AS hik_micro
+        |FROM grid a JOIN grid b ON a.b = b.b AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
