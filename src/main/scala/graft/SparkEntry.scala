@@ -9106,6 +9106,143 @@ object SparkEntry {
       .orderBy("source_a", "source_b")
   }
 
+  /** SAX symbolization (Lin–Keogh 2003): each type's daily-count
+    * series is PAA-compressed to weekly means in micros, the GLOBAL
+    * PAA histogram yields exact quartile breakpoints (cum ≥ ⌈kn/4⌉,
+    * never percentile_approx), and each week maps to a 4-letter
+    * alphabet — emitted per type as the 5-week SAX word plus its
+    * symbol census. The discretization that turns time series into
+    * joinable/groupable tokens at fleet scale.
+    */
+  private def qSaxPaa(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val paa = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("CAST(to_date(ts) AS DATE)").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("t", row_number().over(w))
+      .withColumn("w7", expr("(t - 1) DIV 7"))
+      .groupBy("event_type", "w7")
+      .agg(expr("(1000000 * sum(x)) DIV count(1)").as("paa_micro"))
+      .localCheckpoint()
+    val hist = paa.groupBy("paa_micro").agg(count(lit(1)).as("nv"))
+      .withColumn("cum", sum(col("nv")).over(
+        Window.orderBy("paa_micro")))
+    val n = paa.agg(count(lit(1)).as("n"))
+    val bks = hist.crossJoin(broadcast(n))
+      .select(col("paa_micro"), col("cum"), col("n"),
+        explode(array(lit(1), lit(2), lit(3))).as("q"))
+      .filter(col("cum") >= expr("(q * n + 3) DIV 4"))
+      .groupBy("q").agg(min(col("paa_micro")).as("bk"))
+    val brk = bks.groupBy().pivot("q", Seq(1, 2, 3)).agg(first(col("bk")))
+      .select(col("1").as("b1"), col("2").as("b2"), col("3").as("b3"))
+    val sym = paa.crossJoin(broadcast(brk))
+      .withColumn("sym", expr(
+        """CASE WHEN paa_micro < b1 THEN 0 WHEN paa_micro < b2 THEN 1
+          | WHEN paa_micro < b3 THEN 2 ELSE 3 END""".stripMargin
+          .replace("\n", " ")))
+    sym.groupBy("event_type").agg(
+        count(lit(1)).as("n_weeks"),
+        expr("""array_join(transform(array_sort(collect_list(
+               struct(w7, sym))), s -> CAST(s.sym AS STRING)), '')""")
+          .as("word"),
+        sum(when(col("sym") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("sym") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("sym") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("sym") === 3, 1L).otherwise(0L)).as("n3"))
+      .orderBy("event_type")
+  }
+
+  /** Bitemporal AS OF (Snodgrass 1992, the SQL:2011 two-axis form):
+    * lineitem rows carry a VALID interval [shipdate, receiptdate) and
+    * a TRANSACTION stamp (the order date — when the fact entered the
+    * system); a 3×3 broadcast grid of (valid-asof, tx-asof) probes
+    * answers "what did we believe at T about what was true at V" —
+    * the reproducibility query every point-in-time feature store
+    * must answer, beyond q215's single-axis as-of.
+    */
+  private def qBitemporalAsof(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").join(
+        Tables.load(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_shipdate").cast("date").as("v_from"),
+        // the fixture's lineitem carries no receiptdate; a 30-day
+        // transit window closes the valid interval deterministically
+        expr("date_add(CAST(l_shipdate AS DATE), 30)").as("v_to"),
+        col("o_orderdate").cast("date").as("tx"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+    val vt = Seq("1996-06-01", "1998-06-01", "2000-06-01")
+    val tt = Seq("1997-01-01", "1999-01-01", "2001-01-01")
+    val grid = vt.flatMap(v => tt.map(t => (v, t)))
+    val g = s.createDataFrame(grid).toDF("v_asof", "t_asof")
+      .select(col("v_asof").cast("date"), col("t_asof").cast("date"))
+    li.crossJoin(broadcast(g))
+      .filter(col("v_from") <= col("v_asof") && col("v_asof") < col("v_to")
+        && col("tx") <= col("t_asof"))
+      .groupBy("v_asof", "t_asof")
+      .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("sum_qty"))
+      .select(date_format(col("v_asof"), "yyyy-MM-dd").as("v_asof"),
+        date_format(col("t_asof"), "yyyy-MM-dd").as("t_asof"),
+        col("n_lines"), col("sum_qty"))
+      .orderBy("v_asof", "t_asof")
+  }
+
+  /** Largest-remainder apportionment (Hamilton 1792 / Hare quota):
+    * 1000 training-budget slots allocated to sources in proportion to
+    * document counts — floor shares first, then the leftover seats to
+    * the largest remainders (tie: source name) so the total is EXACTLY
+    * the budget. The deterministic integer answer to "mixture weights
+    * must sum to 1" that naive rounding gets wrong; one agg + one
+    * bounded window.
+    */
+  private def qLargestRemainder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.load(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("c"))
+    val base = c.crossJoin(broadcast(c.agg(sum(col("c")).as("n"))))
+      .withColumn("base", expr("(1000 * c) DIV n"))
+      .withColumn("rem", expr("1000 * c - base * n"))
+    val leftover = base.agg((lit(1000L) - sum(col("base"))).as("left"))
+    base.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("extra", when(col("rk") <= col("left"), 1L).otherwise(0L))
+      .withColumn("seats", col("base") + col("extra"))
+      .select("source", "c", "base", "extra", "seats")
+      .orderBy("source")
+  }
+
+  /** Trend-strength decomposition metric (Hyndman's F_T): per event
+    * type, the centred 7-day moving average is the trend, and
+    * F_T = 1 − SS(resid)/SS(series) on the common window — both sums
+    * of squares in the exact n·Σz² − (Σz)² integer form at milli
+    * scale. One number per series saying "is this a trend or noise",
+    * the audit beside q335's detrender.
+    */
+  private def qTrendStrength(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("CAST(to_date(ts) AS DATE)").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("t", row_number().over(w))
+      .withColumn("ma_sum", sum(col("x")).over(w.rowsBetween(-3, 3)))
+      .withColumn("ma_n", count(col("x")).over(w.rowsBetween(-3, 3)))
+    val n = daily.groupBy("event_type").agg(max(col("t")).cast("long").as("nd"))
+    daily.join(broadcast(n), Seq("event_type"))
+      .filter(col("t") >= 4 && col("t") <= col("nd") - 3)
+      .select(col("event_type"),
+        expr("1000 * x").as("z"),
+        expr("1000 * x - (1000 * ma_sum) DIV ma_n").as("r"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        expr("count(1) * sum(z * z) - sum(z) * sum(z)").as("sst"),
+        expr("count(1) * sum(r * r) - sum(r) * sum(r)").as("ssr"))
+      .withColumn("strength_micro",
+        expr("greatest(1000000 - (1000000 * ssr) DIV greatest(sst, 1L), 0L)"))
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -9497,6 +9634,10 @@ object SparkEntry {
     "q387_heavy_changers" -> (qHeavyChangers(_, _)),
     "q388_rank_ties" -> (qRankTies(_, _)),
     "q389_hist_intersection" -> (qHistIntersection(_, _)),
+    "q390_sax_paa" -> (qSaxPaa(_, _)),
+    "q391_bitemporal_asof" -> (qBitemporalAsof(_, _)),
+    "q392_largest_remainder" -> (qLargestRemainder(_, _)),
+    "q393_trend_strength" -> (qTrendStrength(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -16673,6 +16814,122 @@ object SparkEntry {
         |       SUM(least(a.p_micro, b.p_micro))::BIGINT AS hik_micro
         |FROM grid a JOIN grid b ON a.b = b.b AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q390: weekly PAA means, global histogram quartile breakpoints,
+    // per-type SAX word via ordered string_agg
+    "q390_sax_paa" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |tw AS (
+        |  SELECT event_type, x,
+        |         (row_number() OVER (PARTITION BY event_type ORDER BY d) - 1)
+        |           // 7 AS w7
+        |  FROM daily),
+        |paa AS MATERIALIZED (
+        |  SELECT event_type, w7,
+        |         ((1000000 * SUM(x)) // COUNT(*))::BIGINT AS paa_micro
+        |  FROM tw GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT paa_micro,
+        |         SUM(COUNT(*)) OVER (ORDER BY paa_micro) AS cum
+        |  FROM paa GROUP BY 1),
+        |nn AS (SELECT COUNT(*)::BIGINT AS n FROM paa),
+        |bks AS (
+        |  SELECT q, MIN(paa_micro) AS bk
+        |  FROM hist, nn, (SELECT unnest([1, 2, 3]) AS q) qs
+        |  WHERE cum >= (q * n + 3) // 4
+        |  GROUP BY 1),
+        |brk AS (
+        |  SELECT MAX(CASE WHEN q = 1 THEN bk END) AS b1,
+        |         MAX(CASE WHEN q = 2 THEN bk END) AS b2,
+        |         MAX(CASE WHEN q = 3 THEN bk END) AS b3
+        |  FROM bks),
+        |sym AS (
+        |  SELECT p.event_type, p.w7, p.paa_micro,
+        |         CASE WHEN p.paa_micro < b.b1 THEN 0
+        |              WHEN p.paa_micro < b.b2 THEN 1
+        |              WHEN p.paa_micro < b.b3 THEN 2 ELSE 3 END AS sym
+        |  FROM paa p, brk b)
+        |SELECT event_type, COUNT(*)::BIGINT AS n_weeks,
+        |       string_agg(sym::VARCHAR, '' ORDER BY w7) AS word,
+        |       SUM(CASE WHEN sym = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |       SUM(CASE WHEN sym = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |       SUM(CASE WHEN sym = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |       SUM(CASE WHEN sym = 3 THEN 1 ELSE 0 END)::BIGINT AS n3
+        |FROM sym GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q391: valid-interval containment × transaction cutoff over the
+    // 3×3 probe grid
+    "q391_bitemporal_asof" ->
+      """WITH li AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS v_from,
+        |         CAST(l_shipdate AS DATE) + 30 AS v_to,
+        |         CAST(o_orderdate AS DATE) AS tx,
+        |         CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (
+        |  SELECT CAST(v AS DATE) AS v_asof, CAST(t AS DATE) AS t_asof
+        |  FROM (SELECT unnest(['1996-06-01', '1998-06-01', '2000-06-01']) AS v) vv
+        |  CROSS JOIN
+        |       (SELECT unnest(['1997-01-01', '1999-01-01', '2001-01-01']) AS t) tt)
+        |SELECT strftime(g.v_asof, '%Y-%m-%d') AS v_asof,
+        |       strftime(g.t_asof, '%Y-%m-%d') AS t_asof,
+        |       COUNT(*)::BIGINT AS n_lines, SUM(li.qty)::BIGINT AS sum_qty
+        |FROM li CROSS JOIN g
+        |WHERE li.v_from <= g.v_asof AND g.v_asof < li.v_to
+        |  AND li.tx <= g.t_asof
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q392: floor shares + leftover seats to the largest remainders
+    "q392_largest_remainder" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*)::BIGINT AS c FROM documents GROUP BY 1),
+        |n AS (SELECT SUM(c)::BIGINT AS n FROM c),
+        |base AS (
+        |  SELECT c.source, c.c, (1000 * c.c) // n.n AS base,
+        |         1000 * c.c - ((1000 * c.c) // n.n) * n.n AS rem
+        |  FROM c, n),
+        |lo AS (SELECT 1000 - SUM(base)::BIGINT AS leftover FROM base),
+        |rk AS (
+        |  SELECT b.*, lo.leftover,
+        |         row_number() OVER (ORDER BY b.rem DESC, b.source) AS rk
+        |  FROM base b, lo)
+        |SELECT source, c, base::BIGINT AS base,
+        |       (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS extra,
+        |       (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+        |         AS seats
+        |FROM rk ORDER BY source""".stripMargin,
+
+    // q393: F_T = 1 − SS(resid)/SS(series) at milli scale on the
+    // full-window days
+    "q393_trend_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |ma AS (
+        |  SELECT event_type, x,
+        |         row_number() OVER w AS t,
+        |         SUM(x) OVER (PARTITION BY event_type ORDER BY d
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma_sum,
+        |         COUNT(x) OVER (PARTITION BY event_type ORDER BY d
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma_n
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |nn AS (SELECT event_type, MAX(t)::BIGINT AS nd FROM ma GROUP BY 1),
+        |z AS (
+        |  SELECT m.event_type, 1000 * m.x AS z,
+        |         1000 * m.x - (1000 * m.ma_sum) // m.ma_n AS r
+        |  FROM ma m JOIN nn ON m.event_type = nn.event_type
+        |  WHERE m.t >= 4 AND m.t <= nn.nd - 3),
+        |ss AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n_days,
+        |         (COUNT(*) * SUM(z * z) - SUM(z) * SUM(z))::BIGINT AS sst,
+        |         (COUNT(*) * SUM(r * r) - SUM(r) * SUM(r))::BIGINT AS ssr
+        |  FROM z GROUP BY 1)
+        |SELECT event_type, n_days, sst, ssr,
+        |       CAST(greatest(1000000 - (1000000 * ssr) // greatest(sst, 1), 0)
+        |         AS BIGINT) AS strength_micro
+        |FROM ss ORDER BY 1""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
