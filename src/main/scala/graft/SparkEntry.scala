@@ -9243,6 +9243,126 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** CDC changelog apply (the Debezium/ingestion primitive): events
+    * become an ordered changelog per user — signup/click/view/purchase
+    * upsert the row with the event's cents, `error` deletes it — and
+    * last-writer-wins under the total (ts, event_id) order yields the
+    * final state. The gate reports per user-decile: live rows, deleted
+    * rows, the surviving balance, and resurrections (deletes later
+    * overridden by an upsert) — the semantics a snapshot+changelog
+    * merge must reproduce exactly at any scale.
+    */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val log = Tables.events(s, dir).select(col("user_id"), col("ts"),
+      col("event_id"),
+      (col("event_type") === "error").as("is_del"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val last = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("is_del"),
+        when(col("is_del"), lit(0L)).otherwise(col("cents")).as("cents"))
+    // a resurrection: an error op with at least one later op for the
+    // same user — count via each delete's rank from the end
+    val resur = log.withColumn("rn", row_number().over(w))
+      .filter(col("is_del") && col("rn") > 1)
+      .groupBy("user_id").agg(count(lit(1)).as("n_resur"))
+    last.join(resur, Seq("user_id"), "left")
+      .na.fill(0L, Seq("n_resur"))
+      .groupBy(expr("user_id % 10").as("decile")).agg(
+        sum(when(!col("is_del"), 1L).otherwise(0L)).as("n_live"),
+        sum(when(col("is_del"), 1L).otherwise(0L)).as("n_deleted"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("n_resur")).as("n_resurrections"))
+      .orderBy("decile")
+  }
+
+  /** Join-key skew diagnostics — the report that decides WHERE q296's
+    * salting and AQE skew-join are worth their cost: for each lineitem
+    * join key, the row count, distinct-key count, the heaviest key and
+    * its frequency, and skew = max/mean in micros. Long format so a
+    * fleet-wide audit is one union of per-key aggs.
+    */
+  private def qSkewReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(s, dir, "lineitem")
+    def keyStats(c: String): DataFrame = {
+      val cnt = li.groupBy(col(c).as("k")).agg(count(lit(1)).as("n"))
+      cnt.withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("k"))))
+        .withColumn("n_rows", sum(col("n")).over(Window.partitionBy()))
+        .withColumn("n_distinct", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("rk") === 1)
+        .select(lit(c).as("key_col"), col("n_rows"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          col("k").as("top_key"), col("n").as("top_count"),
+          expr("(1000000 * n * n_distinct) DIV n_rows").as("skew_micro"))
+    }
+    keyStats("l_orderkey").unionByName(keyStats("l_partkey"))
+      .unionByName(keyStats("l_suppkey"))
+      .orderBy("key_col")
+  }
+
+  /** Preference-pair construction (the DPO/RLHF dataset primitive):
+    * within each source, documents are scored by an integer quality
+    * composite (stopword permille + length term), the argmax becomes
+    * `chosen` and the argmin `rejected` under deterministic (score,
+    * doc_id) orders, and the pair ships with its score margin — the
+    * mining step that turns a scored corpus into preference training
+    * rows, one bounded window per source.
+    */
+  private def qPreferencePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        expr("""(1000 * size(filter(split(text, ' '),
+               t -> t IN ('the', 'a', 'data', 'key', 'order'))))
+               DIV size(split(text, ' ')) + n_chars DIV 10""").as("score"))
+    val best = d.withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("doc_id").as("chosen_id"),
+        col("score").as("chosen_score"))
+    val worst = d.withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("score").asc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("doc_id").as("rejected_id"),
+        col("score").as("rejected_score"))
+    val n = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    best.join(worst, Seq("source")).join(n, Seq("source"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .orderBy("source")
+  }
+
+  /** Prefix-cache planning (the paged-KV / prompt-cache sizing
+    * question): documents sharing their first k tokens share k tokens
+    * of cache — for k ∈ {5, 10, 20}, group docs (with ≥ k tokens) by
+    * the md5 of the k-token prefix and report sharing groups, docs in
+    * them, and tokens saved = Σ(size−1)·k. One hash-groupBy per k over
+    * a map-only prefix projection.
+    */
+  private def qPrefixCache(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .localCheckpoint()
+    Seq(5, 10, 20).map { k =>
+      d.filter(expr(s"size(tok) >= $k"))
+        .select(expr(s"md5(array_join(slice(tok, 1, $k), ' '))").as("ph"))
+        .groupBy("ph").agg(count(lit(1)).as("sz"))
+        .filter(col("sz") >= 2L)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_groups"),
+          coalesce(sum(col("sz")), lit(0L)).as("n_docs_sharing"),
+          coalesce(sum((col("sz") - 1L) * lit(k.toLong)), lit(0L))
+            .as("tokens_saved"))
+        .select(lit(k.toLong).as("k"), col("n_groups"),
+          col("n_docs_sharing"), col("tokens_saved"))
+    }.reduce(_.unionByName(_)).orderBy("k")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -9638,6 +9758,10 @@ object SparkEntry {
     "q391_bitemporal_asof" -> (qBitemporalAsof(_, _)),
     "q392_largest_remainder" -> (qLargestRemainder(_, _)),
     "q393_trend_strength" -> (qTrendStrength(_, _)),
+    "q394_cdc_apply" -> (qCdcApply(_, _)),
+    "q395_skew_report" -> (qSkewReport(_, _)),
+    "q396_preference_pairs" -> (qPreferencePairs(_, _)),
+    "q397_prefix_cache" -> (qPrefixCache(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -16930,6 +17054,109 @@ object SparkEntry {
         |       CAST(greatest(1000000 - (1000000 * ssr) // greatest(sst, 1), 0)
         |         AS BIGINT) AS strength_micro
         |FROM ss ORDER BY 1""".stripMargin,
+
+    // q394: last-writer-wins under (ts, event_id); error deletes;
+    // resurrections = deletes with a later op
+    "q394_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, event_id, (event_type = 'error') AS is_del,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM log),
+        |lastrow AS (
+        |  SELECT user_id, is_del,
+        |         CASE WHEN is_del THEN 0 ELSE cents END AS cents
+        |  FROM r WHERE rn = 1),
+        |resur AS (
+        |  SELECT user_id, COUNT(*)::BIGINT AS n_resur
+        |  FROM r WHERE is_del AND rn > 1 GROUP BY 1)
+        |SELECT l.user_id % 10 AS decile,
+        |       SUM(CASE WHEN NOT l.is_del THEN 1 ELSE 0 END)::BIGINT AS n_live,
+        |       SUM(CASE WHEN l.is_del THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+        |       SUM(l.cents)::BIGINT AS sum_cents,
+        |       SUM(COALESCE(rs.n_resur, 0))::BIGINT AS n_resurrections
+        |FROM lastrow l LEFT JOIN resur rs ON l.user_id = rs.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q395: heaviest key per join column, skew = max/mean micros
+    "q395_skew_report" -> {
+      def col1(c: String) =
+        s"""(SELECT '$c' AS key_col,
+           |       (SELECT SUM(n)::BIGINT FROM c_$c) AS n_rows,
+           |       (SELECT COUNT(*)::BIGINT FROM c_$c) AS n_distinct,
+           |       k AS top_key, n AS top_count
+           |FROM c_$c ORDER BY n DESC, k LIMIT 1)""".stripMargin
+      s"""WITH c_l_orderkey AS (
+         |  SELECT l_orderkey AS k, COUNT(*)::BIGINT AS n
+         |  FROM lineitem GROUP BY 1),
+         |c_l_partkey AS (
+         |  SELECT l_partkey AS k, COUNT(*)::BIGINT AS n
+         |  FROM lineitem GROUP BY 1),
+         |c_l_suppkey AS (
+         |  SELECT l_suppkey AS k, COUNT(*)::BIGINT AS n
+         |  FROM lineitem GROUP BY 1),
+         |u AS (
+         |${col1("l_orderkey")}
+         |UNION ALL
+         |${col1("l_partkey")}
+         |UNION ALL
+         |${col1("l_suppkey")})
+         |SELECT key_col, n_rows, n_distinct, top_key, top_count,
+         |       ((1000000 * top_count * n_distinct) // n_rows)::BIGINT
+         |         AS skew_micro
+         |FROM u ORDER BY key_col""".stripMargin
+    },
+
+    // q396: argmax/argmin per source under deterministic orders
+    "q396_preference_pairs" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |         (1000 * len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the', 'a', 'data', 'key', 'order'))))
+        |           // len(string_split(text, ' ')) + n_chars // 10 AS score
+        |  FROM documents),
+        |best AS (
+        |  SELECT source, doc_id AS chosen_id, score AS chosen_score
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |          ORDER BY score DESC, doc_id) AS rk FROM d)
+        |  WHERE rk = 1),
+        |worst AS (
+        |  SELECT source, doc_id AS rejected_id, score AS rejected_score
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |          ORDER BY score ASC, doc_id) AS rk FROM d)
+        |  WHERE rk = 1),
+        |n AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM d GROUP BY 1)
+        |SELECT b.source, b.chosen_id, b.chosen_score::BIGINT AS chosen_score,
+        |       w.rejected_id, w.rejected_score::BIGINT AS rejected_score,
+        |       n.n_docs,
+        |       (b.chosen_score - w.rejected_score)::BIGINT AS margin
+        |FROM best b JOIN worst w ON b.source = w.source
+        |JOIN n ON b.source = n.source
+        |ORDER BY b.source""".stripMargin,
+
+    // q397: md5 of the k-token prefix; saved = Σ(size−1)·k
+    "q397_prefix_cache" -> {
+      def perK(k: Int) =
+        s"""SELECT CAST($k AS BIGINT) AS k, COUNT(*)::BIGINT AS n_groups,
+           |       COALESCE(SUM(sz), 0)::BIGINT AS n_docs_sharing,
+           |       COALESCE(SUM((sz - 1) * $k), 0)::BIGINT AS tokens_saved
+           |FROM (
+           |  SELECT md5(array_to_string(tok[1:$k], ' ')) AS ph,
+           |         COUNT(*)::BIGINT AS sz
+           |  FROM d WHERE len(tok) >= $k GROUP BY 1 HAVING COUNT(*) >= 2)"""
+          .stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+         |${perK(5)}
+         |UNION ALL
+         |${perK(10)}
+         |UNION ALL
+         |${perK(20)}
+         |ORDER BY k""".stripMargin
+    },
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
