@@ -9363,6 +9363,142 @@ object SparkEntry {
     }.reduce(_.unionByName(_)).orderBy("k")
   }
 
+  /** Association-rule mining at pair depth (Agrawal–Srikant 1994's
+    * A-priori output): baskets are the distinct brands per order
+    * (≤ 11 items), pair support from the bounded within-order
+    * self-join, confidence = supp(a→c)/supp(a) and
+    * lift = n·supp(ac)/(supp(a)·supp(c)) in exact integer micros,
+    * rules with support ≥ 20 orders in both directions. Contrast
+    * q153 (part-level items, float-rounded micros): brand baskets
+    * put every order in the dense-support regime — items recur
+    * across most baskets, support counts are ~1000×, and the
+    * confidence/lift chain stays in exact integer DIV, no floats.
+    * Candidate pairs only ever meet through the orderkey equi-join.
+    */
+  private def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val pt = Tables.load(s, dir, "part")
+    val baskets = li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+      .localCheckpoint()
+    val supp = baskets.groupBy("b").agg(count(lit(1)).as("supp"))
+    val n = baskets.agg(countDistinct(col("o")).as("n"))
+    val b2 = baskets.toDF("o", "b2")
+    baskets.join(b2, Seq("o")).filter(col("b") =!= col("b2"))
+      .groupBy(col("b").as("a"), col("b2").as("c"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= 20L)
+      .join(broadcast(supp.toDF("a", "supp_a")), Seq("a"))
+      .join(broadcast(supp.toDF("c", "supp_c")), Seq("c"))
+      .crossJoin(broadcast(n))
+      .select(col("a").as("antecedent"), col("c").as("consequent"),
+        col("supp_ab"),
+        expr("(1000000 * supp_ab) DIV supp_a").as("conf_micro"),
+        expr("(1000000 * n * supp_ab) DIV (supp_a * supp_c)")
+          .as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("antecedent"), col("consequent"))
+  }
+
+  /** Elias-gamma posting-list compression audit (Elias 1975, the
+    * gap-encoded inverted-index storage model): per term with
+    * df ≥ 25, doc-id gaps via lag (first posting stores doc_id+1),
+    * γ(gap) costs 2·⌊log₂ gap⌋ + 1 bits with the log read EXACTLY off
+    * `length(bin(gap))` — the integer bit-length both engines agree
+    * on, no floating log anywhere — against the 64-bit flat cost.
+    * The audit that sizes an index before anyone builds it.
+    */
+  private def qPostingCompression(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .withColumn("gap", when(col("prev").isNull, col("doc_id") + 1L)
+        .otherwise(col("doc_id") - col("prev")))
+      .withColumn("bits", expr("2 * (length(bin(gap)) - 1) + 1"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("bits")).cast("long").as("gamma_bits"))
+      .filter(col("df") >= 25L)
+      .withColumn("fixed_bits", col("df") * 64L)
+      .withColumn("ratio_micro", expr("(1000000 * gamma_bits) DIV fixed_bits"))
+      .orderBy("term")
+  }
+
+  /** BPE merge-rule LEARNING (Sennrich 2016 at the word level — the
+    * training step q303's WordPiece apply consumes): each doc's token
+    * sequence is '|'-edged with '||' joiners so the leftmost-
+    * non-overlap `replace` of '|x||y|' → '|x y|' performs one merge
+    * round exactly the way BPE does (consecutive pairs both merge,
+    * 'a a a' merges once); three rounds of count-adjacent-pairs →
+    * argmax (count desc, pair asc) → merge-everywhere, each argmax a
+    * 1-row broadcast, emit the learned merge table. The oracle
+    * re-runs the identical 3 unrolled rounds.
+    */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables.load(s, dir, "documents")
+      .select(concat(lit("|"),
+        expr("array_join(split(text, ' '), '||')"), lit("|")).as("s"))
+      .localCheckpoint()
+    def topPair(df: DataFrame): DataFrame = df
+      .select(expr("split(substring(s, 2, length(s) - 2), '\\\\|\\\\|')").as("a"))
+      .filter(expr("size(a) >= 2"))
+      .select(explode(expr(
+        "transform(sequence(1, size(a) - 1), i -> named_struct('x', a[i - 1], 'y', a[i]))"))
+        .as("st"))
+      .select(col("st.x").as("x"), col("st.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("x"), col("y")).limit(1)
+    def merge(df: DataFrame, top: DataFrame): DataFrame = df
+      .crossJoin(broadcast(top))
+      .select(expr(
+        "replace(s, concat('|', x, '||', y, '|'), concat('|', x, ' ', y, '|'))")
+        .as("s"))
+    val t1 = topPair(d0).localCheckpoint()
+    val d1 = merge(d0, t1)
+    val t2 = topPair(d1).localCheckpoint()
+    val d2 = merge(d1, t2)
+    val t3 = topPair(d2).localCheckpoint()
+    Seq((1, t1), (2, t2), (3, t3)).map { case (r, t) =>
+      t.select(lit(r.toLong).as("round"), col("x").as("merge_left"),
+        col("y").as("merge_right"), col("pair_count"))
+    }.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  /** Difference-in-differences estimator (Card–Krueger 1994 shape):
+    * md5-hashed users split treat/control, the month's halves are the
+    * periods, and per event type the 2×2 cell means in cents-micros
+    * give DiD = (ȳ_t2 − ȳ_t1) − (ȳ_c2 − ȳ_c1) — every mean an
+    * integer DIV of exact cents sums. The causal-readout companion
+    * of q343's CUPED and q373's SRM guard.
+    */
+  private def qDiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("conv(substring(md5(concat('did:', user_id)), 1, 15), 16, 10) % 2")
+          .cast("long").as("treat"),
+        expr("CASE WHEN dayofmonth(ts) <= 15 THEN 0L ELSE 1L END").as("period"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "treat", "period")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      .withColumn("mean_micro", expr("(10000 * sc) DIV n"))
+    val wide = cells.groupBy("event_type").agg(
+      max(when(col("treat") === 1L && col("period") === 0L,
+        col("mean_micro"))).as("t_pre"),
+      max(when(col("treat") === 1L && col("period") === 1L,
+        col("mean_micro"))).as("t_post"),
+      max(when(col("treat") === 0L && col("period") === 0L,
+        col("mean_micro"))).as("c_pre"),
+      max(when(col("treat") === 0L && col("period") === 1L,
+        col("mean_micro"))).as("c_post"),
+      sum(col("n")).as("n_events"))
+    wide.select(col("event_type"), col("t_pre"), col("t_post"),
+        col("c_pre"), col("c_post"), col("n_events"),
+        ((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+          .as("did_micro"))
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -9762,6 +9898,10 @@ object SparkEntry {
     "q395_skew_report" -> (qSkewReport(_, _)),
     "q396_preference_pairs" -> (qPreferencePairs(_, _)),
     "q397_prefix_cache" -> (qPrefixCache(_, _)),
+    "q398_assoc_rules" -> (qAssocRules(_, _)),
+    "q399_posting_compression" -> (qPostingCompression(_, _)),
+    "q400_bpe_merges" -> (qBpeMerges(_, _)),
+    "q401_diff_in_diff" -> (qDiffInDiff(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -17157,6 +17297,112 @@ object SparkEntry {
          |${perK(20)}
          |ORDER BY k""".stripMargin
     },
+
+    // q398: distinct-brand baskets; both rule directions; exact
+    // integer confidence/lift micros
+    "q398_assoc_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |supp AS (SELECT b, COUNT(*)::BIGINT AS supp FROM baskets GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT o)::BIGINT AS n FROM baskets),
+        |pairs AS (
+        |  SELECT x.b AS a, y.b AS c, COUNT(*)::BIGINT AS supp_ab
+        |  FROM baskets x JOIN baskets y ON x.o = y.o AND x.b <> y.b
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+        |SELECT p.a AS antecedent, p.c AS consequent, p.supp_ab,
+        |       ((1000000 * p.supp_ab) // sa.supp)::BIGINT AS conf_micro,
+        |       ((1000000 * n.n * p.supp_ab) // (sa.supp * sc.supp))::BIGINT
+        |         AS lift_micro
+        |FROM pairs p JOIN supp sa ON p.a = sa.b
+        |             JOIN supp sc ON p.c = sc.b, n
+        |ORDER BY lift_micro DESC, antecedent, consequent""".stripMargin,
+
+    // q399: gamma bits = 2·(bit-length − 1) + 1 via length(bin(gap)),
+    // exact in both engines
+    "q399_posting_compression" ->
+      """WITH post AS (
+        |  SELECT DISTINCT t AS term, doc_id
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)),
+        |gaps AS (
+        |  SELECT term,
+        |         COALESCE(doc_id - lag(doc_id) OVER w, doc_id + 1) AS gap
+        |  FROM post WINDOW w AS (PARTITION BY term ORDER BY doc_id)),
+        |agg AS (
+        |  SELECT term, COUNT(*)::BIGINT AS df,
+        |         SUM(2 * (length(bin(gap)) - 1) + 1)::BIGINT AS gamma_bits
+        |  FROM gaps GROUP BY 1 HAVING COUNT(*) >= 25)
+        |SELECT term, df, gamma_bits, (df * 64)::BIGINT AS fixed_bits,
+        |       ((1000000 * gamma_bits) // (df * 64))::BIGINT AS ratio_micro
+        |FROM agg ORDER BY term""".stripMargin,
+
+    // q400: 3 unrolled merge rounds; '|' edges + '||' joiners make
+    // the leftmost-non-overlap replace merge consecutive pairs the
+    // BPE way in both engines
+    "q400_bpe_merges" -> {
+      def round(k: Int) =
+        s"""a$k AS (
+           |  SELECT string_split(trim(s, '|'), '||') AS a FROM d$k),
+           |p$k AS (
+           |  SELECT a[i] AS x, a[i + 1] AS y
+           |  FROM a$k, generate_series(1, 200) t(i)
+           |  WHERE i + 1 <= len(a)),
+           |c$k AS (
+           |  SELECT x, y, COUNT(*)::BIGINT AS pair_count
+           |  FROM p$k GROUP BY 1, 2),
+           |t$k AS MATERIALIZED (
+           |  SELECT x, y, pair_count FROM c$k
+           |  ORDER BY pair_count DESC, x, y LIMIT 1),
+           |d${k + 1} AS MATERIALIZED (
+           |  SELECT replace(d$k.s, '|' || t$k.x || '||' || t$k.y || '|',
+           |                 '|' || t$k.x || ' ' || t$k.y || '|') AS s
+           |  FROM d$k, t$k)""".stripMargin
+      s"""WITH d0 AS MATERIALIZED (
+         |  SELECT '|' || array_to_string(string_split(text, ' '), '||') || '|'
+         |           AS s
+         |  FROM documents),
+         |${round(0)},
+         |${round(1)},
+         |${round(2)}
+         |SELECT 1::BIGINT AS round, x AS merge_left, y AS merge_right,
+         |       pair_count FROM t0
+         |UNION ALL
+         |SELECT 2::BIGINT, x, y, pair_count FROM t1
+         |UNION ALL
+         |SELECT 3::BIGINT, x, y, pair_count FROM t2
+         |ORDER BY round""".stripMargin
+    },
+
+    // q401: 2×2 cell means in cents·10⁴ micros; DiD over the wide row
+    "q401_diff_in_diff" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5('did:' || user_id::VARCHAR), 1, 15))
+        |           ::BIGINT % 2 AS treat,
+        |         CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS period,
+        |         COUNT(*)::BIGINT AS n,
+        |         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sc
+        |  FROM events GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT event_type, treat, period, n, (10000 * sc) // n AS mean_micro
+        |  FROM cells),
+        |wide AS (
+        |  SELECT event_type,
+        |         MAX(CASE WHEN treat = 1 AND period = 0 THEN mean_micro END)
+        |           AS t_pre,
+        |         MAX(CASE WHEN treat = 1 AND period = 1 THEN mean_micro END)
+        |           AS t_post,
+        |         MAX(CASE WHEN treat = 0 AND period = 0 THEN mean_micro END)
+        |           AS c_pre,
+        |         MAX(CASE WHEN treat = 0 AND period = 1 THEN mean_micro END)
+        |           AS c_post,
+        |         SUM(n)::BIGINT AS n_events
+        |  FROM m GROUP BY 1)
+        |SELECT event_type, t_pre::BIGINT AS t_pre, t_post::BIGINT AS t_post,
+        |       c_pre::BIGINT AS c_pre, c_post::BIGINT AS c_post, n_events,
+        |       ((t_post - t_pre) - (c_post - c_pre))::BIGINT AS did_micro
+        |FROM wide ORDER BY event_type""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
