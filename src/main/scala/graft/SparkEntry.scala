@@ -9499,6 +9499,145 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** k-truss peeling (Cohen 2008) on the co-purchase part graph
+    * (q152's edge set) at k = 4 for 3 bounded rounds
+    * ([[graft.pipeline.Graph.ktrussPeelRounds]]): per round, triangles
+    * via the degree-ordered wedge join, per-edge support by exploding
+    * each triangle into its three edges, keep support ≥ 2. The
+    * cohesive-subgraph extractor a notch stricter than q180's k-core
+    * (every surviving edge sits in ≥ k−2 triangles, not merely every
+    * vertex having degree ≥ k); same per-round census output shape.
+    */
+  private def qKtruss(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val po = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val e = po.join(po.withColumnsRenamed(Map("p" -> "q")), Seq("ok"))
+      .filter(col("p") < col("q")).select("p", "q").distinct()
+    graft.pipeline.Graph.ktrussPeelRounds(e, "p", "q", k = 4, rounds = 3)
+      .orderBy("round")
+  }
+
+  /** Benjamini–Hochberg step-up FDR control (Benjamini–Hochberg
+    * 1995) over per-term split-imbalance tests: for each term with
+    * df ≥ 25, the statistic is |2·df_even − df| (how unevenly the
+    * term lands on even vs odd doc ids), its empirical p-value is
+    * r/m where r = #{terms with stat ≥ this one} (computed from the
+    * stat histogram's descending cumulative — no per-row window), and
+    * BH rejects the largest prefix i of the p-ascending order with
+    * p_(i) ≤ α·i/m, i.e. the EXACT integer test 20·r ≤ i at α = 0.05.
+    * The multiple-testing guard every drift/QA dashboard needs once it
+    * tests thousands of terms at once. m is vocabulary-bounded
+    * (df ≥ 25), so the rank window rides a deliberately small input.
+    */
+  private def qBhFdr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"),
+        sum(when(col("doc_id") % 2 === 0L, 1L).otherwise(0L)).as("df_even"))
+      .filter(col("df") >= 25L)
+      .withColumn("stat", abs(col("df_even") * 2L - col("df")))
+      .localCheckpoint()
+    val byStat = per.groupBy("stat").agg(count(lit(1)).as("nv"))
+      .withColumn("r", sum(col("nv")).over(
+        Window.orderBy(col("stat").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("stat", "r")
+    val ranked = per.join(broadcast(byStat), Seq("stat"))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("m"))))
+      .withColumn("p_micro", expr("(1000000 * r) DIV m"))
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("stat").desc, col("term"))))
+      .localCheckpoint()
+    val kmax = ranked.agg(coalesce(max(when(col("r") * 20L <= col("i"),
+      col("i"))), lit(0L)).as("kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col("term"), col("df"), col("stat"), col("p_micro"),
+        col("i").cast("long").as("bh_rank"),
+        when(col("i") <= col("kmax"), 1L).otherwise(0L).as("rejected"))
+      .orderBy("term")
+  }
+
+  /** Delete-one-group jackknife (Quenouille 1956 / Tukey 1958) of the
+    * mean order value over the 25 customer nations: θ̂ = S DIV N cents,
+    * per-nation leave-one-out θ₋g = (S−s_g) DIV (N−n_g), pseudo-value
+    * G·θ̂ − (G−1)·θ₋g, and the jackknife variance
+    * (G−1)·Σ(θ₋g − θ̄)² DIV G — the resampling error bar that needs
+    * only ONE extra pass over 25 group partials, no re-aggregation
+    * per replicate (contrast q344's bootstrap, which pays per
+    * resample). All arithmetic exact cents-integers.
+    */
+  private def qJackknife(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val g = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("s_g"))
+      .localCheckpoint()
+    val tot = g.agg(sum(col("n_orders")).as("nn"), sum(col("s_g")).as("ss"),
+      count(lit(1)).as("gg"))
+    val loo = g.crossJoin(broadcast(tot))
+      .withColumn("theta_all_cents", expr("ss DIV nn"))
+      .withColumn("theta_loo_cents", expr("(ss - s_g) DIV (nn - n_orders)"))
+      .withColumn("pseudo_cents",
+        expr("gg * theta_all_cents - (gg - 1) * theta_loo_cents"))
+      .localCheckpoint()
+    val bar = loo.agg(expr("sum(theta_loo_cents) DIV any_value(gg)").as("tbar"))
+    val dev = loo.crossJoin(broadcast(bar))
+      .withColumn("d2",
+        expr("(theta_loo_cents - tbar) * (theta_loo_cents - tbar)"))
+      .localCheckpoint()
+    val vj = dev.agg(
+      expr("((any_value(gg) - 1) * sum(d2)) DIV any_value(gg)").as("var_jk"))
+    dev.crossJoin(broadcast(vj))
+      .select(col("n_name"), col("n_orders"), col("theta_all_cents"),
+        col("theta_loo_cents"), col("pseudo_cents"), col("var_jk"))
+      .orderBy("n_name")
+  }
+
+  /** Deterministic permutation test (Fisher 1935 exact-test logic,
+    * Monte-Carlo form) for a per-event-type mean difference: users
+    * collapse to one spend partial each (the ONLY full-data reduce);
+    * permutation p ∈ 0..20 reassigns each user to arm
+    * md5('pt'‖p‖':'‖user) mod 2 — p = 0 IS the observed split, 1..20
+    * the permuted replicates — and every arm mean is an exact
+    * (10⁶·Σcents) DIV users integer. p-value = (1+#{|Δ_p| ≥ |Δ_obs|})
+    * DIV 21 micros, the add-one estimator. The 21× fan-out multiplies
+    * user PARTIALS, not events — the shape that survives 100 TB.
+    */
+  private def qPermutationTest(s: SparkSession, dir: String): DataFrame = {
+    val up = Tables.events(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("uc"))
+      .localCheckpoint()
+    val diffs = up
+      .select(col("event_type"), col("user_id"), col("uc"),
+        explode(expr("sequence(0, 20)")).as("perm"))
+      .withColumn("grp",
+        expr("CAST(conv(substring(md5(concat('pt', perm, ':', user_id)), 1, 15), 16, 10) AS BIGINT) % 2"))
+      .groupBy("event_type", "perm", "grp")
+      .agg(count(lit(1)).as("nu"), sum(col("uc")).as("suc"))
+      .withColumn("mean_micro", expr("(1000000 * suc) DIV nu"))
+      .groupBy("event_type", "perm")
+      .agg((max(when(col("grp") === 1L, col("mean_micro"))) -
+        max(when(col("grp") === 0L, col("mean_micro")))).as("diff_micro"))
+    val obs = diffs.filter(col("perm") === 0L)
+      .select(col("event_type"), col("diff_micro").as("diff_obs_micro"))
+    diffs.filter(col("perm") >= 1L)
+      .join(broadcast(obs), Seq("event_type"))
+      .groupBy(col("event_type"), col("diff_obs_micro"))
+      .agg(sum(when(abs(col("diff_micro")) >= abs(col("diff_obs_micro")), 1L)
+        .otherwise(0L)).as("n_ge"))
+      .withColumn("p_micro", expr("(1000000 * (1 + n_ge)) DIV 21"))
+      .select("event_type", "diff_obs_micro", "n_ge", "p_micro")
+      .orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -9902,6 +10041,10 @@ object SparkEntry {
     "q399_posting_compression" -> (qPostingCompression(_, _)),
     "q400_bpe_merges" -> (qBpeMerges(_, _)),
     "q401_diff_in_diff" -> (qDiffInDiff(_, _)),
+    "q402_ktruss" -> (qKtruss(_, _)),
+    "q403_bh_fdr" -> (qBhFdr(_, _)),
+    "q404_jackknife" -> (qJackknife(_, _)),
+    "q405_permutation_test" -> (qPermutationTest(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -17403,6 +17546,139 @@ object SparkEntry {
         |       c_pre::BIGINT AS c_pre, c_post::BIGINT AS c_post, n_events,
         |       ((t_post - t_pre) - (c_post - c_pre))::BIGINT AS did_micro
         |FROM wide ORDER BY event_type""".stripMargin,
+
+    // q402: 3 unrolled peel rounds; triangle (x<y<z) = the 3-join on
+    // sorted edges; support = the 3-role union; keep support >= k-2
+    "q402_ktruss" -> {
+      def round(r: Int) =
+        s"""tri$r AS MATERIALIZED (
+           |  SELECT ab.u AS x, ab.v AS y, bc.v AS z
+           |  FROM e$r ab JOIN e$r bc ON bc.u = ab.v
+           |              JOIN e$r ac ON ac.u = ab.u AND ac.v = bc.v),
+           |supp$r AS (
+           |  SELECT u, v, COUNT(*)::BIGINT AS s FROM (
+           |    SELECT x AS u, y AS v FROM tri$r
+           |    UNION ALL SELECT x, z FROM tri$r
+           |    UNION ALL SELECT y, z FROM tri$r) GROUP BY 1, 2),
+           |e${r + 1} AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM e$r e
+           |  JOIN supp$r s ON s.u = e.u AND s.v = e.v
+           |  WHERE s.s >= 2)""".stripMargin
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         |${round(0)},
+         |${round(1)},
+         |${round(2)}
+         |SELECT 1::BIGINT AS round,
+         |  (SELECT COUNT(*) FROM tri0)::BIGINT AS triangles_found,
+         |  (SELECT COUNT(*) FROM e1)::BIGINT AS edges_remaining
+         |UNION ALL
+         |SELECT 2, (SELECT COUNT(*) FROM tri1), (SELECT COUNT(*) FROM e2)
+         |UNION ALL
+         |SELECT 3, (SELECT COUNT(*) FROM tri2), (SELECT COUNT(*) FROM e3)
+         |ORDER BY round""".stripMargin
+    },
+
+    // q403: r from the descending stat-histogram cumulative; the BH
+    // step-up is the exact integer test 20*r <= i at alpha = 0.05
+    "q403_bh_fdr" ->
+      """WITH per AS (
+        |  SELECT term, COUNT(*)::BIGINT AS df,
+        |         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |           AS df_even
+        |  FROM (SELECT DISTINCT doc_id,
+        |          unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1 HAVING COUNT(*) >= 25),
+        |st AS (
+        |  SELECT term, df, abs(2 * df_even - df)::BIGINT AS stat FROM per),
+        |hist AS (
+        |  SELECT stat, COUNT(*)::BIGINT AS nv FROM st GROUP BY 1),
+        |cum AS (
+        |  SELECT stat, SUM(nv) OVER (ORDER BY stat DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS r
+        |  FROM hist),
+        |ranked AS (
+        |  SELECT s.term, s.df, s.stat, c.r,
+        |         ((1000000 * c.r) // (SELECT COUNT(*) FROM st))::BIGINT
+        |           AS p_micro,
+        |         row_number() OVER (ORDER BY s.stat DESC, s.term)::BIGINT AS i
+        |  FROM st s JOIN cum c ON c.stat = s.stat),
+        |k AS (
+        |  SELECT COALESCE(MAX(CASE WHEN 20 * r <= i THEN i END), 0)::BIGINT
+        |    AS kmax FROM ranked)
+        |SELECT term, df, stat, p_micro, i AS bh_rank,
+        |       (CASE WHEN i <= k.kmax THEN 1 ELSE 0 END)::BIGINT AS rejected
+        |FROM ranked, k ORDER BY term""".stripMargin,
+
+    // q404: identical integer DIV chain over the 25 nation partials
+    "q404_jackknife" ->
+      """WITH g AS (
+        |  SELECT n.n_name, COUNT(*)::BIGINT AS n_orders,
+        |         SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |           ::BIGINT AS s_g
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |                JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT SUM(n_orders)::BIGINT AS nn, SUM(s_g)::BIGINT AS ss,
+        |         COUNT(*)::BIGINT AS gg FROM g),
+        |loo AS (
+        |  SELECT g.n_name, g.n_orders,
+        |         (t.ss // t.nn)::BIGINT AS theta_all_cents,
+        |         ((t.ss - g.s_g) // (t.nn - g.n_orders))::BIGINT
+        |           AS theta_loo_cents,
+        |         t.gg
+        |  FROM g, tot t),
+        |bar AS (
+        |  SELECT (SUM(theta_loo_cents) // ANY_VALUE(gg))::BIGINT AS tbar
+        |  FROM loo),
+        |dev AS (
+        |  SELECT l.*, (l.theta_loo_cents - b.tbar)
+        |    * (l.theta_loo_cents - b.tbar) AS d2
+        |  FROM loo l, bar b),
+        |vj AS (
+        |  SELECT (((ANY_VALUE(gg) - 1) * SUM(d2)) // ANY_VALUE(gg))::BIGINT
+        |    AS var_jk FROM dev)
+        |SELECT d.n_name, d.n_orders, d.theta_all_cents, d.theta_loo_cents,
+        |       (d.gg * d.theta_all_cents
+        |        - (d.gg - 1) * d.theta_loo_cents)::BIGINT AS pseudo_cents,
+        |       v.var_jk
+        |FROM dev d, vj v ORDER BY d.n_name""".stripMargin,
+
+    // q405: perm 0 is the observed split; md5-mod-2 arms; add-one
+    // Monte-Carlo p over the 20 replicates — all integer DIV
+    "q405_permutation_test" ->
+      """WITH up AS MATERIALIZED (
+        |  SELECT event_type, user_id,
+        |         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS uc
+        |  FROM events GROUP BY 1, 2),
+        |cell AS (
+        |  SELECT up.event_type, t.perm,
+        |         ('0x' || substr(md5('pt' || t.perm::VARCHAR || ':'
+        |            || up.user_id::VARCHAR), 1, 15))::BIGINT % 2 AS grp,
+        |         COUNT(*)::BIGINT AS nu, SUM(up.uc)::BIGINT AS suc
+        |  FROM up, generate_series(0, 20) t(perm)
+        |  GROUP BY 1, 2, 3),
+        |d AS (
+        |  SELECT event_type, perm,
+        |         (MAX(CASE WHEN grp = 1 THEN (1000000 * suc) // nu END)
+        |          - MAX(CASE WHEN grp = 0 THEN (1000000 * suc) // nu END))
+        |           ::BIGINT AS diff_micro
+        |  FROM cell GROUP BY 1, 2),
+        |obs AS (
+        |  SELECT event_type, diff_micro AS diff_obs_micro FROM d
+        |  WHERE perm = 0)
+        |SELECT o.event_type, o.diff_obs_micro,
+        |       SUM(CASE WHEN abs(d.diff_micro) >= abs(o.diff_obs_micro)
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_ge,
+        |       ((1000000 * (1 + SUM(CASE WHEN abs(d.diff_micro)
+        |           >= abs(o.diff_obs_micro) THEN 1 ELSE 0 END))) // 21)
+        |         ::BIGINT AS p_micro
+        |FROM d JOIN obs o ON d.event_type = o.event_type AND d.perm >= 1
+        |GROUP BY 1, 2 ORDER BY o.event_type""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
