@@ -9638,6 +9638,153 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Isotonic (PAV) calibration fit (Ayer et al. 1955; Zadrozny–Elkan
+    * 2002's calibration use) of mean spend against hour-of-day via the
+    * MINIMAX identity ŷᵢ = max_{j≤i} min_{k≥i} avg(y[j..k]) — with 24
+    * bins the interval lattice is 300 rows, so the pooled averages are
+    * enumerated outright instead of running the sequential
+    * pool-adjacent-violators loop (exactly equal by the classical
+    * minimax theorem for isotonic L2). Every interval average is one
+    * positive-operand (10⁶·Σcents) DIV n; the raw means stay alongside
+    * the fit so the gate shows WHERE pooling flattened violations.
+    * The hot path is the per-hour partial agg; the lattice is
+    * constant-size driver-free arithmetic after it.
+    */
+  private def qIsotonicFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = Tables.events(s, dir)
+      .select(hour(col("ts")).cast("long").as("h"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("h").agg(count(lit(1)).as("w"), sum(col("cents")).as("sy"))
+      .localCheckpoint()
+    val wh = Window.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins
+      .withColumn("cw", sum(col("w")).over(wh))
+      .withColumn("cs", sum(col("sy")).over(wh))
+      .localCheckpoint()
+    val iv = pre.select(col("h").as("j"), (col("cw") - col("w")).as("wj"),
+        (col("cs") - col("sy")).as("sj"))
+      .join(pre.select(col("h").as("k"), col("cw").as("wk"),
+        col("cs").as("sk")), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("(1000000 * (sk - sj)) DIV (wk - wj)").as("avg_micro"))
+    val fit = iv
+      .join(pre.select(col("h").as("i")), col("j") <= col("i") &&
+        col("i") <= col("k"))
+      .groupBy("i", "j").agg(min(col("avg_micro")).as("mn"))
+      .groupBy("i").agg(max(col("mn")).as("fit_micro"))
+    bins.select(col("h").as("i"), col("w").as("n_events"),
+        expr("(1000000 * sy) DIV w").as("raw_micro"))
+      .join(fit, Seq("i"))
+      .select(col("i").as("hour"), col("n_events"), col("raw_micro"),
+        col("fit_micro"))
+      .orderBy("hour")
+  }
+
+  /** Heaps-law vocabulary-growth curve (Heaps 1978): distinct types
+    * seen within the first N tokens of the corpus (doc_id reading
+    * order), at N ∈ {1000, 5000, 20000, 50000} clamped to the corpus.
+    * Global token positions come from the distributed exclusive
+    * prefix sum over per-doc token counts
+    * ([[graft.pipeline.Prefix.withPrefixSums]] — one range shuffle,
+    * never a single-task global sort), a term's first arrival is one
+    * min-agg, and each curve point is a broadcast-threshold count.
+    * The tokenizer-sizing curve: how fast does vocabulary keep
+    * growing as the corpus scales? Distinct from q90 (nucleus vocab =
+    * min types for p% mass) and q69 (static vocabulary census) —
+    * this one is about ORDER of arrival, not the frequency profile.
+    */
+  private def qHeapsCurve(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+    val off = graft.pipeline.Prefix.withPrefixSums(d, Seq("doc_id"),
+      Seq("n_tok"))
+    val first = off
+      .select(col("prefix_n_tok"), posexplode(col("toks")).as(Seq("p", "term")))
+      .select(col("term"), (col("prefix_n_tok") + col("p")).as("gidx"))
+      .groupBy("term").agg(min(col("gidx")).as("first_idx"))
+      .localCheckpoint()
+    val tot = d.agg(sum(col("n_tok")).as("total_tokens"))
+    val ns = s.createDataFrame(Seq(Tuple1(1000L), Tuple1(5000L),
+      Tuple1(20000L), Tuple1(50000L))).toDF("n_prefix")
+    first.crossJoin(broadcast(ns.crossJoin(tot)))
+      .filter(col("n_prefix") <= col("total_tokens"))
+      .groupBy("n_prefix")
+      .agg(sum(when(col("first_idx") < col("n_prefix"), 1L).otherwise(0L))
+        .as("n_types"))
+      .withColumn("ttr_micro", expr("(1000000 * n_types) DIV n_prefix"))
+      .orderBy("n_prefix")
+  }
+
+  /** Durbin–Watson serial-correlation screen (Durbin–Watson 1950) of
+    * the mean-centered daily volume series per event type:
+    * eₜ = n·yₜ − Σy (the constant-model residual scaled by n — the
+    * shared denominator cancels in the ratio, so the whole chain is
+    * exact BIGINT; the slope-residual variant would force 128-bit
+    * intermediates, and the q139 postmortem bans the float shortcut),
+    * DW = 10⁶·Σ(eₜ−eₜ₋₁)² DIV Σeₜ² over the day-ordered series.
+    * DW ≈ 2 (2·10⁶ micros) means no lag-1 autocorrelation; < 2 means
+    * positive tracking. Complements q*acf (which gates the ρ values
+    * themselves) with the classical regression-diagnostic form.
+    */
+  private def qDurbinWatson(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), dayofmonth(col("ts")).cast("long").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sy"))
+    val e = daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("e", col("n_days") * col("y") - col("sy"))
+      .withColumn("ep", lag(col("e"), 1).over(
+        Window.partitionBy("event_type").orderBy("d")))
+    e.groupBy("event_type").agg(
+        max(col("n_days")).as("n_days"),
+        sum(when(col("ep").isNotNull,
+          (col("e") - col("ep")) * (col("e") - col("ep")))
+          .otherwise(0L)).as("sdd"),
+        sum(col("e") * col("e")).as("see"))
+      .withColumn("dw_micro",
+        expr("CASE WHEN see > 0 THEN (1000000 * sdd) DIV see END"))
+      .orderBy("event_type")
+  }
+
+  /** Consistent-hash ring with virtual nodes (Karger et al. 1997 —
+    * the Dynamo/Cassandra placement scheme): 8 shards × 16 vnodes at
+    * md5 ring positions, each user key owned by the first vnode
+    * clockwise (min position ≥ key hash, wrapping to the global min).
+    * The vnode table is a 128-row broadcast, so assignment is a
+    * constant fan-out over key partials and two min-aggs — no shuffle
+    * keyed on the ring. Complements q364's rendezvous hashing (the
+    * OTHER standard sharding scheme: rendezvous recomputes per node,
+    * the ring pays one broadcast lookup and rebalances only arc
+    * neighbors on membership change). Output: keys per shard with
+    * keyspace share.
+    */
+  private def qHashRing(s: SparkSession, dir: String): DataFrame = {
+    val vn = s.range(8).select(col("id").as("shard"))
+      .withColumn("v", explode(expr("sequence(0, 15)")))
+      .withColumn("pos",
+        expr("CAST(conv(substring(md5(concat('vn:', shard, ':', v)), 1, 15), 16, 10) AS BIGINT)"))
+      .select("shard", "pos")
+    val keys = Tables.events(s, dir).select(col("user_id")).distinct()
+      .withColumn("kpos",
+        expr("CAST(conv(substring(md5(concat('key:', user_id)), 1, 15), 16, 10) AS BIGINT)"))
+    val asg = keys.crossJoin(broadcast(vn))
+      .groupBy("user_id", "kpos")
+      .agg(min(when(col("pos") >= col("kpos"), col("pos"))).as("nxt"),
+        min(col("pos")).as("mn"))
+      .withColumn("apos", coalesce(col("nxt"), col("mn")))
+    val perShard = asg.join(broadcast(vn), col("apos") === col("pos"))
+      .groupBy("shard").agg(count(lit(1)).as("n_keys"))
+    perShard.crossJoin(broadcast(perShard.agg(sum(col("n_keys")).as("tk"))))
+      .select(col("shard"), col("n_keys"),
+        expr("(1000000 * n_keys) DIV tk").as("share_micro"))
+      .orderBy("shard")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -10045,6 +10192,10 @@ object SparkEntry {
     "q403_bh_fdr" -> (qBhFdr(_, _)),
     "q404_jackknife" -> (qJackknife(_, _)),
     "q405_permutation_test" -> (qPermutationTest(_, _)),
+    "q406_isotonic_fit" -> (qIsotonicFit(_, _)),
+    "q407_heaps_curve" -> (qHeapsCurve(_, _)),
+    "q408_durbin_watson" -> (qDurbinWatson(_, _)),
+    "q409_hash_ring" -> (qHashRing(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -17679,6 +17830,122 @@ object SparkEntry {
         |         ::BIGINT AS p_micro
         |FROM d JOIN obs o ON d.event_type = o.event_type AND d.perm >= 1
         |GROUP BY 1, 2 ORDER BY o.event_type""".stripMargin,
+
+    // q406: the same minimax lattice — fit_i = max over j<=i of the
+    // min over k>=i of the floored interval mean
+    "q406_isotonic_fit" ->
+      """WITH bins AS (
+        |  SELECT hour(ts)::BIGINT AS h, COUNT(*)::BIGINT AS w,
+        |         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sy
+        |  FROM events GROUP BY 1),
+        |pre AS (
+        |  SELECT h, w, sy,
+        |         SUM(w) OVER (ORDER BY h)::BIGINT AS cw,
+        |         SUM(sy) OVER (ORDER BY h)::BIGINT AS cs
+        |  FROM bins),
+        |iv AS (
+        |  SELECT j.h AS j, k.h AS k,
+        |         ((1000000 * (k.cs - (j.cs - j.sy)))
+        |          // (k.cw - (j.cw - j.w)))::BIGINT AS avg_micro
+        |  FROM pre j JOIN pre k ON j.h <= k.h),
+        |mn AS (
+        |  SELECT p.h AS i, iv.j, MIN(iv.avg_micro) AS m
+        |  FROM iv JOIN pre p ON iv.j <= p.h AND p.h <= iv.k
+        |  GROUP BY 1, 2),
+        |fit AS (
+        |  SELECT i, MAX(m)::BIGINT AS fit_micro FROM mn GROUP BY 1)
+        |SELECT b.h AS hour, b.w AS n_events,
+        |       ((1000000 * b.sy) // b.w)::BIGINT AS raw_micro, f.fit_micro
+        |FROM bins b JOIN fit f ON f.i = b.h ORDER BY hour""".stripMargin,
+
+    // q407: identical global token indexing via the doc-ordered
+    // exclusive prefix sum; curve point = count(first_idx < N)
+    "q407_heaps_curve" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, toks,
+        |         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           ::BIGINT AS off
+        |  FROM d),
+        |pos AS (
+        |  SELECT toks[g.i] AS term, (off + g.i - 1)::BIGINT AS gidx
+        |  FROM off, generate_series(1, 200) g(i)
+        |  WHERE g.i <= len(toks)),
+        |first AS (
+        |  SELECT term, MIN(gidx) AS first_idx FROM pos GROUP BY 1),
+        |tot AS (SELECT SUM(n_tok)::BIGINT AS total_tokens FROM d),
+        |ns AS (
+        |  SELECT n_prefix FROM (VALUES (1000), (5000), (20000), (50000))
+        |    v(n_prefix)),
+        |pts AS (
+        |  SELECT ns.n_prefix::BIGINT AS n_prefix,
+        |         SUM(CASE WHEN f.first_idx < ns.n_prefix THEN 1 ELSE 0 END)
+        |           ::BIGINT AS n_types
+        |  FROM first f CROSS JOIN ns, tot
+        |  WHERE ns.n_prefix <= tot.total_tokens
+        |  GROUP BY 1)
+        |SELECT n_prefix, n_types,
+        |       ((1000000 * n_types) // n_prefix)::BIGINT AS ttr_micro
+        |FROM pts ORDER BY n_prefix""".stripMargin,
+
+    // q408: e_t = n*y_t - sum(y); the shared denominator cancels in
+    // the DW ratio so both engines stay in exact BIGINTs
+    "q408_durbin_watson" ->
+      """WITH daily AS (
+        |  SELECT event_type, day(ts)::BIGINT AS d, COUNT(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n_days,
+        |         SUM(y)::BIGINT AS sy
+        |  FROM daily GROUP BY 1),
+        |e AS (
+        |  SELECT daily.event_type, daily.d,
+        |         (tot.n_days * daily.y - tot.sy)::BIGINT AS e,
+        |         tot.n_days
+        |  FROM daily JOIN tot ON daily.event_type = tot.event_type),
+        |l AS (
+        |  SELECT event_type, n_days, e,
+        |         lag(e) OVER (PARTITION BY event_type ORDER BY d) AS ep
+        |  FROM e)
+        |SELECT event_type, MAX(n_days)::BIGINT AS n_days,
+        |       SUM(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
+        |                ELSE 0 END)::BIGINT AS sdd,
+        |       SUM(e * e)::BIGINT AS see,
+        |       (CASE WHEN SUM(e * e) > 0 THEN
+        |         (1000000 * SUM(CASE WHEN ep IS NOT NULL
+        |            THEN (e - ep) * (e - ep) ELSE 0 END)) // SUM(e * e)
+        |        END)::BIGINT AS dw_micro
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q409: same 128-vnode md5 ring; owner = min pos >= key hash,
+    // wrap to the global min
+    "q409_hash_ring" ->
+      """WITH vn AS (
+        |  SELECT s.s::BIGINT AS shard,
+        |         ('0x' || substr(md5('vn:' || s.s::VARCHAR || ':'
+        |            || v.v::VARCHAR), 1, 15))::BIGINT AS pos
+        |  FROM generate_series(0, 7) s(s), generate_series(0, 15) v(v)),
+        |keys AS (
+        |  SELECT DISTINCT user_id,
+        |         ('0x' || substr(md5('key:' || user_id::VARCHAR), 1, 15))
+        |           ::BIGINT AS kpos
+        |  FROM events),
+        |asg AS (
+        |  SELECT k.user_id,
+        |         COALESCE(MIN(CASE WHEN vn.pos >= k.kpos THEN vn.pos END),
+        |                  MIN(vn.pos)) AS apos
+        |  FROM keys k CROSS JOIN vn GROUP BY k.user_id, k.kpos),
+        |per AS (
+        |  SELECT vn.shard, COUNT(*)::BIGINT AS n_keys
+        |  FROM asg JOIN vn ON vn.pos = asg.apos GROUP BY 1)
+        |SELECT shard, n_keys,
+        |       ((1000000 * n_keys) // (SELECT SUM(n_keys) FROM per))::BIGINT
+        |         AS share_micro
+        |FROM per ORDER BY shard""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
