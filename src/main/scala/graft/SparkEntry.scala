@@ -9785,6 +9785,135 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** Ljung–Box portmanteau test (Ljung–Box 1978) for joint lag-1..3
+    * autocorrelation of the daily volume series per event type:
+    * residuals eₜ = n·yₜ − Σy (q408's scaled centering — the shared
+    * factor cancels in every ratio), rₖ = Σeₜeₜ₋ₖ / Σe², and
+    * Q = n(n+2)·Σₖ rₖ²/(n−k). All co-moment SUMS are exact BIGINTs
+    * (|e| ≤ n·max(y), far inside 2⁵³), so the final double chain is a
+    * handful of IEEE-correctly-rounded mul/divs shared verbatim with
+    * the oracle — no libm call anywhere (the q139 postmortem rule:
+    * ln/exp are per-build, +,×,÷,√ are not). The "is this metric
+    * serially dependent AT ALL" gate q408 (single-lag DW) and q170
+    * (per-lag ACF) both feed.
+    */
+  private def qLjungBox(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), dayofmonth(col("ts")).cast("long").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sy"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val e = daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("e", col("n_days") * col("y") - col("sy"))
+      .withColumn("e1", lag(col("e"), 1).over(w))
+      .withColumn("e2", lag(col("e"), 2).over(w))
+      .withColumn("e3", lag(col("e"), 3).over(w))
+    e.groupBy("event_type").agg(
+        max(col("n_days")).as("n"),
+        sum(col("e") * col("e")).as("see"),
+        sum(when(col("e1").isNotNull, col("e") * col("e1")).otherwise(0L)).as("s1"),
+        sum(when(col("e2").isNotNull, col("e") * col("e2")).otherwise(0L)).as("s2"),
+        sum(when(col("e3").isNotNull, col("e") * col("e3")).otherwise(0L)).as("s3"))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("CAST(floor(CAST(s1 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT)").as("r1_micro"),
+        expr("CAST(floor(CAST(s2 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT)").as("r2_micro"),
+        expr("CAST(floor(CAST(s3 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT)").as("r3_micro"),
+        expr("""CAST(floor(CAST(n AS DOUBLE) * (n + 2) * (
+                 (CAST(s1 AS DOUBLE) / see) * (CAST(s1 AS DOUBLE) / see) / (n - 1)
+               + (CAST(s2 AS DOUBLE) / see) * (CAST(s2 AS DOUBLE) / see) / (n - 2)
+               + (CAST(s3 AS DOUBLE) / see) * (CAST(s3 AS DOUBLE) / see) / (n - 3))
+               * 1000000.0 + 0.5) AS BIGINT)""").as("q_lb_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Mantel–Haenszel pooled odds ratio (Mantel–Haenszel 1959) across
+    * region strata: exposure = md5 split of the customer key, outcome
+    * = order value above 150 000.00, and the pooled estimate
+    * ÔR = Σᵢ aᵢdᵢ/nᵢ ÷ Σᵢ bᵢcᵢ/nᵢ with each stratum term quantized as
+    * one positive-operand (10⁶·a·d) DIV n — the stratified
+    * confounder-adjusted effect estimator (what a naive q398-style
+    * ratio gets WRONG when strata differ in both exposure and
+    * outcome, Simpson's q334 relative). Per-stratum cells stay in the
+    * output so the pooling is auditable.
+    */
+  private def qMantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    val cells = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name"),
+        expr("CAST(conv(substring(md5(concat('mh:', o_custkey)), 1, 15), 16, 10) AS BIGINT) % 2").as("x"),
+        expr("CASE WHEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 15000000 THEN 1L ELSE 0L END").as("hi"))
+      .groupBy("r_name").agg(
+        sum(when(col("x") === 1L && col("hi") === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("x") === 1L && col("hi") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(col("x") === 0L && col("hi") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(col("x") === 0L && col("hi") === 0L, 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("n"))
+      .withColumn("ad_term", expr("(1000000 * a * d) DIV n"))
+      .withColumn("bc_term", expr("(1000000 * b * c) DIV n"))
+      .localCheckpoint()
+    val pooled = cells.agg(sum(col("ad_term")).as("s1"),
+      sum(col("bc_term")).as("s2"))
+    cells.crossJoin(broadcast(pooled))
+      .select(col("r_name"), col("a"), col("b"), col("c"), col("d"),
+        col("n"), col("ad_term"), col("bc_term"),
+        expr("(1000000 * s1) DIV s2").as("or_mh_micro"))
+      .orderBy("r_name")
+  }
+
+  /** h-index and g-index (Hirsch 2005; Egghe 2006) of user activity
+    * per event type: rank users by event count descending (ties by
+    * user id), h = max rank with count ≥ rank, g = max rank with
+    * cumulative count ≥ rank² — the robust "how many heavy users"
+    * summaries that, unlike a mean or p99, cannot be moved by one
+    * whale or a long tail. One count partial-agg, then rank/cumsum
+    * windows partitioned per event type (users per type bounded by
+    * the user base, the standard rank-window shape).
+    */
+  private def qHIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uc = Tables.events(s, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cnt").desc, col("user_id"))
+    uc.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_users"),
+        coalesce(max(when(col("cnt") >= col("rn"), col("rn"))), lit(0L))
+          .as("h_index"),
+        coalesce(max(when(col("cum") >= col("rn") * col("rn"), col("rn"))),
+          lit(0L)).as("g_index"))
+      .orderBy("event_type")
+  }
+
+  /** Chao1 species-richness estimator (Chao 1984, bias-corrected
+    * form) of the vocabulary per source: Ŝ = S_obs + f₁(f₁−1) DIV
+    * (2(f₂+1)) from the singleton/doubleton counts — the "how many
+    * terms does this source REALLY have, counting the ones we haven't
+    * seen yet" estimator that turns q230's raw hapax census into a
+    * coverage forecast. One (source, term) partial-agg, one per-source
+    * rollup, exact integers throughout.
+    */
+  private def qChao1(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("f"))
+      .groupBy("source").agg(
+        count(lit(1)).as("s_obs"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("f") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1",
+        expr("s_obs + (f1 * (f1 - 1)) DIV (2 * (f2 + 1))"))
+      .orderBy("source")
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -10196,6 +10325,10 @@ object SparkEntry {
     "q407_heaps_curve" -> (qHeapsCurve(_, _)),
     "q408_durbin_watson" -> (qDurbinWatson(_, _)),
     "q409_hash_ring" -> (qHashRing(_, _)),
+    "q410_ljung_box" -> (qLjungBox(_, _)),
+    "q411_mantel_haenszel" -> (qMantelHaenszel(_, _)),
+    "q412_h_index" -> (qHIndex(_, _)),
+    "q413_chao1" -> (qChao1(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -17946,6 +18079,114 @@ object SparkEntry {
         |       ((1000000 * n_keys) // (SELECT SUM(n_keys) FROM per))::BIGINT
         |         AS share_micro
         |FROM per ORDER BY shard""".stripMargin,
+
+    // q410: BIGINT co-moments; the closing double chain is pure IEEE
+    // mul/div shared verbatim — no libm call
+    "q410_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT event_type, day(ts)::BIGINT AS d, COUNT(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n_days, SUM(y)::BIGINT AS sy
+        |  FROM daily GROUP BY 1),
+        |e AS (
+        |  SELECT daily.event_type, daily.d,
+        |         (tot.n_days * daily.y - tot.sy)::BIGINT AS e
+        |  FROM daily JOIN tot ON daily.event_type = tot.event_type),
+        |l AS (
+        |  SELECT event_type, e,
+        |         lag(e, 1) OVER w AS e1, lag(e, 2) OVER w AS e2,
+        |         lag(e, 3) OVER w AS e3
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |s AS (
+        |  SELECT l.event_type, t.n_days AS n,
+        |         SUM(e * e)::BIGINT AS see,
+        |         SUM(CASE WHEN e1 IS NOT NULL THEN e * e1 ELSE 0 END)::BIGINT AS s1,
+        |         SUM(CASE WHEN e2 IS NOT NULL THEN e * e2 ELSE 0 END)::BIGINT AS s2,
+        |         SUM(CASE WHEN e3 IS NOT NULL THEN e * e3 ELSE 0 END)::BIGINT AS s3
+        |  FROM l JOIN tot t ON l.event_type = t.event_type
+        |  GROUP BY 1, 2)
+        |SELECT event_type, n AS n_days,
+        |  CAST(floor(CAST(s1 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT) AS r1_micro,
+        |  CAST(floor(CAST(s2 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT) AS r2_micro,
+        |  CAST(floor(CAST(s3 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT) AS r3_micro,
+        |  CAST(floor(CAST(n AS DOUBLE) * (n + 2) * (
+        |      (CAST(s1 AS DOUBLE) / see) * (CAST(s1 AS DOUBLE) / see) / (n - 1)
+        |    + (CAST(s2 AS DOUBLE) / see) * (CAST(s2 AS DOUBLE) / see) / (n - 2)
+        |    + (CAST(s3 AS DOUBLE) / see) * (CAST(s3 AS DOUBLE) / see) / (n - 3))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS q_lb_micro
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // q411: per-stratum 2x2 cells; pooled OR via the quantized
+    // stratum terms — positive-operand DIVs only
+    "q411_mantel_haenszel" ->
+      """WITH cells AS (
+        |  SELECT r.r_name,
+        |    SUM(CASE WHEN x = 1 AND hi = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    SUM(CASE WHEN x = 1 AND hi = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    SUM(CASE WHEN x = 0 AND hi = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    SUM(CASE WHEN x = 0 AND hi = 0 THEN 1 ELSE 0 END)::BIGINT AS d,
+        |    COUNT(*)::BIGINT AS n
+        |  FROM (
+        |    SELECT c.c_nationkey,
+        |      ('0x' || substr(md5('mh:' || o.o_custkey::VARCHAR), 1, 15))
+        |        ::BIGINT % 2 AS x,
+        |      CASE WHEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |        > 15000000 THEN 1 ELSE 0 END AS hi
+        |    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
+        |  JOIN nation nn ON t.c_nationkey = nn.n_nationkey
+        |  JOIN region r ON nn.n_regionkey = r.r_regionkey
+        |  GROUP BY 1),
+        |terms AS (
+        |  SELECT r_name, a, b, c, d, n,
+        |         ((1000000 * a * d) // n)::BIGINT AS ad_term,
+        |         ((1000000 * b * c) // n)::BIGINT AS bc_term
+        |  FROM cells),
+        |pooled AS (
+        |  SELECT SUM(ad_term)::BIGINT AS s1, SUM(bc_term)::BIGINT AS s2
+        |  FROM terms)
+        |SELECT t.r_name, t.a, t.b, t.c, t.d, t.n, t.ad_term, t.bc_term,
+        |       ((1000000 * p.s1) // p.s2)::BIGINT AS or_mh_micro
+        |FROM terms t, pooled p ORDER BY t.r_name""".stripMargin,
+
+    // q412: rank users per type desc; h = max rank with cnt >= rank,
+    // g = max rank with cumsum >= rank^2
+    "q412_h_index" ->
+      """WITH uc AS (
+        |  SELECT event_type, user_id, COUNT(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, cnt,
+        |         row_number() OVER w::BIGINT AS rn,
+        |         SUM(cnt) OVER (PARTITION BY event_type
+        |           ORDER BY cnt DESC, user_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           ::BIGINT AS cum
+        |  FROM uc WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY cnt DESC, user_id))
+        |SELECT event_type, COUNT(*)::BIGINT AS n_users,
+        |       COALESCE(MAX(CASE WHEN cnt >= rn THEN rn END), 0)::BIGINT
+        |         AS h_index,
+        |       COALESCE(MAX(CASE WHEN cum >= rn * rn THEN rn END), 0)::BIGINT
+        |         AS g_index
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q413: singleton/doubleton census; bias-corrected Chao1 in
+    // exact integers
+    "q413_chao1" ->
+      """WITH tf AS (
+        |  SELECT source, t AS term, COUNT(*)::BIGINT AS f
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT source, COUNT(*)::BIGINT AS s_obs,
+        |       SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+        |       SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+        |       (COUNT(*) + (SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+        |          * (SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) - 1))
+        |         // (2 * (SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) + 1)))
+        |         ::BIGINT AS chao1
+        |FROM tf GROUP BY 1 ORDER BY source""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
