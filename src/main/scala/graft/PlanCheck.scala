@@ -51,7 +51,13 @@ object PlanCheck {
       // localCheckpoint iteration rounds, q349 executes a full
       // MemoryStream query
       "q339_csv_multiline", "q341_hits", "q349_stream_semi_join",
-      "q350_ntz_roundtrip", "q352_json_corrupt", "q353_kcenter_coreset")
+      "q350_ntz_roundtrip", "q352_json_corrupt", "q353_kcenter_coreset",
+      // q398/q400/q403/q404/q405/q406/q411 localCheckpoint partials
+      // during construction; q402's peel rounds run eagerly; q407's
+      // Prefix collects range-partition offsets
+      "q398_assoc_rules", "q400_bpe_merges", "q402_ktruss", "q403_bh_fdr",
+      "q404_jackknife", "q405_permutation_test", "q406_isotonic_fit",
+      "q407_heaps_curve", "q411_mantel_haenszel")
 
   /** Plan assertions for the candidate-volume queries (round-6 judge
     * item 6): the scale-safety claims — "candidates via equi-join,
@@ -110,7 +116,18 @@ object PlanCheck {
     "q367_int8_quant" -> Seq(),
     "q368_tv_distance" -> Seq(),
     "q369_cohens_d" -> Seq(),
-    "q372_brown_forsythe" -> Seq())
+    "q372_brown_forsythe" -> Seq(),
+    // q398-q413 additions: posting gaps ride a term-partitioned
+    // window; the DiD/DW/LB chains are keyed aggs; the hash ring is a
+    // 128-row broadcast fan-out; h-index ranks within event_type —
+    // CartesianProduct stays globally forbidden
+    "q399_posting_compression" -> Seq(),
+    "q401_diff_in_diff" -> Seq(),
+    "q408_durbin_watson" -> Seq(),
+    "q409_hash_ring" -> Seq("BroadcastHashJoin"),
+    "q410_ljung_box" -> Seq(),
+    "q412_h_index" -> Seq(),
+    "q413_chao1" -> Seq())
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()
