@@ -9914,6 +9914,169 @@ object SparkEntry {
         expr("s_obs + (f1 * (f1 - 1)) DIV (2 * (f2 + 1))"))
       .orderBy("source")
 
+  /** Precision–recall AUC by exact step integration (Davis–Goadrich
+    * 2006's PR-space companion to q260's ROC AUC — the one that does
+    * NOT reward true negatives, so it is the right ranking metric
+    * when positives are rare): thresholds sweep the distinct quality
+    * scores descending, each step contributes ΔTP·P(tᵢ) with the
+    * precision quantized as one positive-operand
+    * (10⁶·ΔTP·TP) DIV (TP+FP), and the sum normalizes by n_pos. Same
+    * score/label pair as q260 so the two areas are directly
+    * comparable on one corpus. One score-histogram agg + one
+    * descending cumulative over the bounded distinct-score support.
+    */
+  private def qPrAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = graft.pipeline.TextAnalysis.logisticQuality(
+        t(s, dir, "documents"), "doc_id", "text")
+      .select(col("score_micro").as("sc"),
+        (col("n_uniq") * 3L > col("n_tok") * 2L).cast("long").as("label"))
+    val byScore = sc.groupBy("sc")
+      .agg(count(lit(1)).as("c"), sum(col("label")).as("p"))
+    val w = Window.orderBy(col("sc").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val steps = byScore
+      .withColumn("tp", sum(col("p")).over(w))
+      .withColumn("fp", sum(col("c") - col("p")).over(w))
+      .withColumn("term", expr("(1000000 * p * tp) DIV (tp + fp)"))
+    steps.agg(sum(col("p")).as("n_pos"),
+        (sum(col("c")) - sum(col("p"))).as("n_neg"),
+        count(lit(1)).as("n_thresholds"), sum(col("term")).as("ts"))
+      .select(col("n_pos"), col("n_neg"), col("n_thresholds"),
+        expr("(1000000 * n_pos) DIV (n_pos + n_neg)").as("prevalence_micro"),
+        expr("ts DIV n_pos").as("pr_auc_micro"))
+  }
+
+  /** t-closeness audit (Li–Li–Venkatasubramanian 2007 — the
+    * distribution-aware step past q151's k-anonymity/l-diversity:
+    * a group can be k-anonymous and l-diverse yet still leak because
+    * its SENSITIVE-VALUE DISTRIBUTION differs from the table's):
+    * quasi-identifier groups = market segment × region, sensitive
+    * attribute = account-balance decile, and per group the 1-D EMD
+    * between the group's decile distribution and the global one —
+    * Σ|cdf_g − cdf_global| over the 10 fixed bins, both CDFs in
+    * integer micros (the q360 machinery pointed at governance).
+    * Groups and bins are both bounded; the global row broadcasts.
+    */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    val cells = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("c_mktsegment").as("segment"), col("r_name").as("region"),
+        expr("""least(CAST(9 AS BIGINT), greatest(CAST(0 AS BIGINT),
+               |(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+               |DIV 110000))""".stripMargin).as("bin"))
+      .groupBy("segment", "region", "bin")
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    // dense 10-bin grid per group so every CDF step exists even where
+    // a group has an empty decile
+    val dense = cells.groupBy("segment", "region")
+      .agg(sum(col("cnt")).as("gn_grp"))
+      .withColumn("bin", explode(expr("sequence(CAST(0 AS BIGINT), 9)")))
+      .join(cells, Seq("segment", "region", "bin"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val glob = cells.groupBy("bin").agg(sum(col("cnt")).as("gcnt"))
+      .withColumn("cumg", sum(col("gcnt")).over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(cells.agg(sum(col("cnt")).as("gn"))))
+      .select(col("bin"), expr("(1000000 * cumg) DIV gn").as("cdf_glob"))
+    dense
+      .withColumn("cumc", sum(col("cnt")).over(
+        Window.partitionBy("segment", "region").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cdf_grp", expr("(1000000 * cumc) DIV gn_grp"))
+      .join(broadcast(glob), Seq("bin"))
+      .groupBy("segment", "region")
+      .agg(max(col("gn_grp")).as("n"),
+        sum(abs(col("cdf_grp") - col("cdf_glob"))).as("emd_sum_micro"))
+      .orderBy("segment", "region")
+  }
+
+  /** Stationary distribution of the session transition chain
+    * (Markov 1906; the PageRank-without-teleport of q207's
+    * transition matrix): per-user event streams yield (from, to)
+    * transition counts over the 5 event types, and 6 synchronous
+    * power-iteration rounds propagate πᵢ₊₁(j) = Σᵢ (πᵢ(i)·c(i,j))
+    * DIV r(i) from the uniform 10⁶-scaled start — every term one
+    * positive-operand integer DIV, so the unrolled oracle replays the
+    * chain bit-for-bit (the q363 Katz convention). Answers "where
+    * does a long session SETTLE", which q207's log-likelihood and
+    * q310's raw paths do not.
+    */
+  private def qMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tu"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val rowSum = trans.groupBy("src").agg(sum(col("c")).as("r"))
+    val tr = trans.join(broadcast(rowSum), Seq("src")).localCheckpoint()
+    val nStates = tr.select(col("src")).distinct().count()
+    var pi = tr.select(col("src").as("state")).distinct()
+      .withColumn("pi", lit(1000000L / nStates))
+    var i = 0
+    while (i < 6) {
+      pi = tr.join(broadcast(pi.withColumnRenamed("state", "src")), Seq("src"))
+        .groupBy(col("dst").as("state"))
+        .agg(sum(expr("(pi * c) DIV r")).as("pi"))
+        .localCheckpoint()
+      i += 1
+    }
+    pi.join(broadcast(rowSum.withColumnRenamed("src", "state")), Seq("state"))
+      .select(col("state"), col("r").as("n_out_transitions"),
+        col("pi").as("pi_micro"))
+      .orderBy("state")
+  }
+
+  /** Two-sample Cramér–von Mises statistic (Cramér 1928; Anderson
+    * 1962 two-sample form), EXACT: over the pooled support,
+    * T = Σ mult·(i·m − j·n)² / (n·m·(n+m)²) with i, j the inclusive
+    * cumulative counts — the whole-distribution companion to q171's
+    * KS (which sees only the single worst gap; CvM integrates EVERY
+    * gap, so a distribution that differs mildly everywhere scores
+    * high here and low there). The squared co-moments ride
+    * DECIMAL(38,0)/HUGEINT (the q321 kappa convention) because
+    * (i·m)² overflows 64 bits at sf ≥ 1; the output micro is one
+    * positive-operand integral DIV. Same view/purchase split as
+    * q171 so the two tests read side by side.
+    */
+  private def qCramerVonMises(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"),
+        (col("event_type") === "view").cast("long").as("a"))
+    val byV = e.groupBy("v").agg(sum(col("a")).as("ca"),
+      sum(lit(1L) - col("a")).as("cb")).localCheckpoint()
+    val tot = byV.agg(sum(col("ca")).as("n"), sum(col("cb")).as("m"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byV
+      .withColumn("i", sum(col("ca")).over(w))
+      .withColumn("j", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      // i·m − j·n fits a BIGINT at any plausible sf; its square does
+      // not, so the squared term rides DECIMAL(38,0)
+      .withColumn("d", col("i") * col("m") - col("j") * col("n"))
+      .withColumn("term",
+        (col("ca") + col("cb")).cast("decimal(38,0)") *
+          col("d").cast("decimal(38,0)") * col("d"))
+      .groupBy("n", "m")
+      .agg(count(lit(1)).as("n_support"), sum(col("term")).as("st"))
+      .select(col("n"), col("m"), col("n_support"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * st) DIV
+               |(CAST(n AS DECIMAL(38,0)) * m * ((n + m) * (n + m)))
+               |AS BIGINT)""".stripMargin).as("t_micro"))
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -10329,6 +10492,10 @@ object SparkEntry {
     "q411_mantel_haenszel" -> (qMantelHaenszel(_, _)),
     "q412_h_index" -> (qHIndex(_, _)),
     "q413_chao1" -> (qChao1(_, _)),
+    "q414_pr_auc" -> (qPrAuc(_, _)),
+    "q415_t_closeness" -> (qTCloseness(_, _)),
+    "q416_markov_stationary" -> (qMarkovStationary(_, _)),
+    "q417_cramer_von_mises" -> (qCramerVonMises(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
