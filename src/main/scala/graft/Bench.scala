@@ -49,6 +49,14 @@ object Bench {
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
       else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { n =>
+      // drop the previous query's cached state before timing this one:
+      // localCheckpoint()/persist() blocks otherwise accumulate across
+      // the 400+-query suite (round-7 lesson: the driver's single-JVM
+      // full run inflated the iterative tail ~10× late in the run).
+      // Sequential execution makes this safe — nothing cross-query
+      // references a checkpointed RDD.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
       // collect garbage between queries so one query's allocation debt
       // (O(n²) pair joins) is not paid inside the next query's timing
       System.gc()

@@ -5471,17 +5471,18 @@ object SparkEntry {
     * DISTINCT-score table (bounded by score cardinality, not rows).
     */
   private def qAucEval(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sc = graft.pipeline.TextAnalysis.logisticQuality(
         t(s, dir, "documents"), "doc_id", "text")
       .select(col("score_micro").as("sc"),
         (col("n_uniq") * 3L > col("n_tok") * 2L).cast("long").as("label"))
     val byScore = sc.groupBy("sc")
       .agg(count(lit(1)).as("c"), sum(col("label")).as("p"))
-    val w = Window.orderBy(col("sc")).rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byScore
-      .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
-      .withColumn("t2", col("p") * (lit(2L) * col("cb") + col("c") + 1L))
+    // exclusive cum-count below each distinct score via the range-
+    // partitioned two-pass scan — never a single-task global window,
+    // even at 100× the distinct-score cardinality
+    val ranked = graft.pipeline.Prefix
+      .withPrefixSum(byScore, Seq("sc"), "c")
+      .withColumn("t2", col("p") * (lit(2L) * col("prefix") + col("c") + 1L))
     ranked.agg(sum(col("p")).as("n_pos"),
         (sum(col("c")) - sum(col("p"))).as("n_neg"), sum(col("t2")).as("r2x2"))
       .select(col("n_pos"), col("n_neg"),
@@ -6619,10 +6620,17 @@ object SparkEntry {
       .withColumn("n_risk", col("n_users") - coalesce(sum(col("ending")).over(wDays), lit(0L)))
       .select(col("day"), col("n_risk"))
     val wCum = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    // the quantized-ln hazard term comes from the JVM ln6 plane both
+    // sides equi-join (StatsFixture — the q139 idf6 discipline; no
+    // engine calls ln at verify time, killing cross-libm floor drift)
+    val ln6 = s.read.parquet(
+      s"${graft.sources.StatsFixture.ensure(s, dir)}/ln6.parquet")
     churn.join(risk, "day")
       .filter(col("d_churn") < col("n_risk")) // ln(0) guard, same both sides
-      .withColumn("h_micro",
-        expr("CAST(floor(ln(1.0 - CAST(d_churn AS DOUBLE) / n_risk) * 1000000.0) AS BIGINT)"))
+      .join(broadcast(ln6),
+        col("n_risk") - col("d_churn") === col("num") &&
+          col("n_risk") === col("den"))
+      .withColumn("h_micro", col("ln6"))
       .withColumn("cum_ln_micro", sum(col("h_micro")).over(wCum))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n_risk"), col("d_churn"), col("h_micro"), col("cum_ln_micro"))
@@ -6772,17 +6780,22 @@ object SparkEntry {
     // DataFrame-CONSTRUCTION time and bake a data-dependent literal
     // into the plan text
     val tot = e.agg(count(lit(1)).as("n"))
+    // entropy terms read the JVM ln6 plane both sides equi-join
+    // (StatsFixture — the q139 idf6 discipline; the counts, joins,
+    // and sums stay independently computed on each side)
+    val ln6 = s.read.parquet(
+      s"${graft.sources.StatsFixture.ensure(s, dir)}/ln6.parquet")
     val marg = e.groupBy("event_type").agg(count(lit(1)).as("c"))
       .crossJoin(broadcast(tot))
-      .select(sum(expr(
-        "c * CAST(floor(ln(CAST(c AS DOUBLE) / n) * 1000000.0) AS BIGINT)"))
-        .as("s_marg"))
+      .join(broadcast(ln6),
+        col("c") === col("num") && col("n") === col("den"))
+      .select(sum(col("c") * col("ln6")).as("s_marg"))
     val bandTot = e.groupBy("band").agg(count(lit(1)).as("nb"))
     val cond = e.groupBy("band", "event_type").agg(count(lit(1)).as("c"))
       .join(broadcast(bandTot), "band")
-      .select(sum(expr(
-        "c * CAST(floor(ln(CAST(c AS DOUBLE) / nb) * 1000000.0) AS BIGINT)"))
-        .as("s_cond"))
+      .join(broadcast(ln6),
+        col("c") === col("num") && col("nb") === col("den"))
+      .select(sum(col("c") * col("ln6")).as("s_cond"))
     marg.crossJoin(cond).crossJoin(broadcast(tot))
       .select(expr("CAST(-s_marg DIV n AS BIGINT)").as("h_label_micro"),
         expr("CAST(-s_cond DIV n AS BIGINT)").as("h_cond_micro"),
@@ -9817,14 +9830,18 @@ object SparkEntry {
         sum(when(col("e2").isNotNull, col("e") * col("e2")).otherwise(0L)).as("s2"),
         sum(when(col("e3").isNotNull, col("e") * col("e3")).otherwise(0L)).as("s3"))
       .select(col("event_type"), col("n").as("n_days"),
-        expr("CAST(floor(CAST(s1 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT)").as("r1_micro"),
-        expr("CAST(floor(CAST(s2 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT)").as("r2_micro"),
-        expr("CAST(floor(CAST(s3 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT)").as("r3_micro"),
-        expr("""CAST(floor(CAST(n AS DOUBLE) * (n + 2) * (
+        // n > 3 + see > 0 guard (q408 convention): a type with ≤3
+        // distinct days would divide by (n−k) ≤ 0 / a flat series by
+        // see = 0 — NULL beats an engine-divergent Inf cast
+        expr("CASE WHEN n > 3 AND see > 0 THEN CAST(floor(CAST(s1 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT) END").as("r1_micro"),
+        expr("CASE WHEN n > 3 AND see > 0 THEN CAST(floor(CAST(s2 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT) END").as("r2_micro"),
+        expr("CASE WHEN n > 3 AND see > 0 THEN CAST(floor(CAST(s3 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT) END").as("r3_micro"),
+        expr("""CASE WHEN n > 3 AND see > 0 THEN
+               CAST(floor(CAST(n AS DOUBLE) * (n + 2) * (
                  (CAST(s1 AS DOUBLE) / see) * (CAST(s1 AS DOUBLE) / see) / (n - 1)
                + (CAST(s2 AS DOUBLE) / see) * (CAST(s2 AS DOUBLE) / see) / (n - 2)
                + (CAST(s3 AS DOUBLE) / see) * (CAST(s3 AS DOUBLE) / see) / (n - 3))
-               * 1000000.0 + 0.5) AS BIGINT)""").as("q_lb_micro"))
+               * 1000000.0 + 0.5) AS BIGINT) END""").as("q_lb_micro"))
       .orderBy("event_type")
   }
 
@@ -9926,19 +9943,21 @@ object SparkEntry {
     * descending cumulative over the bounded distinct-score support.
     */
   private def qPrAuc(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sc = graft.pipeline.TextAnalysis.logisticQuality(
         t(s, dir, "documents"), "doc_id", "text")
       .select(col("score_micro").as("sc"),
         (col("n_uniq") * 3L > col("n_tok") * 2L).cast("long").as("label"))
     val byScore = sc.groupBy("sc")
       .agg(count(lit(1)).as("c"), sum(col("label")).as("p"))
-    val w = Window.orderBy(col("sc").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val steps = byScore
-      .withColumn("tp", sum(col("p")).over(w))
-      .withColumn("fp", sum(col("c") - col("p")).over(w))
-      .withColumn("term", expr("(1000000 * p * tp) DIV (tp + fp)"))
+      // descending-score sweep = ascending walk on the negated score;
+      // both cumulative counters ride ONE range shuffle (Prefix), not
+      // a single-task unpartitioned window
+      .withColumn("nsc", -col("sc"))
+    val steps = graft.pipeline.Prefix
+      .withPrefixSums(byScore, Seq("nsc"), Seq("p", "c"))
+      .withColumn("tp", col("prefix_p") + col("p"))
+      .withColumn("term",
+        expr("(1000000 * p * tp) DIV (prefix_c + c)"))
     steps.agg(sum(col("p")).as("n_pos"),
         (sum(col("c")) - sum(col("p"))).as("n_neg"),
         count(lit(1)).as("n_thresholds"), sum(col("term")).as("ts"))
@@ -10020,6 +10039,18 @@ object SparkEntry {
     val rowSum = trans.groupBy("src").agg(sum(col("c")).as("r"))
     val tr = trans.join(broadcast(rowSum), Seq("src")).localCheckpoint()
     val nStates = tr.select(col("src")).distinct().count()
+    // degenerate corpus (no user with ≥2 events): empty result, not
+    // a driver-side ArithmeticException from 1000000 / 0
+    if (nStates == 0L)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("state",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_out_transitions",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("pi_micro",
+            org.apache.spark.sql.types.LongType))))
     var pi = tr.select(col("src").as("state")).distinct()
       .withColumn("pi", lit(1000000L / nStates))
     var i = 0
@@ -10558,6 +10589,16 @@ object SparkEntry {
   private def bmf: String = {
     val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
     s"read_parquet('${graft.sources.RetrievalFixture.dir(sfDir)}/idf6.parquet/*.parquet')"
+  }
+
+  /** Quantized-ln plane read for the q305/q311 oracles — same sfDir
+    * resolution as [[bmf]]; [[graft.sources.StatsFixture]] (invoked by
+    * the q305/q311 query defs) materializes (num, den, ln6) before the
+    * oracle runs, so neither engine calls `ln` at verify time.
+    */
+  private def lnf: String = {
+    val sfDir = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+    s"read_parquet('${graft.sources.StatsFixture.dir(sfDir)}/ln6.parquet/*.parquet')"
   }
 
   /** Per-event decay-contribution fixture read for the q194 oracle —
@@ -15568,8 +15609,10 @@ object SparkEntry {
 
     // q305: identical censoring rule, suffix risk sets, per-row
     // floor(ln·1e6) hazard and cumulative
+    // q305: the quantized-ln hazard term comes from the shared JVM ln6
+    // plane (StatsFixture) — DuckDB never calls ln (cross-libm fix)
     "q305_survival_km" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      s"""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |mx AS (SELECT MAX(day) AS max_day FROM e),
         |ld AS (SELECT user_id, MAX(day) AS last_day FROM e GROUP BY 1),
         |churn AS (
@@ -15582,11 +15625,11 @@ object SparkEntry {
         |  SELECT day, n_users - COALESCE(SUM(ending) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
         |  FROM byday, tot),
+        |lnp AS (SELECT num, den, ln6 FROM $lnf),
         |h AS (
-        |  SELECT c.day, r.n_risk, c.d_churn,
-        |    CAST(floor(ln(1.0 - CAST(d_churn AS DOUBLE) / n_risk)
-        |         * 1000000.0) AS BIGINT) AS h_micro
+        |  SELECT c.day, r.n_risk, c.d_churn, lnp.ln6 AS h_micro
         |  FROM churn c JOIN risk r ON r.day = c.day
+        |  JOIN lnp ON lnp.num = r.n_risk - c.d_churn AND lnp.den = r.n_risk
         |  WHERE c.d_churn < r.n_risk)
         |SELECT strftime(day, '%Y-%m-%d') AS day, n_risk::BIGINT AS n_risk,
         |       d_churn, h_micro,
@@ -15690,20 +15733,23 @@ object SparkEntry {
         |FROM mo""".stripMargin,
 
     // q311: q142's per-term floor(ln·1e6) discipline on both entropies
+    // q311: entropy ln terms from the shared JVM ln6 plane
+    // (StatsFixture) — DuckDB never calls ln (cross-libm fix)
     "q311_info_gain" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT CAST(user_id % 10 AS BIGINT) AS band, event_type FROM events),
         |n AS (SELECT COUNT(*)::BIGINT AS n FROM e),
+        |lnp AS (SELECT num, den, ln6 FROM $lnf),
         |marg AS (
-        |  SELECT SUM(c * CAST(floor(ln(CAST(c AS DOUBLE) / n.n)
-        |             * 1000000.0) AS BIGINT))::BIGINT AS s_marg
-        |  FROM (SELECT event_type, COUNT(*)::BIGINT AS c FROM e GROUP BY 1), n),
+        |  SELECT SUM(c * lnp.ln6)::BIGINT AS s_marg
+        |  FROM (SELECT event_type, COUNT(*)::BIGINT AS c FROM e GROUP BY 1), n
+        |  JOIN lnp ON lnp.num = c AND lnp.den = n.n),
         |bt AS (SELECT band, COUNT(*)::BIGINT AS nb FROM e GROUP BY 1),
         |cond AS (
-        |  SELECT SUM(c * CAST(floor(ln(CAST(c AS DOUBLE) / nb)
-        |             * 1000000.0) AS BIGINT))::BIGINT AS s_cond
+        |  SELECT SUM(c * lnp.ln6)::BIGINT AS s_cond
         |  FROM (SELECT band, event_type, COUNT(*)::BIGINT AS c
-        |        FROM e GROUP BY 1, 2) x JOIN bt USING (band))
+        |        FROM e GROUP BY 1, 2) x JOIN bt USING (band)
+        |  JOIN lnp ON lnp.num = c AND lnp.den = bt.nb)
         |SELECT CAST(-s_marg // n.n AS BIGINT) AS h_label_micro,
         |       CAST(-s_cond // n.n AS BIGINT) AS h_cond_micro,
         |       CAST(-s_marg // n.n - -s_cond // n.n AS BIGINT) AS ig_micro
@@ -17940,7 +17986,7 @@ object SparkEntry {
            |  SELECT string_split(trim(s, '|'), '||') AS a FROM d$k),
            |p$k AS (
            |  SELECT a[i] AS x, a[i + 1] AS y
-           |  FROM a$k, generate_series(1, 200) t(i)
+           |  FROM a$k, generate_series(1, 100000) t(i)
            |  WHERE i + 1 <= len(a)),
            |c$k AS (
            |  SELECT x, y, COUNT(*)::BIGINT AS pair_count
@@ -18173,7 +18219,7 @@ object SparkEntry {
         |  FROM d),
         |pos AS (
         |  SELECT toks[g.i] AS term, (off + g.i - 1)::BIGINT AS gidx
-        |  FROM off, generate_series(1, 200) g(i)
+        |  FROM off, generate_series(1, 100000) g(i)
         |  WHERE g.i <= len(toks)),
         |first AS (
         |  SELECT term, MIN(gidx) AS first_idx FROM pos GROUP BY 1),
@@ -18274,14 +18320,22 @@ object SparkEntry {
         |  FROM l JOIN tot t ON l.event_type = t.event_type
         |  GROUP BY 1, 2)
         |SELECT event_type, n AS n_days,
-        |  CAST(floor(CAST(s1 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT) AS r1_micro,
-        |  CAST(floor(CAST(s2 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT) AS r2_micro,
-        |  CAST(floor(CAST(s3 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT) AS r3_micro,
-        |  CAST(floor(CAST(n AS DOUBLE) * (n + 2) * (
+        |  CASE WHEN n > 3 AND see > 0 THEN
+        |    CAST(floor(CAST(s1 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS r1_micro,
+        |  CASE WHEN n > 3 AND see > 0 THEN
+        |    CAST(floor(CAST(s2 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS r2_micro,
+        |  CASE WHEN n > 3 AND see > 0 THEN
+        |    CAST(floor(CAST(s3 AS DOUBLE) / see * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS r3_micro,
+        |  CASE WHEN n > 3 AND see > 0 THEN
+        |    CAST(floor(CAST(n AS DOUBLE) * (n + 2) * (
         |      (CAST(s1 AS DOUBLE) / see) * (CAST(s1 AS DOUBLE) / see) / (n - 1)
         |    + (CAST(s2 AS DOUBLE) / see) * (CAST(s2 AS DOUBLE) / see) / (n - 2)
         |    + (CAST(s3 AS DOUBLE) / see) * (CAST(s3 AS DOUBLE) / see) / (n - 3))
-        |    * 1000000.0 + 0.5) AS BIGINT) AS q_lb_micro
+        |    * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS q_lb_micro
         |FROM s ORDER BY event_type""".stripMargin,
 
     // q411: per-stratum 2x2 cells; pooled OR via the quantized
@@ -18354,6 +18408,145 @@ object SparkEntry {
         |         // (2 * (SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) + 1)))
         |         ::BIGINT AS chao1
         |FROM tf GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // q414: same score/label pipeline as the q260 ROC oracle; the PR
+    // sweep is a descending cumulative over distinct scores with the
+    // per-step precision quantized positive-operand
+    "q414_pr_auc" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' '))::BIGINT AS n_tok,
+        |         len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+        |         length(text)::BIGINT AS n_chars
+        |  FROM documents),
+        |sc AS (
+        |  SELECT CAST(floor(1.0 / (1.0 + exp(-((30 * n_tok + 7 * n_uniq
+        |           - n_chars - 500) / 100.0))) * 1000000.0 + 0.5) AS BIGINT) AS sc,
+        |         CASE WHEN n_uniq * 3 > n_tok * 2 THEN 1 ELSE 0 END AS label
+        |  FROM f),
+        |g AS (SELECT sc, COUNT(*)::BIGINT AS c, SUM(label)::BIGINT AS p
+        |      FROM sc GROUP BY 1),
+        |r AS (
+        |  SELECT c, p,
+        |         SUM(p) OVER (ORDER BY sc DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |         SUM(c - p) OVER (ORDER BY sc DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+        |  FROM g),
+        |s AS (SELECT c, p, (1000000 * p * tp) // (tp + fp) AS term FROM r)
+        |SELECT SUM(p)::BIGINT AS n_pos, (SUM(c) - SUM(p))::BIGINT AS n_neg,
+        |       COUNT(*)::BIGINT AS n_thresholds,
+        |       ((1000000 * SUM(p)) // SUM(c))::BIGINT AS prevalence_micro,
+        |       (SUM(term) // SUM(p))::BIGINT AS pr_auc_micro
+        |FROM s""".stripMargin,
+
+    // q415: identical 10-bin decile grid; both CDFs in positive-operand
+    // integer micros; inner join on globally-present bins only (the
+    // Spark plan's glob side has no dense fill either)
+    "q415_t_closeness" ->
+      """WITH cells AS (
+        |  SELECT c.c_mktsegment AS segment, r.r_name AS region,
+        |         least(9, greatest(0,
+        |           (CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+        |           // 110000))::BIGINT AS bin,
+        |         COUNT(*)::BIGINT AS cnt
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2, 3),
+        |grp AS (SELECT segment, region, SUM(cnt)::BIGINT AS gn_grp
+        |        FROM cells GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT g.segment, g.region, g.gn_grp, b.bin::BIGINT AS bin,
+        |         COALESCE(c.cnt, 0)::BIGINT AS cnt
+        |  FROM grp g
+        |  CROSS JOIN generate_series(0, 9) b(bin)
+        |  LEFT JOIN cells c ON c.segment = g.segment
+        |    AND c.region = g.region AND c.bin = b.bin),
+        |gl AS (SELECT bin, SUM(cnt)::BIGINT AS gcnt FROM cells GROUP BY 1),
+        |gt AS (SELECT SUM(cnt)::BIGINT AS gn FROM cells),
+        |gcdf AS (
+        |  SELECT bin,
+        |         ((1000000 * SUM(gcnt) OVER (ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // gn)
+        |           ::BIGINT AS cdf_glob
+        |  FROM gl, gt),
+        |cum AS (
+        |  SELECT segment, region, gn_grp, bin,
+        |         ((1000000 * SUM(cnt) OVER (PARTITION BY segment, region
+        |            ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |          // gn_grp)::BIGINT AS cdf_grp
+        |  FROM dense)
+        |SELECT c.segment, c.region, MAX(c.gn_grp)::BIGINT AS n,
+        |       SUM(ABS(c.cdf_grp - g.cdf_glob))::BIGINT AS emd_sum_micro
+        |FROM cum c JOIN gcdf g ON c.bin = g.bin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q416: the q207 transition extraction; 6 unrolled synchronous
+    // power-iteration rounds, each term one positive-operand
+    // (pi·c) // r — replays the Spark chain bit-for-bit
+    "q416_markov_stationary" -> {
+      def round(k: Int) =
+        s"""p${k + 1} AS MATERIALIZED (
+           |  SELECT tr.dst AS state, SUM((p.pi * tr.c) // tr.r)::BIGINT AS pi
+           |  FROM tr JOIN p$k p ON p.state = tr.src GROUP BY 1)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tu, event_type
+         |  FROM events),
+         |lagd AS (
+         |  SELECT event_type,
+         |         lag(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY tu, event_id) AS prev
+         |  FROM ev),
+         |trans AS (
+         |  SELECT prev AS src, event_type AS dst, COUNT(*)::BIGINT AS c
+         |  FROM lagd WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |rs AS (SELECT src, SUM(c)::BIGINT AS r FROM trans GROUP BY 1),
+         |tr AS MATERIALIZED (
+         |  SELECT t.src, t.dst, t.c, rs.r FROM trans t JOIN rs ON t.src = rs.src),
+         |ns AS (SELECT COUNT(DISTINCT src)::BIGINT AS n FROM tr),
+         |p0 AS (SELECT src AS state, (1000000 // n)::BIGINT AS pi
+         |       FROM (SELECT DISTINCT src FROM tr), ns),
+         |${(0 until 6).map(round).mkString(",\n")}
+         |SELECT p6.state, rs.r::BIGINT AS n_out_transitions,
+         |       p6.pi::BIGINT AS pi_micro
+         |FROM p6 JOIN rs ON rs.src = p6.state ORDER BY state""".stripMargin
+    },
+
+    // q417: pooled-support cumulative counts; the squared co-moment
+    // rides HUGEINT (the DECIMAL(38,0) twin of the Spark side) and the
+    // final micro is one positive-operand integral divide
+    "q417_cramer_von_mises" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |byv AS (
+        |  SELECT v, SUM(a)::BIGINT AS ca, SUM(1 - a)::BIGINT AS cb
+        |  FROM e GROUP BY 1),
+        |tot AS (SELECT SUM(ca)::BIGINT AS n, SUM(cb)::BIGINT AS m FROM byv),
+        |cum AS (
+        |  SELECT ca, cb,
+        |         SUM(ca) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i,
+        |         SUM(cb) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS j
+        |  FROM byv),
+        |t AS (
+        |  SELECT ca, cb,
+        |         (i::HUGEINT * m - j::HUGEINT * n) AS d
+        |  FROM cum, tot),
+        |s AS (
+        |  SELECT COUNT(*)::BIGINT AS n_support,
+        |         SUM((ca + cb)::HUGEINT * d * d) AS st
+        |  FROM t)
+        |SELECT tot.n, tot.m, s.n_support,
+        |       ((1000000::HUGEINT * s.st) //
+        |        (tot.n::HUGEINT * tot.m
+        |         * ((tot.n + tot.m)::HUGEINT * (tot.n + tot.m))))::BIGINT
+        |         AS t_micro
+        |FROM s, tot""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */

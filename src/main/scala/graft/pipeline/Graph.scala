@@ -482,39 +482,61 @@ object Graph {
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // Orientation (the O(√m)-fanout skew guard) computed ONCE from the
+    // initial degrees and reused every round: any fixed acyclic edge
+    // direction enumerates each triangle exactly once, so peeling with
+    // the round-0 orientation is value-identical to re-orienting —
+    // degrees only steer which endpoint fans out. Saves two joins and a
+    // degree aggregation per round.
+    val deg0 = cur.select(col("u").as("n")).unionAll(cur.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented0 = cur
+      .join(deg0.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg0.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+      .localCheckpoint()
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    // peel filter only ever REMOVES edges, so count equality across a
+    // round proves the edge SET is unchanged — every later round would
+    // recount the identical triangles. Early-exit and pad the remaining
+    // census rows with the fixpoint values (output stays bit-identical
+    // to the unconditional loop / the unrolled oracle).
+    var before = cur.count()
+    var fixTri = 0L; var fixEdges = before; var fixed = false
     var r = 1
     while (r <= rounds) {
-      val deg = cur.select(col("u").as("n")).unionAll(cur.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      val oriented = cur
-        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-        .select(
-          when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")), col("u"))
-            .otherwise(col("v")).as("s"),
-          when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")), col("v"))
-            .otherwise(col("u")).as("t"))
-      val tri = oriented.as("e1").join(oriented.as("e2"),
-          col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-        .select(col("e1.s").as("w"),
-          least(col("e1.t"), col("e2.t")).as("u"),
-          greatest(col("e1.t"), col("e2.t")).as("v"))
-        .join(cur, Seq("u", "v"))
-        .select(col("w"), col("u").as("p"), col("v").as("q"))
-        .localCheckpoint()
-      val nTri = tri.count()
-      val roles = tri.select(least(col("w"), col("p")).as("u"),
-          greatest(col("w"), col("p")).as("v"))
-        .unionAll(tri.select(least(col("w"), col("q")).as("u"),
-          greatest(col("w"), col("q")).as("v")))
-        .unionAll(tri.select(col("p").as("u"), col("q").as("v")))
-      val supp = roles.groupBy("u", "v").agg(count(lit(1)).as("supp"))
-      cur = cur.join(supp.filter(col("supp") >= (k - 2).toLong), Seq("u", "v"))
-        .select("u", "v").localCheckpoint()
-      stats += ((r.toLong, nTri, cur.count()))
+      if (fixed) {
+        stats += ((r.toLong, fixTri, fixEdges))
+      } else {
+        val oriented = oriented0.join(cur, Seq("u", "v")).select("s", "t")
+        val tri = oriented.as("e1").join(oriented.as("e2"),
+            col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+          .select(col("e1.s").as("w"),
+            least(col("e1.t"), col("e2.t")).as("u"),
+            greatest(col("e1.t"), col("e2.t")).as("v"))
+          .join(cur, Seq("u", "v"))
+          .select(col("w"), col("u").as("p"), col("v").as("q"))
+          .localCheckpoint()
+        val nTri = tri.count()
+        val roles = tri.select(least(col("w"), col("p")).as("u"),
+            greatest(col("w"), col("p")).as("v"))
+          .unionAll(tri.select(least(col("w"), col("q")).as("u"),
+            greatest(col("w"), col("q")).as("v")))
+          .unionAll(tri.select(col("p").as("u"), col("q").as("v")))
+        val supp = roles.groupBy("u", "v").agg(count(lit(1)).as("supp"))
+        cur = cur.join(supp.filter(col("supp") >= (k - 2).toLong), Seq("u", "v"))
+          .select("u", "v").localCheckpoint()
+        val after = cur.count()
+        stats += ((r.toLong, nTri, after))
+        if (after == before) { fixed = true; fixTri = nTri; fixEdges = after }
+        before = after
+      }
       r += 1
     }
     stats.toSeq.toDF("round", "triangles_found", "edges_remaining")
