@@ -10108,6 +10108,220 @@ object SparkEntry {
                |AS BIGINT)""".stripMargin).as("t_micro"))
   }
 
+  /** Two-group log-rank test (Mantel–Cox) on q305's churn clock:
+    * cohorts split by user_id parity, per churn day the standard
+    * O−E and hypergeometric-variance terms over the day-histogram
+    * risk sets (never a users×days grid — the inequality join runs
+    * on the ≤|days|² rollup). O1 exact; E1/V/statistic in quantized
+    * micros, squared co-moment on DECIMAL(38,0) (q417 discipline).
+    * The survival-curve COMPARISON gate q305's single-curve KM lacks.
+    */
+  private def qLogRank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val span = e.agg(max(col("day")).as("max_day"))
+    val ld = e.groupBy("user_id").agg(max(col("day")).as("last_day"))
+      .withColumn("g", (col("user_id") % 2L).cast("long"))
+      .crossJoin(broadcast(span))
+    val churn = ld.filter(col("last_day") < col("max_day"))
+      .groupBy(col("last_day").as("day"))
+      .agg(count(lit(1)).as("d"), sum(col("g")).as("d1"))
+    val endg = ld.groupBy(col("g").as("eg"), col("last_day").as("ed"))
+      .agg(count(lit(1)).as("ending"))
+    val totg = ld.groupBy("g").agg(count(lit(1)).as("n_users"))
+    // risk set per (churn day, group): total minus endings strictly
+    // before the day — |churn days| × |day histogram| bounded join
+    val risk = churn.select(col("day")).crossJoin(broadcast(totg))
+      .join(endg, col("eg") === col("g") && col("ed") < col("day"), "left")
+      .groupBy(col("g"), col("day"), col("n_users"))
+      .agg(coalesce(sum(col("ending")), lit(0L)).as("ended"))
+      .select(col("g"), col("day"), (col("n_users") - col("ended")).as("nr"))
+    val wide = risk.groupBy("day")
+      .agg(sum(col("nr")).as("nt"),
+        sum(when(col("g") === 1L, col("nr")).otherwise(0L)).as("n1"))
+    churn.join(wide, "day")
+      .select(col("d"), col("d1"), col("nt"), col("n1"))
+      .agg(count(lit(1)).as("n_days"), sum(col("d1")).as("o1"),
+        sum(expr("(1000000 * d * n1) DIV nt")).as("e1_micro"),
+        sum(expr(
+          """CASE WHEN nt > 1 THEN
+            |  CAST((CAST(1000000 AS DECIMAL(38,0)) * d * n1 * (nt - n1)
+            |    * (nt - d)) DIV (CAST(nt AS DECIMAL(38,0)) * nt * (nt - 1))
+            |  AS BIGINT) ELSE 0 END""".stripMargin)).as("v_micro"))
+      .select(col("n_days"), col("o1"), col("e1_micro"), col("v_micro"),
+        expr(
+          """CASE WHEN v_micro > 0 THEN CAST(
+            |  (CAST(1000000 * o1 - e1_micro AS DECIMAL(38,0))
+            |   * (1000000 * o1 - e1_micro)) DIV v_micro AS BIGINT)
+            |END""".stripMargin).as("logrank_micro"))
+  }
+
+  /** Fleiss' kappa inter-rater agreement: each user's FIRST five
+    * events (by ts, event_id) are five "ratings" into the event-type
+    * categories — chance-corrected agreement across Σn_ij(n_ij−1)
+    * pairs. Everything is a count: P̄ and P_e share the common
+    * denominator 500·N², so κ reduces to ONE integer ratio
+    * (25N·ΣP − 20·ΣC²) / (20·(25N² − ΣC²)), emitted in sign-split
+    * floor micros (the q218 convention — both engines' integer
+    * division truncates identically on the non-negative operands).
+    */
+  private def qFleissKappa(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    val first5 = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rated"),
+        collect_list(col("event_type")).as("types"))
+      .filter(col("n_rated") === 5)
+      .select(col("user_id"), explode(col("types")).as("event_type"))
+    val nij = first5.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("nij"))
+    val perUser = nij.groupBy("user_id")
+      .agg(sum(col("nij") * (col("nij") - 1L)).as("pnum"))
+      .agg(count(lit(1)).as("n_subj"), sum(col("pnum")).as("sp"))
+    val perCat = nij.groupBy("event_type").agg(sum(col("nij")).as("cj"))
+      .agg(sum(col("cj") * col("cj")).as("sc2"))
+    perUser.crossJoin(perCat)
+      .select(col("n_subj"),
+        expr("(1000000 * sp) DIV (20 * n_subj)").as("p_bar_micro"),
+        expr("(1000000 * sc2) DIV (25 * n_subj * n_subj)").as("p_e_micro"),
+        expr(
+          """CASE WHEN 25 * n_subj * n_subj - sc2 > 0 THEN
+            |  CASE WHEN 25 * n_subj * sp - 20 * sc2 >= 0 THEN
+            |    (1000000 * (25 * n_subj * sp - 20 * sc2))
+            |      DIV (20 * (25 * n_subj * n_subj - sc2))
+            |  ELSE -((1000000 * (20 * sc2 - 25 * n_subj * sp))
+            |      DIV (20 * (25 * n_subj * n_subj - sc2))) END
+            |END""".stripMargin).as("kappa_micro"))
+  }
+
+  /** Cochran's Q omnibus test for k=5 related binary treatments: did
+    * each user perform each event type at least once. Q's textbook
+    * form reduces to the pure-integer identity
+    * (k−1)·(k·ΣC_t² − N²) / (k·N − ΣR_i²) — numerator ≥ 0 by
+    * power-mean, denominator Σ R(k−R) ≥ 0 with the all-or-nothing
+    * degenerate corpus guarded to NULL. One user-keyed pivot scan,
+    * then a 5-row rollup.
+    */
+  private def qCochranQ(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ind = types.map(tp =>
+      max(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"x_$tp"))
+    val x = Tables.events(s, dir).groupBy("user_id")
+      .agg(ind.head, ind.tail: _*)
+    val r = x.select(col("user_id"),
+      types.map(tp => col(s"x_$tp")).reduce(_ + _).as("ri"))
+    val agg = x.agg(
+      count(lit(1)).as("n_users"),
+      types.map(tp => sum(col(s"x_$tp")).as(s"c_$tp")): _*)
+    val rs = r.agg(sum(col("ri")).as("n_grand"),
+      sum(col("ri") * col("ri")).as("sr2"))
+    agg.crossJoin(rs)
+      .withColumn("sc2",
+        types.map(tp => col(s"c_$tp") * col(s"c_$tp")).reduce(_ + _))
+      .select(col("n_users") +: types.map(tp => col(s"c_$tp")) :+
+        col("n_grand") :+
+        expr("""CASE WHEN 5 * n_grand - sr2 > 0 THEN
+               |  (1000000 * 4 * (5 * sc2 - n_grand * n_grand))
+               |    DIV (5 * n_grand - sr2) END""".stripMargin)
+          .as("q_micro"): _*)
+  }
+
+  /** Cluster-geometry census WITHOUT a pairwise join: vectors are
+    * quantized to exact milli integers (q312) and assigned to the
+    * argmax of their first 8 dims; per cluster the MEAN INTRA squared
+    * distance comes from the closed form Σ_{i<j}‖a−b‖² =
+    * n·Σ‖x‖² − ‖Σx‖², and the mean INTER squared distance to every
+    * other cluster from n_b·S2_a + n_a·S2_b − 2·Sx_a·Sx_b — sums and
+    * a k×k grid, exactly what survives 100 TB where silhouette's
+    * n² pair enumeration cannot. Separation ratio in floor micros.
+    */
+  private def qClusterSeparation(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
+        .as("ql"))
+      .withColumn("cid", expr(
+        "array_position(slice(ql, 1, 8), array_max(slice(ql, 1, 8)))"))
+    val dims = q.select(col("cid"), posexplode(col("ql")).as(Seq("d", "v")))
+    val perDim = dims.groupBy("cid", "d")
+      .agg(sum(col("v")).as("sx"), sum(col("v") * col("v")).as("sq"))
+    val per = perDim.groupBy("cid")
+      .agg(sum(col("sq")).as("s2"), sum(col("sx") * col("sx")).as("sx2"))
+      .join(q.groupBy("cid").agg(count(lit(1)).as("n")), "cid")
+    val intra = per.select(col("cid"), col("n"),
+      expr("""CASE WHEN n > 1 THEN
+             |  (2 * (n * s2 - sx2)) DIV (n * (n - 1)) END""".stripMargin)
+        .as("intra_mean"))
+    // cross-cluster dot products: the (cid_a, cid_b, d) grid is
+    // k²·dims rows — a broadcast-size rollup
+    val cross = perDim.as("a")
+      .join(perDim.as("b"),
+        col("a.d") === col("b.d") && col("a.cid") =!= col("b.cid"))
+      .groupBy(col("a.cid").as("cid"), col("b.cid").as("cidb"))
+      .agg(sum(col("a.sx") * col("b.sx")).as("dot"))
+    val inter = cross
+      .join(per.select(col("cid"), col("s2").as("s2a"), col("n").as("na")), "cid")
+      .join(per.select(col("cid").as("cidb"), col("s2").as("s2b"),
+        col("n").as("nb")), "cidb")
+      .select(col("cid"), col("cidb"),
+        expr("(nb * s2a + na * s2b - 2 * dot) DIV (na * nb)").as("inter_mean"))
+    val nearest = inter.groupBy("cid")
+      .agg(min(struct(col("inter_mean"), col("cidb"))).as("m"))
+      .select(col("cid"), col("m.inter_mean").as("min_inter_mean"),
+        col("m.cidb").as("nearest_cid"))
+    intra.join(nearest, "cid")
+      .select(col("cid"), col("n"), col("intra_mean"),
+        col("min_inter_mean"), col("nearest_cid"),
+        expr("""CASE WHEN min_inter_mean > 0 AND intra_mean IS NOT NULL
+               |THEN (1000000 * intra_mean) DIV min_inter_mean
+               |END""".stripMargin).as("compactness_micro"))
+      .orderBy("cid")
+  }
+
+  /** Token-budget waterfilling across corpus sources — the mixing
+    * planner's allocation step (cap small sources at their full token
+    * count, split the rest of the budget evenly): budget = 60% of
+    * corpus tokens, and the water level comes from the CLOSED FORM
+    * over the cap-ascending prefix (source i is fully funded iff
+    * cap_i·(n−i+1) + prefix_{i−1} ≤ B; the funded set is a prefix of
+    * the sort), so neither engine iterates. The integer remainder goes
+    * to the first uncapped sources in sort order — allocations sum to
+    * B exactly. Windows run over the ≤|sources| rollup, never rows.
+    */
+  private def qBudgetWaterfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tk"))
+      .groupBy("source").agg(sum(col("tk")).as("cap"))
+    val tot = cap.agg(sum(col("cap")).as("tt"), count(lit(1)).as("n"))
+    val w = Window.orderBy("cap", "source")
+    val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idx = cap.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("cap")).over(wp))
+      .withColumn("b", expr("(6 * tt) DIV 10"))
+      .withColumn("funded",
+        col("cap") * (col("n") - col("i") + 1L) + col("p") - col("cap")
+          <= col("b"))
+    val cut = idx.agg(
+      coalesce(max(when(col("funded"), col("i"))), lit(0L)).as("k"),
+      coalesce(max(when(col("funded"), col("p"))), lit(0L)).as("pk"))
+    idx.crossJoin(broadcast(cut))
+      .select(col("source"), col("cap").as("cap_tokens"), col("b").as("budget"),
+        col("funded").as("fully_funded"),
+        expr("""CASE WHEN funded THEN cap
+               |     WHEN i - k <= (b - pk) % (n - k)
+               |       THEN (b - pk) DIV (n - k) + 1
+               |     ELSE (b - pk) DIV (n - k) END""".stripMargin)
+          .as("alloc_tokens"))
+      .orderBy("source")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -10527,6 +10741,11 @@ object SparkEntry {
     "q415_t_closeness" -> (qTCloseness(_, _)),
     "q416_markov_stationary" -> (qMarkovStationary(_, _)),
     "q417_cramer_von_mises" -> (qCramerVonMises(_, _)),
+    "q418_logrank" -> (qLogRank(_, _)),
+    "q419_fleiss_kappa" -> (qFleissKappa(_, _)),
+    "q420_cochran_q" -> (qCochranQ(_, _)),
+    "q421_cluster_separation" -> (qClusterSeparation(_, _)),
+    "q422_budget_waterfill" -> (qBudgetWaterfill(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -18547,6 +18766,198 @@ object SparkEntry {
         |         * ((tot.n + tot.m)::HUGEINT * (tot.n + tot.m))))::BIGINT
         |         AS t_micro
         |FROM s, tot""".stripMargin,
+
+    // q418: parity cohorts on the q305 churn clock; risk sets from the
+    // day-histogram inequality join; E/V/statistic in quantized micros
+    // with the squared co-moment on HUGEINT (the q417 twin of Spark's
+    // DECIMAL(38,0))
+    "q418_logrank" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |mx AS (SELECT MAX(day) AS max_day FROM e),
+        |ld AS (SELECT user_id, MAX(day) AS last_day,
+        |              (user_id % 2)::BIGINT AS g FROM e GROUP BY 1, 3),
+        |churn AS (
+        |  SELECT last_day AS day, COUNT(*)::BIGINT AS d,
+        |         SUM(g)::BIGINT AS d1
+        |  FROM ld, mx WHERE last_day < max_day GROUP BY 1),
+        |endg AS (SELECT g, last_day AS ed, COUNT(*)::BIGINT AS ending
+        |         FROM ld GROUP BY 1, 2),
+        |totg AS (SELECT g, COUNT(*)::BIGINT AS n_users FROM ld GROUP BY 1),
+        |risk AS (
+        |  SELECT t.g, c.day, t.n_users - COALESCE(SUM(en.ending), 0) AS nr
+        |  FROM (SELECT day FROM churn) c CROSS JOIN totg t
+        |  LEFT JOIN endg en ON en.g = t.g AND en.ed < c.day
+        |  GROUP BY 1, 2, t.n_users),
+        |wide AS (
+        |  SELECT day, SUM(nr)::BIGINT AS nt,
+        |         SUM(CASE WHEN g = 1 THEN nr ELSE 0 END)::BIGINT AS n1
+        |  FROM risk GROUP BY 1),
+        |s AS (
+        |  SELECT COUNT(*)::BIGINT AS n_days, SUM(c.d1)::BIGINT AS o1,
+        |         SUM((1000000 * c.d * w.n1) // w.nt)::BIGINT AS e1_micro,
+        |         SUM(CASE WHEN w.nt > 1 THEN
+        |           ((1000000::HUGEINT * c.d * w.n1 * (w.nt - w.n1)
+        |             * (w.nt - c.d))
+        |            // (w.nt::HUGEINT * w.nt * (w.nt - 1)))::BIGINT
+        |           ELSE 0 END)::BIGINT AS v_micro
+        |  FROM churn c JOIN wide w ON w.day = c.day)
+        |SELECT n_days, o1, e1_micro, v_micro,
+        |  CASE WHEN v_micro > 0 THEN
+        |    (((1000000 * o1 - e1_micro)::HUGEINT
+        |      * (1000000 * o1 - e1_micro)) // v_micro)::BIGINT
+        |  END AS logrank_micro
+        |FROM s""".stripMargin,
+
+    // q419: first-5-ratings design; kappa as ONE integer ratio over
+    // the shared 500N² denominator, sign-split floor micros (q218)
+    "q419_fleiss_kappa" ->
+      """WITH r5 AS (
+        |  SELECT user_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |kept AS (
+        |  SELECT user_id, event_type FROM r5 WHERE rn <= 5
+        |  AND user_id IN (SELECT user_id FROM r5 GROUP BY 1
+        |                  HAVING COUNT(*) >= 5)),
+        |nij AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS nij
+        |        FROM kept GROUP BY 1, 2),
+        |pu AS (
+        |  SELECT COUNT(*)::BIGINT AS n_subj, SUM(pnum)::BIGINT AS sp
+        |  FROM (SELECT user_id, SUM(nij * (nij - 1)) AS pnum
+        |        FROM nij GROUP BY 1)),
+        |pc AS (
+        |  SELECT SUM(cj * cj)::BIGINT AS sc2
+        |  FROM (SELECT event_type, SUM(nij) AS cj FROM nij GROUP BY 1))
+        |SELECT n_subj,
+        |  ((1000000 * sp) // (20 * n_subj))::BIGINT AS p_bar_micro,
+        |  ((1000000 * sc2) // (25 * n_subj * n_subj))::BIGINT AS p_e_micro,
+        |  (CASE WHEN 25 * n_subj * n_subj - sc2 > 0 THEN
+        |    CASE WHEN 25 * n_subj * sp - 20 * sc2 >= 0 THEN
+        |      (1000000 * (25 * n_subj * sp - 20 * sc2))
+        |        // (20 * (25 * n_subj * n_subj - sc2))
+        |    ELSE -((1000000 * (20 * sc2 - 25 * n_subj * sp))
+        |        // (20 * (25 * n_subj * n_subj - sc2))) END
+        |  END)::BIGINT AS kappa_micro
+        |FROM pu, pc""".stripMargin,
+
+    // q420: the pure-integer Cochran identity
+    // (k−1)(kΣC² − N²)/(kN − ΣR²), k = 5 event types
+    "q420_cochran_q" ->
+      """WITH x AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS x_click,
+        |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS x_error,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x_purchase,
+        |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS x_signup,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS x_view
+        |  FROM events GROUP BY 1),
+        |agg AS (
+        |  SELECT COUNT(*)::BIGINT AS n_users,
+        |    SUM(x_click)::BIGINT AS c_click, SUM(x_error)::BIGINT AS c_error,
+        |    SUM(x_purchase)::BIGINT AS c_purchase,
+        |    SUM(x_signup)::BIGINT AS c_signup, SUM(x_view)::BIGINT AS c_view,
+        |    SUM(x_click + x_error + x_purchase + x_signup + x_view)::BIGINT
+        |      AS n_grand,
+        |    SUM((x_click + x_error + x_purchase + x_signup + x_view)
+        |      * (x_click + x_error + x_purchase + x_signup + x_view))::BIGINT
+        |      AS sr2
+        |  FROM x)
+        |SELECT n_users, c_click, c_error, c_purchase, c_signup, c_view,
+        |  n_grand,
+        |  (CASE WHEN 5 * n_grand - sr2 > 0 THEN
+        |    (1000000 * 4 * (5 * (c_click * c_click + c_error * c_error
+        |       + c_purchase * c_purchase + c_signup * c_signup
+        |       + c_view * c_view) - n_grand * n_grand))
+        |      // (5 * n_grand - sr2) END)::BIGINT AS q_micro
+        |FROM agg""".stripMargin,
+
+    // q421: same milli quantization (q312), first-occurrence argmax
+    // assignment, closed-form intra/inter squared-distance census on
+    // the (cid, dim) rollup — no pairwise enumeration on either side
+    "q421_cluster_separation" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+        |      AS ql
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, ql,
+        |    list_position(ql[1:8], list_max(ql[1:8]))::BIGINT AS cid
+        |  FROM q),
+        |dims AS (
+        |  SELECT cid, g.i - 1 AS d, ql[g.i] AS v
+        |  FROM a, generate_series(1, 64) g(i)),
+        |perdim AS (
+        |  SELECT cid, d, SUM(v)::BIGINT AS sx, SUM(v * v)::BIGINT AS sq
+        |  FROM dims GROUP BY 1, 2),
+        |per AS (
+        |  SELECT p.cid, SUM(p.sq)::BIGINT AS s2,
+        |         SUM(p.sx * p.sx)::BIGINT AS sx2, MAX(c.n)::BIGINT AS n
+        |  FROM perdim p
+        |  JOIN (SELECT cid, COUNT(*)::BIGINT AS n FROM a GROUP BY 1) c
+        |    ON c.cid = p.cid
+        |  GROUP BY 1),
+        |intra AS (
+        |  SELECT cid, n,
+        |    CASE WHEN n > 1 THEN (2 * (n * s2 - sx2)) // (n * (n - 1)) END
+        |      AS intra_mean
+        |  FROM per),
+        |crossd AS (
+        |  SELECT a2.cid AS cid, b.cid AS cidb,
+        |         SUM(a2.sx * b.sx)::BIGINT AS dot
+        |  FROM perdim a2 JOIN perdim b
+        |    ON a2.d = b.d AND a2.cid <> b.cid
+        |  GROUP BY 1, 2),
+        |inter AS (
+        |  SELECT c.cid, c.cidb,
+        |    (pb.n * pa.s2 + pa.n * pb.s2 - 2 * c.dot) // (pa.n * pb.n)
+        |      AS inter_mean
+        |  FROM crossd c
+        |  JOIN per pa ON pa.cid = c.cid
+        |  JOIN per pb ON pb.cid = c.cidb),
+        |nearest AS (
+        |  SELECT cid, inter_mean AS min_inter_mean, cidb AS nearest_cid
+        |  FROM (SELECT cid, cidb, inter_mean,
+        |          ROW_NUMBER() OVER (PARTITION BY cid
+        |            ORDER BY inter_mean, cidb) AS rn
+        |        FROM inter)
+        |  WHERE rn = 1)
+        |SELECT i.cid, i.n, i.intra_mean, ne.min_inter_mean, ne.nearest_cid,
+        |  (CASE WHEN ne.min_inter_mean > 0 AND i.intra_mean IS NOT NULL
+        |   THEN (1000000 * i.intra_mean) // ne.min_inter_mean
+        |   END)::BIGINT AS compactness_micro
+        |FROM intra i JOIN nearest ne ON ne.cid = i.cid
+        |ORDER BY i.cid""".stripMargin,
+
+    // q422: closed-form waterfill — funded set is a prefix of the
+    // cap-ascending sort; remainder to the first uncapped sources
+    "q422_budget_waterfill" ->
+      """WITH cap AS (
+        |  SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS cap
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(cap)::BIGINT AS tt, COUNT(*)::BIGINT AS n
+        |        FROM cap),
+        |idx AS (
+        |  SELECT source, cap, tt, n,
+        |    ROW_NUMBER() OVER (ORDER BY cap, source)::BIGINT AS i,
+        |    SUM(cap) OVER (ORDER BY cap, source
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS p,
+        |    ((6 * tt) // 10)::BIGINT AS b
+        |  FROM cap, tot),
+        |f AS (
+        |  SELECT *, cap * (n - i + 1) + p - cap <= b AS funded FROM idx),
+        |cut AS (
+        |  SELECT COALESCE(MAX(CASE WHEN funded THEN i END), 0)::BIGINT AS k,
+        |         COALESCE(MAX(CASE WHEN funded THEN p END), 0)::BIGINT AS pk
+        |  FROM f)
+        |SELECT source, cap AS cap_tokens, b AS budget, funded AS fully_funded,
+        |  (CASE WHEN funded THEN cap
+        |        WHEN i - k <= (b - pk) % (n - k)
+        |          THEN (b - pk) // (n - k) + 1
+        |        ELSE (b - pk) // (n - k) END)::BIGINT AS alloc_tokens
+        |FROM f, cut ORDER BY source""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */

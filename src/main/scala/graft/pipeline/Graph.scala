@@ -541,4 +541,46 @@ object Graph {
     }
     stats.toSeq.toDF("round", "triangles_found", "edges_remaining")
   }
+
+  /** One k-truss peel round as a LAZY plan (no checkpoint/count) —
+    * the same orientation + wedge + closure + support joins the
+    * iterative `ktrussPeelRounds` materializes each round, exposed so
+    * PlanCheck can structurally assert the scale-safety claim (wedge
+    * enumeration rides equi-joins at the lower-degree endpoint; no
+    * CartesianProduct) that the eager construction of q402 hides.
+    */
+  def ktrussRoundPlan(edges0: DataFrame, aCol: String, bCol: String,
+                      k: Int): DataFrame = {
+    val cur = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg0 = cur.select(col("u").as("n")).unionAll(cur.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = cur
+      .join(deg0.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg0.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+    val tri = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("w"),
+        least(col("e1.t"), col("e2.t")).as("u"),
+        greatest(col("e1.t"), col("e2.t")).as("v"))
+      .join(cur, Seq("u", "v"))
+      .select(col("w"), col("u").as("p"), col("v").as("q"))
+    val roles = tri.select(least(col("w"), col("p")).as("u"),
+        greatest(col("w"), col("p")).as("v"))
+      .unionAll(tri.select(least(col("w"), col("q")).as("u"),
+        greatest(col("w"), col("q")).as("v")))
+      .unionAll(tri.select(col("p").as("u"), col("q").as("v")))
+    val supp = roles.groupBy("u", "v").agg(count(lit(1)).as("supp"))
+    cur.join(supp.filter(col("supp") >= (k - 2).toLong), Seq("u", "v"))
+      .select("u", "v")
+  }
 }

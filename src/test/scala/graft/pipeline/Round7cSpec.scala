@@ -32,4 +32,33 @@ class Round7cSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 0L, 0L), (2L, 0L, 0L)))
   }
+
+  test("ktrussPeelRounds: fixpoint early-exit pads the census identically") {
+    import spark.implicits._
+    // Same K4 + pendant graph, but FOUR rounds: the edge set is stable
+    // from round 2 on, so rounds 3–4 must be served by the early-exit
+    // padding and read exactly what a full recount would produce
+    // (4 triangles, 6 edges — the K4 fixpoint).
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.ktrussPeelRounds(e, "a", "b", k = 4, rounds = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 5L, 6L), (2L, 4L, 6L), (3L, 4L, 6L), (4L, 4L, 6L)))
+  }
+
+  test("ktrussPeelRounds: hoisted round-0 orientation still exact after peel") {
+    import spark.implicits._
+    // A hub (vertex 1, degree 5) whose degree COLLAPSES after round 1:
+    // K4 on {1,2,3,4} plus pendant edges 1–5, 1–6 (support 0, peeled
+    // immediately). With orientation frozen from round-0 degrees the
+    // round-2 triangle count over the surviving K4 must still be exact
+    // — any fixed acyclic direction counts each triangle once.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (1L, 6L)).toDF("a", "b")
+    val got = Graph.ktrussPeelRounds(e, "a", "b", k = 4, rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 4L, 6L), (2L, 4L, 6L)))
+  }
 }
