@@ -133,6 +133,27 @@ object PlanCheck {
     // lazy wedge+closure+support join chain) over q402's edge build
     "q402_ktruss_round" -> Seq("SortMergeJoin"))
 
+  /** Gates whose scale claim is "the global ordered sweep rides the
+    * range-partitioned two-pass Prefix scan, never ONE task holding
+    * the whole dataset": asserted structurally — no WindowExec with an
+    * empty partitionSpec anywhere in the physical plan. (A substring
+    * check can't see partitioning; `Exchange SinglePartition` also
+    * appears legitimately under final scalar aggregates.)
+    */
+  private val noUnpartitionedWindow =
+    Set("q260_auc_eval", "q414_pr_auc")
+
+  private def unpartitionedWindows(
+      df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty =>
+        "unpartitioned WindowExec (single-task global sort)"
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty =>
+        "unpartitioned WindowGroupLimitExec (single-task global sort)"
+    }
+
   /** Lazy plan providers for gates whose registered query constructs
     * eagerly (iterative rounds, checkpoints) — the assertable plan is
     * rebuilt here without materialization.
@@ -156,15 +177,18 @@ object PlanCheck {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     if (args.headOption.contains("--assert")) {
       val names = if (args.length > 1) args.drop(1).toSeq
-                  else planAssertions.keys.toSeq.sorted
+                  else (planAssertions.keys ++ noUnpartitionedWindow)
+                    .toSeq.distinct.sorted
       var failed = 0
       names.foreach { name =>
-        val plan = syntheticPlans.getOrElse(name, SparkEntry.queries(name))
+        val df = syntheticPlans.getOrElse(name, SparkEntry.queries(name))
           .apply(spark, dir)
-          .queryExecution.explainString(FormattedMode)
+        val plan = df.queryExecution.explainString(FormattedMode)
         val problems = Seq(
           if (plan.contains("CartesianProduct"))
             Some("plan contains CartesianProduct") else None).flatten ++
+          (if (noUnpartitionedWindow(name)) unpartitionedWindows(df)
+           else Nil) ++
           planAssertions.getOrElse(name, Nil)
             .filterNot(plan.contains).map(m => s"missing expected '$m'")
         if (problems.isEmpty) println(s"PLAN OK   $name")

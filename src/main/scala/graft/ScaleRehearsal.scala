@@ -133,6 +133,19 @@ object ScaleRehearsal {
       }
       emit("q169_sorted_neighborhood", k, s169, o169, 4L * nDocs)
 
+      // q402: k-truss peel on the same co-purchase graph. Candidate
+      // volume for the truss family = support rows (3 per triangle
+      // closed by the round-1 degree-ordered enumeration) — the q152
+      // row above already pins the wedge count on this exact edge set,
+      // so together they evidence both stages. Peel runs to the gate's
+      // 3 rounds with the fixpoint early-exit live.
+      val (r402, s402) = time(
+        pipeline.Graph.ktrussPeelRounds(edges, "ua", "ub", k = 4, rounds = 3)
+          .orderBy("round").collect())
+      emit("q402_ktruss", k, s402,
+        r402.last.getAs[Long]("edges_remaining"),
+        3L * r402.head.getAs[Long]("triangles_found"))
+
       // q181: candidate stage exposed by Dedup.prefixFilterCandidates
       val prepared = docs
         .select(col("doc_id").as("doc"),

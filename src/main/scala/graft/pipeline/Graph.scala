@@ -514,22 +514,32 @@ object Graph {
       if (fixed) {
         stats += ((r.toLong, fixTri, fixEdges))
       } else {
+        // edge-sized; checkpointed so the wedge self-join below reads a
+        // materialized block instead of re-running oriented0 ⋈ cur twice
         val oriented = oriented0.join(cur, Seq("u", "v")).select("s", "t")
-        val tri = oriented.as("e1").join(oriented.as("e2"),
+          .localCheckpoint()
+        // support in ONE pass over the wedge stream: each closed
+        // triangle explodes into its 3 edges straight into a groupBy
+        // with map-side combine onto edge keys (output is edge-bounded,
+        // never triangle-bounded) — the triangle list itself is never
+        // materialized. triangles_found falls out as Σsupp / 3.
+        val supp = oriented.as("e1").join(oriented.as("e2"),
             col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
           .select(col("e1.s").as("w"),
             least(col("e1.t"), col("e2.t")).as("u"),
             greatest(col("e1.t"), col("e2.t")).as("v"))
           .join(cur, Seq("u", "v"))
-          .select(col("w"), col("u").as("p"), col("v").as("q"))
+          .select(explode(array(
+            struct(least(col("w"), col("u")).as("eu"),
+              greatest(col("w"), col("u")).as("ev")),
+            struct(least(col("w"), col("v")).as("eu"),
+              greatest(col("w"), col("v")).as("ev")),
+            struct(col("u").as("eu"), col("v").as("ev")))).as("e"))
+          .select(col("e.eu").as("u"), col("e.ev").as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("supp"))
           .localCheckpoint()
-        val nTri = tri.count()
-        val roles = tri.select(least(col("w"), col("p")).as("u"),
-            greatest(col("w"), col("p")).as("v"))
-          .unionAll(tri.select(least(col("w"), col("q")).as("u"),
-            greatest(col("w"), col("q")).as("v")))
-          .unionAll(tri.select(col("p").as("u"), col("q").as("v")))
-        val supp = roles.groupBy("u", "v").agg(count(lit(1)).as("supp"))
+        val nTri = supp.agg(coalesce(sum(col("supp")), lit(0L)))
+          .head.getLong(0) / 3
         cur = cur.join(supp.filter(col("supp") >= (k - 2).toLong), Seq("u", "v"))
           .select("u", "v").localCheckpoint()
         val after = cur.count()
@@ -567,19 +577,20 @@ object Graph {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("t"))
-    val tri = oriented.as("e1").join(oriented.as("e2"),
+    val supp = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.s").as("w"),
         least(col("e1.t"), col("e2.t")).as("u"),
         greatest(col("e1.t"), col("e2.t")).as("v"))
       .join(cur, Seq("u", "v"))
-      .select(col("w"), col("u").as("p"), col("v").as("q"))
-    val roles = tri.select(least(col("w"), col("p")).as("u"),
-        greatest(col("w"), col("p")).as("v"))
-      .unionAll(tri.select(least(col("w"), col("q")).as("u"),
-        greatest(col("w"), col("q")).as("v")))
-      .unionAll(tri.select(col("p").as("u"), col("q").as("v")))
-    val supp = roles.groupBy("u", "v").agg(count(lit(1)).as("supp"))
+      .select(explode(array(
+        struct(least(col("w"), col("u")).as("eu"),
+          greatest(col("w"), col("u")).as("ev")),
+        struct(least(col("w"), col("v")).as("eu"),
+          greatest(col("w"), col("v")).as("ev")),
+        struct(col("u").as("eu"), col("v").as("ev")))).as("e"))
+      .select(col("e.eu").as("u"), col("e.ev").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("supp"))
     cur.join(supp.filter(col("supp") >= (k - 2).toLong), Seq("u", "v"))
       .select("u", "v")
   }

@@ -127,8 +127,15 @@ object ZonalFixture {
   /** Generate (idempotent per JVM tmpdir): distributed tile build via
     * spark.range over tile keys, formulas evaluated per cell.
     */
-  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
-    val spec = specFor(sfDir)
+  def ensure(spark: SparkSession, sfDir: String): String =
+    ensureSpec(spark, specFor(sfDir))
+
+  /** Same build for an EXPLICIT spec (the sf1 scale rehearsal grows the
+    * layout past what any sfDir names — e.g. 20×12×512² = exactly 10×
+    * the sf0.1 pixel count). Tile dir is keyed by the spec, so scaled
+    * fixtures coexist with the gate fixtures.
+    */
+  def ensureSpec(spark: SparkSession, spec: Spec): String = synchronized {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zonal_${spec.layoutCols}x${spec.layoutRows}x${spec.tileSize}"
     if (new java.io.File(s"$dir/meta.json").exists()) return dir
     // a crashed partial build would re-append tiles on retry (writers
