@@ -10322,6 +10322,169 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Partial autocorrelation at lags 1–2 (Durbin–Levinson) of the
+    * daily volume series per event type: with q410's scaled residuals
+    * eₜ = n·yₜ − Σy, the exact BIGINT co-moments c₀ = Σe², c₁ = Σee₋₁,
+    * c₂ = Σee₋₂ give φ₁₁ = r₁ and φ₂₂ = (r₂ − r₁²)/(1 − r₁²) — lag-2
+    * dependence AFTER removing what lag 1 already explains (the
+    * AR-order probe q170's raw ACF cannot answer: a decaying r₂ may be
+    * pure lag-1 carryover). The closing chain is IEEE mul/div on
+    * doubles shared verbatim with the oracle — no libm.
+    */
+  private def qPacf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), dayofmonth(col("ts")).cast("long").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sy"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val e = daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("e", col("n_days") * col("y") - col("sy"))
+      .withColumn("e1", lag(col("e"), 1).over(w))
+      .withColumn("e2", lag(col("e"), 2).over(w))
+    e.groupBy("event_type").agg(
+        max(col("n_days")).as("n"),
+        sum(col("e") * col("e")).as("c0"),
+        sum(when(col("e1").isNotNull, col("e") * col("e1")).otherwise(0L)).as("c1"),
+        sum(when(col("e2").isNotNull, col("e") * col("e2")).otherwise(0L)).as("c2"))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("CASE WHEN n > 2 AND c0 > 0 THEN CAST(floor(CAST(c1 AS DOUBLE) / c0 * 1000000.0 + 0.5) AS BIGINT) END").as("phi11_micro"),
+        expr("""CASE WHEN n > 2 AND c0 > 0
+               |  AND 1.0 - (CAST(c1 AS DOUBLE) / c0) * (CAST(c1 AS DOUBLE) / c0) <> 0.0
+               |THEN CAST(floor(
+               |  (CAST(c2 AS DOUBLE) / c0
+               |    - (CAST(c1 AS DOUBLE) / c0) * (CAST(c1 AS DOUBLE) / c0))
+               |  / (1.0 - (CAST(c1 AS DOUBLE) / c0) * (CAST(c1 AS DOUBLE) / c0))
+               |  * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin)
+          .as("phi22_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Cliff's delta effect size (Cliff 1993) between even- and odd-id
+    * documents' token counts per source: δ = (#[a>b] − #[a<b])/(n·m),
+    * computed WITHOUT the n×m pair grid — group docs by exact token
+    * count, order the value histogram, prefix-sum the B side, so
+    * #[a>b] = Σᵥ aᵥ·B₍₋ᵥ₎ and δ = (2·gt + ties − n·m)/(n·m). The
+    * ordinal, whale-proof complement to q369's Cohen's d; cost is the
+    * distinct-value histogram, never docs².
+    */
+  private def qCliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = t(s, dir, "documents")
+      .select(col("source"), (col("doc_id") % 2 === 0L).as("grp_a"),
+        size(split(col("text"), " ")).cast("long").as("tk"))
+      .groupBy("source", "tk").agg(
+        sum(when(col("grp_a"), 1L).otherwise(0L)).as("av"),
+        sum(when(!col("grp_a"), 1L).otherwise(0L)).as("bv"))
+    val w = Window.partitionBy("source").orderBy("tk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    v.withColumn("b_lt", coalesce(sum(col("bv")).over(w), lit(0L)))
+      .groupBy("source").agg(
+        sum(col("av")).as("n_a"), sum(col("bv")).as("n_b"),
+        sum(col("av") * col("b_lt")).as("gt"),
+        sum(col("av") * col("bv")).as("ties"))
+      .select(col("source"), col("n_a"), col("n_b"), col("gt"), col("ties"),
+        expr("""CASE WHEN n_a > 0 AND n_b > 0 THEN
+               |  CAST(floor((2.0 * gt + ties - CAST(n_a AS DOUBLE) * n_b)
+               |    / (CAST(n_a AS DOUBLE) * n_b) * 1000000.0 + 0.5) AS BIGINT)
+               |END""".stripMargin).as("delta_micro"))
+      .orderBy("source")
+  }
+
+  /** Kendall's coefficient of concordance W (Kendall & Babington
+    * Smith 1939) over regions-as-raters ranking the order priorities
+    * by volume: per region, a strict ranking of priorities by order
+    * count (priority-name tiebreak — the no-ties classical form), rank
+    * sums R_j, and W = (12·ΣR_j² − 3·m²·n·(n+1)²)/(m²·n·(n²−1)) as one
+    * floor-micro ratio. The multi-rater ordinal-agreement gauge
+    * (q419's Fleiss κ is its categorical sibling); everything rides
+    * two grouped aggregations over a #regions×#priorities grid.
+    */
+  private def qKendallsW(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    val cell = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("r_name").orderBy(col("cnt"), col("prio")))
+        .cast("long"))
+    val rs = cell.groupBy("prio").agg(sum(col("rk")).as("rank_sum"))
+    val dims = cell.agg(
+      countDistinct(col("r_name")).as("m"), countDistinct(col("prio")).as("n"))
+    rs.crossJoin(broadcast(dims))
+      .crossJoin(broadcast(
+        rs.agg(sum(col("rank_sum") * col("rank_sum")).as("srr"))))
+      .select(col("prio"), col("rank_sum"),
+        expr("""CASE WHEN n > 1 THEN
+               |  CAST(floor((12.0 * srr - 3.0 * m * m * n * (n + 1) * (n + 1))
+               |    / (CAST(m AS DOUBLE) * m * n * (n * n - 1))
+               |    * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin)
+          .as("w_micro"))
+      .orderBy("prio")
+  }
+
+  /** Goodman–Kruskal gamma (Goodman & Kruskal 1954) for the ordinal
+    * association between lineitem quantity quintile and discount
+    * level: concordant/discordant pair MASSES from the bounded
+    * contingency grid — C = Σ nᵢⱼ·N₍﹥ᵢ,﹥ⱼ₎, D = Σ nᵢⱼ·N₍﹥ᵢ,﹤ⱼ₎ via a
+    * broadcast self-join of the ≤ 5×11 cell table (grid², never
+    * rows²), γ = (C−D)/(C+D) in floor micros. The tie-discarding rank
+    * association, q318 Mann–Kendall's contingency-table cousin.
+    */
+  private def qGkGamma(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(s, dir, "lineitem")
+      .select(expr("(CAST(l_quantity AS BIGINT) - 1) DIV 10").as("qi"),
+        expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("dj"))
+      .groupBy("qi", "dj").agg(count(lit(1)).as("nij"))
+    val pairs = cells.as("x").join(broadcast(cells.as("y")),
+        col("y.qi") > col("x.qi") && col("y.dj") =!= col("x.dj"))
+      .select((col("x.nij") * col("y.nij")).as("mass"),
+        (col("y.dj") > col("x.dj")).as("conc"))
+    pairs.agg(
+        coalesce(sum(when(col("conc"), col("mass"))), lit(0L)).as("c_mass"),
+        coalesce(sum(when(!col("conc"), col("mass"))), lit(0L)).as("d_mass"))
+      .crossJoin(broadcast(cells.agg(count(lit(1)).as("n_cells"))))
+      .select(col("n_cells"), col("c_mass"), col("d_mass"),
+        expr("""CASE WHEN c_mass + d_mass > 0 THEN
+               |  CAST(floor((CAST(c_mass AS DOUBLE) - d_mass)
+               |    / (CAST(c_mass AS DOUBLE) + d_mass)
+               |    * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin)
+          .as("gamma_micro"))
+  }
+
+  /** Long-word density census per source — the LIX-family readability
+    * signal that survives a punctuation-free corpus: words, long
+    * words (> 6 chars), docs, long-share in micros, and the LIX-style
+    * words-per-doc + 100·long-share composite. ONE scan via
+    * higher-order array functions (size∘filter — no explode), then a
+    * #sources-row aggregate; the per-doc quality screens (q18/q76)
+    * get their corpus-level readability marginal.
+    */
+  private def qLongwordCensus(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        size(expr("filter(split(text, ' '), x -> length(x) > 6)"))
+          .cast("long").as("lw"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"), sum(col("lw")).as("n_long"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_long"),
+        expr("CASE WHEN n_words > 0 THEN (1000000 * n_long) DIV n_words END")
+          .as("pct_long_micro"),
+        expr("""CASE WHEN n_docs > 0 AND n_words > 0 THEN
+               |  (1000000 * n_words) DIV n_docs
+               |    + (100000000 * n_long) DIV n_words END""".stripMargin)
+          .as("lix_micro"))
+      .orderBy("source")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -10746,6 +10909,11 @@ object SparkEntry {
     "q420_cochran_q" -> (qCochranQ(_, _)),
     "q421_cluster_separation" -> (qClusterSeparation(_, _)),
     "q422_budget_waterfill" -> (qBudgetWaterfill(_, _)),
+    "q423_pacf" -> (qPacf(_, _)),
+    "q424_cliffs_delta" -> (qCliffsDelta(_, _)),
+    "q425_kendalls_w" -> (qKendallsW(_, _)),
+    "q426_gk_gamma" -> (qGkGamma(_, _)),
+    "q427_longword_census" -> (qLongwordCensus(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -18958,6 +19126,144 @@ object SparkEntry {
         |          THEN (b - pk) // (n - k) + 1
         |        ELSE (b - pk) // (n - k) END)::BIGINT AS alloc_tokens
         |FROM f, cut ORDER BY source""".stripMargin,
+
+    // q423: q410's BIGINT co-moments; Durbin–Levinson closing chain is
+    // pure IEEE mul/div shared verbatim — no libm
+    "q423_pacf" ->
+      """WITH daily AS (
+        |  SELECT event_type, day(ts)::BIGINT AS d, COUNT(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n_days, SUM(y)::BIGINT AS sy
+        |  FROM daily GROUP BY 1),
+        |e AS (
+        |  SELECT daily.event_type, daily.d,
+        |         (tot.n_days * daily.y - tot.sy)::BIGINT AS e
+        |  FROM daily JOIN tot ON daily.event_type = tot.event_type),
+        |l AS (
+        |  SELECT event_type, e,
+        |         lag(e, 1) OVER w AS e1, lag(e, 2) OVER w AS e2
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |s AS (
+        |  SELECT l.event_type, t.n_days AS n,
+        |         SUM(e * e)::BIGINT AS c0,
+        |         SUM(CASE WHEN e1 IS NOT NULL THEN e * e1 ELSE 0 END)::BIGINT AS c1,
+        |         SUM(CASE WHEN e2 IS NOT NULL THEN e * e2 ELSE 0 END)::BIGINT AS c2
+        |  FROM l JOIN tot t ON l.event_type = t.event_type
+        |  GROUP BY 1, 2)
+        |SELECT event_type, n AS n_days,
+        |  CASE WHEN n > 2 AND c0 > 0 THEN
+        |    CAST(floor(CAST(c1 AS DOUBLE) / c0 * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS phi11_micro,
+        |  CASE WHEN n > 2 AND c0 > 0
+        |    AND 1.0 - (CAST(c1 AS DOUBLE) / c0) * (CAST(c1 AS DOUBLE) / c0) <> 0.0
+        |  THEN CAST(floor(
+        |    (CAST(c2 AS DOUBLE) / c0
+        |      - (CAST(c1 AS DOUBLE) / c0) * (CAST(c1 AS DOUBLE) / c0))
+        |    / (1.0 - (CAST(c1 AS DOUBLE) / c0) * (CAST(c1 AS DOUBLE) / c0))
+        |    * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS phi22_micro
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // q424: value-histogram prefix sums — #[a>b] without the pair grid
+    "q424_cliffs_delta" ->
+      """WITH v AS (
+        |  SELECT source, doc_id % 2 = 0 AS grp_a,
+        |         len(string_split(text, ' '))::BIGINT AS tk
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, tk,
+        |    SUM(CASE WHEN grp_a THEN 1 ELSE 0 END)::BIGINT AS av,
+        |    SUM(CASE WHEN grp_a THEN 0 ELSE 1 END)::BIGINT AS bv
+        |  FROM v GROUP BY 1, 2),
+        |p AS (
+        |  SELECT source, av, bv,
+        |    COALESCE(SUM(bv) OVER (PARTITION BY source ORDER BY tk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS b_lt
+        |  FROM h),
+        |agg AS (
+        |  SELECT source, SUM(av)::BIGINT AS n_a, SUM(bv)::BIGINT AS n_b,
+        |         SUM(av * b_lt)::BIGINT AS gt, SUM(av * bv)::BIGINT AS ties
+        |  FROM p GROUP BY 1)
+        |SELECT source, n_a, n_b, gt, ties,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(floor((2.0 * gt + ties - CAST(n_a AS DOUBLE) * n_b)
+        |      / (CAST(n_a AS DOUBLE) * n_b) * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS delta_micro
+        |FROM agg ORDER BY source""".stripMargin,
+
+    // q425: strict per-region rankings (count, name tiebreak), rank
+    // sums, ONE closed-form W ratio
+    "q425_kendalls_w" ->
+      """WITH cell AS (
+        |  SELECT r.r_name, o.o_orderpriority AS prio, COUNT(*)::BIGINT AS cnt
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT prio,
+        |    ROW_NUMBER() OVER (PARTITION BY r_name ORDER BY cnt, prio)::BIGINT
+        |      AS rk
+        |  FROM cell),
+        |rs AS (SELECT prio, SUM(rk)::BIGINT AS rank_sum FROM rk GROUP BY 1),
+        |dims AS (
+        |  SELECT COUNT(DISTINCT r_name)::BIGINT AS m,
+        |         COUNT(DISTINCT prio)::BIGINT AS n
+        |  FROM cell),
+        |srr AS (SELECT SUM(rank_sum * rank_sum)::BIGINT AS srr FROM rs)
+        |SELECT prio, rank_sum,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(floor((12.0 * srr - 3.0 * m * m * n * (n + 1) * (n + 1))
+        |      / (CAST(m AS DOUBLE) * m * n * (n * n - 1))
+        |      * 1000000.0 + 0.5) AS BIGINT) END AS w_micro
+        |FROM rs, dims, srr ORDER BY prio""".stripMargin,
+
+    // q426: concordant/discordant MASSES from the bounded grid's
+    // self-join — grid², never rows²
+    "q426_gk_gamma" ->
+      """WITH cells AS (
+        |  SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS qi,
+        |         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dj,
+        |         COUNT(*)::BIGINT AS nij
+        |  FROM lineitem GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT x.nij * y.nij AS mass, y.dj > x.dj AS conc
+        |  FROM cells x JOIN cells y ON y.qi > x.qi AND y.dj <> x.dj),
+        |cd AS (
+        |  SELECT
+        |    COALESCE(SUM(CASE WHEN conc THEN mass END), 0)::BIGINT AS c_mass,
+        |    COALESCE(SUM(CASE WHEN NOT conc THEN mass END), 0)::BIGINT AS d_mass
+        |  FROM pairs)
+        |SELECT (SELECT COUNT(*)::BIGINT FROM cells) AS n_cells,
+        |  c_mass, d_mass,
+        |  CASE WHEN c_mass + d_mass > 0 THEN
+        |    CAST(floor((CAST(c_mass AS DOUBLE) - d_mass)
+        |      / (CAST(c_mass AS DOUBLE) + d_mass) * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS gamma_micro
+        |FROM cd""".stripMargin,
+
+    // q427: one-scan census via list_filter — no unnest
+    "q427_longword_census" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    len(string_split(text, ' '))::BIGINT AS w,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> len(x) > 6))::BIGINT AS lw
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(w)::BIGINT AS n_words,
+        |         SUM(lw)::BIGINT AS n_long
+        |  FROM per GROUP BY 1)
+        |SELECT source, n_docs, n_words, n_long,
+        |  CASE WHEN n_words > 0
+        |    THEN ((1000000 * n_long) // n_words)::BIGINT END AS pct_long_micro,
+        |  CASE WHEN n_docs > 0 AND n_words > 0 THEN
+        |    ((1000000 * n_words) // n_docs
+        |      + (100000000 * n_long) // n_words)::BIGINT END AS lix_micro
+        |FROM agg ORDER BY source""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
