@@ -131,7 +131,17 @@ object PlanCheck {
     // synthetic: q402's eager construction hides its per-round plan,
     // so the assertion runs on Graph.ktrussRoundPlan (the identical
     // lazy wedge+closure+support join chain) over q402's edge build
-    "q402_ktruss_round" -> Seq("SortMergeJoin"))
+    "q402_ktruss_round" -> Seq("SortMergeJoin"),
+    // q423-q430 additions: histogram prefix sums ride source-keyed
+    // windows; rank grids are bounded (regions×priorities, 5×11 cells,
+    // 8 weekdays); the bottom-k sample must plan as
+    // TakeOrderedAndProject (per-partition top-k), never a global sort
+    "q424_cliffs_delta" -> Seq(),
+    "q425_kendalls_w" -> Seq(),
+    "q426_gk_gamma" -> Seq(),
+    "q428_page_trend" -> Seq(),
+    "q429_bottomk_sample" -> Seq("TakeOrderedAndProject"),
+    "q430_cochran_armitage" -> Seq())
 
   /** Gates whose scale claim is "the global ordered sweep rides the
     * range-partitioned two-pass Prefix scan, never ONE task holding

@@ -10485,6 +10485,115 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Page's trend test (Page 1963) for an ordered alternative across
+    * the week: blocks = event types, treatments = weekdays 1..7 in
+    * their natural order, each block ranking its weekdays by volume
+    * (count, weekday tiebreak — strict ranks). L = Σⱼ j·Rⱼ against
+    * E[L] = m·n(n+1)²/4 and Var[L] = m·n²(n+1)(n²−1)/144; z closes in
+    * the shared IEEE double chain (√ is correctly rounded — the q410
+    * rule: ln/exp are per-build, +,×,÷,√ are not). The ordered
+    * counterpart of q385's Friedman: same ranks, but the alternative
+    * is a monotone weekday trend, not mere inequality.
+    */
+  private def qPageTrend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cell = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(dayofweek(ts) - 1 AS BIGINT)").as("wd"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("cnt"), col("wd")))
+        .cast("long"))
+    val rs = cell.groupBy("wd").agg(sum(col("rk")).as("rank_sum"))
+    val dims = cell.agg(countDistinct(col("event_type")).as("m"),
+      countDistinct(col("wd")).as("n"))
+    val l = rs.agg(sum((col("wd") + 1L) * col("rank_sum")).as("l_stat"))
+    rs.crossJoin(broadcast(dims)).crossJoin(broadcast(l))
+      .select(col("wd").as("weekday"), col("rank_sum"), col("l_stat"),
+        expr("""CASE WHEN n > 1 THEN
+               |  CAST(floor((CAST(l_stat AS DOUBLE)
+               |      - CAST(m AS DOUBLE) * n * (n + 1) * (n + 1) / 4.0)
+               |    / sqrt(CAST(m AS DOUBLE) * n * n * (n + 1)
+               |        * (n * n - 1) / 144.0)
+               |    * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin)
+          .as("z_micro"))
+      .orderBy("weekday")
+  }
+
+  /** Mergeable bottom-k hash sampling (the distributed reservoir):
+    * rank every doc by md5('smp:'·id) and keep the global bottom 8 —
+    * built BOTH ways: directly, and as bottom-8 of the union of
+    * per-source bottom-8s. The two agree by the sketch's merge
+    * property (each source's bottom-k dominates any of its docs the
+    * global sample could need), and the output carries
+    * `two_level_match` per row to PROVE it, not argue it — the
+    * uniform-sample primitive that composes across 1000 executors
+    * with k rows of traffic each, where a naive ORDER BY LIMIT ships
+    * everything to one task.
+    */
+  private def qBottomkSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("CAST(conv(substring(md5(concat('smp:', doc_id)), 1, 15), 16, 10) AS BIGINT)")
+          .as("hv"))
+    // direct global bottom-8: orderBy+limit plans as
+    // TakeOrderedAndProject — per-partition bottom-k merged at the
+    // driver, k rows of traffic per task, NO global sort/window
+    val direct = hashed.orderBy(col("hv"), col("doc_id")).limit(8)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("hv"), col("doc_id"))).cast("long"))
+    // two-level: per-source bottom-8 (source-partitioned window), then
+    // bottom-8 of that ≤ 8·#sources-row union; the trailing windows
+    // rank 8 already-reduced rows, never the corpus
+    val perSource = hashed
+      .withColumn("sr", row_number().over(
+        Window.partitionBy("source").orderBy(col("hv"), col("doc_id"))))
+      .filter(col("sr") <= 8)
+      .orderBy(col("hv"), col("doc_id")).limit(8)
+      .withColumn("rank2", row_number().over(
+        Window.orderBy(col("hv"), col("doc_id"))).cast("long"))
+      .select(col("rank2"), col("doc_id").as("doc_id2"))
+    direct.join(broadcast(perSource), col("rank") === col("rank2"))
+      .select(col("rank"), col("doc_id"), col("source"), col("hv"),
+        (col("doc_id") === col("doc_id2")).as("two_level_match"))
+      .orderBy("rank")
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955) for a
+    * monotone return-rate trend across lineitem quantity quintiles:
+    * per-level cells (nᵢ, rᵢ) with scores tᵢ = 0..4, exact BIGINT
+    * co-moments Σtr, Σtn, Σt²n, and
+    * z² = N·(N·Σtr − R·Σtn)² / (R(N−R)(N·Σt²n − (Σtn)²)) closing in
+    * the shared IEEE chain. The dose-response upgrade of q147's
+    * chi-square: 2×k contingency + ORDER, one scan plus a 5-row
+    * aggregate.
+    */
+  private def qCochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(s, dir, "lineitem")
+      .select(expr("(CAST(l_quantity AS BIGINT) - 1) DIV 10").as("t"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      .groupBy("t").agg(count(lit(1)).as("n_i"), sum(col("ret")).as("r_i"))
+    val mom = cells.agg(
+      sum(col("n_i")).as("nn"), sum(col("r_i")).as("rr"),
+      sum(col("t") * col("r_i")).as("str"),
+      sum(col("t") * col("n_i")).as("stn"),
+      sum(col("t") * col("t") * col("n_i")).as("sttn"))
+    cells.crossJoin(broadcast(mom))
+      .select(col("t").as("level"), col("n_i"), col("r_i"),
+        expr("""CASE WHEN rr > 0 AND nn > rr
+               |  AND nn * sttn - stn * stn > 0 THEN
+               |  CAST(floor(CAST(nn AS DOUBLE)
+               |      * (CAST(nn AS DOUBLE) * str - CAST(rr AS DOUBLE) * stn)
+               |      * (CAST(nn AS DOUBLE) * str - CAST(rr AS DOUBLE) * stn)
+               |    / (CAST(rr AS DOUBLE) * (nn - rr)
+               |        * (CAST(nn AS DOUBLE) * sttn
+               |            - CAST(stn AS DOUBLE) * stn))
+               |    * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin)
+          .as("z2_micro"))
+      .orderBy("level")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -10914,6 +11023,9 @@ object SparkEntry {
     "q425_kendalls_w" -> (qKendallsW(_, _)),
     "q426_gk_gamma" -> (qGkGamma(_, _)),
     "q427_longword_census" -> (qLongwordCensus(_, _)),
+    "q428_page_trend" -> (qPageTrend(_, _)),
+    "q429_bottomk_sample" -> (qBottomkSample(_, _)),
+    "q430_cochran_armitage" -> (qCochranArmitage(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -19264,6 +19376,82 @@ object SparkEntry {
         |    ((1000000 * n_words) // n_docs
         |      + (100000000 * n_long) // n_words)::BIGINT END AS lix_micro
         |FROM agg ORDER BY source""".stripMargin,
+
+    // q428: strict per-block weekday ranks; L closes in the shared
+    // IEEE chain (√ correctly rounded — no libm). DuckDB dayofweek is
+    // already 0-based (Spark side shifts by -1 to match).
+    "q428_page_trend" ->
+      """WITH cell AS (
+        |  SELECT event_type, dayofweek(ts)::BIGINT AS wd, COUNT(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT wd,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt, wd)::BIGINT
+        |      AS rk
+        |  FROM cell),
+        |rs AS (SELECT wd, SUM(rk)::BIGINT AS rank_sum FROM rk GROUP BY 1),
+        |dims AS (
+        |  SELECT COUNT(DISTINCT event_type)::BIGINT AS m,
+        |         COUNT(DISTINCT wd)::BIGINT AS n
+        |  FROM cell),
+        |l AS (SELECT SUM((wd + 1) * rank_sum)::BIGINT AS l_stat FROM rs)
+        |SELECT wd AS weekday, rank_sum, l_stat,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(floor((CAST(l_stat AS DOUBLE)
+        |        - CAST(m AS DOUBLE) * n * (n + 1) * (n + 1) / 4.0)
+        |      / sqrt(CAST(m AS DOUBLE) * n * n * (n + 1)
+        |          * (n * n - 1) / 144.0)
+        |      * 1000000.0 + 0.5) AS BIGINT) END AS z_micro
+        |FROM rs, dims, l ORDER BY weekday""".stripMargin,
+
+    // q429: both constructions unrolled; the oracle's windows run on
+    // DuckDB's single node where a global sort is native
+    "q429_bottomk_sample" ->
+      """WITH hashed AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('smp:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      AS hv
+        |  FROM documents),
+        |direct AS (
+        |  SELECT doc_id, source, hv,
+        |    ROW_NUMBER() OVER (ORDER BY hv, doc_id)::BIGINT AS rnk
+        |  FROM hashed QUALIFY rnk <= 8),
+        |per_source AS (
+        |  SELECT doc_id, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS sr
+        |  FROM hashed QUALIFY sr <= 8),
+        |two_level AS (
+        |  SELECT doc_id AS doc_id2,
+        |    ROW_NUMBER() OVER (ORDER BY hv, doc_id)::BIGINT AS rnk2
+        |  FROM per_source QUALIFY rnk2 <= 8)
+        |SELECT d.rnk AS rank, d.doc_id, d.source, d.hv,
+        |       d.doc_id = t.doc_id2 AS two_level_match
+        |FROM direct d JOIN two_level t ON d.rnk = t.rnk2
+        |ORDER BY d.rnk""".stripMargin,
+
+    // q430: exact BIGINT co-moments; z² closes in the shared IEEE chain
+    "q430_cochran_armitage" ->
+      """WITH cells AS (
+        |  SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS t,
+        |         COUNT(*)::BIGINT AS n_i,
+        |         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+        |           AS r_i
+        |  FROM lineitem GROUP BY 1),
+        |mom AS (
+        |  SELECT SUM(n_i)::BIGINT AS nn, SUM(r_i)::BIGINT AS rr,
+        |         SUM(t * r_i)::BIGINT AS str, SUM(t * n_i)::BIGINT AS stn,
+        |         SUM(t * t * n_i)::BIGINT AS sttn
+        |  FROM cells)
+        |SELECT t AS level, n_i, r_i,
+        |  CASE WHEN rr > 0 AND nn > rr AND nn * sttn - stn * stn > 0 THEN
+        |    CAST(floor(CAST(nn AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) * str - CAST(rr AS DOUBLE) * stn)
+        |        * (CAST(nn AS DOUBLE) * str - CAST(rr AS DOUBLE) * stn)
+        |      / (CAST(rr AS DOUBLE) * (nn - rr)
+        |          * (CAST(nn AS DOUBLE) * sttn
+        |              - CAST(stn AS DOUBLE) * stn))
+        |      * 1000000.0 + 0.5) AS BIGINT) END AS z2_micro
+        |FROM cells, mom ORDER BY level""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
