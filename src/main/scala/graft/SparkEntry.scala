@@ -10594,6 +10594,140 @@ object SparkEntry {
       .orderBy("level")
   }
 
+  /** Jonckheere–Terpstra trend test (Jonckheere 1954, Terpstra 1952)
+    * for a monotone price shift across quantity quintiles:
+    * J = Σᵢ﹤ⱼ U_ij (strict a<b form) computed from a BOUNDED value
+    * histogram — price in hundred-dollar buckets, per-quintile counts
+    * pivoted wide, per-bucket cumulative counts via an ordered window
+    * over the ≤ ~1.1k-bucket histogram (q403's deliberately-small-
+    * input rank pattern), so each bucket contributes
+    * Σⱼ cntⱼ·Σᵢ﹤ⱼ cumᵢ — never a rows² pair grid. z closes against
+    * E[J] = (N²−Σnᵢ²)/4, Var[J] = (N²(2N+3)−Σnᵢ²(2nᵢ+3))/72 in the
+    * shared IEEE chain. The k-group ordered alternative q317's
+    * two-group Mann–Whitney can't express and q430 only covers for
+    * binary outcomes.
+    */
+  private def qJonckheere(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.load(s, dir, "lineitem")
+      .select(expr("(CAST(l_quantity AS BIGINT) - 1) DIV 10").as("g"),
+        expr("CAST(floor(l_extendedprice + 0.5) AS BIGINT) DIV 100").as("v"))
+      .groupBy("v").agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === 2L, 1L).otherwise(0L)).as("c2"),
+        sum(when(col("g") === 3L, 1L).otherwise(0L)).as("c3"),
+        sum(when(col("g") === 4L, 1L).otherwise(0L)).as("c4"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h
+      .withColumn("m0", coalesce(sum(col("c0")).over(w), lit(0L)))
+      .withColumn("m1", coalesce(sum(col("c1")).over(w), lit(0L)))
+      .withColumn("m2", coalesce(sum(col("c2")).over(w), lit(0L)))
+      .withColumn("m3", coalesce(sum(col("c3")).over(w), lit(0L)))
+    val mom = cum.agg(
+      sum(col("c1") * col("m0")
+        + col("c2") * (col("m0") + col("m1"))
+        + col("c3") * (col("m0") + col("m1") + col("m2"))
+        + col("c4") * (col("m0") + col("m1") + col("m2") + col("m3")))
+        .as("j_stat"),
+      sum(col("c0") + col("c1") + col("c2") + col("c3") + col("c4")).as("nn"),
+      sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+      sum(col("c2")).as("n2"), sum(col("c3")).as("n3"),
+      sum(col("c4")).as("n4"))
+    mom.select(col("j_stat"), col("nn"),
+        col("n0"), col("n1"), col("n2"), col("n3"), col("n4"),
+        expr("""CASE WHEN nn > 1 THEN CAST(floor(
+               |  (CAST(j_stat AS DOUBLE)
+               |    - (CAST(nn AS DOUBLE) * nn
+               |       - (CAST(n0 AS DOUBLE) * n0 + CAST(n1 AS DOUBLE) * n1
+               |          + CAST(n2 AS DOUBLE) * n2 + CAST(n3 AS DOUBLE) * n3
+               |          + CAST(n4 AS DOUBLE) * n4)) / 4.0)
+               |  / sqrt((CAST(nn AS DOUBLE) * nn * (2.0 * nn + 3.0)
+               |     - (CAST(n0 AS DOUBLE) * n0 * (2.0 * n0 + 3.0)
+               |        + CAST(n1 AS DOUBLE) * n1 * (2.0 * n1 + 3.0)
+               |        + CAST(n2 AS DOUBLE) * n2 * (2.0 * n2 + 3.0)
+               |        + CAST(n3 AS DOUBLE) * n3 * (2.0 * n3 + 3.0)
+               |        + CAST(n4 AS DOUBLE) * n4 * (2.0 * n4 + 3.0))) / 72.0)
+               |  * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin)
+          .as("z_micro"))
+  }
+
+  /** Corpus novelty-decay curve: docs arrive in doc_id-ordered ingest
+    * batches of 100; a 5-gram shingle is NOVEL in the batch where it
+    * first appears. Per batch: shingle occurrences, occurrences of
+    * first-seen-here shingles, novelty share in micros — the
+    * diminishing-returns curve a pretraining-data buyer reads before
+    * paying for the next crawl. One shuffle keyed by shingle hash
+    * (min-batch per shingle), one by batch; never doc×doc.
+    */
+  private def qNoveltyDecay(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(expr("CAST(doc_id AS BIGINT) DIV 100").as("batch"),
+        col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("batch"),
+        explode(expr(
+          """transform(sequence(0, size(toks) - 5),
+            |  i -> concat_ws(' ', slice(toks, i + 1, 5)))""".stripMargin))
+          .as("shingle"))
+    val firstSeen = sh.groupBy("shingle")
+      .agg(min(col("batch")).as("first_batch"), count(lit(1)).as("occ_total"))
+    val perBatch = sh.groupBy("batch").agg(count(lit(1)).as("n_shingles"),
+      countDistinct(col("shingle")).as("n_distinct"))
+    val novel = firstSeen.groupBy(col("first_batch").as("batch"))
+      .agg(count(lit(1)).as("n_novel_distinct"),
+        sum(col("occ_total")).as("occ_of_novel"))
+    perBatch.join(novel, Seq("batch"), "left")
+      .select(col("batch"), col("n_shingles"), col("n_distinct"),
+        coalesce(col("n_novel_distinct"), lit(0L)).as("n_novel_distinct"),
+        coalesce(col("occ_of_novel"), lit(0L)).as("occ_of_novel"),
+        expr("""CASE WHEN n_distinct > 0 THEN
+               |  (1000000 * COALESCE(n_novel_distinct, 0)) DIV n_distinct
+               |END""".stripMargin).as("novelty_micro"))
+      .orderBy("batch")
+  }
+
+  /** Bloom-filter false-positive-rate audit: insert even-id docs into
+    * an m = 16384-bit, k = 3 filter (positions = md5('bf:'·i·':'·id)
+    * mod m), probe with the DISJOINT odd-id docs — every probe that
+    * finds all 3 bits set is a measured false positive. Output the
+    * set-bit census, the measured FPP, and the occupancy-based
+    * expectation (bits_set/m)³ — a rational power, pure IEEE mul/div,
+    * no libm. The empirical check behind every q80/q99-style bloom
+    * screen: positions live as a TABLE joined on (i, pos), so the
+    * audit is an equi-join census, not a 2-kB bitmap on one task.
+    */
+  private def qBloomFpp(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    def positions(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 2), i -> named_struct(
+          |  'i', i,
+          |  'pos', CAST(conv(substring(md5(concat('bf:', i, ':', doc_id)), 1, 15), 16, 10) AS BIGINT) % 16384))"""
+          .stripMargin)).as("h"))
+      .select(col("doc_id"), col("h.i").as("i"), col("h.pos").as("pos"))
+    val setBits = positions(ids.filter(col("doc_id") % 2 === 0L))
+      .select("pos").distinct()
+    val probes = positions(ids.filter(col("doc_id") % 2 === 1L))
+    val hits = probes.join(setBits, Seq("pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("k_hit"))
+      .filter(col("k_hit") === 3L)
+    val census = ids.agg(
+      sum(when(col("doc_id") % 2 === 0L, 1L).otherwise(0L)).as("n_inserted"),
+      sum(when(col("doc_id") % 2 === 1L, 1L).otherwise(0L)).as("n_probes"))
+    census
+      .crossJoin(broadcast(setBits.agg(count(lit(1)).as("bits_set"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("false_pos"))))
+      .select(col("n_inserted"), col("n_probes"), col("bits_set"),
+        col("false_pos"),
+        expr("CASE WHEN n_probes > 0 THEN (1000000 * false_pos) DIV n_probes END")
+          .as("fpp_micro"),
+        expr("""CAST(floor((CAST(bits_set AS DOUBLE) / 16384.0)
+               |  * (CAST(bits_set AS DOUBLE) / 16384.0)
+               |  * (CAST(bits_set AS DOUBLE) / 16384.0)
+               |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin)
+          .as("expected_micro"))
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -11026,6 +11160,9 @@ object SparkEntry {
     "q428_page_trend" -> (qPageTrend(_, _)),
     "q429_bottomk_sample" -> (qBottomkSample(_, _)),
     "q430_cochran_armitage" -> (qCochranArmitage(_, _)),
+    "q431_jonckheere" -> (qJonckheere(_, _)),
+    "q432_novelty_decay" -> (qNoveltyDecay(_, _)),
+    "q433_bloom_fpp" -> (qBloomFpp(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -19452,6 +19589,110 @@ object SparkEntry {
         |              - CAST(stn AS DOUBLE) * stn))
         |      * 1000000.0 + 0.5) AS BIGINT) END AS z2_micro
         |FROM cells, mom ORDER BY level""".stripMargin,
+
+    // q431: bounded price-bucket histogram, wide per-quintile counts,
+    // ordered cumulative window; z closes in the shared IEEE chain
+    "q431_jonckheere" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(l_extendedprice + 0.5) AS BIGINT) // 100 AS v,
+        |    SUM(CASE WHEN (CAST(l_quantity AS BIGINT) - 1) // 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+        |    SUM(CASE WHEN (CAST(l_quantity AS BIGINT) - 1) // 10 = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |    SUM(CASE WHEN (CAST(l_quantity AS BIGINT) - 1) // 10 = 2 THEN 1 ELSE 0 END)::BIGINT AS c2,
+        |    SUM(CASE WHEN (CAST(l_quantity AS BIGINT) - 1) // 10 = 3 THEN 1 ELSE 0 END)::BIGINT AS c3,
+        |    SUM(CASE WHEN (CAST(l_quantity AS BIGINT) - 1) // 10 = 4 THEN 1 ELSE 0 END)::BIGINT AS c4
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT c0, c1, c2, c3, c4,
+        |    COALESCE(SUM(c0) OVER w, 0)::BIGINT AS m0,
+        |    COALESCE(SUM(c1) OVER w, 0)::BIGINT AS m1,
+        |    COALESCE(SUM(c2) OVER w, 0)::BIGINT AS m2,
+        |    COALESCE(SUM(c3) OVER w, 0)::BIGINT AS m3
+        |  FROM h WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |mom AS (
+        |  SELECT
+        |    SUM(c1 * m0 + c2 * (m0 + m1) + c3 * (m0 + m1 + m2)
+        |        + c4 * (m0 + m1 + m2 + m3))::BIGINT AS j_stat,
+        |    SUM(c0 + c1 + c2 + c3 + c4)::BIGINT AS nn,
+        |    SUM(c0)::BIGINT AS n0, SUM(c1)::BIGINT AS n1,
+        |    SUM(c2)::BIGINT AS n2, SUM(c3)::BIGINT AS n3,
+        |    SUM(c4)::BIGINT AS n4
+        |  FROM cum)
+        |SELECT j_stat, nn, n0, n1, n2, n3, n4,
+        |  CASE WHEN nn > 1 THEN CAST(floor(
+        |    (CAST(j_stat AS DOUBLE)
+        |      - (CAST(nn AS DOUBLE) * nn
+        |         - (CAST(n0 AS DOUBLE) * n0 + CAST(n1 AS DOUBLE) * n1
+        |            + CAST(n2 AS DOUBLE) * n2 + CAST(n3 AS DOUBLE) * n3
+        |            + CAST(n4 AS DOUBLE) * n4)) / 4.0)
+        |    / sqrt((CAST(nn AS DOUBLE) * nn * (2.0 * nn + 3.0)
+        |       - (CAST(n0 AS DOUBLE) * n0 * (2.0 * n0 + 3.0)
+        |          + CAST(n1 AS DOUBLE) * n1 * (2.0 * n1 + 3.0)
+        |          + CAST(n2 AS DOUBLE) * n2 * (2.0 * n2 + 3.0)
+        |          + CAST(n3 AS DOUBLE) * n3 * (2.0 * n3 + 3.0)
+        |          + CAST(n4 AS DOUBLE) * n4 * (2.0 * n4 + 3.0))) / 72.0)
+        |    * 1000000.0 + 0.5) AS BIGINT) END AS z_micro
+        |FROM mom""".stripMargin,
+
+    // q432: 5-gram shingles via list slicing; min-batch per shingle
+    "q432_novelty_decay" ->
+      """WITH sh AS (
+        |  SELECT doc_id // 100 AS batch,
+        |    array_to_string(toks[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents) d,
+        |       generate_series(1, 100000) t(i)
+        |  WHERE i <= len(toks) - 4),
+        |first_seen AS (
+        |  SELECT shingle, MIN(batch) AS first_batch,
+        |         COUNT(*)::BIGINT AS occ_total
+        |  FROM sh GROUP BY 1),
+        |per_batch AS (
+        |  SELECT batch, COUNT(*)::BIGINT AS n_shingles,
+        |         COUNT(DISTINCT shingle)::BIGINT AS n_distinct
+        |  FROM sh GROUP BY 1),
+        |novel AS (
+        |  SELECT first_batch AS batch, COUNT(*)::BIGINT AS n_novel_distinct,
+        |         SUM(occ_total)::BIGINT AS occ_of_novel
+        |  FROM first_seen GROUP BY 1)
+        |SELECT p.batch, p.n_shingles, p.n_distinct,
+        |  COALESCE(n.n_novel_distinct, 0)::BIGINT AS n_novel_distinct,
+        |  COALESCE(n.occ_of_novel, 0)::BIGINT AS occ_of_novel,
+        |  CASE WHEN p.n_distinct > 0 THEN
+        |    ((1000000 * COALESCE(n.n_novel_distinct, 0)) // p.n_distinct)::BIGINT
+        |  END AS novelty_micro
+        |FROM per_batch p LEFT JOIN novel n ON p.batch = n.batch
+        |ORDER BY p.batch""".stripMargin,
+
+    // q433: bit positions as a TABLE; measured FPP vs occupancy^3
+    "q433_bloom_fpp" ->
+      """WITH pos AS (
+        |  SELECT doc_id, i,
+        |    ('0x' || substr(md5('bf:' || i::VARCHAR || ':' || doc_id::VARCHAR),
+        |      1, 15))::BIGINT % 16384 AS pos
+        |  FROM documents, generate_series(0, 2) t(i)),
+        |set_bits AS (
+        |  SELECT DISTINCT pos FROM pos WHERE doc_id % 2 = 0),
+        |hits AS (
+        |  SELECT p.doc_id, COUNT(*)::BIGINT AS k_hit
+        |  FROM pos p JOIN set_bits s ON p.pos = s.pos
+        |  WHERE p.doc_id % 2 = 1
+        |  GROUP BY 1 HAVING COUNT(*) = 3),
+        |census AS (
+        |  SELECT SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_inserted,
+        |         SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_probes
+        |  FROM documents)
+        |SELECT n_inserted, n_probes,
+        |  (SELECT COUNT(*)::BIGINT FROM set_bits) AS bits_set,
+        |  (SELECT COUNT(*)::BIGINT FROM hits) AS false_pos,
+        |  CASE WHEN n_probes > 0 THEN
+        |    ((1000000 * (SELECT COUNT(*) FROM hits)) // n_probes)::BIGINT
+        |  END AS fpp_micro,
+        |  CAST(floor(((SELECT COUNT(*) FROM set_bits) / 16384.0)
+        |    * ((SELECT COUNT(*) FROM set_bits) / 16384.0)
+        |    * ((SELECT COUNT(*) FROM set_bits) / 16384.0)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS expected_micro
+        |FROM census""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
