@@ -10728,6 +10728,109 @@ object SparkEntry {
           .as("expected_micro"))
   }
 
+  /** Decision-stump split finder (CART's Gini criterion, Breiman
+    * 1984) over a BOUNDED threshold grid: label = urgent order,
+    * feature = total price in hundred-dollar buckets; for every
+    * candidate threshold the left/right class counts come from ONE
+    * cumulative window over the ≤ ~2k-bucket histogram, weighted
+    * impurity (nL·2pL(1−pL) + nR·2pR(1−pR))/N closes in the shared
+    * IEEE chain, and the 5 best splits survive (impurity, threshold
+    * order). The feature-screening primitive behind every
+    * tree/boosting pipeline — histogram-bounded, one scan, never a
+    * per-row sort.
+    */
+  private def qGiniSplit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.load(s, dir, "orders")
+      .select(expr("CAST(floor(o_totalprice + 0.5) AS BIGINT) DIV 100").as("v"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y"))
+      .groupBy("v").agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("pl", sum(col("pos")).over(w))
+    cum.crossJoin(broadcast(
+        h.agg(sum(col("n")).as("nt"), sum(col("pos")).as("pt"))))
+      .filter(col("nl") < col("nt"))
+      .select(col("v").as("threshold"), col("nl").as("n_left"),
+        (col("nt") - col("nl")).as("n_right"),
+        expr("""CAST(floor((
+               |    CAST(nl AS DOUBLE)
+               |      * (2.0 * (CAST(pl AS DOUBLE) / nl)
+               |         * (1.0 - CAST(pl AS DOUBLE) / nl))
+               |  + CAST(nt - nl AS DOUBLE)
+               |      * (2.0 * (CAST(pt - pl AS DOUBLE) / (nt - nl))
+               |         * (1.0 - CAST(pt - pl AS DOUBLE) / (nt - nl))))
+               |  / nt * 1000000.0 + 0.5) AS BIGINT)""".stripMargin)
+          .as("gini_micro"))
+      .orderBy(col("gini_micro"), col("threshold")).limit(5)
+  }
+
+  /** Knee-point detection (Kneedle, Satopää 2011 — the max-distance-
+    * to-chord form) on the source-concentration curve: sources ranked
+    * by token volume desc, cumulative tokens y_r, and the knee is the
+    * rank maximizing the EXACT integer cross product
+    * |(y_n−y₁)(r−1) − (n−1)(y_r−y₁)| — where adding more sources
+    * stops buying corpus mass (the operational cut for q422's budget
+    * and q432's novelty curve). All BIGINT; the window rides the
+    * ≤ #sources-row aggregate.
+    */
+  private def qKneePoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tk"))
+      .groupBy("source").agg(sum(col("tk")).as("tokens"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("tokens").desc, col("source"))).cast("long"))
+      .withColumn("y", sum(col("tokens")).over(
+        Window.orderBy(col("tokens").desc, col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ends = per.agg(max(col("r")).as("rn"),
+      max(when(col("r") === 1L, col("y"))).as("y1"),
+      max(col("y")).as("yn"))
+    val d = per.crossJoin(broadcast(ends))
+      .withColumn("d_num",
+        abs((col("yn") - col("y1")) * (col("r") - 1L)
+          - (col("rn") - 1L) * (col("y") - col("y1"))))
+    d.crossJoin(broadcast(d.agg(max(col("d_num")).as("dmax"))))
+      .select(col("r").as("rank"), col("source"), col("tokens"),
+        col("y").as("cum_tokens"), col("d_num"),
+        (col("d_num") === col("dmax")).as("is_knee"))
+      .orderBy("rank")
+  }
+
+  /** Linear-weighted Cohen's kappa (Cohen 1968) between two ordinal
+    * 5-point "raters" of lineitem size — quantity quintile vs fixed
+    * price band: disagreement weights wᵢⱼ = |i−j| over the 5×5 grid,
+    * κ_w = 1 − N·Σw·Oᵢⱼ / Σw·rowᵢ·colⱼ with every sum an exact BIGINT
+    * off the 25-cell contingency (marginals via grid-local windows).
+    * The partial-credit agreement gauge q321's unweighted κ lacks —
+    * adjacent-band disagreement costs 1, far-band costs up to 4.
+    */
+  private def qWeightedKappa(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.load(s, dir, "lineitem")
+      .select(expr("(CAST(l_quantity AS BIGINT) - 1) DIV 10").as("i"),
+        least(expr("CAST(floor(l_extendedprice + 0.5) AS BIGINT) DIV 20000"),
+          lit(4L)).as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("o"))
+    val rows = grid.groupBy("i").agg(sum(col("o")).as("ri"))
+    val cols = grid.groupBy("j").agg(sum(col("o")).as("cj"))
+    val wo = grid.agg(sum(abs(col("i") - col("j")) * col("o")).as("swo"),
+      sum(col("o")).as("nn"))
+    val we = rows.crossJoin(cols)
+      .agg(sum(abs(col("i") - col("j")) * col("ri") * col("cj")).as("swe"))
+    grid.join(broadcast(rows), "i").join(broadcast(cols), "j")
+      .crossJoin(broadcast(wo)).crossJoin(broadcast(we))
+      .select(col("i").as("qty_band"), col("j").as("price_band"),
+        col("o").as("n_cell"),
+        expr("""CASE WHEN swe > 0 THEN
+               |  CAST(floor((1.0 - CAST(nn AS DOUBLE) * swo / swe)
+               |    * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin)
+          .as("kappa_w_micro"))
+      .orderBy("qty_band", "price_band")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -11163,6 +11266,9 @@ object SparkEntry {
     "q431_jonckheere" -> (qJonckheere(_, _)),
     "q432_novelty_decay" -> (qNoveltyDecay(_, _)),
     "q433_bloom_fpp" -> (qBloomFpp(_, _)),
+    "q434_gini_split" -> (qGiniSplit(_, _)),
+    "q435_knee_point" -> (qKneePoint(_, _)),
+    "q436_weighted_kappa" -> (qWeightedKappa(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -19693,6 +19799,79 @@ object SparkEntry {
         |    * ((SELECT COUNT(*) FROM set_bits) / 16384.0)
         |    * 1000000.0 + 0.5) AS BIGINT) AS expected_micro
         |FROM census""".stripMargin,
+
+    // q434: cumulative class counts over the bounded bucket histogram;
+    // weighted impurity closes in the shared IEEE chain
+    "q434_gini_split" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(o_totalprice + 0.5) AS BIGINT) // 100 AS v,
+        |         COUNT(*)::BIGINT AS n,
+        |         SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS pos
+        |  FROM orders GROUP BY 1),
+        |cum AS (
+        |  SELECT v,
+        |    SUM(n) OVER w::BIGINT AS nl, SUM(pos) OVER w::BIGINT AS pl
+        |  FROM h WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT SUM(n)::BIGINT AS nt, SUM(pos)::BIGINT AS pt FROM h)
+        |SELECT v AS threshold, nl AS n_left, (nt - nl)::BIGINT AS n_right,
+        |  CAST(floor((
+        |      CAST(nl AS DOUBLE)
+        |        * (2.0 * (CAST(pl AS DOUBLE) / nl)
+        |           * (1.0 - CAST(pl AS DOUBLE) / nl))
+        |    + CAST(nt - nl AS DOUBLE)
+        |        * (2.0 * (CAST(pt - pl AS DOUBLE) / (nt - nl))
+        |           * (1.0 - CAST(pt - pl AS DOUBLE) / (nt - nl))))
+        |    / nt * 1000000.0 + 0.5) AS BIGINT) AS gini_micro
+        |FROM cum, tot WHERE nl < nt
+        |ORDER BY gini_micro, threshold LIMIT 5""".stripMargin,
+
+    // q435: exact integer cross product against the rank/cum-token
+    // chord — no floats anywhere
+    "q435_knee_point" ->
+      """WITH per AS (
+        |  SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS tokens
+        |  FROM documents GROUP BY 1),
+        |rk AS (
+        |  SELECT source, tokens,
+        |    ROW_NUMBER() OVER (ORDER BY tokens DESC, source)::BIGINT AS r,
+        |    SUM(tokens) OVER (ORDER BY tokens DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS y
+        |  FROM per),
+        |ends AS (
+        |  SELECT MAX(r)::BIGINT AS rn,
+        |         MAX(CASE WHEN r = 1 THEN y END)::BIGINT AS y1,
+        |         MAX(y)::BIGINT AS yn
+        |  FROM rk),
+        |d AS (
+        |  SELECT r, source, tokens, y,
+        |    abs((yn - y1) * (r - 1) - (rn - 1) * (y - y1))::BIGINT AS d_num
+        |  FROM rk, ends)
+        |SELECT r AS rank, source, tokens, y AS cum_tokens, d_num,
+        |       d_num = (SELECT MAX(d_num) FROM d) AS is_knee
+        |FROM d ORDER BY rank""".stripMargin,
+
+    // q436: 25-cell grid, exact BIGINT weighted sums, one double close
+    "q436_weighted_kappa" ->
+      """WITH grid AS (
+        |  SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS i,
+        |         LEAST(CAST(floor(l_extendedprice + 0.5) AS BIGINT) // 20000,
+        |               4) AS j,
+        |         COUNT(*)::BIGINT AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |rows_m AS (SELECT i, SUM(o)::BIGINT AS ri FROM grid GROUP BY 1),
+        |cols_m AS (SELECT j, SUM(o)::BIGINT AS cj FROM grid GROUP BY 1),
+        |wo AS (
+        |  SELECT SUM(abs(i - j) * o)::BIGINT AS swo, SUM(o)::BIGINT AS nn
+        |  FROM grid),
+        |we AS (
+        |  SELECT SUM(abs(r.i - c.j) * r.ri * c.cj)::BIGINT AS swe
+        |  FROM rows_m r, cols_m c)
+        |SELECT g.i AS qty_band, g.j AS price_band, g.o AS n_cell,
+        |  CASE WHEN swe > 0 THEN
+        |    CAST(floor((1.0 - CAST(nn AS DOUBLE) * swo / swe)
+        |      * 1000000.0 + 0.5) AS BIGINT) END AS kappa_w_micro
+        |FROM grid g, wo, we ORDER BY qty_band, price_band""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
