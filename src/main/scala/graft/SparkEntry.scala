@@ -10831,6 +10831,195 @@ object SparkEntry {
       .orderBy("qty_band", "price_band")
   }
 
+  /** Holm step-down multiple-testing correction (Holm 1979) on q403's
+    * per-term split-imbalance tests: same empirical p = r/m from the
+    * stat histogram, but the STEP-DOWN rule — walk p-ascending and
+    * reject while p₍ᵢ₎ ≤ α/(m−i+1), i.e. the exact integer test
+    * 20·r·(m−i+1) ≤ m at α = 0.05, stopping at the FIRST failure.
+    * Controls family-wise error (every rejection defensible alone)
+    * where q403's BH only controls FDR; uniformly more conservative,
+    * and the gate pins that: Holm's rejection set ⊆ BH's on the same
+    * stats. Same vocabulary-bounded rank window as q403.
+    */
+  private def qHolm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"),
+        sum(when(col("doc_id") % 2 === 0L, 1L).otherwise(0L)).as("df_even"))
+      .filter(col("df") >= 25L)
+      .withColumn("stat", abs(col("df_even") * 2L - col("df")))
+      .localCheckpoint()
+    val byStat = per.groupBy("stat").agg(count(lit(1)).as("nv"))
+      .withColumn("r", sum(col("nv")).over(
+        Window.orderBy(col("stat").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("stat", "r")
+    val ranked = per.join(broadcast(byStat), Seq("stat"))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("m"))))
+      .withColumn("p_micro", expr("(1000000 * r) DIV m"))
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("stat").desc, col("term"))).cast("long"))
+      .localCheckpoint()
+    val firstFail = ranked.agg(
+      coalesce(min(when(col("r") * 20L * (col("m") - col("i") + 1L) > col("m"),
+        col("i"))), max(col("m")) + 1L).as("kfail"))
+    ranked.crossJoin(broadcast(firstFail))
+      .select(col("term"), col("df"), col("stat"), col("p_micro"),
+        col("i").as("holm_rank"),
+        when(col("i") < col("kfail"), 1L).otherwise(0L).as("rejected"))
+      .orderBy("term")
+  }
+
+  /** Croston's method (Croston 1972) for intermittent demand — the
+    * forecast primitive for sparse series where plain EWMA decays to
+    * noise between arrivals: per event type's purchase-day series,
+    * separate α = ½ EWMAs of the non-zero demand SIZES and the
+    * inter-arrival GAPS, each computed by the EXACT closed form
+    * s_n·2ⁿ⁻¹ = z₁ + Σᵢ≥₂ zᵢ·2ⁱ⁻² (one aggregate with shiftleft
+    * coefficients — no per-step recursion, no truncation drift,
+    * every integer ≤ 2⁵³ so the closing doubles are exact), and the
+    * demand-rate forecast ŝz/ŝg in micros. The series-sparsity
+    * counterpart of q135's dense EWMA.
+    */
+  private def qCroston(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // series: per event_type, daily counts of the 1-in-997 user slice —
+    // genuinely intermittent at every SF (7–22 occupied days of ~30),
+    // so the gap EWMA carries real inter-arrival signal
+    val occ = Tables.events(s, dir)
+      .filter(col("user_id") % 997L === 0L)
+      .groupBy(col("event_type"), dayofmonth(col("ts")).cast("long").as("d"))
+      .agg(count(lit(1)).as("z"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val idx = occ
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("g", col("d") - lag(col("d"), 1).over(w))
+    val agg = idx.groupBy("event_type").agg(
+      max(col("i")).as("n"),
+      sum(when(col("i") === 1L, col("z")).otherwise(
+        col("z") * expr("shiftleft(1L, CAST(i - 2 AS INT))"))).as("sz"),
+      sum(when(col("g").isNull, 0L).otherwise(
+        when(col("i") === 2L, col("g")).otherwise(
+          col("g") * expr("shiftleft(1L, CAST(i - 3 AS INT))")))).as("sg"))
+    agg.select(col("event_type"), col("n").as("n_occ"), col("sz"), col("sg"),
+        expr("""CASE WHEN n >= 2 THEN CAST(floor(
+               |  (CAST(sz AS DOUBLE) / CAST(shiftleft(1L, CAST(n - 1 AS INT)) AS DOUBLE))
+               |  * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin)
+          .as("size_ewma_micro"),
+        expr("""CASE WHEN n >= 2 THEN CAST(floor(
+               |  (CAST(sg AS DOUBLE) / CAST(shiftleft(1L, CAST(n - 2 AS INT)) AS DOUBLE))
+               |  * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin)
+          .as("gap_ewma_micro"),
+        expr("""CASE WHEN n >= 2 AND sg > 0 THEN CAST(floor(
+               |  ((CAST(sz AS DOUBLE) / CAST(shiftleft(1L, CAST(n - 1 AS INT)) AS DOUBLE))
+               |   / (CAST(sg AS DOUBLE) / CAST(shiftleft(1L, CAST(n - 2 AS INT)) AS DOUBLE)))
+               |  * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin)
+          .as("croston_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Yuen's trimmed two-sample t (Yuen 1974) on hundred-dollar order
+    * buckets, 10% trim per side: the md5-split A/B groups' order
+    * statistics come from the bounded bucket histogram — each bucket
+    * contributes overlap(⟦cum, cum+cnt⟧, ⟦k+1, n−k⟧) rows to the
+    * trimmed core (pure integer interval arithmetic, no per-row
+    * sort), winsorized moments add k copies of the (k+1)-th and
+    * (n−k)-th order stats (conditional-min lookups on the cumulative),
+    * and t = (x̄ₜ₁−x̄ₜ₂)/√(d₁+d₂), d = (n−1)s²w/(h(h−1)) closes in the
+    * shared IEEE chain. The outlier-robust A/B read q165's Welch t
+    * loses when a whale order lands in one arm.
+    */
+  private def qYuenTrimmedT(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.load(s, dir, "orders")
+      .select(
+        expr("CAST(conv(substring(md5(concat('yu:', o_custkey)), 1, 15), 16, 10) AS BIGINT) % 2")
+          .as("grp"),
+        expr("CAST(floor(o_totalprice + 0.5) AS BIGINT) DIV 100").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h.withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val tot = h.groupBy("grp").agg(sum(col("cnt")).as("n"))
+      .withColumn("k", expr("n DIV 10"))
+    val parts = cum.join(broadcast(tot), Seq("grp"))
+      .withColumn("ov", greatest(lit(0L),
+        least(col("cb") + col("cnt"), col("n") - col("k"))
+          - greatest(col("cb"), col("k"))))
+      .groupBy("grp").agg(
+        max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(col("v") * col("ov")).as("st"),
+        sum(col("v") * col("v") * col("ov")).as("sst"),
+        min(when(col("cb") + col("cnt") >= col("k") + 1L, col("v")))
+          .as("vlo"),
+        min(when(col("cb") + col("cnt") >= col("n") - col("k"), col("v")))
+          .as("vhi"))
+      .withColumn("hh", col("n") - col("k") * 2L)
+      .withColumn("sw", col("st") + col("k") * (col("vlo") + col("vhi")))
+      .withColumn("ssw", col("sst")
+        + col("k") * (col("vlo") * col("vlo") + col("vhi") * col("vhi")))
+    val wide = parts.agg(
+      max(when(col("grp") === 0L, col("st"))).as("st0"),
+      max(when(col("grp") === 0L, col("hh"))).as("h0"),
+      max(when(col("grp") === 0L, col("n"))).as("n0"),
+      max(when(col("grp") === 0L, col("sw"))).as("sw0"),
+      max(when(col("grp") === 0L, col("ssw"))).as("ssw0"),
+      max(when(col("grp") === 1L, col("st"))).as("st1"),
+      max(when(col("grp") === 1L, col("hh"))).as("h1"),
+      max(when(col("grp") === 1L, col("n"))).as("n1"),
+      max(when(col("grp") === 1L, col("sw"))).as("sw1"),
+      max(when(col("grp") === 1L, col("ssw"))).as("ssw1"))
+    parts.select(col("grp"), col("n"), col("k"), col("hh"), col("vlo"),
+        col("vhi"),
+        expr("""CASE WHEN hh > 0 THEN
+               |  CAST(floor(CAST(st AS DOUBLE) / hh * 1000000.0 + 0.5)
+               |    AS BIGINT) END""".stripMargin).as("trimmed_mean_micro"))
+      .crossJoin(broadcast(wide))
+      .withColumn("t_micro",
+        expr("""CASE WHEN h0 > 1 AND h1 > 1 THEN
+               |  CAST(floor(
+               |    (CAST(st0 AS DOUBLE) / h0 - CAST(st1 AS DOUBLE) / h1)
+               |    / sqrt(
+               |        (CAST(ssw0 AS DOUBLE) - CAST(sw0 AS DOUBLE) * sw0 / n0)
+               |          / (CAST(h0 AS DOUBLE) * (h0 - 1))
+               |      + (CAST(ssw1 AS DOUBLE) - CAST(sw1 AS DOUBLE) * sw1 / n1)
+               |          / (CAST(h1 AS DOUBLE) * (h1 - 1)))
+               |    * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin))
+      .select("grp", "n", "k", "hh", "vlo", "vhi", "trimmed_mean_micro",
+        "t_micro")
+      .orderBy("grp")
+  }
+
+  /** Hampel filter (Hampel 1974) on each event type's daily series:
+    * centered 7-day window, med = the sorted window's 4th element,
+    * MAD = 4th element of the sorted absolute deviations, outlier ⇔
+    * |y − med| > 3·MAD — every comparison on exact integers (odd
+    * window ⇒ integer medians), boundary windows (< 7 days) emit NULL
+    * flags. The despike stage that robust-averages can't replace:
+    * q156's EWMA anomalies fire on level shifts too, Hampel fires
+    * ONLY on isolated spikes.
+    */
+  private def qHampel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(-3, 3)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), dayofmonth(col("ts")).cast("long").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("win", collect_list(col("y")).over(w))
+      .withColumn("full", size(col("win")) === 7)
+      .withColumn("med",
+        when(col("full"), element_at(array_sort(col("win")), 4)))
+      .withColumn("mad", when(col("full"), element_at(array_sort(
+        expr("transform(win, e -> abs(e - med))")), 4)))
+      .select(col("event_type"), col("d"), col("y"), col("med"), col("mad"),
+        when(col("full"), abs(col("y") - col("med")) > lit(3L) * col("mad"))
+          .as("is_outlier"))
+      .orderBy("event_type", "d")
+  }
+
   /** One per implemented operator from SURVEY.md §2 (+ pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_grouped_count" -> (qGroupedCount(_, _)),
@@ -11269,6 +11458,10 @@ object SparkEntry {
     "q434_gini_split" -> (qGiniSplit(_, _)),
     "q435_knee_point" -> (qKneePoint(_, _)),
     "q436_weighted_kappa" -> (qWeightedKappa(_, _)),
+    "q437_holm" -> (qHolm(_, _)),
+    "q438_yuen_trimmed_t" -> (qYuenTrimmedT(_, _)),
+    "q439_croston" -> (qCroston(_, _)),
+    "q440_hampel" -> (qHampel(_, _)),
   )
 
   /** Shared CTE chain of the MinHash-LSH oracle (q13, q51, q55, q60/61):
@@ -19872,6 +20065,154 @@ object SparkEntry {
         |    CAST(floor((1.0 - CAST(nn AS DOUBLE) * swo / swe)
         |      * 1000000.0 + 0.5) AS BIGINT) END AS kappa_w_micro
         |FROM grid g, wo, we ORDER BY qty_band, price_band""".stripMargin,
+
+    // q437: q403's histogram p-values; step-down rule as the exact
+    // integer test 20·r·(m−i+1) ≤ m, rejection = before first failure
+    "q437_holm" ->
+      """WITH per AS (
+        |  SELECT term, COUNT(*)::BIGINT AS df,
+        |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS df_even
+        |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) t
+        |  GROUP BY 1 HAVING COUNT(*) >= 25),
+        |st AS (SELECT term, df, abs(df_even * 2 - df)::BIGINT AS stat FROM per),
+        |by_stat AS (
+        |  SELECT stat, SUM(COUNT(*)) OVER (ORDER BY stat DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS r
+        |  FROM st GROUP BY stat),
+        |m AS (SELECT COUNT(*)::BIGINT AS m FROM st),
+        |ranked AS (
+        |  SELECT s.term, s.df, s.stat, b.r, m.m,
+        |    ((1000000 * b.r) // m.m)::BIGINT AS p_micro,
+        |    ROW_NUMBER() OVER (ORDER BY s.stat DESC, s.term)::BIGINT AS i
+        |  FROM st s JOIN by_stat b ON s.stat = b.stat, m),
+        |ff AS (
+        |  SELECT COALESCE(MIN(CASE WHEN r * 20 * (m - i + 1) > m THEN i END),
+        |                  MAX(m) + 1)::BIGINT AS kfail
+        |  FROM ranked)
+        |SELECT term, df, stat, p_micro, i AS holm_rank,
+        |       CASE WHEN i < kfail THEN 1 ELSE 0 END::BIGINT AS rejected
+        |FROM ranked, ff ORDER BY term""".stripMargin,
+
+    // q438: bucket-histogram order statistics; trimmed core via
+    // integer interval overlap; the t chain is shared verbatim
+    "q438_yuen_trimmed_t" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5('yu:' || o_custkey::VARCHAR), 1, 15))
+        |           ::BIGINT % 2 AS grp,
+        |         CAST(floor(o_totalprice + 0.5) AS BIGINT) // 100 AS v,
+        |         COUNT(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, v, cnt,
+        |    COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cb
+        |  FROM h),
+        |tot AS (
+        |  SELECT grp, SUM(cnt)::BIGINT AS n, (SUM(cnt) // 10)::BIGINT AS k
+        |  FROM h GROUP BY 1),
+        |parts AS (
+        |  SELECT c.grp, MAX(t.n)::BIGINT AS n, MAX(t.k)::BIGINT AS k,
+        |    SUM(c.v * GREATEST(0, LEAST(c.cb + c.cnt, t.n - t.k)
+        |        - GREATEST(c.cb, t.k)))::BIGINT AS st,
+        |    SUM(c.v * c.v * GREATEST(0, LEAST(c.cb + c.cnt, t.n - t.k)
+        |        - GREATEST(c.cb, t.k)))::BIGINT AS sst,
+        |    MIN(CASE WHEN c.cb + c.cnt >= t.k + 1 THEN c.v END)::BIGINT
+        |      AS vlo,
+        |    MIN(CASE WHEN c.cb + c.cnt >= t.n - t.k THEN c.v END)::BIGINT
+        |      AS vhi
+        |  FROM cum c JOIN tot t ON c.grp = t.grp
+        |  GROUP BY 1),
+        |ext AS (
+        |  SELECT grp, n, k, (n - 2 * k)::BIGINT AS hh, vlo, vhi, st,
+        |    (st + k * (vlo + vhi))::BIGINT AS sw,
+        |    (sst + k * (vlo * vlo + vhi * vhi))::BIGINT AS ssw
+        |  FROM parts),
+        |wide AS (
+        |  SELECT
+        |    MAX(CASE WHEN grp = 0 THEN st END)::BIGINT AS st0,
+        |    MAX(CASE WHEN grp = 0 THEN hh END)::BIGINT AS h0,
+        |    MAX(CASE WHEN grp = 0 THEN n END)::BIGINT AS n0,
+        |    MAX(CASE WHEN grp = 0 THEN sw END)::BIGINT AS sw0,
+        |    MAX(CASE WHEN grp = 0 THEN ssw END)::BIGINT AS ssw0,
+        |    MAX(CASE WHEN grp = 1 THEN st END)::BIGINT AS st1,
+        |    MAX(CASE WHEN grp = 1 THEN hh END)::BIGINT AS h1,
+        |    MAX(CASE WHEN grp = 1 THEN n END)::BIGINT AS n1,
+        |    MAX(CASE WHEN grp = 1 THEN sw END)::BIGINT AS sw1,
+        |    MAX(CASE WHEN grp = 1 THEN ssw END)::BIGINT AS ssw1
+        |  FROM ext)
+        |SELECT e.grp, e.n, e.k, e.hh, e.vlo, e.vhi,
+        |  CASE WHEN e.hh > 0 THEN
+        |    CAST(floor(CAST(e.st AS DOUBLE) / e.hh * 1000000.0 + 0.5)
+        |      AS BIGINT) END AS trimmed_mean_micro,
+        |  CASE WHEN h0 > 1 AND h1 > 1 THEN
+        |    CAST(floor(
+        |      (CAST(st0 AS DOUBLE) / h0 - CAST(st1 AS DOUBLE) / h1)
+        |      / sqrt(
+        |          (CAST(ssw0 AS DOUBLE) - CAST(sw0 AS DOUBLE) * sw0 / n0)
+        |            / (CAST(h0 AS DOUBLE) * (h0 - 1))
+        |        + (CAST(ssw1 AS DOUBLE) - CAST(sw1 AS DOUBLE) * sw1 / n1)
+        |            / (CAST(h1 AS DOUBLE) * (h1 - 1)))
+        |      * 1000000.0 + 0.5) AS BIGINT) END AS t_micro
+        |FROM ext e, wide ORDER BY e.grp""".stripMargin,
+
+    // q439: closed-form α=½ EWMA coefficients via integer shifts;
+    // the closing doubles are exact powers of two
+    "q439_croston" ->
+      """WITH occ AS (
+        |  SELECT event_type, day(ts)::BIGINT AS d, COUNT(*)::BIGINT AS z
+        |  FROM events WHERE user_id % 997 = 0 GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, d, z,
+        |    ROW_NUMBER() OVER w::BIGINT AS i,
+        |    (d - LAG(d, 1) OVER w)::BIGINT AS g
+        |  FROM occ WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |agg AS (
+        |  SELECT event_type, MAX(i)::BIGINT AS n,
+        |    SUM(CASE WHEN i = 1 THEN z
+        |             ELSE z * (1::BIGINT << (i - 2)::INT) END)::BIGINT AS sz,
+        |    SUM(CASE WHEN g IS NULL THEN 0
+        |             WHEN i = 2 THEN g
+        |             ELSE g * (1::BIGINT << (i - 3)::INT) END)::BIGINT AS sg
+        |  FROM idx GROUP BY 1)
+        |SELECT event_type, n AS n_occ, sz, sg,
+        |  CASE WHEN n >= 2 THEN CAST(floor(
+        |    (CAST(sz AS DOUBLE) / CAST(1::BIGINT << (n - 1)::INT AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) END AS size_ewma_micro,
+        |  CASE WHEN n >= 2 THEN CAST(floor(
+        |    (CAST(sg AS DOUBLE) / CAST(1::BIGINT << (n - 2)::INT AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) END AS gap_ewma_micro,
+        |  CASE WHEN n >= 2 AND sg > 0 THEN CAST(floor(
+        |    ((CAST(sz AS DOUBLE) / CAST(1::BIGINT << (n - 1)::INT AS DOUBLE))
+        |     / (CAST(sg AS DOUBLE) / CAST(1::BIGINT << (n - 2)::INT AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) END AS croston_micro
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // q440: integer medians from sorted 7-element window lists
+    "q440_hampel" ->
+      """WITH daily AS (
+        |  SELECT event_type, day(ts)::BIGINT AS d, COUNT(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, d, y,
+        |    list(y) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+        |  FROM daily),
+        |med AS (
+        |  SELECT event_type, d, y,
+        |    CASE WHEN len(w) = 7 THEN list_sort(w)[4] END::BIGINT AS med,
+        |    CASE WHEN len(w) = 7 THEN w END AS w7
+        |  FROM win)
+        |SELECT event_type, d, y, med,
+        |  CASE WHEN med IS NOT NULL THEN
+        |    list_sort(list_transform(w7, e -> abs(e - med)))[4]
+        |  END::BIGINT AS mad,
+        |  CASE WHEN med IS NOT NULL THEN
+        |    abs(y - med) > 3 * list_sort(list_transform(w7,
+        |      e -> abs(e - med)))[4]
+        |  END AS is_outlier
+        |FROM med ORDER BY event_type, d""".stripMargin,
   )
 
   /** The q222 discount constants as a DuckDB CASE over a rank column. */
