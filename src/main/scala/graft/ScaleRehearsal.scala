@@ -146,6 +146,79 @@ object ScaleRehearsal {
         r402.last.getAs[Long]("edges_remaining"),
         3L * r402.head.getAs[Long]("triangles_found"))
 
+      // round-9: the three ex-global-window shapes after their
+      // Prefix / TakeOrderedAndProject rewrites — each must scale
+      // linearly in rows (candidates = rows scanned per sweep), with
+      // no single task ever holding the whole table.
+      // q370 shape: range-partitioned global rank over documents +
+      // ntile arithmetic
+      val (o370, s370) = time {
+        val d = docs.select(col("doc_id"),
+            length(col("text")).cast("long").as("score"))
+        val pos = pipeline.Prefix.withGlobalPosition(d, Seq("score", "doc_id"))
+        val tot = pos.agg(count(lit(1)).as("n_tot"))
+        pos.crossJoin(broadcast(tot))
+          .select(expr("pos * 4 DIV n_tot").as("stage"))
+          .groupBy("stage").count().count()
+      }
+      emit("q370_curriculum_schedule", k, s370, o370, nDocs)
+
+      // q312 shape: quantized norms + Prefix rank + ceil-rank cuts
+      // over a k-replicated embedding table (disjoint vec_id ranges;
+      // values repeat, which only adds rank ties the (norm2, vec_id)
+      // total order absorbs)
+      val emb = { // scaled embeddings: replica r shifts vec_id
+        val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        if (k == 1) e0
+        else e0.withColumn("r", explode(sequence(lit(0), lit(k - 1))))
+          .select((col("vec_id") + col("r") * ID_STRIDE).as("vec_id"),
+            col("embedding"))
+      }.localCheckpoint()
+      val nVec = emb.count()
+      val norm2 = expr(
+        """aggregate(transform(embedding,
+          |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)),
+          |  0L, (a, x) -> a + x * x)""".stripMargin).as("norm2")
+      val (o312, s312) = time {
+        val v = emb.select(col("vec_id"), norm2)
+        val ranked = pipeline.Prefix.withGlobalPosition(v, Seq("norm2", "vec_id"))
+        val tot = ranked.agg(count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(tot))
+          .filter(col("pos") + 1L === expr("(n * 5 + 99) DIV 100") ||
+            col("pos") + 1L === expr("(n * 95 + 99) DIV 100"))
+          .count()
+      }
+      emit("q312_embedding_qa", k, s312, o312, nVec)
+
+      // q353 shape: 3 greedy maximin rounds, each argmax an
+      // orderBy().limit(1) (TakeOrderedAndProject) + broadcast
+      // min-update — candidates = rows scanned across rounds
+      val (o353, s353) = time {
+        val pts = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("v")).localCheckpoint()
+        def d2(a: String, b: String) =
+          s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+        val c1 = pts.orderBy(col("vec_id")).limit(1)
+          .select(col("v").as("cv"))
+        var mind = pts.crossJoin(broadcast(c1))
+          .select(col("vec_id"), col("v"), expr(d2("v", "cv")).as("mind"))
+        var picked = 0L
+        (1 to 3).foreach { _ =>
+          val pick = mind.orderBy(col("mind").desc, col("vec_id")).limit(1)
+            .select(col("v").as("cv")).localCheckpoint()
+          picked += 1
+          mind = mind.crossJoin(broadcast(pick))
+            .select(col("vec_id"), col("v"),
+              least(col("mind"), expr(d2("v", "cv"))).as("mind"))
+            .localCheckpoint()
+        }
+        picked
+      }
+      emit("q353_kcenter_coreset", k, s353, o353, 3L * nVec)
+
       // q181: candidate stage exposed by Dedup.prefixFilterCandidates
       val prepared = docs
         .select(col("doc_id").as("doc"),

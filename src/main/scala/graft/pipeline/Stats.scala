@@ -163,7 +163,8 @@ object Stats {
     * exact rational (g/G − b/B) by the integer woe6 and floors again.
     * One groupBy over the rows; everything after is category-sized.
     */
-  def weightOfEvidence(df: DataFrame, catCol: Column, outcomeCol: Column): DataFrame = {
+  def weightOfEvidence(df: DataFrame, catCol: Column, outcomeCol: Column,
+                       woePlane: Option[DataFrame] = None): DataFrame = {
     val cells = df.select(catCol.as("c"), outcomeCol.cast("long").as("y"))
       .groupBy("c")
       .agg(sum(col("y")).as("g"), sum(lit(1L) - col("y")).as("b"))
@@ -171,14 +172,29 @@ object Stats {
     // explicit DOUBLE casts: a bare `g + 0.5` would run Spark's
     // DECIMAL arithmetic (scale-rounded divisions) while the oracle
     // computes doubles — the chains must be the same IEEE ops
-    cells.crossJoin(broadcast(tot))
-      .select(col("c"), col("g"), col("b"), col("gt"), col("bt"),
-        expr("CAST(floor(ln(((CAST(g AS DOUBLE) + 0.5) / (CAST(gt AS DOUBLE) + 0.5)) / " +
-          "((CAST(b AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 0.5))) * 1000000.0 + 0.5) AS BIGINT)")
-          .as("woe_micro"))
-      .select(col("c"), col("g"), col("b"), col("woe_micro"),
-        expr("CAST(floor((CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt) * woe_micro + 0.5) AS BIGINT)")
-          .as("iv_contrib_micro"))
+    val based = cells.crossJoin(broadcast(tot))
+    // cross-engine gating passes a (g, b, woe6) JVM plane
+    // (StatsFixture) pinning the single transcendental; LEFT join +
+    // raise_error so a stale plane fails loudly rather than dropping
+    // the same rows from both engines
+    val withWoe = woePlane match {
+      case Some(p) =>
+        based.join(broadcast(p.withColumnsRenamed(Map("g" -> "pg", "b" -> "pb"))),
+            col("g") === col("pg") && col("b") === col("pb"), "left")
+          .select(col("c"), col("g"), col("b"), col("gt"), col("bt"),
+            when(col("woe6").isNotNull, col("woe6"))
+              .otherwise(raise_error(lit("stale woe6 fixture plane: missing " +
+                "(g, b) cell — delete the graft_ln6_* tmp dir and rerun")))
+              .as("woe_micro"))
+      case None =>
+        based.select(col("c"), col("g"), col("b"), col("gt"), col("bt"),
+          expr("CAST(floor(ln(((CAST(g AS DOUBLE) + 0.5) / (CAST(gt AS DOUBLE) + 0.5)) / " +
+            "((CAST(b AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 0.5))) * 1000000.0 + 0.5) AS BIGINT)")
+            .as("woe_micro"))
+    }
+    withWoe.select(col("c"), col("g"), col("b"), col("woe_micro"),
+      expr("CAST(floor((CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt) * woe_micro + 0.5) AS BIGINT)")
+        .as("iv_contrib_micro"))
   }
 
   /** Exact-integer correlation matrix over small-integer metrics —

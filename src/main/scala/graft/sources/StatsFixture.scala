@@ -3,35 +3,46 @@ package graft.sources
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** JVM-dumped quantized-ln plane for the q305/q311 oracles — the
-  * [[RetrievalFixture]] idf6 discipline applied to the two remaining
-  * gates whose oracle called DuckDB `ln` directly.
+/** JVM-dumped quantized-ln planes for the q305/q311/q207/q158 oracles
+  * — the [[RetrievalFixture]] idf6 discipline applied to every gate
+  * whose oracle would otherwise call DuckDB `ln` on data-dependent
+  * input and floor the result.
   *
   * `floor(ln(x)·1e6)` computed independently by JVM `Math.log` and the
   * driver's DuckDB libm can differ by one ulp at a floor boundary
   * (the round-6 q139 post-mortem). Cure: dump the ONLY transcendental
-  * intermediate — `ln6 = floor(ln(num/den)·1e6)` over exactly the
-  * (num, den) integer-count pairs the two gates evaluate — from the
-  * JVM as a parquet fixture that BOTH the Spark query and the DuckDB
-  * oracle equi-join. Each side still recomputes every count, join,
-  * and cumulative independently; only the libm call is pinned to one
-  * engine, so the gate keeps verifying the whole distributed chain.
+  * intermediate — quantized over exactly the integer-count pairs the
+  * gates evaluate — from the JVM as a parquet fixture that BOTH the
+  * Spark query and the DuckDB oracle equi-join. Each side still
+  * recomputes every count, join, and cumulative independently; only
+  * the libm call is pinned to one engine, so the gate keeps verifying
+  * the whole distributed chain. Consumers take a LEFT join and
+  * raise_error on a NULL plane value, so a stale cached fixture fails
+  * loudly instead of silently dropping the same rows from both sides.
   *
-  * Pair sets (tiny — bounded by day/type/band cardinality, not rows):
-  *  - q305 Kaplan–Meier: (n_risk − d_churn, n_risk) per churn day
-  *  - q311 info gain: (c, N) per event_type and (c, N_band) per
-  *    (band, event_type)
+  * Two planes (tiny — bounded by day/type/band cardinality, not rows):
+  *  - `ln6.parquet` (num, den, ln6 = floor(ln(num/den)·1e6)):
+  *     q305 Kaplan–Meier (n_risk − d_churn, n_risk) per churn day;
+  *     q311 info gain (c, N) per event_type and (c, N_band) per
+  *     (band, event_type); q207 Markov add-1 likelihood
+  *     (c + 1, tot + k) per transition cell.
+  *  - `woe6.parquet` (g, b, woe6): q158's Laplace-smoothed
+  *     weight-of-evidence per (goods, bads) cell, quantized with the
+  *     exact `floor(ln(((g+.5)/(gt+.5))/((b+.5)/(bt+.5)))·1e6+.5)`
+  *     chain (gt/bt are corpus scalars, so (g, b) keys the cell).
   */
 object StatsFixture {
 
   def dir(sfDir: String): String = {
     val tag = new java.io.File(sfDir).getName
-    s"${System.getProperty("java.io.tmpdir")}/graft_ln6_v1_$tag"
+    // v2: + q207 pairs and the woe6 plane (bump invalidates v1 caches)
+    s"${System.getProperty("java.io.tmpdir")}/graft_ln6_v2_$tag"
   }
 
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val d = dir(sfDir)
-    if (new java.io.File(s"$d/ln6.parquet/_SUCCESS").exists()) return d
+    if (new java.io.File(s"$d/ln6.parquet/_SUCCESS").exists() &&
+        new java.io.File(s"$d/woe6.parquet/_SUCCESS").exists()) return d
     val e = graft.Tables.events(spark, sfDir)
 
     // q305 pairs: survivors-over-risk ratio per churn day
@@ -67,10 +78,44 @@ object StatsFixture {
       .join(broadcast(bandTot), "band")
       .select(col("c").as("num"), col("nb").as("den"))
 
-    p305.unionAll(marg).unionAll(cond).distinct()
+    // q207 pairs: add-1-smoothed transition likelihood (c+1, tot+k)
+    // per (prev, cur) cell of the per-user event-type chains
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    val trans = e.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tu"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wSeq))
+      .filter(col("prev").isNotNull)
+      .select(col("prev"), col("event_type").as("cur"))
+    val kStates = trans.select(col("cur")).union(trans.select(col("prev")))
+      .distinct().agg(count(lit(1)).as("k"))
+    val cell207 = trans.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+    val p207 = cell207
+      .join(broadcast(cell207.groupBy("prev").agg(sum(col("c")).as("tot"))),
+        "prev")
+      .crossJoin(broadcast(kStates))
+      .select((col("c") + 1L).as("num"), (col("tot") + col("k")).as("den"))
+
+    p305.unionAll(marg).unionAll(cond).unionAll(p207).distinct()
       .withColumn("ln6", expr(
         "CAST(floor(ln(CAST(num AS DOUBLE) / den) * 1000000.0) AS BIGINT)"))
       .coalesce(1).write.mode("overwrite").parquet(s"$d/ln6.parquet")
+
+    // q158 plane: WoE per (g, b) cell — the chain below is copied
+    // VERBATIM from Stats.weightOfEvidence so the plane pins exactly
+    // the double the operator would compute
+    val cells = e.select(expr("CAST(user_id % 10 AS BIGINT)").as("cband"),
+        expr("CAST(CAST(event_type = 'purchase' AS INT) AS LONG)").as("y"))
+      .groupBy("cband")
+      .agg(sum(col("y")).as("g"), sum(lit(1L) - col("y")).as("b"))
+    val gb = cells.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"))
+    cells.crossJoin(broadcast(gb))
+      .select(col("g"), col("b"),
+        expr("CAST(floor(ln(((CAST(g AS DOUBLE) + 0.5) / (CAST(gt AS DOUBLE) + 0.5)) / " +
+          "((CAST(b AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 0.5))) * 1000000.0 + 0.5) AS BIGINT)")
+          .as("woe6"))
+      .distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/woe6.parquet")
     d
   }
 }
