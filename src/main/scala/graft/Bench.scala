@@ -53,10 +53,24 @@ object Bench {
       // localCheckpoint()/persist() blocks otherwise accumulate across
       // the 400+-query suite (round-7 lesson: the driver's single-JVM
       // full run inflated the iterative tail ~10× late in the run).
-      // Sequential execution makes this safe — nothing cross-query
-      // references a checkpointed RDD.
+      // SCOPE INVARIANT: this blanket sweep is safe ONLY here — this
+      // main owns the whole JVM, runs queries strictly sequentially,
+      // and nothing retains a reference across iterations (a
+      // localCheckpointed RDD has truncated lineage, so unpersisting
+      // one that is still referenced loses the data unrecoverably,
+      // not just the cache). Do NOT copy this sweep into Verify,
+      // PlanCheck, specs, or any shared-session / concurrent context —
+      // evict by reference there instead.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
+      // unload streaming state-store providers left by stopped
+      // MemoryStream gates: loaded providers pin their version maps on
+      // the heap AND keep the 60 s maintenance task snapshotting them
+      // in the background for the rest of the suite — ambient noise in
+      // every later query's timing. Same sequential-ownership invariant
+      // as the sweep above; the next streaming gate restarts
+      // maintenance on first store load.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       // collect garbage between queries so one query's allocation debt
       // (O(n²) pair joins) is not paid inside the next query's timing
       System.gc()

@@ -44,8 +44,50 @@ object Tables {
 
 /** One SparkSession configuration for every graft entrypoint. */
 object GraftSession {
-  def builder(master: String = "local[*]", cpus: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
+
+  /** tmpfs root for Spark scratch I/O, when the host has one.
+    *
+    * Round-9 determinism fix: shuffle spill files, DISK_ONLY blocks,
+    * and streaming state-store deltas/offsets/commits all land on
+    * `spark.local.dir` / the streaming checkpoint root. On the
+    * physical-disk default (`/tmp`) their fsync+rename latency tracks
+    * ambient host I/O pressure — the source of the ±2× breathing the
+    * round-8 bench observed on the MemoryStream gates and the 5×
+    * spread on q402's wedge shuffles. tmpfs makes those paths
+    * RAM-speed and pressure-independent; Spark's own shutdown hooks
+    * delete the `blockmgr-*`/`spark-*` subdirs on normal exit. On a
+    * real cluster this maps to the standard practice of pointing
+    * `spark.local.dir` at fast local SSD/ramdisk, so local-mode
+    * behavior and cluster guidance agree.
+    */
+  private def scratchRoot: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft_scratch")
+      d.mkdirs()
+      Some(d.getAbsolutePath)
+    } else None
+  }
+
+  /** Per-JVM streaming checkpoint root (unique so a re-run can never
+    * resume a previous JVM's offsets under a recycled queryName),
+    * deleted on JVM exit.
+    */
+  private lazy val streamCkptRoot: Option[String] = scratchRoot.map { r =>
+    val d = new java.io.File(r, s"ckpt_${java.util.UUID.randomUUID()}")
+    d.mkdirs()
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(d)
+    }
+    d.getAbsolutePath
+  }
+
+  def builder(master: String = "local[*]", cpus: Int = 32): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -56,6 +98,16 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
+    scratchRoot match {
+      case Some(r) =>
+        val withLocal = b.config("spark.local.dir", r)
+        streamCkptRoot match {
+          case Some(c) => withLocal.config("spark.sql.streaming.checkpointLocation", c)
+          case None => withLocal
+        }
+      case None => b
+    }
+  }
 
   /** Apply graft-required runtime confs to an externally-built session
     * (e.g. the driver's): confs that are settable at runtime, plus the

@@ -478,10 +478,21 @@ object Graph {
     require(k >= 3 && rounds >= 1, "k must be >= 3 and rounds >= 1")
     val spark = edges0.sparkSession
     import spark.implicits._
+    // Per-round blocks are checkpointed DISK_ONLY (round-9 variance
+    // fix): the wedge self-join below sorts a stream ~100× the edge
+    // count, and under MEMORY_AND_DISK the cached rounds compete with
+    // that sort for unified memory — eviction churn gave q402 a 5×
+    // wall-time spread under ambient host pressure. DISK_ONLY keeps
+    // the whole storage pool out of the sort's way; with
+    // `spark.local.dir` on tmpfs (GraftSession) the "disk" re-reads
+    // are RAM-speed anyway, and on a real cluster this is the
+    // standard level for big iterative intermediates.
+    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
     var cur = edges0
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true, disk)
     // Orientation (the O(√m)-fanout skew guard) computed ONCE from the
     // initial degrees and reused every round: any fixed acyclic edge
     // direction enumerates each triangle exactly once, so peeling with
@@ -500,7 +511,7 @@ object Graph {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("t"))
-      .localCheckpoint()
+      .localCheckpoint(true, disk)
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     // peel filter only ever REMOVES edges, so count equality across a
     // round proves the edge SET is unchanged — every later round would
@@ -517,7 +528,7 @@ object Graph {
         // edge-sized; checkpointed so the wedge self-join below reads a
         // materialized block instead of re-running oriented0 ⋈ cur twice
         val oriented = oriented0.join(cur, Seq("u", "v")).select("s", "t")
-          .localCheckpoint()
+          .localCheckpoint(true, disk)
         // support in ONE pass over the wedge stream: each closed
         // triangle explodes into its 3 edges straight into a groupBy
         // with map-side combine onto edge keys (output is edge-bounded,
@@ -537,11 +548,11 @@ object Graph {
             struct(col("u").as("eu"), col("v").as("ev")))).as("e"))
           .select(col("e.eu").as("u"), col("e.ev").as("v"))
           .groupBy("u", "v").agg(count(lit(1)).as("supp"))
-          .localCheckpoint()
+          .localCheckpoint(true, disk)
         val nTri = supp.agg(coalesce(sum(col("supp")), lit(0L)))
           .head.getLong(0) / 3
         cur = cur.join(supp.filter(col("supp") >= (k - 2).toLong), Seq("u", "v"))
-          .select("u", "v").localCheckpoint()
+          .select("u", "v").localCheckpoint(true, disk)
         val after = cur.count()
         stats += ((r.toLong, nTri, after))
         if (after == before) { fixed = true; fixTri = nTri; fixEdges = after }
