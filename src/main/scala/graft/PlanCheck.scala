@@ -130,8 +130,11 @@ object PlanCheck {
     "q413_chao1" -> Seq(),
     // synthetic: q402's eager construction hides its per-round plan,
     // so the assertion runs on Graph.ktrussRoundPlan (the identical
-    // lazy wedge+closure+support join chain) over q402's edge build
-    "q402_ktruss_round" -> Seq("SortMergeJoin"),
+    // lazy wedge+closure+support join chain) over q402's edge build.
+    // The wedge self-join stays SortMergeJoin; the closure probe is
+    // pinned ShuffledHashJoin (round-9: both sides shuffle on the edge
+    // key, but the 35×-edge-count wedge stream is no longer sorted)
+    "q402_ktruss_round" -> Seq("SortMergeJoin", "ShuffledHashJoin"),
     // q423-q430 additions: histogram prefix sums ride source-keyed
     // windows; rank grids are bounded (regions×priorities, 5×11 cells,
     // 8 weekdays); the bottom-k sample must plan as

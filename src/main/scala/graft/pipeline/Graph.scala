@@ -172,7 +172,11 @@ object Graph {
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(least(col("e1.t"), col("e2.t")).as("u"),
         greatest(col("e1.t"), col("e2.t")).as("v"))
-    val triangles = wedges.join(e, Seq("u", "v")).agg(count(lit(1)).as("tri"))
+    // SHUFFLE_HASH closure probe (round-9, same reasoning as the
+    // k-truss round): shuffle both sides on the edge key but hash only
+    // the edge-bounded side — never sort the wedge stream
+    val triangles = wedges.join(e.hint("shuffle_hash"), Seq("u", "v"))
+      .agg(count(lit(1)).as("tri"))
     val counts = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
         sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges")))
@@ -479,7 +483,7 @@ object Graph {
     val spark = edges0.sparkSession
     import spark.implicits._
     // Per-round blocks are checkpointed DISK_ONLY (round-9 variance
-    // fix): the wedge self-join below sorts a stream ~100× the edge
+    // fix): the round-1 wedge self-join sorts a stream ~100× the edge
     // count, and under MEMORY_AND_DISK the cached rounds compete with
     // that sort for unified memory — eviction churn gave q402 a 5×
     // wall-time spread under ambient host pressure. DISK_ONLY keeps
@@ -488,20 +492,19 @@ object Graph {
     // are RAM-speed anyway, and on a real cluster this is the
     // standard level for big iterative intermediates.
     val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
-    var cur = edges0
+    val cur0 = edges0
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true, disk)
     // Orientation (the O(√m)-fanout skew guard) computed ONCE from the
-    // initial degrees and reused every round: any fixed acyclic edge
-    // direction enumerates each triangle exactly once, so peeling with
-    // the round-0 orientation is value-identical to re-orienting —
-    // degrees only steer which endpoint fans out. Saves two joins and a
-    // degree aggregation per round.
-    val deg0 = cur.select(col("u").as("n")).unionAll(cur.select(col("v").as("n")))
+    // initial degrees: any fixed acyclic edge direction enumerates each
+    // triangle exactly once, so expanding from the round-0 lower-degree
+    // endpoint stays exact all the way down the peel — degrees only
+    // steer which endpoint fans out.
+    val deg0 = cur0.select(col("u").as("n")).unionAll(cur0.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    val oriented0 = cur
+    val oriented0 = cur0
       .join(deg0.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg0.select(col("n").as("v"), col("d").as("dv")), "v")
       .select(col("u"), col("v"),
@@ -512,51 +515,106 @@ object Graph {
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("t"))
       .localCheckpoint(true, disk)
+    // ROUND 1 pays the one full enumeration: support in ONE pass over
+    // the wedge stream — each closed triangle explodes into its 3
+    // edges straight into a groupBy with map-side combine onto edge
+    // keys (output is edge-bounded, never triangle-bounded); the
+    // triangle list itself is never materialized. The closure probe is
+    // hinted SHUFFLE_HASH: both sides still shuffle on the edge key
+    // (scale-safe), but only the edge-bounded build side is hashed —
+    // the default SortMergeJoin would SORT the wedge stream (~35× the
+    // edge count here), the single most expensive step of the whole
+    // decomposition, to join against a side 1/35th its size.
+    val oriented = oriented0.select("s", "t")
+    val supp1 = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("w"),
+        least(col("e1.t"), col("e2.t")).as("u"),
+        greatest(col("e1.t"), col("e2.t")).as("v"))
+      .join(cur0.hint("shuffle_hash"), Seq("u", "v"))
+      .select(explode(array(
+        struct(least(col("w"), col("u")).as("eu"),
+          greatest(col("w"), col("u")).as("ev")),
+        struct(least(col("w"), col("v")).as("eu"),
+          greatest(col("w"), col("v")).as("ev")),
+        struct(col("u").as("eu"), col("v").as("ev")))).as("e"))
+      .select(col("e.eu").as("u"), col("e.ev").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("supp"))
+    // full support plane over E₀ (zero-triangle edges carry supp 0)
+    var suppCur = cur0.join(supp1, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("supp"), lit(0L)).as("supp"))
+      .localCheckpoint(true, disk)
+    var nTri = suppCur.agg(coalesce(sum(col("supp")), lit(0L)))
+      .head.getLong(0) / 3
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    // peel filter only ever REMOVES edges, so count equality across a
-    // round proves the edge SET is unchanged — every later round would
-    // recount the identical triangles. Early-exit and pad the remaining
-    // census rows with the fixpoint values (output stays bit-identical
-    // to the unconditional loop / the unrolled oracle).
-    var before = cur.count()
-    var fixTri = 0L; var fixEdges = before; var fixed = false
+    // INCREMENTAL ROUNDS ≥ 2 (the 100-TB shape): a peeled edge has
+    // support ≤ k−3, so it sits in at most k−3 triangles — the set of
+    // triangles destroyed by a round is bounded by (k−3)·|removed|,
+    // NOT by the graph. Re-running the full wedge join per round (the
+    // pre-round-9 shape) recounts ~all triangles to learn that a few
+    // thousand died; instead each round enumerates ONLY the triangles
+    // through removed edges (common-neighbor probe from the removed
+    // edge's lower-degree endpoint, closed against the pre-removal
+    // edge set), decrements the surviving edges they contained, and
+    // subtracts the destroyed count from the census. Census and
+    // support stay bit-identical to the full recount by induction:
+    // triangles(E_r) = triangles(E_{r−1}) − #{triangles with ≥1
+    // removed edge}, counted ONCE each via the canonical distinct.
+    // peel filter only ever REMOVES edges, so an empty removal set is
+    // the fixpoint — later rounds are served by padding (output stays
+    // bit-identical to the unconditional loop / the unrolled oracle).
+    var fixed = false
     var r = 1
     while (r <= rounds) {
       if (fixed) {
-        stats += ((r.toLong, fixTri, fixEdges))
+        stats += ((r.toLong, nTri,
+          stats.last._3)) // census frozen at the fixpoint values
       } else {
-        // edge-sized; checkpointed so the wedge self-join below reads a
-        // materialized block instead of re-running oriented0 ⋈ cur twice
-        val oriented = oriented0.join(cur, Seq("u", "v")).select("s", "t")
+        val survivors = suppCur.filter(col("supp") >= (k - 2).toLong)
           .localCheckpoint(true, disk)
-        // support in ONE pass over the wedge stream: each closed
-        // triangle explodes into its 3 edges straight into a groupBy
-        // with map-side combine onto edge keys (output is edge-bounded,
-        // never triangle-bounded) — the triangle list itself is never
-        // materialized. triangles_found falls out as Σsupp / 3.
-        val supp = oriented.as("e1").join(oriented.as("e2"),
-            col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-          .select(col("e1.s").as("w"),
-            least(col("e1.t"), col("e2.t")).as("u"),
-            greatest(col("e1.t"), col("e2.t")).as("v"))
-          .join(cur, Seq("u", "v"))
-          .select(explode(array(
-            struct(least(col("w"), col("u")).as("eu"),
-              greatest(col("w"), col("u")).as("ev")),
-            struct(least(col("w"), col("v")).as("eu"),
-              greatest(col("w"), col("v")).as("ev")),
-            struct(col("u").as("eu"), col("v").as("ev")))).as("e"))
-          .select(col("e.eu").as("u"), col("e.ev").as("v"))
-          .groupBy("u", "v").agg(count(lit(1)).as("supp"))
-          .localCheckpoint(true, disk)
-        val nTri = supp.agg(coalesce(sum(col("supp")), lit(0L)))
-          .head.getLong(0) / 3
-        cur = cur.join(supp.filter(col("supp") >= (k - 2).toLong), Seq("u", "v"))
-          .select("u", "v").localCheckpoint(true, disk)
-        val after = cur.count()
+        val after = survivors.count()
         stats += ((r.toLong, nTri, after))
-        if (after == before) { fixed = true; fixTri = nTri; fixEdges = after }
-        before = after
+        if (r < rounds) {
+          // removed edges that sat in ≥1 triangle of the pre-filter
+          // edge set (supp-0 edges destroy nothing)
+          val removed = suppCur.filter(col("supp") < (k - 2).toLong &&
+            col("supp") >= 1L)
+          if (removed.isEmpty) { fixed = true }
+          else {
+            val prevEdges = suppCur.select("u", "v")
+            // destroyed triangles: common neighbors w of the removed
+            // edge's endpoints, probed from the round-0 lower-degree
+            // endpoint s and closed against the pre-removal edge set
+            val adj = prevEdges.select(col("u").as("s"), col("v").as("w"))
+              .unionAll(prevEdges.select(col("v").as("s"), col("u").as("w")))
+            val destroyed = removed.join(oriented0, Seq("u", "v"))
+              .select(col("s"), col("t"))
+              .join(adj, "s").filter(col("w") =!= col("t"))
+              .join(prevEdges.select(col("u").as("cw"), col("v").as("ct")),
+                col("cw") === least(col("w"), col("t")) &&
+                  col("ct") === greatest(col("w"), col("t")))
+              .select(expr("sort_array(array(s, t, w))").as("xyz"))
+              .select(col("xyz").getItem(0).as("x"),
+                col("xyz").getItem(1).as("y"), col("xyz").getItem(2).as("z"))
+              .distinct()
+              .localCheckpoint(true, disk)
+            // a removed edge with supp ≥ 1 sits in ≥ 1 triangle of the
+            // pre-filter edge set, so `destroyed` is non-empty here
+            val nDestroyed = destroyed.count()
+            // decrement the destroyed triangles' SURVIVING edges
+            val dec = destroyed.select(explode(array(
+                struct(col("x").as("u"), col("y").as("v")),
+                struct(col("x").as("u"), col("z").as("v")),
+                struct(col("y").as("u"), col("z").as("v")))).as("e"))
+              .select(col("e.u").as("u"), col("e.v").as("v"))
+              .groupBy("u", "v").agg(count(lit(1)).as("dec"))
+            suppCur = survivors.join(dec, Seq("u", "v"), "left")
+              .select(col("u"), col("v"),
+                (col("supp") - coalesce(col("dec"), lit(0L))).as("supp"))
+              .localCheckpoint(true, disk)
+            nTri -= nDestroyed
+          }
+        }
       }
       r += 1
     }
@@ -593,7 +651,7 @@ object Graph {
       .select(col("e1.s").as("w"),
         least(col("e1.t"), col("e2.t")).as("u"),
         greatest(col("e1.t"), col("e2.t")).as("v"))
-      .join(cur, Seq("u", "v"))
+      .join(cur.hint("shuffle_hash"), Seq("u", "v"))
       .select(explode(array(
         struct(least(col("w"), col("u")).as("eu"),
           greatest(col("w"), col("u")).as("ev")),

@@ -61,4 +61,38 @@ class Round7cSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 4L, 6L), (2L, 4L, 6L)))
   }
+
+  test("ktrussPeelRounds: incremental decrement cascades removals across rounds") {
+    import spark.implicits._
+    // Triangle fan around vertex 1 along the path 2–3–4–5:
+    // T1={1,2,3}, T2={1,3,4}, T3={1,4,5}. Interior spokes (1,3),(1,4)
+    // have support 2; the five boundary edges have support 1.
+    // k = 4: round 1 peels the boundary (3 triangles, 2 edges left);
+    // the destroyed triangles decrement (1,3) twice (T1, T2) and
+    // (1,4) twice (T2, T3), so round 2 peels the rest (0 triangles,
+    // 0 edges). A stale support plane (the incremental path's failure
+    // mode) would keep the spokes alive forever.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.ktrussPeelRounds(e, "a", "b", k = 4, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 2L), (2L, 0L, 0L), (3L, 0L, 0L)))
+  }
+
+  test("ktrussPeelRounds: triangle with TWO removed edges decrements the survivor once") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus pendant triangle {1,2,5}: supports are
+    // (1,2)=3, other K4 edges=2, (1,5)=(2,5)=1. k = 4: round 1 peels
+    // (1,5),(2,5) — ONE destroyed triangle reached via BOTH removed
+    // edges; the canonical distinct must count it once, so the
+    // survivor (1,2) drops 3 → 2 and the K4 stands. Double-counting
+    // would push (1,2) to 1 and wrongly dismantle the K4 in round 2.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L)).toDF("a", "b")
+    val got = Graph.ktrussPeelRounds(e, "a", "b", k = 4, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 5L, 6L), (2L, 4L, 6L), (3L, 4L, 6L)))
+  }
 }
