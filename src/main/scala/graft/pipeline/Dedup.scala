@@ -380,7 +380,9 @@ object Dedup {
     val freq = toks.groupBy("token").agg(count(lit(1)).as("tf"))
     val ranked = Prefix.withGlobalPosition(freq, Seq("tf", "token"))
       .select(col("token"), col("pos").as("trank"))
-    // prefix = the (len - ceil(t*len) + 1) globally rarest tokens
+    // prefix = the (len - ceil(t*len) + 1) globally rarest tokens;
+    // rn (the token's 1-based position in the doc's rarity order)
+    // rides along for the positional filter below
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc")).orderBy(col("trank"))
     val prefix = toks.join(ranked, "token")
@@ -388,13 +390,24 @@ object Dedup {
       .join(docs.select(col("doc"), col("len")), "doc")
       .filter(col("rn") <=
         col("len") - expr(s"(($tNum * len + $tDen - 1) div $tDen)") + 1L)
-      .select(col("doc"), col("trank"), col("len"))
+      .select(col("doc"), col("trank"), col("len"), col("rn"))
     // length filter (PPJoin): J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t — prunes
-    // incompatible-size candidates before they reach the exact verify
+    // incompatible-size candidates before they reach the exact verify.
+    // Positional filter (the "P" of PPJoin, Xiao et al. WWW'08): a
+    // shared prefix token at positions (i, j) caps the achievable
+    // overlap at 1 + min(|A|−i, |B|−j); J ≥ t needs overlap ≥
+    // ⌈t/(1+t)·(|A|+|B|)⌉, so occurrences whose suffixes are too short
+    // to reach it are pruned BEFORE the distinct — exact integer math
+    // ((1+min)·(tNum+tDen) ≥ tNum·(la+lb) ⟺ 1+min ≥ ⌈…⌉), provably
+    // lossless, and on skewed shared-token fixtures it is the filter
+    // that actually bites (length alone passes near-equal-size pairs).
     prefix.as("a").join(prefix.as("b"),
         col("a.trank") === col("b.trank") && col("a.doc") < col("b.doc") &&
           col("b.len") * tDen >= col("a.len") * tNum &&
-          col("a.len") * tDen >= col("b.len") * tNum)
+          col("a.len") * tDen >= col("b.len") * tNum &&
+          (lit(1L) + least(col("a.len") - col("a.rn"),
+            col("b.len") - col("b.rn"))) * (tNum + tDen) >=
+            (col("a.len") + col("b.len")) * tNum)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
   }
