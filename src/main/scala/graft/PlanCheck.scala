@@ -57,7 +57,9 @@ object PlanCheck {
       // Prefix collects range-partition offsets
       "q398_assoc_rules", "q400_bpe_merges", "q402_ktruss", "q403_bh_fdr",
       "q404_jackknife", "q405_permutation_test", "q406_isotonic_fit",
-      "q407_heaps_curve", "q411_mantel_haenszel")
+      "q407_heaps_curve", "q411_mantel_haenszel",
+      // q454 runs its 4 star rounds eagerly (checkpoint + count each)
+      "q454_cc_star_census")
 
   /** Plan assertions for the candidate-volume queries (round-6 judge
     * item 6): the scale-safety claims — "candidates via equi-join,
@@ -148,7 +150,11 @@ object PlanCheck {
     // round-9: the rewritten k-center argmax round (synthetic — the
     // registered q353 constructs eagerly) must be a per-partition
     // top-1 merge, not a global sort
-    "q353_kcenter_pick" -> Seq("TakeOrderedAndProject"))
+    "q353_kcenter_pick" -> Seq("TakeOrderedAndProject"),
+    // round-9: one star-contraction round (synthetic — q454 constructs
+    // eagerly): vertex-keyed aggs + equi-joins, CartesianProduct
+    // globally forbidden as everywhere
+    "q454_star_round" -> Seq())
 
   /** Gates whose scale claim is "the global ordered sweep rides the
     * range-partitioned two-pass Prefix scan, never ONE task holding
@@ -234,6 +240,15 @@ object PlanCheck {
           expr("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), " +
             "CAST(0 AS BIGINT), (acc, e) -> acc + e)").as("mind"))
         .orderBy(col("mind").desc, col("vec_id")).limit(1)
+    }),
+    // q454's registered query materializes its 4 star rounds during
+    // construction; the assertable per-round rewrite is rebuilt lazily
+    "q454_star_round" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(s, dir, "documents")
+      val edges = pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 12, bands = 4)
+      pipeline.Graph.starRoundPlan(edges, "doc_a", "doc_b")
     }))
 
   /** Round-9 judge item 7: the reference-flagship `/multi` batch plan,

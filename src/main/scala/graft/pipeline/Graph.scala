@@ -111,24 +111,69 @@ object Graph {
     * nodes. Fixpoint = the edge set itself is stable (counts first,
     * then an exact exceptAll confirm).
     */
+  /** One large-star rewrite: every node's HIGHER-id neighbors re-hook
+    * to the minimum of its closed neighborhood. One vertex-keyed agg +
+    * one join; output ≤ input edges.
+    */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    sym.join(mins, Seq("u")).filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** One small-star rewrite: every node and its LOWER-id neighbors
+    * re-hook to the minimum of the lower closed neighborhood.
+    */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+    val rehooked = dir.join(mins, Seq("u")).filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    rehooked.union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Per-round star-contraction census: edge count after each
+    * (large-star ∘ small-star) round for a FIXED round count — the
+    * q402-style decomposition probe for the CC path: the contraction
+    * trajectory, not just the final labels, pinned against an
+    * engine-independent oracle. Unconditional rounds (no early exit)
+    * so the census is a pure function of the input graph.
+    */
+  def ccStarRounds(edges0: DataFrame, aCol: String, bCol: String,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    var e = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var r = 1
+    while (r <= rounds) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      stats += ((r.toLong, e.count()))
+      r += 1
+    }
+    stats.toSeq.toDF("round", "n_edges")
+  }
+
+  /** One star round as a LAZY plan (no checkpoint/count) for
+    * PlanCheck's structural asserts — vertex-keyed aggs and equi-joins
+    * only, no cartesian.
+    */
+  def starRoundPlan(edges0: DataFrame, aCol: String, bCol: String): DataFrame =
+    smallStar(largeStar(edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()))
+
   private def propagate(adj: DataFrame, maxIter: Int): DataFrame = {
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.select(col("u"), col("v"))
-        .union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      sym.join(mins, Seq("u")).filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      val dir = e.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
-      val rehooked = dir.join(mins, Seq("u")).filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-      rehooked.union(mins.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
-    }
     var e = adj.select(col("src").as("u"), col("dst").as("v")).localCheckpoint()
     var prevCnt = -1L
     var i = 0

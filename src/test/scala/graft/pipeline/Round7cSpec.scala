@@ -95,4 +95,18 @@ class Round7cSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 5L, 6L), (2L, 4L, 6L), (3L, 4L, 6L)))
   }
+
+  test("ccStarRounds: triangle + path census, hand-traced") {
+    import spark.implicits._
+    // Triangle {1,2,3} (3 edges) + path 10–11–12 (2 edges): round 1's
+    // large-star hooks 2,3 → 1 and 11,12 → 10 (the triangle loses an
+    // edge: (2,3) re-hooks to the shared min); small-star keeps the
+    // two stars. Edge count: 5 → 4, then stable.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("a", "b")
+    val got = Graph.ccStarRounds(e, "a", "b", rounds = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L)))
+  }
 }
