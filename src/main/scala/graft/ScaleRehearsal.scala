@@ -230,6 +230,21 @@ object ScaleRehearsal {
       val (o181, s181) = time(pipeline.Dedup.prefixFilterJaccardPairs(
         docs, "doc_id", "text", tNum = 9, tDen = 10).count())
       emit("q181_prefix_join", k, s181, o181, c181)
+
+      // q128/q454: distributed CC by star contraction over the scaled
+      // LSH pair graph — replicas are near-disjoint by construction,
+      // so both the input pair count and every round's surviving edge
+      // set must grow ~linearly in k (a super-linear edge count would
+      // flag label bleed across unrelated sub-corpora; the census
+      // emits the round-4 edge count as the candidate metric)
+      val pairs = pipeline.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", n = 3, numHashes = 12, bands = 4)
+        .localCheckpoint()
+      val nPairs = pairs.count()
+      val (cens, s454) = time(pipeline.Graph
+        .ccStarRounds(pairs, "doc_a", "doc_b", rounds = 4)
+        .orderBy(col("round").desc).limit(1).collect().head)
+      emit("q454_cc_star_census", k, s454, cens.getAs[Long]("n_edges"), nPairs)
     }
     println("SCALE_REHEARSAL_DONE")
     rows.foreach(println)

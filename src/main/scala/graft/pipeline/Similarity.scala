@@ -288,7 +288,15 @@ object Similarity {
     import spark.implicits._
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    val sub = pqSubvectors(df, idCol, vecCol, m, dsub, normalize).persist()
+    // the training frame is a BOUNDED deterministic sample by contract
+    // (O(1) as the corpus grows), so its n·M subvector rows fit one
+    // partition by construction — coalesce(1) turns each Lloyd
+    // iteration's assign/mean round into single-task jobs instead of
+    // 32-way scheduling over a few thousand rows (round-9: pqTrain
+    // 6.3 s → sub-second at gate scale; means are per-(m,cid,pos)
+    // exact averages, so the result is partitioning-invariant anyway)
+    val sub = pqSubvectors(df, idCol, vecCol, m, dsub, normalize)
+      .coalesce(1).persist()
     val initIds = sub.select(col("id")).distinct().orderBy(col("id")).limit(ksub)
       // partition-less window is fine HERE: the frame is already
       // limit(ksub)-bounded, so the expected `WindowExec: No Partition
