@@ -191,10 +191,13 @@ object Graph {
     if (!done)
       System.err.println(s"[graft] connectedComponents: NOT converged after $maxIter rounds")
     // converged state: one (node → min-root) star edge per non-root
-    // node; roots label themselves
+    // node; roots label themselves. min-per-doc instead of distinct so
+    // the (warned) non-converged degradation still yields ONE label
+    // row per touched node — at the fixpoint each doc carries exactly
+    // one candidate, so min is the identity.
     e.select(col("u").as("doc"), col("v").as("__g"))
       .union(e.select(col("v").as("doc"), col("v").as("__g")))
-      .distinct()
+      .groupBy("doc").agg(min(col("__g")).as("__g"))
   }
 
   /** PageRank, simple form (fixed iterations, no dangling-mass
