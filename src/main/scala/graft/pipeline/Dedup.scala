@@ -401,8 +401,32 @@ object Dedup {
     // ((1+min)·(tNum+tDen) ≥ tNum·(la+lb) ⟺ 1+min ≥ ⌈…⌉), provably
     // lossless, and on skewed shared-token fixtures it is the filter
     // that actually bites (length alone passes near-equal-size pairs).
-    prefix.as("a").join(prefix.as("b"),
-        col("a.trank") === col("b.trank") && col("a.doc") < col("b.doc") &&
+    // Skew guard (lossless fragment-replicate salting): the verify work
+    // per join key is quadratic in the key's row count, so one popular
+    // prefix token — a tiny-vocabulary corpus concentrates almost all
+    // candidate volume on a handful of tranks — serializes ~c²/2 pair
+    // evaluations into ONE sort-merge task while 31 cores idle (and any
+    // ambient load lands squarely on that task). Split each key's rows
+    // into g = ⌈c/512⌉ (≤64) hash buckets; a pair (a, b) with buckets
+    // (i, j) meets in exactly one (i, j) cell: the left copy fans its
+    // bucket across all column coordinates (i, *), the right across all
+    // row coordinates (*, j), so the equi-key grows to (trank, i, j)
+    // and per-cell work drops ×g². Non-skewed keys get g = 1 — a
+    // single-element explode, zero replication — and the per-key count
+    // is a map-side-combined aggregate, linear at any corpus size.
+    val cellRows = 512L
+    val keyCount = prefix.groupBy("trank").agg(count(lit(1)).as("kc"))
+    val salted = prefix.join(keyCount, "trank")
+      .withColumn("g",
+        least(expr(s"(kc + ${cellRows - 1}) div $cellRows"), lit(64L)))
+      .withColumn("bkt", pmod(hash(col("doc")).cast("long"), col("g")))
+      .drop("kc")
+    val lhs = salted.withColumn("cc", explode(sequence(lit(0L), col("g") - 1L)))
+    val rhs = salted.withColumn("cr", explode(sequence(lit(0L), col("g") - 1L)))
+    lhs.as("a").join(rhs.as("b"),
+        col("a.trank") === col("b.trank") &&
+          col("a.bkt") === col("b.cr") && col("a.cc") === col("b.bkt") &&
+          col("a.doc") < col("b.doc") &&
           col("b.len") * tDen >= col("a.len") * tNum &&
           col("a.len") * tDen >= col("b.len") * tNum &&
           (lit(1L) + least(col("a.len") - col("a.rn"),
