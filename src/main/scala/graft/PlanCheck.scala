@@ -59,7 +59,10 @@ object PlanCheck {
       "q404_jackknife", "q405_permutation_test", "q406_isotonic_fit",
       "q407_heaps_curve", "q411_mantel_haenszel",
       // q454 runs its 4 star rounds eagerly (checkpoint + count each)
-      "q454_cc_star_census")
+      "q454_cc_star_census",
+      // round-10: q431/q434 now ride Prefix.withPrefixSums, whose
+      // offset pass collects during construction
+      "q431_jonckheere", "q434_gini_split")
 
   /** Plan assertions for the candidate-volume queries (round-6 judge
     * item 6): the scale-safety claims — "candidates via equi-join,
@@ -191,11 +194,46 @@ object PlanCheck {
     "q417_cramer_von_mises" -> "ECDF over the bounded round(value·100) domain histogram",
     "q422_budget_waterfill" -> "water-level prefix over the ≤|sources| cap rollup",
     "q429_bottomk_sample" -> "re-ranks ≤8 rows after TakeOrderedAndProject limits",
-    "q431_jonckheere" -> "cumulative over the ≤~1.1k price-bucket histogram",
-    "q434_gini_split" -> "threshold sweep over the ≤~6k price-bucket histogram",
     "q435_knee_point" -> "chord distance over the ≤|sources| token rollup",
     "q448_neyman_alloc" -> "remainder rank over the ≤|sources| moment rollup",
     "q69_vocab" -> "token_id re-rank after orderBy().limit(maxSize=200)")
+
+  /** One census verdict: `status` ∈ ok | bound | stale | fail | err.
+    * `stale` (round-10, advisor item): the query sits on the
+    * [[boundedWindowJustified]] allowlist but its plan no longer
+    * contains an unpartitioned window — the justification has rotted
+    * and must be deleted, otherwise a later reintroduction would be
+    * silently auto-excused. Treated as a failure by both the CLI and
+    * Round10Spec so the allowlist stays minimal.
+    */
+  final case class CensusRow(name: String, status: String, detail: String) {
+    def bad: Boolean = status == "fail" || status == "err" || status == "stale"
+  }
+
+  /** Sweep every named query's physical plan for unpartitioned
+    * windows (the single-task global sort that dies first at 100 TB).
+    * Pure: returns the verdicts; the CLI prints them, `Round10Spec`
+    * asserts none are bad — so a new gate with an unpartitioned
+    * window fails `sbt test`, not just a manual run. Run on the
+    * sf0.001 fixture so eager constructions stay cheap.
+    */
+  def census(spark: org.apache.spark.sql.SparkSession, dir: String,
+             names: Seq[String]): Seq[CensusRow] =
+    names.map { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, dir)
+        val hits = unpartitionedWindows(df)
+        (hits.isEmpty, boundedWindowJustified.get(name)) match {
+          case (true, None)       => CensusRow(name, "ok", "")
+          case (true, Some(why))  => CensusRow(name, "stale",
+            s"allowlisted ('$why') but the plan has no unpartitioned window — delete the entry")
+          case (false, Some(why)) => CensusRow(name, "bound", why)
+          case (false, None)      => CensusRow(name, "fail", hits.mkString("; "))
+        }
+      } catch { case e: Exception =>
+        CensusRow(name, "err", s"${e.getClass.getSimpleName} ${e.getMessage}")
+      }
+    }
 
   private def unpartitionedWindows(
       df: org.apache.spark.sql.DataFrame): Seq[String] =
@@ -323,19 +361,15 @@ object PlanCheck {
       val names = if (args.length > 1) args.drop(1).toSeq
                   else SparkEntry.queries.keys.toSeq.sorted
       var failed = 0
-      names.foreach { name =>
-        try {
-          val df = SparkEntry.queries(name)(spark, dir)
-          val hits = unpartitionedWindows(df)
-          if (hits.isEmpty) println(s"CENSUS OK     $name")
-          else boundedWindowJustified.get(name) match {
-            case Some(why) => println(s"CENSUS BOUND  $name ($why)")
-            case None => failed += 1
-              println(s"CENSUS FAIL   $name: ${hits.mkString("; ")}")
-          }
-        } catch { case e: Exception => failed += 1
-          println(s"CENSUS ERR    $name: ${e.getClass.getSimpleName} ${e.getMessage}")
+      census(spark, dir, names).foreach { row =>
+        if (row.bad) failed += 1
+        val tag = row.status match {
+          case "ok" => "CENSUS OK    "; case "bound" => "CENSUS BOUND "
+          case "stale" => "CENSUS STALE "; case "fail" => "CENSUS FAIL  "
+          case _ => "CENSUS ERR   "
         }
+        println(s"$tag${row.name}" +
+          (if (row.detail.nonEmpty) s": ${row.detail}" else ""))
       }
       spark.stop()
       if (failed > 0) sys.exit(1)
