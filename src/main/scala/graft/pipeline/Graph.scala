@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Largest edge list [[connectedComponents]] collects for the exact
+    * driver-side union-find; above it the distributed star-contraction
+    * path runs. 2M `(Long, Long)` rows ≈ ~100–200 MB boxed — sized for
+    * a default 4–8 GiB cluster driver, not this sandbox's 128 GiB.
+    */
+  val DefaultLocalEdgeThreshold: Long = 2000000L
+
+  /** The [[connectedComponents]] path decision, exposed pure so the
+    * spec pins it: at or below the threshold the deduped edge list is
+    * collected for exact driver union-find; above it the distributed
+    * star-contraction path runs.
+    */
+  def usesUnionFind(edgeCount: Long,
+                    threshold: Long = DefaultLocalEdgeThreshold): Boolean =
+    edgeCount <= threshold
+
   /** Connected components of the undirected pair relation; node ids
     * must be integral. Output (doc, group_id): node id → least node id
     * in its component — the unique deterministic fixpoint, so an
@@ -20,11 +36,15 @@ object Graph {
     *
     * Size-adaptive, the shape production CC implementations use:
     *
-    *  - Edge list fits the driver (`localEdgeThreshold`, 10M edges ≈
-    *    160 MB — post-LSH pair lists are billions of times smaller
-    *    than their corpus): exact union-find with path halving.
-    *    Iterating Spark jobs over megabytes pays per-round scheduler
-    *    latency for nothing.
+    *  - Edge list fits the driver (`localEdgeThreshold`, default 2M
+    *    edges — ~100–200 MB of boxed Row objects on the collect path,
+    *    safe even on a default 4–8 GiB cluster driver; post-LSH pair
+    *    lists are billions of times smaller than their corpus): exact
+    *    union-find with path halving. Iterating Spark jobs over
+    *    megabytes pays per-round scheduler latency for nothing.
+    *    Round-10: dropped from 10M — star contraction is only ~1.6×
+    *    slower at small sizes, so the larger driver collect was
+    *    unjustified OOM risk.
     *  - Bigger: distributed min-label rounds — (a) adopt the min label
     *    among self and neighbors (one edge shuffle + min-agg), then
     *    (b) pointer-jump (adopt the label OF one's label, halving
@@ -39,7 +59,8 @@ object Graph {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 40,
-                          localEdgeThreshold: Long = 10000000L): DataFrame = {
+                          localEdgeThreshold: Long = DefaultLocalEdgeThreshold)
+      : DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val adj = edges
@@ -47,7 +68,7 @@ object Graph {
         greatest(col(aCol), col(bCol)).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct().persist()
-    val small = adj.count() <= localEdgeThreshold
+    val small = usesUnionFind(adj.count(), localEdgeThreshold)
     val labels = if (small) unionFind(spark, adj) else propagate(adj, maxIter)
     adj.unpersist()
     // broadcast only the union-find labels (driver-sized by
