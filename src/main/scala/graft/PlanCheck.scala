@@ -138,7 +138,11 @@ object PlanCheck {
     // lazy wedge+closure+support join chain) over q402's edge build.
     // The wedge self-join stays SortMergeJoin; the closure probe is
     // pinned ShuffledHashJoin (round-9: both sides shuffle on the edge
-    // key, but the 35×-edge-count wedge stream is no longer sorted)
+    // key, but the 35×-edge-count wedge stream is no longer sorted;
+    // round-10 measured a BroadcastHashJoin closure at 10× and
+    // rejected it — 101 s vs 61 s, probe cache-misses a ~300 MB
+    // hashed relation; the s-partitioned wedge exchange is the shape
+    // that parallelizes across executors)
     "q402_ktruss_round" -> Seq("SortMergeJoin", "ShuffledHashJoin"),
     // q423-q430 additions: histogram prefix sums ride source-keyed
     // windows; rank grids are bounded (regions×priorities, 5×11 cells,

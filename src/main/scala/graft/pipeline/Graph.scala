@@ -29,6 +29,15 @@ object Graph {
                     threshold: Long = DefaultLocalEdgeThreshold): Boolean =
     edgeCount <= threshold
 
+  /** Largest edge set [[ktrussPeelRounds]] Bloom-screens wedges
+    * against before the closure exchange (a 100M-key filter at 1% fpp
+    * is ~120 MB — a routine broadcast). Beyond it the screen is
+    * skipped: the s-partitioned wedge exchange still parallelizes
+    * linearly across executors, it just carries the full stream.
+    */
+  val WedgeBloomMaxEdges: Long = 100000000L
+
+
   /** Connected components of the undirected pair relation; node ids
     * must be integral. Output (doc, group_id): node id → least node id
     * in its component — the unique deterministic fixpoint, so an
@@ -624,12 +633,41 @@ object Graph {
     // the default SortMergeJoin would SORT the wedge stream (~35× the
     // edge count here), the single most expensive step of the whole
     // decomposition, to join against a side 1/35th its size.
+    // Round-10 note: a broadcast closure probe (edge set as a
+    // BroadcastHashJoin build side, wedge stream never exchanged) was
+    // measured at 10× of sf0.1 and REJECTED — 101 s vs 61 s for this
+    // SHJ: probing 411 M wedges against a ~300 MB hashed relation
+    // cache-misses every lookup, while the SHJ exchange spreads the
+    // probe across 32 partition-local 375 k-entry maps. The wedge
+    // exchange is volume, not skew (orientation caps per-apex fanout
+    // at O(√m)) and parallelizes linearly across executors.
+    //
+    // Round-10 wedge Bloom pre-screen: ~95% of the wedge stream fails
+    // the closure join, so a Bloom filter over xxhash64(u, v) of the
+    // edge set (1% fpp, Spark's own distributed treeAggregate build,
+    // one ~14 MB-per-12M-edges broadcast) drops non-closing wedges
+    // BEFORE the exchange — at 10× of sf0.1 the shuffle carries ~23 M
+    // rows instead of 411 M, a ~20× exchange-byte cut that matters
+    // even more on a network-bound cluster. Zero false negatives, and
+    // survivors still pass the exact SHJ closure, so the support plane
+    // is bit-identical. The probe is a UDF by the same necessity as
+    // Bloom.screen (no public Catalyst expression probes the sketch);
+    // above [[WedgeBloomMaxEdges]] the screen is skipped.
+    val edgeCount = cur0.count()
+    val wedgeScreen: DataFrame => DataFrame =
+      if (edgeCount > 0L && edgeCount <= WedgeBloomMaxEdges) {
+        val bf = cur0.select(xxhash64(col("u"), col("v")).as("h"))
+          .stat.bloomFilter("h", edgeCount, 0.01)
+        val bc = spark.sparkContext.broadcast(bf)
+        val probe = udf((x: Long) => bc.value.mightContainLong(x))
+        w => w.filter(probe(xxhash64(col("u"), col("v"))))
+      } else identity
     val oriented = oriented0.select("s", "t")
-    val supp1 = oriented.as("e1").join(oriented.as("e2"),
+    val supp1 = wedgeScreen(oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.s").as("w"),
         least(col("e1.t"), col("e2.t")).as("u"),
-        greatest(col("e1.t"), col("e2.t")).as("v"))
+        greatest(col("e1.t"), col("e2.t")).as("v")))
       .join(cur0.hint("shuffle_hash"), Seq("u", "v"))
       .select(explode(array(
         struct(least(col("w"), col("u")).as("eu"),
@@ -686,10 +724,15 @@ object Graph {
             // endpoint s and closed against the pre-removal edge set
             val adj = prevEdges.select(col("u").as("s"), col("v").as("w"))
               .unionAll(prevEdges.select(col("v").as("s"), col("u").as("w")))
+            // the candidate stream (removed-edge wedges) is the big
+            // side here too — hint SHUFFLE_HASH so the edge-bounded
+            // closure side is hashed instead of both sides sorting
+            // (round-10: the unhinted SMJ sorted the candidate stream)
             val destroyed = removed.join(oriented0, Seq("u", "v"))
               .select(col("s"), col("t"))
               .join(adj, "s").filter(col("w") =!= col("t"))
-              .join(prevEdges.select(col("u").as("cw"), col("v").as("ct")),
+              .join(prevEdges.select(col("u").as("cw"), col("v").as("ct"))
+                  .hint("shuffle_hash"),
                 col("cw") === least(col("w"), col("t")) &&
                   col("ct") === greatest(col("w"), col("t")))
               .select(expr("sort_array(array(s, t, w))").as("xyz"))
