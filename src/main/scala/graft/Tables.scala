@@ -59,15 +59,34 @@ object GraftSession {
     * real cluster this maps to the standard practice of pointing
     * `spark.local.dir` at fast local SSD/ramdisk, so local-mode
     * behavior and cluster guidance agree.
+    *
+    * Round-10 (advisor item): the redirect is no longer unconditional.
+    * `GRAFT_SCRATCH=off` disables it (Spark falls back to its `/tmp`
+    * default, which spills fine when tmpfs would ENOSPC),
+    * `GRAFT_SCRATCH=/path` points it anywhere, and the automatic
+    * `/dev/shm` pick is skipped when the filesystem reports less than
+    * [[MinScratchFreeBytes]] usable — tmpfs defaults to ~50% of RAM,
+    * and spill beyond that fails jobs with ENOSPC where the disk
+    * default would merely have been slower.
     */
-  private def scratchRoot: Option[String] = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) {
-      val d = new java.io.File(shm, "graft_scratch")
-      d.mkdirs()
-      Some(d.getAbsolutePath)
-    } else None
-  }
+  val MinScratchFreeBytes: Long = 8L * 1024 * 1024 * 1024
+
+  private def scratchRoot: Option[String] =
+    sys.env.get("GRAFT_SCRATCH") match {
+      case Some("off") => None
+      case Some(p) =>
+        val d = new java.io.File(p)
+        d.mkdirs()
+        if (d.isDirectory && d.canWrite) Some(d.getAbsolutePath) else None
+      case None =>
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite &&
+            shm.getUsableSpace >= MinScratchFreeBytes) {
+          val d = new java.io.File(shm, "graft_scratch")
+          d.mkdirs()
+          Some(d.getAbsolutePath)
+        } else None
+    }
 
   /** Per-JVM streaming checkpoint root (unique so a re-run can never
     * resume a previous JVM's offsets under a recycled queryName),

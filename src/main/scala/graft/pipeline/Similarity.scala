@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Most subvector rows [[pqTrain]] accepts — the guard that turns a
+    * violated "training frame is a bounded sample" contract into a
+    * loud error instead of a silent single-task Lloyd loop (the frame
+    * is coalesce(1)'d by design). 1M rows ≈ 128K vectors at m = 8, two
+    * orders of magnitude above the gates' 1024-vector samples.
+    */
+  val MaxTrainSubvectorRows: Long = 1000000L
+
   /** Cast a float embedding to double exactly (widening is lossless). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
@@ -295,8 +303,19 @@ object Similarity {
     // 32-way scheduling over a few thousand rows (round-9: pqTrain
     // 6.3 s → sub-second at gate scale; means are per-(m,cid,pos)
     // exact averages, so the result is partitioning-invariant anyway)
-    val sub = pqSubvectors(df, idCol, vecCol, m, dsub, normalize)
-      .coalesce(1).persist()
+    // round-10 (advisor item): the bounded-sample contract is CHECKED,
+    // not trusted — a caller passing an unbounded frame must fail
+    // loudly here rather than silently serialize every Lloyd iteration
+    // into one task. The count runs on the still-partitioned frame, so
+    // even a huge mistaken input is counted in parallel before the
+    // require rejects it.
+    val sub0 = pqSubvectors(df, idCol, vecCol, m, dsub, normalize)
+    val nSub = sub0.count()
+    require(nSub <= MaxTrainSubvectorRows,
+      s"pqTrain got $nSub subvector rows (> $MaxTrainSubvectorRows): the " +
+        "training frame must be a bounded sample (pass a limit()/sampled " +
+        "subset, not the corpus)")
+    val sub = sub0.coalesce(1).persist()
     val initIds = sub.select(col("id")).distinct().orderBy(col("id")).limit(ksub)
       // partition-less window is fine HERE: the frame is already
       // limit(ksub)-bounded, so the expected `WindowExec: No Partition
