@@ -574,4 +574,81 @@ object Similarity {
       .select(col(idCol) +: dots: _*)
       .select(col(idCol), sketch.as("sketch"), nBits.as("n_bits"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication over an embedding column: cluster the vectors, and
+    * within each cluster drop every vector whose cosine to a
+    * LOWER-id cluster-mate reaches tNum/tDen (the deterministic
+    * keep-first greedy; the paper's insight is that near-duplicates
+    * share a cluster, so the quadratic pair scan is cluster-bounded,
+    * never corpus-bounded).
+    *
+    * Exactness: embeddings quantize to integers (×1000, floor+½ — the
+    * q136 discipline), centroids are the `nClusters` LOWEST-id vectors
+    * (deterministic, broadcast — no RNG k-means), assignment is the
+    * exact integer L2 argmin with ties to the lowest centroid index,
+    * and the cosine test is the exact integer predicate
+    * dot > 0 ∧ dot²·tDen² ≥ tNum²·‖a‖²·‖b‖² — no floating point
+    * anywhere, so an engine-independent oracle reproduces it.
+    *
+    * Scale shape: the centroid table is nClusters rows (broadcast);
+    * assignment is a map-side argmin; the within-cluster pair join is
+    * an equi-join on the cluster key, salted with the same lossless
+    * fragment-replicate cells as the PPJoin prefix join
+    * ([[Dedup.prefixFilterCandidates]]) — a production corpus has
+    * ~10k-member clusters, whose c²/2 pair evaluations would
+    * otherwise serialize into one task per cluster.
+    *
+    * Returns one row per vector: (id, cluster, n2, is_dropped).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               nClusters: Int = 8, tNum: Int = 1, tDen: Int = 4): DataFrame = {
+    require(nClusters >= 1 && tNum > 0 && tDen >= tNum,
+      "need nClusters >= 1 and a cosine threshold in (0, 1]")
+    val qv = expr(s"transform($vecCol, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
+    val vecs = df.select(col(idCol).cast("long").as("id"), qv.as("q"))
+      .localCheckpoint() // centroids + assignment + pairs read it
+    val cents = vecs.orderBy("id").limit(nClusters)
+      .select(col("q").as("cq"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("id"))) - 1).cast("long").as("cidx"))
+    // argmin with deterministic ties: min over d2·k + cidx (cidx < k)
+    val d2 = "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), " +
+      "0L, (a, e) -> a + e)"
+    val assign = vecs.crossJoin(broadcast(cents))
+      .groupBy("id")
+      .agg(min(expr(s"$d2 * $nClusters + cidx")).as("key"))
+      .select(col("id"), pmod(col("key"), lit(nClusters.toLong)).as("cluster"))
+    val members = vecs.join(assign, "id")
+      .withColumn("n2", expr(
+        "aggregate(transform(q, x -> x * x), 0L, (a, e) -> a + e)"))
+      .localCheckpoint()
+    // within-cluster pairs through the salted cell join (lossless —
+    // a pair meets in exactly one (row, col) bucket cell)
+    val cellRows = 512L
+    val byCluster = members.groupBy("cluster").agg(count(lit(1)).as("kc"))
+    val salted = members.join(byCluster, "cluster")
+      .withColumn("g",
+        least(expr(s"(kc + ${cellRows - 1}) div $cellRows"), lit(64L)))
+      .withColumn("bkt", pmod(hash(col("id")).cast("long"), col("g")))
+      .drop("kc")
+    val lhs = salted.withColumn("cc", explode(sequence(lit(0L), col("g") - 1L)))
+    val rhs = salted.withColumn("cr", explode(sequence(lit(0L), col("g") - 1L)))
+    val dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, e) -> a + e)"
+    val dropped = lhs.as("a").join(rhs.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.bkt") === col("b.cr") && col("a.cc") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("b.id").as("id"), col("a.q").as("qa"), col("b.q").as("qb"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
+      .withColumn("dot", expr(dot))
+      .filter(col("dot") > 0L &&
+        col("dot") * col("dot") * (tDen.toLong * tDen) >=
+          col("na") * col("nb") * (tNum.toLong * tNum))
+      .select("id").distinct()
+    members.join(dropped.withColumn("is_dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("n2"),
+        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+  }
 }
