@@ -61,8 +61,9 @@ object PlanCheck {
       // q454 runs its 4 star rounds eagerly (checkpoint + count each)
       "q454_cc_star_census",
       // round-10: q431/q434 now ride Prefix.withPrefixSums, whose
-      // offset pass collects during construction
-      "q431_jonckheere", "q434_gini_split")
+      // offset pass collects during construction; q455's semDedup
+      // localCheckpoints its quantized vectors and members
+      "q431_jonckheere", "q434_gini_split", "q455_semdedup")
 
   /** Plan assertions for the candidate-volume queries (round-6 judge
     * item 6): the scale-safety claims — "candidates via equi-join,

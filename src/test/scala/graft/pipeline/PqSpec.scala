@@ -99,4 +99,51 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == exact)
   }
+
+  test("semDedup equals the unsalted brute-force pairwise on seeded random vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // seeded jittered vectors with planted near-duplicates (i and
+    // i+100 differ by tiny jitter -> cosine ~1), so both the drop and
+    // keep paths are exercised; the op's salted cell join must produce
+    // exactly the plain pairwise answer
+    val rnd = new scala.util.Random(20260815)
+    val base = (0 until 100).map(_ => Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val vecs = (0 until 100).map(i => (i.toLong, base(i).toSeq)) ++
+      (0 until 40).map(i => (i + 100L,
+        base(i).map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(df, "vec_id", "embedding",
+        nClusters = 4, tNum = 9, tDen = 10)
+      .select($"id", $"cluster", $"is_dropped")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // brute force: same quantize/assign chain, plain pairwise test
+    val qv = expr("transform(embedding, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
+    val v = df.select($"vec_id".as("id"), qv.as("q")).localCheckpoint()
+    val cents = v.orderBy("id").limit(4)
+      .select($"q".as("cq"), (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"id")) - 1)
+        .cast("long").as("cidx"))
+    val d2 = "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (a, e) -> a + e)"
+    val m = v.crossJoin(broadcast(cents))
+      .groupBy("id").agg(min(expr(s"$d2 * 4 + cidx")).as("key"))
+      .select($"id", pmod($"key", lit(4L)).as("cluster"))
+      .join(v, "id")
+      .withColumn("n2", expr("aggregate(transform(q, x -> x * x), 0L, (a, e) -> a + e)"))
+    val dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, e) -> a + e)"
+    val dropped = m.as("a").join(m.as("b"),
+        $"a.cluster" === $"b.cluster" && $"a.id" < $"b.id")
+      .select($"b.id".as("id"), $"a.q".as("qa"), $"b.q".as("qb"),
+        $"a.n2".as("na"), $"b.n2".as("nb"))
+      .withColumn("dot", expr(dot))
+      .filter($"dot" > 0L && $"dot" * $"dot" * 100L >= $"na" * $"nb" * 81L)
+      .select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val want = m.select($"id", $"cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        dropped.contains(r.getLong(0)))).toSet
+    assert(got == want)
+    assert(got.exists(_._3) && got.exists(!_._3), "need both drop and keep paths")
+  }
 }
