@@ -35,8 +35,8 @@ object StatsFixture {
 
   def dir(sfDir: String): String = {
     val tag = new java.io.File(sfDir).getName
-    // v2: + q207 pairs and the woe6 plane (bump invalidates v1 caches)
-    s"${System.getProperty("java.io.tmpdir")}/graft_ln6_v2_$tag"
+    // v3: + q456 DSIR bucket-model pairs (bump invalidates v2 caches)
+    s"${System.getProperty("java.io.tmpdir")}/graft_ln6_v3_$tag"
   }
 
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
@@ -96,7 +96,32 @@ object StatsFixture {
       .crossJoin(broadcast(kStates))
       .select((col("c") + 1L).as("num"), (col("tot") + col("k")).as("den"))
 
-    p305.unionAll(marg).unionAll(cond).unionAll(p207).distinct()
+    // q456 pairs: DSIR hashed-unigram bucket models — add-1-smoothed
+    // (count+1, total+64) for BOTH the target (source = src0) and raw
+    // (all sources) models, enumerated over all 64 buckets so absent
+    // buckets contribute their smoothing-only pair
+    val dtok = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("bucket", expr("CAST(conv(substring(md5(concat(" +
+        "'dsir:', token)), 1, 15), 16, 10) AS BIGINT) % 64"))
+    val ct456 = dtok.filter(col("source") === "src0")
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val cr456 = dtok.groupBy("bucket").agg(count(lit(1)).as("c"))
+    val bk456 = spark.range(64).select(col("id").as("bucket"))
+      .join(ct456.withColumnRenamed("c", "ct"), Seq("bucket"), "left")
+      .join(cr456.withColumnRenamed("c", "cr"), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .crossJoin(broadcast(
+        dtok.agg(count(lit(1)).as("rt"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tt"))))
+    val p456 = bk456
+      .select((col("ct") + 1L).as("num"), (col("tt") + 64L).as("den"))
+      .unionAll(bk456
+        .select((col("cr") + 1L).as("num"), (col("rt") + 64L).as("den")))
+
+    p305.unionAll(marg).unionAll(cond).unionAll(p207).unionAll(p456)
+      .distinct()
       .withColumn("ln6", expr(
         "CAST(floor(ln(CAST(num AS DOUBLE) / den) * 1000000.0) AS BIGINT)"))
       .coalesce(1).write.mode("overwrite").parquet(s"$d/ln6.parquet")
