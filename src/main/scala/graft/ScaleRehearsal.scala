@@ -246,6 +246,26 @@ object ScaleRehearsal {
         .orderBy(col("round").desc).limit(1).collect().head)
       emit("q454_cc_star_census", k, s454, cens.getAs[Long]("n_edges"), nPairs)
 
+      // round-10: q455 SemDeDup on the scaled embedding table —
+      // candidates = within-cluster pairs (the quantity SemDeDup
+      // bounds by clustering); must grow ~k× when cluster count is
+      // held at 8 only if cluster sizes grow k×, i.e. pairs ~k²·const
+      // per cluster — the rehearsal instead scales clusters with k
+      // (8k) so per-cluster size stays ~constant and the pair volume
+      // stays ~linear, the production setting the paper prescribes
+      val (o455, s455) = time {
+        val scaled = pipeline.Similarity.semDedup(emb, "vec_id", "embedding",
+          nClusters = 8 * k, tNum = 1, tDen = 4)
+        scaled.filter(col("is_dropped")).count()
+      }
+      val c455 = { // within-cluster pair volume at 8k clusters
+        val m = pipeline.Similarity.semDedup(emb, "vec_id", "embedding",
+            nClusters = 8 * k, tNum = 1, tDen = 4)
+          .groupBy("cluster").agg(count(lit(1)).as("c"))
+        m.agg(sum(expr("c * (c - 1) div 2"))).head.getLong(0)
+      }
+      emit("q455_semdedup", k, s455, o455, c455)
+
       // round-10 (judge item 7): STATEFUL STREAMING gates at scaled
       // event volume. Replica r shifts ts by r×(span + 4 h) and
       // user/event ids by r×ID_STRIDE: history grows k×, but the key
