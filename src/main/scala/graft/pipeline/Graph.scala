@@ -29,12 +29,18 @@ object Graph {
                     threshold: Long = DefaultLocalEdgeThreshold): Boolean =
     edgeCount <= threshold
 
-  /** Largest edge set [[ktrussPeelRounds]] Bloom-screens wedges
-    * against before the closure exchange (a 100M-key filter at 1% fpp
-    * is ~120 MB — a routine broadcast). Beyond it the screen is
-    * skipped: the s-partitioned wedge exchange still parallelizes
-    * linearly across executors, it just carries the full stream.
+  /** Edge-count window in which [[ktrussPeelRounds]] Bloom-screens
+    * wedges before the closure exchange. Below the min the screen is
+    * skipped: its ~1–2 s build cost exceeds what a small exchange
+    * saves (measured A/B at gate scale — a wash on tmpfs, a plain
+    * cost below ~1 M edges), and exchange BYTES, the thing the screen
+    * buys ~20× on, only dominate on big graphs over real networks.
+    * Above the max it is also skipped: a 100M-key filter at 1% fpp is
+    * ~120 MB — the edge of a routine broadcast; past it the
+    * s-partitioned wedge exchange still parallelizes linearly across
+    * executors, it just carries the full stream.
     */
+  val WedgeBloomMinEdges: Long = 4000000L
   val WedgeBloomMaxEdges: Long = 100000000L
 
 
@@ -586,7 +592,8 @@ object Graph {
     * output; every step is an equi-join, nothing quadratic.
     */
   def ktrussPeelRounds(edges0: DataFrame, aCol: String, bCol: String,
-                       k: Int, rounds: Int): DataFrame = {
+                       k: Int, rounds: Int,
+                       bloomMinEdges: Long = WedgeBloomMinEdges): DataFrame = {
     require(k >= 3 && rounds >= 1, "k must be >= 3 and rounds >= 1")
     val spark = edges0.sparkSession
     import spark.implicits._
@@ -655,7 +662,7 @@ object Graph {
     // above [[WedgeBloomMaxEdges]] the screen is skipped.
     val edgeCount = cur0.count()
     val wedgeScreen: DataFrame => DataFrame =
-      if (edgeCount > 0L && edgeCount <= WedgeBloomMaxEdges) {
+      if (edgeCount >= bloomMinEdges && edgeCount <= WedgeBloomMaxEdges) {
         val bf = cur0.select(xxhash64(col("u"), col("v")).as("h"))
           .stat.bloomFilter("h", edgeCount, 0.01)
         val bc = spark.sparkContext.broadcast(bf)

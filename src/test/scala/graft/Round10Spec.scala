@@ -24,6 +24,27 @@ class Round10Spec extends SparkSpec {
       bad.map(r => s"${r.name} [${r.status}] ${r.detail}").mkString("\n"))
   }
 
+  test("k-truss wedge Bloom screen is lossless: both closure paths give identical censuses") {
+    import spark.implicits._
+    // the gate-scale graphs sit below WedgeBloomMinEdges, so the
+    // screened path would otherwise run only in the (oracle-less)
+    // scale rehearsal — force it here with bloomMinEdges = 0 and pin
+    // equality against the unscreened path on a triangle-rich graph
+    val rnd = new scala.util.Random(20260815)
+    val edges = (0 until 400).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong; (a, b)
+    }.toDF("a", "b")
+    def run(minEdges: Long) =
+      graft.pipeline.Graph.ktrussPeelRounds(edges, "a", "b", k = 4,
+          rounds = 3, bloomMinEdges = minEdges)
+        .orderBy("round")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val screened = run(0L)
+    val plain = run(Long.MaxValue)
+    assert(screened == plain)
+    assert(screened.head._2 > 0L, "need a triangle-rich graph to exercise the screen")
+  }
+
   test("q431/q434 plan no unpartitioned window (ex-domain-bounded allowlist entries)") {
     Seq("q431_jonckheere", "q434_gini_split").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
