@@ -154,6 +154,15 @@ object PlanCheck {
     "q426_gk_gamma" -> Seq(),
     "q428_page_trend" -> Seq(),
     "q429_bottomk_sample" -> Seq("TakeOrderedAndProject"),
+    // round-10: DSIR's top-25 selection must plan as per-partition
+    // top-k, never a single-task global sort
+    "q456_dsir_select" -> Seq("TakeOrderedAndProject"),
+    // round-10 (synthetic — q455 constructs eagerly): the SemDeDup
+    // within-cluster pair stage must arrive through a (cluster, cell)
+    // equi-join — at fixture scale Spark broadcasts the tiny sides, so
+    // no join strategy is pinned; the load-bearing claim is the global
+    // CartesianProduct ban every --assert name carries
+    "q455_semdedup_pairs" -> Seq(),
     "q430_cochran_armitage" -> Seq(),
     // round-9: the rewritten k-center argmax round (synthetic — the
     // registered q353 constructs eagerly) must be a per-partition
@@ -266,6 +275,20 @@ object PlanCheck {
       val e = po.join(po.withColumnsRenamed(Map("p" -> "q")), Seq("ok"))
         .filter(col("p") < col("q")).select("p", "q").distinct()
       pipeline.Graph.ktrussRoundPlan(e, "p", "q", k = 4)
+    }),
+    // round-10 (synthetic — q455 constructs eagerly): the SemDeDup
+    // pair stage rebuilt lazily over a members-shaped frame (the join
+    // shape is independent of how the cluster column was assigned)
+    "q455_semdedup_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+      val v = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+            "* 1000.0 + 0.5) AS BIGINT))").as("q"))
+        .withColumn("cluster", pmod(col("id"), lit(8L)))
+        .withColumn("n2",
+          expr("aggregate(transform(q, x -> x * x), 0L, (a, e) -> a + e)"))
+      pipeline.Similarity.semDedupDropped(v, 1, 4)
     }),
     // q353's registered query materializes its 7 greedy rounds during
     // construction, so the assertable per-round shape is rebuilt lazily

@@ -624,8 +624,22 @@ object Similarity {
       .withColumn("n2", expr(
         "aggregate(transform(q, x -> x * x), 0L, (a, e) -> a + e)"))
       .localCheckpoint()
-    // within-cluster pairs through the salted cell join (lossless —
-    // a pair meets in exactly one (row, col) bucket cell)
+    val dropped = semDedupDropped(members, tNum, tDen)
+    members.join(dropped.withColumn("is_dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("n2"),
+        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+  }
+
+  /** The SemDeDup within-cluster pair stage alone (distinct ids
+    * dropped by a lower-id cluster-mate at cos ≥ tNum/tDen) — exposed
+    * lazily, mirroring [[Dedup.prefixFilterCandidates]], so PlanCheck
+    * can structurally assert the scale claim: pairs arrive through a
+    * (cluster, cell)-keyed equi-join with lossless fragment-replicate
+    * salting (a pair meets in exactly one (row, col) bucket cell),
+    * never a cartesian. `members` must carry (id, q, cluster, n2) as
+    * prepared by [[semDedup]].
+    */
+  def semDedupDropped(members: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val cellRows = 512L
     val byCluster = members.groupBy("cluster").agg(count(lit(1)).as("kc"))
     val salted = members.join(byCluster, "cluster")
@@ -636,7 +650,7 @@ object Similarity {
     val lhs = salted.withColumn("cc", explode(sequence(lit(0L), col("g") - 1L)))
     val rhs = salted.withColumn("cr", explode(sequence(lit(0L), col("g") - 1L)))
     val dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, e) -> a + e)"
-    val dropped = lhs.as("a").join(rhs.as("b"),
+    lhs.as("a").join(rhs.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.bkt") === col("b.cr") && col("a.cc") === col("b.bkt") &&
           col("a.id") < col("b.id"))
@@ -647,8 +661,5 @@ object Similarity {
         col("dot") * col("dot") * (tDen.toLong * tDen) >=
           col("na") * col("nb") * (tNum.toLong * tNum))
       .select("id").distinct()
-    members.join(dropped.withColumn("is_dropped", lit(true)), Seq("id"), "left")
-      .select(col("id"), col("cluster"), col("n2"),
-        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
   }
 }
