@@ -54,6 +54,32 @@ class PrefixSpec extends AnyFunSuite with SparkSpec {
       Prefix.withGlobalPosition(df.withColumnRenamed("n", "pos"), Seq("id")))
   }
 
+  test("withPrefixSums == per-column global exclusive running sums (incl. nulls), one shuffle") {
+    import spark.implicits._
+    // round-10: q431/q434 ride the multi-series variant — pin it
+    // directly: three lockstep counters over one total order, one of
+    // them nullable, against the naive single-task windows
+    val rnd = new scala.util.Random(31)
+    val df = (1L to 2000L).map { i =>
+      (i, rnd.nextInt(9).toLong, rnd.nextInt(5).toLong,
+        if (i % 11 == 0) None else Some(rnd.nextInt(3).toLong))
+    }.toDF("id", "a", "b", "c").repartition(7)
+    val got = Prefix.withPrefixSums(df, Seq("id"), Seq("a", "b", "c"),
+        partitions = 5)
+      .select("id", "prefix_a", "prefix_b", "prefix_c")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val w = Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, -1)
+    val want = df
+      .withColumn("pa", coalesce(sum(col("a")).over(w), lit(0L)))
+      .withColumn("pb", coalesce(sum(col("b")).over(w), lit(0L)))
+      .withColumn("pc", coalesce(sum(col("c")).over(w), lit(0L)))
+      .select("id", "pa", "pb", "pc")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+  }
+
   test("empty input yields empty output, single row gets pos 0 / prefix 0") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id", "n")
