@@ -212,23 +212,38 @@ object PlanCheck {
     "q448_neyman_alloc" -> "remainder rank over the ≤|sources| moment rollup",
     "q69_vocab" -> "token_id re-rank after orderBy().limit(maxSize=200)")
 
+  /** Cartesian census allowlist (round-10 judge item 7): queries whose
+    * physical plan DOES contain a CartesianProductExec, each justified
+    * by the bound on BOTH sides reaching that join — deliberate exact
+    * all-pairs verification oracles that run alongside a bucketed
+    * scale path, or grids of two scalar/tiny aggregates. A new gate
+    * that cartesians two unbounded inputs fails `--census` (and
+    * therefore `sbt test`) until its plan is fixed or a bound is
+    * argued here. Note most tiny-side cross joins plan as a 1-row
+    * BroadcastNestedLoopJoin (fine); this list is only for the ones
+    * Catalyst actually leaves as CartesianProduct.
+    */
+  private val boundedCartesianJustified: Map[String, String] = Map.empty
+
   /** One census verdict: `status` ∈ ok | bound | stale | fail | err.
-    * `stale` (round-10, advisor item): the query sits on the
-    * [[boundedWindowJustified]] allowlist but its plan no longer
-    * contains an unpartitioned window — the justification has rotted
-    * and must be deleted, otherwise a later reintroduction would be
-    * silently auto-excused. Treated as a failure by both the CLI and
-    * Round10Spec so the allowlist stays minimal.
+    * `stale` (round-10, advisor item): the query sits on an allowlist
+    * ([[boundedWindowJustified]] / [[boundedCartesianJustified]]) but
+    * its plan no longer contains the allowlisted node — the
+    * justification has rotted and must be deleted, otherwise a later
+    * reintroduction would be silently auto-excused. Treated as a
+    * failure by both the CLI and Round10Spec so the allowlists stay
+    * minimal.
     */
   final case class CensusRow(name: String, status: String, detail: String) {
     def bad: Boolean = status == "fail" || status == "err" || status == "stale"
   }
 
-  /** Sweep every named query's physical plan for unpartitioned
-    * windows (the single-task global sort that dies first at 100 TB).
-    * Pure: returns the verdicts; the CLI prints them, `Round10Spec`
-    * asserts none are bad — so a new gate with an unpartitioned
-    * window fails `sbt test`, not just a manual run. Run on the
+  /** Sweep every named query's physical plan for the two shapes that
+    * die first at 100 TB: unpartitioned windows (single-task global
+    * sort) and CartesianProduct joins (all-pairs over unbounded
+    * inputs). Pure: returns the verdicts; the CLI prints them,
+    * `Round10Spec` asserts none are bad — so a new gate with either
+    * shape fails `sbt test`, not just a manual run. Run on the
     * sf0.001 fixture so eager constructions stay cheap.
     */
   def census(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -236,17 +251,35 @@ object PlanCheck {
     names.map { name =>
       try {
         val df = SparkEntry.queries(name)(spark, dir)
-        val hits = unpartitionedWindows(df)
-        (hits.isEmpty, boundedWindowJustified.get(name)) match {
-          case (true, None)       => CensusRow(name, "ok", "")
-          case (true, Some(why))  => CensusRow(name, "stale",
-            s"allowlisted ('$why') but the plan has no unpartitioned window — delete the entry")
-          case (false, Some(why)) => CensusRow(name, "bound", why)
-          case (false, None)      => CensusRow(name, "fail", hits.mkString("; "))
-        }
+        def verdict(hits: Seq[String], allow: Option[String],
+                    what: String): (String, String) =
+          (hits.isEmpty, allow) match {
+            case (true, None)       => ("ok", "")
+            case (true, Some(why))  => ("stale",
+              s"allowlisted ('$why') but the plan has no $what — delete the entry")
+            case (false, Some(why)) => ("bound", why)
+            case (false, None)      => ("fail", hits.mkString("; "))
+          }
+        val checks = Seq(
+          verdict(unpartitionedWindows(df), boundedWindowJustified.get(name),
+            "unpartitioned window"),
+          verdict(cartesianProducts(df), boundedCartesianJustified.get(name),
+            "CartesianProduct"))
+        val rank = Seq("fail", "stale", "bound", "ok")
+        val status = rank.find(r => checks.exists(_._1 == r)).get
+        val detail = checks.filter(c => c._1 != "ok" && c._2.nonEmpty)
+          .map(_._2).mkString("; ")
+        CensusRow(name, status, detail)
       } catch { case e: Exception =>
         CensusRow(name, "err", s"${e.getClass.getSimpleName} ${e.getMessage}")
       }
+    }
+
+  private def cartesianProducts(
+      df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        "CartesianProduct join (all-pairs shuffle)"
     }
 
   private def unpartitionedWindows(
