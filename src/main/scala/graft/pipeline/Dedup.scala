@@ -206,6 +206,64 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-snapshot INCREMENTAL MinHash dedup: screen a new corpus
+    * delta against a PERSISTED band-bucket store without recomputing
+    * anything over the existing corpus — the production dedup shape
+    * for a continuously-ingested 100 TB corpus, where re-running
+    * [[minhashLshPairs]] over (store ∪ delta) per ingest would redo
+    * O(corpus) signature work for an O(delta) question.
+    *
+    * `storeBuckets` is the persisted `(doc, band, bkey)` table (what
+    * [[minhashBuckets]] emitted when the store was built — an append-
+    * only table in production). Work is delta-sized: signatures and
+    * band keys are computed for delta docs only; `dup_of_store` is a
+    * semi-join of delta buckets against the store on the `(band,
+    * bkey)` key (store-side NEVER re-hashed, and at scale the delta
+    * side is the small broadcastable one); `dup_in_delta` marks docs
+    * sharing a bucket with a LOWER-id delta doc (the same keep-first
+    * pair semantics as [[minhashLshPairs]] — transitive grouping is
+    * [[Graph.connectedComponents]]'s job, exactly as in the batch
+    * path). Docs with fewer than `n` tokens have no shingles and no
+    * signature, so — like every minhash path here — they do not
+    * appear. Returns one row per signed delta doc:
+    * `(doc, dup_of_store, dup_in_delta, kept)`.
+    */
+  def minhashMergeDelta(storeBuckets: DataFrame, delta: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 12,
+                        bands: Int = 4): DataFrame = {
+    val dSigs = minhashSignatures(delta, idCol, textCol, n, numHashes)
+    val dBuckets = minhashBuckets(dSigs, numHashes, bands)
+      .localCheckpoint() // store screen + within-delta pairs + rollup
+    val dupStore = dBuckets
+      .join(storeBuckets.select(col("band"), col("bkey")),
+        Seq("band", "bkey"), "left_semi")
+      .select(col("doc")).distinct()
+    val dupDelta = dBuckets.as("a").join(dBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("b.doc").as("doc")).distinct()
+    dBuckets.select(col("doc")).distinct()
+      .join(dupStore.withColumn("ds", lit(true)), Seq("doc"), "left")
+      .join(dupDelta.withColumn("dd", lit(true)), Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("ds"), lit(false)).as("dup_of_store"),
+        coalesce(col("dd"), lit(false)).as("dup_in_delta"),
+        (col("ds").isNull && col("dd").isNull).as("kept"))
+  }
+
+  /** The store-evolution step of the incremental merge: append the
+    * KEPT delta docs' buckets to the persisted store (in production an
+    * append/MERGE into the store table). Composes with
+    * [[minhashMergeDelta]]'s verdicts; dropped docs never enter, so
+    * the store stays a one-row-per-surviving-(doc, band) table.
+    */
+  def minhashStoreAppend(storeBuckets: DataFrame, deltaBuckets: DataFrame,
+                         verdicts: DataFrame): DataFrame =
+    storeBuckets.unionByName(
+      deltaBuckets.join(verdicts.filter(col("kept")).select("doc"),
+        Seq("doc"), "left_semi"))
+
   /** Exact Jaccard verification RESTRICTED to candidate pairs — the
     * LSH→verify composition production dedup runs: candidates come
     * from [[minhashLshPairs]] (or any bucketing), and the exact
