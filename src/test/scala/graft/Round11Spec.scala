@@ -37,6 +37,29 @@ class Round11Spec extends SparkSpec {
     graft.sources.TrainedPlane.clear()
   }
 
+  test("EdgePlane materializations equal the inline builds they replaced") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    // co-purchase: distinct oriented (p < q) pairs from lineitem
+    val li = Tables.load(spark, dir, "lineitem")
+    val po = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val inline = po.join(po.withColumnsRenamed(Map("p" -> "q")), Seq("ok"))
+      .filter(col("p") < col("q")).select("p", "q").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plane = graft.sources.EdgePlane.coPurchase(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plane == inline, "co-purchase plane drifted from the inline build")
+    // LSH pairs: the canonical n=3 / 12 hashes / 4 bands candidates
+    val docs = Tables.load(spark, dir, "documents")
+    val inlineLsh = pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 12, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planeLsh = graft.sources.EdgePlane.lshPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planeLsh == inlineLsh, "LSH pair plane drifted from the inline build")
+  }
+
   test("cartesian census leg flags a CartesianProduct plan and passes the real suite") {
     import spark.implicits._
     // synthetic offender: force a CartesianProduct by cross-joining
