@@ -127,9 +127,10 @@ object ScaleRehearsal {
               expr("rb div 4 - 1"))))
           a.join(b, "bkt")
             .filter(col("rb") > col("ra") && col("rb") <= col("ra") + 4)
-            .withColumn("ja", expr("array_distinct(split(ta, ' '))"))
-            .withColumn("jb", expr("array_distinct(split(tb, ' '))"))
-            .withColumn("inter", expr("CAST(size(array_intersect(ja, jb)) AS BIGINT)"))
+            .withColumn("ja", expr("array_sort(array_distinct(split(ta, ' ')))"))
+            .withColumn("jb", expr("array_sort(array_distinct(split(tb, ' ')))"))
+            .withColumn("inter", org.apache.spark.sql.graft.ArrayFunctions
+              .sortedIntersectSize(col("ja"), col("jb")))
             .withColumn("uni",
               expr("CAST(size(ja) AS BIGINT) + CAST(size(jb) AS BIGINT) - inter"))
             .filter(expr("inter * 2 >= uni"))
@@ -224,9 +225,12 @@ object ScaleRehearsal {
       emit("q353_kcenter_coreset", k, s353, o353, 3L * nVec)
 
       // q181: candidate stage exposed by Dedup.prefixFilterCandidates
+      // (same hashed-sorted token prep as prefixFilterJaccardPairs, so
+      // the candidate census measures the production rarity order)
       val prepared = docs
         .select(col("doc_id").as("doc"),
-          array_distinct(split(col("text"), " ")).as("toks"))
+          expr("array_sort(array_distinct(transform(split(text, ' '), " +
+            "t -> graft_md5hi60(t))))").as("toks"))
         .withColumn("len", size(col("toks")).cast("long"))
         .localCheckpoint()
       val (c181, _) = time(

@@ -410,16 +410,32 @@ object Dedup {
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                                tNum: Int = 1, tDen: Int = 2): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be a rational in (0, 1]")
+    // tokens HASHED to 60-bit longs and SORTED once per doc (the
+    // hashedShingleTable discipline, q12's precedent): the candidate
+    // join then ships 8-byte-per-token long arrays instead of
+    // variable-width strings, and the exact verify counts the
+    // intersection with the native zero-allocation two-pointer merge
+    // ([[org.apache.spark.sql.graft.SortedIntersectSizeLong]]) instead
+    // of array_intersect's per-pair hash set — the verify runs per
+    // CANDIDATE PAIR and its allocation was the suite's worst task-GC
+    // cost (round-11 bench metrics: 9.5 s at sf0.1). Exactness: the
+    // q181 oracle stays the brute force over RAW STRING sets, so the
+    // gate's hash equality proves both the prefix filter lossless AND
+    // the 60-bit hashing collision-free on the corpus; the global
+    // rarity order below tie-breaks on hash rather than string, and
+    // the prefix-filter theorem holds for ANY total token order.
     val docs = Par.spread(df)
       .select(col(idCol).as("doc"),
-        array_distinct(split(col(textCol), " ")).as("toks"))
+        expr(s"array_sort(array_distinct(transform(split(`$textCol`, ' '), " +
+          "t -> graft_md5hi60(t))))").as("toks"))
       .withColumn("len", size(col("toks")).cast("long"))
       .localCheckpoint() // tokens + verify both read it; pin one evaluation
     val cand = prefixFilterCandidates(docs, tNum, tDen)
     cand
       .join(docs.select(col("doc").as("doc_a"), col("toks").as("ja")), "doc_a")
       .join(docs.select(col("doc").as("doc_b"), col("toks").as("jb")), "doc_b")
-      .withColumn("inter", expr("CAST(size(array_intersect(ja, jb)) AS BIGINT)"))
+      .withColumn("inter", org.apache.spark.sql.graft.ArrayFunctions
+        .sortedIntersectSizeLong(col("ja"), col("jb")))
       .withColumn("uni",
         expr("CAST(size(ja) AS BIGINT) + CAST(size(jb) AS BIGINT) - inter"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
