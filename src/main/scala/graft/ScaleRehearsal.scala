@@ -327,17 +327,26 @@ object ScaleRehearsal {
           .select(col("bucket"),
             (ln6(col("ct") + 1L, col("tt") + 64L) -
               ln6(col("cr") + 1L, col("rt") + 64L)).as("lam"))
-        (tok.join(broadcast(lam), "bucket")
+        val w = tok.join(broadcast(lam), "bucket")
           .groupBy("doc_id").agg(sum(col("lam")).as("w"))
-          .orderBy(col("w").desc, col("doc_id")).limit(25)
+          .localCheckpoint()
+        val sel = w.orderBy(col("w").desc, col("doc_id")).limit(25)
           .select(pmod(col("doc_id"), lit(ID_STRIDE))).distinct()
-          .collect().map(_.getLong(0)).toSet,
-          tok.count())
+          .collect().map(_.getLong(0)).toSet
+        // ranking stability on IDENTICAL candidates: top-25 restricted
+        // to the verbatim replica-0 docs under the k-scaled models —
+        // isolates "does the changed corpus reshuffle the SAME docs'
+        // order" from "do replica docs displace base docs"
+        val selBase = w.filter(col("doc_id") < ID_STRIDE)
+          .orderBy(col("w").desc, col("doc_id")).limit(25)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        (sel, selBase, tok.count())
       }
       if (k == 1) dsirBase = sel456._1
       val overlap456 = (sel456._1 & dsirBase).size
-      emit("q456_dsir_select", k, s456, 25L, sel456._2,
-        s""","base_overlap":$overlap456""")
+      val sliceOverlap456 = (sel456._2 & dsirBase).size
+      emit("q456_dsir_select", k, s456, 25L, sel456._3,
+        s""","base_overlap":$overlap456,"base_slice_overlap":$sliceOverlap456""")
 
       // round-10 (judge item 7): STATEFUL STREAMING gates at scaled
       // event volume. Replica r shifts ts by r×(span + 4 h) and
