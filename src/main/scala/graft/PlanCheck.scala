@@ -65,8 +65,9 @@ object PlanCheck {
       // localCheckpoints its quantized vectors and members
       "q431_jonckheere", "q434_gini_split", "q455_semdedup",
     // round-11: q457's minhashMergeDelta localCheckpoints the delta
-    // bucket table during construction
-    "q457_incremental_dedup")
+    // bucket table during construction; q458's two semDedupMembers
+    // planes checkpoint likewise
+    "q457_incremental_dedup", "q458_semdedup_delta")
 
   /** Plan assertions for the candidate-volume queries (round-6 judge
     * item 6): the scale-safety claims — "candidates via equi-join,

@@ -288,6 +288,31 @@ object ScaleRehearsal {
       emit("q455_semdedup", k, s455, o455, cens455.getAs[Long]("pairs"),
         f""","max_cluster_share_pct":$sharePct%.1f""")
 
+      // round-11: q458 incremental SemDeDup at scale — the delta
+      // screen's pair volume (delta × store within clusters, the
+      // quantity the fragment-replicate salting spreads) must grow
+      // ~linearly when clusters scale with the corpus (8k cells, the
+      // q455 setting); candidates = bipartite within-cluster pairs
+      val (r458, s458) = time {
+        val cents = cents455 // the SAME trained plane as q455's row
+        val store458 = pipeline.Similarity.semDedupMembers(
+          emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+          nClusters = 8 * k, centroids = Some(cents))
+        val delta458 = pipeline.Similarity.semDedupMembers(
+          emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+          nClusters = 8 * k, centroids = Some(cents))
+        val v = pipeline.Similarity.semDedupDelta(store458, delta458,
+          tNum = 1, tDen = 4)
+          .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("kept"),
+            count(lit(1)).as("n")).head
+        val pairs = store458.groupBy("cluster").agg(count(lit(1)).as("sc"))
+          .join(delta458.groupBy("cluster").agg(count(lit(1)).as("dc")),
+            "cluster")
+          .agg(coalesce(sum(col("sc") * col("dc")), lit(0L))).head.getLong(0)
+        (v.getAs[Long]("n") - v.getAs[Long]("kept"), pairs)
+      }
+      emit("q458_semdedup_delta", k, s458, r458._1, r458._2)
+
       // round-11 (judge item 4): q456 DSIR at scale — the only
       // round-10 gate without a rehearsal row. The chain's scale
       // shape: token→bucket explode is map-only (candidates = exploded

@@ -626,6 +626,25 @@ object Similarity {
                centroids: Option[DataFrame] = None): DataFrame = {
     require(nClusters >= 1 && tNum > 0 && tDen >= tNum,
       "need nClusters >= 1 and a cosine threshold in (0, 1]")
+    val members = semDedupMembers(df, idCol, vecCol, nClusters, centroids)
+    requireCosineBound(members, tNum, tDen, "semDedup")
+    val dropped = semDedupDropped(members, tNum, tDen)
+    members.join(dropped.withColumn("is_dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("n2"),
+        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+  }
+
+  /** The SemDeDup MEMBERS plane alone — quantize (×1000, floor+½),
+    * exact integer L2 argmin assignment (ties to lowest cidx), squared
+    * norm — returned checkpointed as `(id, q, cluster, n2)`. This is
+    * the table a production pipeline PERSISTS (the "index" of kept
+    * vectors); [[semDedup]] builds it inline, [[semDedupDelta]] reads
+    * a stored one and builds only the delta's.
+    */
+  def semDedupMembers(df: DataFrame, idCol: String, vecCol: String,
+                      nClusters: Int = 8,
+                      centroids: Option[DataFrame] = None): DataFrame = {
+    require(nClusters >= 1, "need nClusters >= 1")
     val qv = expr(s"transform($vecCol, x -> " +
       "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
     val vecs = df.select(col(idCol).cast("long").as("id"), qv.as("q"))
@@ -649,26 +668,81 @@ object Similarity {
       .groupBy("id")
       .agg(min(expr(s"$d2 * $nClusters + cidx")).as("key"))
       .select(col("id"), pmod(col("key"), lit(nClusters.toLong)).as("cluster"))
-    val members = vecs.join(assign, "id")
+    vecs.join(assign, "id")
       .withColumn("n2", expr(
         "aggregate(transform(q, x -> x * x), 0L, (a, e) -> a + e)"))
       .localCheckpoint()
-    // loud-failure bound for the decimal(38,0) cosine test in
-    // [[semDedupDropped]]: both comparison sides are ≤
-    // (max n2)²·max(tNum,tDen)², so max(n2)·max(tNum,tDen) ≤ 10¹⁸
-    // guarantees they fit 38 digits with 10× headroom. members is
-    // already checkpointed, so the max is a cheap cached scan — the
-    // same fail-loudly discipline as the pqTrain sample guard.
+  }
+
+  /** Loud-failure bound for the decimal(38,0) cosine test: both
+    * comparison sides are ≤ (max n2)²·max(tNum,tDen)², so
+    * max(n2)·max(tNum,tDen) ≤ 10¹⁸ guarantees they fit 38 digits with
+    * 10× headroom — the same fail-loudly discipline as the pqTrain
+    * sample guard. One cheap agg over the (checkpointed) members.
+    */
+  private def requireCosineBound(members: DataFrame, tNum: Int, tDen: Int,
+                                 who: String): Unit = {
     val maxN2 = members.agg(coalesce(max(col("n2")), lit(0L))).head.getLong(0)
     require(BigInt(maxN2) * math.max(tNum, tDen) <= BigInt(10).pow(18),
-      s"semDedup: max squared-norm $maxN2 x threshold " +
+      s"$who: max squared-norm $maxN2 x threshold " +
         s"${math.max(tNum, tDen)} exceeds the exact-arithmetic bound " +
         "(max(n2) * max(tNum, tDen) must be <= 1e18); rescale the " +
         "embeddings or lower the threshold denominator")
-    val dropped = semDedupDropped(members, tNum, tDen)
-    members.join(dropped.withColumn("is_dropped", lit(true)), Seq("id"), "left")
-      .select(col("id"), col("cluster"), col("n2"),
-        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+  }
+
+  /** INCREMENTAL SemDeDup — the embedding sibling of
+    * [[Dedup.minhashMergeDelta]]: screen a DELTA's members against a
+    * PERSISTED member store (both shaped by [[semDedupMembers]] on
+    * the SAME centroid plane) without recomputing anything over the
+    * store. Work is delta-sized: `dup_of_store` pairs the delta with
+    * store rows of the SAME cluster through a fragment-replicate
+    * salted equi-join (store side hashed into g ≤ 64 cells per
+    * cluster, delta side replicated across them — never a cartesian,
+    * never one task per hot cluster); `dup_in_delta` is the standard
+    * within-delta lower-id pair screen ([[semDedupDropped]]). The
+    * cosine test is the same exact decimal(38,0) integer predicate.
+    * Returns one row per delta member:
+    * `(id, cluster, dup_of_store, dup_in_delta, kept)`.
+    */
+  def semDedupDelta(storeMembers: DataFrame, deltaMembers: DataFrame,
+                    tNum: Int = 1, tDen: Int = 4): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, "need a cosine threshold in (0, 1]")
+    requireCosineBound(storeMembers.select("n2")
+      .unionByName(deltaMembers.select("n2")), tNum, tDen, "semDedupDelta")
+    val cellRows = 512L
+    val byCluster = storeMembers.groupBy("cluster").agg(count(lit(1)).as("kc"))
+    val store = storeMembers.join(byCluster, "cluster")
+      .withColumn("g",
+        least(expr(s"(kc + ${cellRows - 1}) div $cellRows"), lit(64L)))
+      .withColumn("bkt", pmod(hash(col("id")).cast("long"), col("g")))
+      .drop("kc")
+    // clusters with no store rows drop out of the inner join — correct
+    // (no store mate ⇒ dup_of_store is false for those delta rows)
+    val deltaRep = deltaMembers.join(byCluster, "cluster")
+      .withColumn("g",
+        least(expr(s"(kc + ${cellRows - 1}) div $cellRows"), lit(64L)))
+      .withColumn("cc", explode(sequence(lit(0L), col("g") - 1L)))
+      .drop("kc")
+    val dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, e) -> a + e)"
+    val dupStore = deltaRep.as("d").join(store.as("s"),
+        col("d.cluster") === col("s.cluster") && col("d.cc") === col("s.bkt"))
+      .select(col("d.id").as("id"), col("d.q").as("qa"), col("s.q").as("qb"),
+        col("d.n2").as("na"), col("s.n2").as("nb"))
+      .withColumn("dot", expr(dot))
+      .filter(col("dot") > 0L &&
+        col("dot").cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") *
+          lit(tDen.toLong * tDen).cast("decimal(38,0)") >=
+          col("na").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)") *
+            lit(tNum.toLong * tNum).cast("decimal(38,0)"))
+      .select("id").distinct()
+    val dupDelta = semDedupDropped(deltaMembers, tNum, tDen)
+    deltaMembers.select(col("id"), col("cluster"))
+      .join(dupStore.withColumn("ds", lit(true)), Seq("id"), "left")
+      .join(dupDelta.withColumn("dd", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("ds"), lit(false)).as("dup_of_store"),
+        coalesce(col("dd"), lit(false)).as("dup_in_delta"),
+        (col("ds").isNull && col("dd").isNull).as("kept"))
   }
 
   /** The SemDeDup within-cluster pair stage alone (distinct ids

@@ -146,4 +146,52 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
     assert(got.exists(_._3) && got.exists(!_._3), "need both drop and keep paths")
   }
+
+  test("semDedupDelta equals the plain bipartite + pairwise screens on seeded vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same planted-near-duplicate corpus as the semDedup test, split
+    // store (id % 3 != 0) vs delta (id % 3 == 0): jitter copies land
+    // on both sides of the split, so all three verdicts occur
+    val rnd = new scala.util.Random(20260815)
+    val base = (0 until 100).map(_ => Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val vecs = (0 until 100).map(i => (i.toLong, base(i).toSeq)) ++
+      (0 until 40).map(i => (i + 100L,
+        base(i).map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val storeDf = df.filter($"vec_id" % 3 =!= 0)
+    val deltaDf = df.filter($"vec_id" % 3 === 0)
+    val store = Similarity.semDedupMembers(storeDf, "vec_id", "embedding", 4)
+    // SAME centroid plane for both sides (the production contract):
+    // reuse the store's effective centroids — its 4 lowest-id vectors
+    val cents = store.orderBy("id").limit(4)
+      .select($"q".as("cq"), (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"id")) - 1)
+        .cast("long").as("cidx")).localCheckpoint()
+    val store2 = Similarity.semDedupMembers(storeDf, "vec_id", "embedding", 4,
+      Some(cents))
+    val delta = Similarity.semDedupMembers(deltaDf, "vec_id", "embedding", 4,
+      Some(cents))
+    val got = Similarity.semDedupDelta(store2, delta, tNum = 9, tDen = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+      .toSet
+    // brute force: plain (unsalted) bipartite + pairwise tests
+    val dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, e) -> a + e)"
+    def hits(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+             cond: org.apache.spark.sql.Column): Set[Long] =
+      l.as("a").join(r.as("b"), $"a.cluster" === $"b.cluster" && cond)
+        .select($"a.id".as("id"), $"a.q".as("qa"), $"b.q".as("qb"),
+          $"a.n2".as("na"), $"b.n2".as("nb"))
+        .withColumn("dot", expr(dot))
+        .filter($"dot" > 0L && $"dot" * $"dot" * 100L >= $"na" * $"nb" * 81L)
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val ds = hits(delta, store2, lit(true))
+    val dd = hits(delta, delta, $"b.id" < $"a.id")
+    val want = delta.select($"id").collect().map(_.getLong(0)).map { id =>
+      (id, ds.contains(id), dd.contains(id), !ds.contains(id) && !dd.contains(id))
+    }.toSet
+    assert(got == want)
+    assert(got.exists(_._2) && got.exists(_._4), "need dup_of_store and kept paths")
+  }
 }
