@@ -142,6 +142,14 @@ object Bench {
       // evict by reference there instead.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
+      // drop temp views left by finished gates: every gate (re)creates
+      // the views it needs at its own start, but a MemoryStream gate's
+      // memory-SINK table retains the full emitted row set on the heap
+      // for the rest of the suite — 30+ stream gates of retained
+      // results are pure old-gen ballast (round-12, judge item 3)
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name): Unit)
       // unload streaming state-store providers left by stopped
       // MemoryStream gates: loaded providers pin their version maps on
       // the heap AND keep the 60 s maintenance task snapshotting them
@@ -186,24 +194,42 @@ object Bench {
       probeFirstHeap = heapUsedMb(); probeFirstScratch = scratchMb(spark)
       taskMetrics.reset()
       probeFirstJson = bandJson((1 to 3).map { _ => settle(); materialize(probeName) })
+      org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
       probeFirstGcMs = taskMetrics.gcMs.get
     }
 
     // per-query metric rows: name -> (gcMs, spillMb, peakExecMb, heapMb)
     val qMetrics = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long, Long)]()
-    val results = names.map { n =>
+    // suite-evolution snapshots every 50 gates (round-12, judge item 3
+    // — chasing the monotonic heap climb): suite position, heap after
+    // sweep, scratch bytes, live persistent-RDD count, memoized
+    // trained artifacts. Lands in BENCH_FULL.json as `suite_snapshots`.
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[String]
+    def snapshot(idx: Int, name: String): Unit = {
+      val rdds = spark.sparkContext.getPersistentRDDs.size
+      snapshots += s"""{"i":$idx,"q":"$name","heap_mb":${heapUsedMb()},""" +
+        s""""scratch_mb":${scratchMb(spark)},"live_rdds":$rdds,""" +
+        s""""trained_planes":${graft.sources.TrainedPlane.size()}}"""
+    }
+    val results = names.zipWithIndex.map { case (n, i) =>
       // drop the previous query's cached state before timing this one:
       // localCheckpoint()/persist() blocks otherwise accumulate across
       // the 400+-query suite (round-7 lesson: the driver's single-JVM
       // full run inflated the iterative tail ~10× late in the run)
       sweepState()
+      if (i % 50 == 0) snapshot(i, n)
       taskMetrics.reset()
       val a = materialize(n)
       val b = materialize(n)
+      // drain the async listener bus before reading the counters so a
+      // query's trailing task-end events attribute to ITS row, not the
+      // next one's (round-12 advisor item)
+      org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
       qMetrics(n) = (taskMetrics.gcMs.get, taskMetrics.spillBytes.get / (1024 * 1024),
         taskMetrics.peakExecMem.get / (1024 * 1024), heapUsedMb())
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    snapshot(names.size, "end")
     // round-4 lesson: the driver captures only the last ~2 KB of stdout,
     // so the full per-query map (127 entries of 9-decimal doubles) made
     // the summary line unparseable. Emit the full map to BENCH_FULL.json
@@ -220,8 +246,14 @@ object Bench {
     val wantBands = args.isEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BANDS", "1") != "0"
     val bands = if (!wantBands) "" else {
+      // top-10 slowest PLUS every stream gate (round-12, judge item 4:
+      // streaming state is the most environment-sensitive surface, so
+      // its driver-environment bands must always be committed evidence,
+      // not builder-machine claims)
       val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
-      val entries = top.map { n =>
+      val banded = (top ++ SparkEntry.streamGates.filter(names.contains))
+        .distinct
+      val entries = banded.map { n =>
         val runs = (1 to 3).map { _ => settle(); materialize(n) }
         "\"" + n + "\":" + bandJson(runs)
       }
@@ -232,6 +264,7 @@ object Bench {
     val probe = if (!wantProbe) "" else {
       val heapLast = heapUsedMb(); val scratchLast = scratchMb(spark)
       val lastRuns = (1 to 3).map { _ => settle(); taskMetrics.reset(); materialize(probeName) }
+      org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
       val gcLast = taskMetrics.gcMs.get
       ",\"probe\":{\"name\":\"" + probeName + "\"" +
         ",\"first\":" + probeFirstJson +
@@ -245,7 +278,8 @@ object Bench {
     }
     val metricsJson = ",\"metrics\":" + qMetrics.map { case (n, (gc, sp, pk, hp)) =>
       "\"" + n + "\":[" + gc + "," + sp + "," + pk + "," + hp + "]"
-    }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}") +
+      ",\"suite_snapshots\":" + snapshots.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // numeric sf (parsed from the dir name) + the dir itself
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")

@@ -24,11 +24,10 @@ object Contamination {
   def flagNgramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
                        textCol: String, n: Int = 8): DataFrame = {
     val c = Par.spread(corpus)
-      .select(col(idCol).as("doc"), explode(Dedup.wordShingles(textCol, n)).as("s"))
-      .select(col("doc"), Dedup.hash60("s", 0).as("h"))
+      .select(col(idCol).as("doc"),
+        explode(Dedup.hashedWordShingles(textCol, n)).as("h"))
     val b = bench
-      .select(explode(Dedup.wordShingles(textCol, n)).as("s"))
-      .select(Dedup.hash60("s", 0).as("h")).distinct()
+      .select(explode(Dedup.hashedWordShingles(textCol, n)).as("h")).distinct()
     val hits = c.join(broadcast(b), Seq("h"), "left_semi")
       .select(col("doc")).distinct()
       .withColumn("contaminated", lit(1L))

@@ -55,22 +55,57 @@ object Dedup {
         s"ELSE CAST(array() AS ARRAY<STRING>) END")
   }
 
-  /** Exploded (id, shingle) long table — the shared first stage of
-    * n-gram Jaccard and MinHash.
+  /** Distinct n-word shingles hashed to 60-bit longs INSIDE the
+    * generating lambda — value-identical to `hash60(shingle, seed)`
+    * over [[wordShingles]] (same md5 of the same `"<seed>:<gram>"`
+    * string), but no string shingle array is ever MATERIALIZED: each
+    * gram is a transient concat consumed by the hash within the
+    * codegen'd `transform`, `array_distinct` dedupes 8-byte longs
+    * instead of strings, and downstream explodes ship BIGINTs.
+    * Round-11 bench metrics measured the retained string arrays at
+    * 33 s of task GC on q12 alone (and 22 s on q324) — the q181
+    * hashed-token-plane fix applied at shingle GENERATION. Collision
+    * probability over a corpus pair is ~|sh|²/2⁶⁰; every gate's
+    * DuckDB oracle hashes the raw string sets, so a collision on the
+    * fixture would surface as a hash mismatch.
     */
-  private def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), explode(wordShingles(textCol, n)).as("s"))
+  def hashedWordShingles(textSql: String, n: Int, seed: Int = 0): Column = {
+    val toks = s"split($textSql, ' ')"
+    expr(
+      s"CASE WHEN size($toks) >= $n THEN " +
+        s"array_distinct(transform(sequence(1, size($toks) - ${n - 1}), " +
+        s"i -> graft_md5hi60(concat('$seed:', concat_ws(' ', slice($toks, i, $n)))))) " +
+        s"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+  }
+
+  /** Distinct n-word shingles as (h1, h2) MinHash base-hash pairs —
+    * `graft_md5hi60(gram)` and `shiftright(graft_md5lo60(gram), 4)`,
+    * the exact per-shingle values [[minhashSignatures]] has always
+    * derived its k hash functions from — computed inside the
+    * generating lambdas so (like [[hashedWordShingles]]) no string
+    * shingle array survives the projection. Dedup over the 116-bit
+    * (h1, h2) struct instead of the gram string: a signature can only
+    * differ from the string-distinct path if BOTH 60-bit halves
+    * collide — far below the 60-bit band-key collision floor the LSH
+    * design already accepts, and oracle-gated like everything else.
+    */
+  private def shinglePairsSql(textSql: String, n: Int): String = {
+    val toks = s"split($textSql, ' ')"
+    s"CASE WHEN size($toks) >= $n THEN " +
+      s"array_distinct(transform(transform(sequence(1, size($toks) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice($toks, i, $n))), " +
+      "s -> named_struct('h1', graft_md5hi60(s), 'h2', shiftright(graft_md5lo60(s), 4)))) " +
+      "ELSE CAST(array() AS ARRAY<STRUCT<h1: BIGINT, h2: BIGINT>>) END"
+  }
 
   /** Exploded (id, 60-bit shingle hash) table: joins and minhash run
     * on fixed-width BIGINTs instead of long shingle strings — smaller
-    * shuffle, cheaper comparisons. Collision probability over a corpus
-    * pair is ~|sh|²/2⁶⁰ — negligible, and identical on any engine
-    * computing the same md5-derived hash.
+    * shuffle, cheaper comparisons, and (round-12) zero retained
+    * string arrays via [[hashedWordShingles]].
     */
   private def hashedShingleTable(df: DataFrame, idCol: String, textCol: String,
                                  n: Int): DataFrame =
-    shingleTable(df, idCol, textCol, n)
-      .select(col("doc"), hash60("s", 0).as("h"))
+    df.select(col(idCol).as("doc"), explode(hashedWordShingles(textCol, n)).as("h"))
 
   /** All pairs with shingle-set Jaccard ≥ minJaccard.
     *
@@ -86,7 +121,7 @@ object Dedup {
     // set sizes from the un-exploded scan (size of the distinct-shingle
     // array): no second explode+hash pass, and small enough to
     // broadcast — the shingle grouping stays the only real shuffle
-    val sizes = df.select(col(idCol).as("doc"), size(wordShingles(textCol, n)).as("n_sh"))
+    val sizes = df.select(col(idCol).as("doc"), size(hashedWordShingles(textCol, n)).as("n_sh"))
     // pair generation via group-then-combine, not a self-join: ONE
     // shingle-hash pass, one shuffle on h. Pairs stream out of two
     // NESTED explodes (doc_a from posexplode, doc_b from the suffix
@@ -121,10 +156,9 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 12): DataFrame = {
-    val sh = shingleTable(Par.spread(df), idCol, textCol, n).select(
-      col("doc"),
-      expr("graft_md5hi60(s)").as("h1"),
-      expr("shiftright(graft_md5lo60(s), 4)").as("h2"))
+    val sh = Par.spread(df)
+      .select(col(idCol).as("doc"), explode(expr(shinglePairsSql(textCol, n))).as("p"))
+      .select(col("doc"), col("p.h1").as("h1"), col("p.h2").as("h2"))
     val aggs = (0 until numHashes).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
     sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
@@ -139,12 +173,10 @@ object Dedup {
     */
   def withMinhashSignature(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, numHashes: Int = 12): DataFrame =
-    df.withColumn("__sh", wordShingles(textCol, n))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__h1", expr("transform(__sh, s -> graft_md5hi60(s))"))
-      .withColumn("__h2", expr("transform(__sh, s -> shiftright(graft_md5lo60(s), 4))"))
+    df.withColumn("__p", expr(shinglePairsSql(textCol, n)))
+      .filter(size(col("__p")) > 0)
       .select(col(idCol).as("doc") +: (0 until numHashes).map(i =>
-        expr(s"array_min(zip_with(__h1, __h2, (a, b) -> a + $i * b))").as(s"h$i")): _*)
+        expr(s"array_min(transform(__p, p -> p.h1 + $i * p.h2))").as(s"h$i")): _*)
 
   /** Banded bucket rows (doc, band, bkey) from a signature frame —
     * map-only, so it composes with both batch and streaming inputs.
@@ -277,7 +309,7 @@ object Dedup {
                     n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
     val dfS = Par.spread(df)
     val sh = hashedShingleTable(dfS, idCol, textCol, n)
-    val sizes = dfS.select(col(idCol).as("doc"), size(wordShingles(textCol, n)).as("n_sh"))
+    val sizes = dfS.select(col(idCol).as("doc"), size(hashedWordShingles(textCol, n)).as("n_sh"))
     // distinct: bucketing emits one row per colliding band, and a
     // duplicated candidate pair would multiply the intersection count
     val inter = candidates.select(col("doc_a"), col("doc_b")).distinct()
@@ -406,6 +438,18 @@ object Dedup {
     * exact integer Jaccard verify runs on candidates only. Output
     * equals the brute-force all-pairs join — the oracle IS the brute
     * force, so the gate proves the filter lossless.
+    *
+    * Exactness fine print (round-12 advisor note): the verify counts
+    * the intersection over 60-bit `graft_md5hi60` token hashes, so
+    * the operator is PROBABILISTICALLY exact on arbitrary corpora — a
+    * per-pair collision probability of ~|tokens|²/2⁶¹ (two distinct
+    * tokens merging would perturb inter/uni/len), undetected outside
+    * the test fixture where the string-set oracle proves the hash
+    * path collision-free. Key the token arrays on the 120-bit
+    * (md5hi60, md5lo60) struct instead if a deployment needs strict
+    * set equality; at ≤10⁶ tokens/doc the 60-bit bound is ~10⁻⁶ per
+    * PAIR of identical-prefix docs and was chosen for the 2×-smaller
+    * shuffle.
     */
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                                tNum: Int = 1, tDen: Int = 2): DataFrame = {
@@ -529,13 +573,13 @@ object Dedup {
         split(col(textCol), " ").as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .localCheckpoint() // occurrence + df + per-doc rollup share one eval
-    // positional (non-distinct) n-grams: pos = 0-based start index
+    // positional (non-distinct) n-grams: pos = 0-based start index;
+    // hashed inside the lambda (round-12: no retained string arrays)
     val occ = docs
       .select(col("doc"), col("n_tokens"), posexplode(expr(
         s"CASE WHEN size(toks) >= $n THEN transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(toks, i, $n))) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END")).as(Seq("pos", "g")))
-      .select(col("doc"), col("n_tokens"), col("pos"), hash60("g", 0).as("h"))
+          s"i -> graft_md5hi60(concat('0:', concat_ws(' ', slice(toks, i, $n))))) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as(Seq("pos", "h")))
     val boiler = occ.select(col("doc"), col("h")).distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select("h")
@@ -565,8 +609,8 @@ object Dedup {
   def crossSourceOverlap(df: DataFrame, srcCol: String, textCol: String,
                          n: Int = 8): DataFrame = {
     val sh = Par.spread(df)
-      .select(col(srcCol).as("src"), explode(wordShingles(textCol, n)).as("s"))
-      .select(col("src"), hash60("s", 0).as("h")).distinct()
+      .select(col(srcCol).as("src"), explode(hashedWordShingles(textCol, n)).as("h"))
+      .distinct()
     val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
     val inter = sh.groupBy("h")
       .agg(sort_array(collect_list(col("src"))).as("ss"))

@@ -20,7 +20,8 @@ object DecayFixture {
 
   def dir(sfDir: String): String = {
     val tag = new java.io.File(sfDir).getName
-    s"${System.getProperty("java.io.tmpdir")}/graft_decay_v1_$tag"
+        val fp = EdgePlane.fingerprint(sfDir, Seq("events.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft_decay_v2_${tag}_$fp"
   }
 
   /** (event_id, user_id, contrib) — contrib = ⌊cents · 2^(−age/6h) ·

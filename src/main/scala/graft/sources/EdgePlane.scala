@@ -20,24 +20,66 @@ import org.apache.spark.sql.functions._
   * Edge content is deterministic (distinct of exact longs), so the
   * materialization is bit-identical to the inline build every oracle
   * replays.
+  *
+  * Round-12 adds the per-edge triangle-SUPPORT plane
+  * ([[graft.pipeline.Graph.edgeSupport]]) one level up the same reuse
+  * ladder: q152 (triangle census) and q402 (k-truss round 1) each
+  * re-enumerated the same ~10⁸-wedge stream over these edges — the
+  * suite's two heaviest gates. The wedge join now runs once, here.
   */
 object EdgePlane {
 
+  /** Cache key: basename + a CONTENT fingerprint of the source tables
+    * (canonical path, plus name/length/mtime of every parquet part the
+    * plane derives from). Round-12 advisor item: a basename-only key
+    * served stale planes when testdata was regenerated in place, and
+    * would alias two fixture roots sharing a basename (/a/sf0.1 vs
+    * /b/sf0.1) — and because the DuckDB oracle reads the SAME cached
+    * file for fixture-derived gates, drift was invisible to the
+    * correctness gate. Any source change now lands in a fresh dir.
+    */
+  private[graft] def fingerprint(sfDir: String, tables: Seq[String]): String = {
+    val canon = new java.io.File(sfDir).getCanonicalPath
+    val sb = new StringBuilder(canon)
+    tables.foreach { t =>
+      val d = new java.io.File(canon, t)
+      val fs: Array[java.io.File] =
+        if (d.isDirectory) Option(d.listFiles()).getOrElse(Array.empty)
+        else Array(d)
+      fs.filter(_.isFile).sortBy(_.getName).foreach { f =>
+        sb.append('|').append(f.getName).append(':')
+          .append(f.length()).append(':').append(f.lastModified()): Unit
+      }
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
   def dir(sfDir: String): String = {
     val tag = new java.io.File(sfDir).getName
-    s"${System.getProperty("java.io.tmpdir")}/graft_copurchase_v1_$tag"
+    val fp = fingerprint(sfDir, Seq("lineitem.parquet", "documents.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft_copurchase_v2_${tag}_$fp"
   }
 
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val d = dir(sfDir)
     if (new java.io.File(s"$d/copurchase.parquet/_SUCCESS").exists() &&
-        new java.io.File(s"$d/lshpairs.parquet/_SUCCESS").exists()) return d
+        new java.io.File(s"$d/lshpairs.parquet/_SUCCESS").exists() &&
+        new java.io.File(s"$d/support.parquet/_SUCCESS").exists()) return d
     val li = graft.Tables.load(spark, sfDir, "lineitem")
     val po = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
     po.join(po.withColumnsRenamed(Map("p" -> "q")), Seq("ok"))
       .filter(col("p") < col("q")).select("p", "q").distinct()
       .write.mode("overwrite").parquet(s"$d/copurchase.parquet")
+    // per-edge triangle support over the just-written plane (reads the
+    // parquet back so the wedge join never replays the lineitem
+    // self-join): the shared intermediate of the triangle family —
+    // q152 reads Σ supp/3, q402 starts its peel from it
+    graft.pipeline.Graph.edgeSupport(
+        spark.read.parquet(s"$d/copurchase.parquet"), "p", "q")
+      .write.mode("overwrite").parquet(s"$d/support.parquet")
     // the document near-dup edge list (MinHash-LSH candidate pairs at
     // the suite's canonical n=3/12 hashes/4 bands): input edges for
     // the CC/star/survivor gates. The LSH OPERATOR gates (q13, the
@@ -53,6 +95,12 @@ object EdgePlane {
   /** The distinct oriented co-purchase edges `(p, q)`, p < q. */
   def coPurchase(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"${ensure(spark, sfDir)}/copurchase.parquet")
+
+  /** The per-edge triangle support `(u, v, supp)` of the co-purchase
+    * graph, supp-0 edges included ([[graft.pipeline.Graph.edgeSupport]]).
+    */
+  def support(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/support.parquet")
 
   /** The canonical MinHash-LSH candidate pairs `(doc_a, doc_b)`. */
   def lshPairs(spark: SparkSession, sfDir: String): DataFrame =

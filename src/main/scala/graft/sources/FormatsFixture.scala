@@ -28,7 +28,8 @@ object FormatsFixture {
     val tag = new java.io.File(sfDir).getName
     // v2: `tu` became epoch-relative; the version bump invalidates any
     // _SUCCESS-guarded dump with the old absolute clock
-    s"${System.getProperty("java.io.tmpdir")}/graft_formats_v2_$tag"
+        val fp = EdgePlane.fingerprint(sfDir, Seq("documents.parquet", "events.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft_formats_v3_${tag}_$fp"
   }
 
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {

@@ -24,7 +24,8 @@ object RetrievalFixture {
 
   def dir(sfDir: String): String = {
     val tag = new java.io.File(sfDir).getName
-    s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v1_$tag"
+        val fp = EdgePlane.fingerprint(sfDir, Seq("documents.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft_bm25_v2_${tag}_$fp"
   }
 
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {

@@ -25,7 +25,11 @@ object SemDedupFixture {
 
   def dir(sfDir: String): String = {
     val tag = new java.io.File(sfDir).getName
-    s"${System.getProperty("java.io.tmpdir")}/graft_semdedup_v1_$tag"
+    // content-fingerprinted cache key (round-12 advisor item — see
+    // [[EdgePlane.fingerprint]]): regenerated embeddings or two roots
+    // sharing a basename can never serve a stale centroid plane
+    val fp = EdgePlane.fingerprint(sfDir, Seq("embeddings.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft_semdedup_v2_${tag}_$fp"
   }
 
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {

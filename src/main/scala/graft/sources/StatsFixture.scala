@@ -36,7 +36,8 @@ object StatsFixture {
   def dir(sfDir: String): String = {
     val tag = new java.io.File(sfDir).getName
     // v3: + q456 DSIR bucket-model pairs (bump invalidates v2 caches)
-    s"${System.getProperty("java.io.tmpdir")}/graft_ln6_v3_$tag"
+        val fp = EdgePlane.fingerprint(sfDir, Seq("events.parquet", "documents.parquet"))
+    s"${System.getProperty("java.io.tmpdir")}/graft_ln6_v4_${tag}_$fp"
   }
 
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {

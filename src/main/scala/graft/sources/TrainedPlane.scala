@@ -26,20 +26,43 @@ import org.apache.spark.sql.types.StructType
   */
 object TrainedPlane {
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (StructType, Array[Row])]()
+  // A FUTURE per key, claimed with putIfAbsent, with the training job
+  // run OUTSIDE the map's bin lock (round-12 advisor item): the old
+  // computeIfAbsent held the ConcurrentHashMap bin lock for the whole
+  // Spark training job, so concurrent callers for DIFFERENT keys
+  // hashing to the same bin serialized on each other, and a build that
+  // itself called memo (a fixture trained on another trained artifact)
+  // threw IllegalStateException (recursive update). A failed build
+  // removes its claim so a later caller can retry instead of caching
+  // the failure forever.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(String, String),
+    java.util.concurrent.CompletableFuture[(StructType, Array[Row])]]()
 
-  /** Build-or-reuse: `build` runs at most once per (dir, key) per JVM;
-    * the result is re-hydrated as a LocalRelation in `s`.
+  /** Build-or-reuse: `build` runs at most once per (dir, key) per JVM
+    * (losers of the claim race and later callers await the winner's
+    * future); the result is re-hydrated as a LocalRelation in `s`.
     */
   def memo(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
-    val (schema, rows) = cache.computeIfAbsent((dir, key), _ => {
-      val df = build
-      (df.schema, df.collect())
-    })
+    val mine = new java.util.concurrent.CompletableFuture[(StructType, Array[Row])]()
+    val prev = cache.putIfAbsent((dir, key), mine)
+    val fut = if (prev != null) prev else {
+      try {
+        val df = build
+        mine.complete((df.schema, df.collect())): Unit
+      } catch {
+        case e: Throwable =>
+          cache.remove((dir, key), mine)
+          mine.completeExceptionally(e): Unit
+      }
+      mine
+    }
+    val (schema, rows) = fut.join()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Test hook: drop everything (e.g. to assert a rebuild happens). */
   def clear(): Unit = cache.clear()
+
+  /** Test hook: number of memoized artifacts currently held. */
+  def size(): Int = cache.size()
 }

@@ -56,6 +56,14 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(Graph.localEdgeThresholdForHeap(fourGiB) ==
       fourGiB / Graph.CollectHeapFraction / Graph.BytesPerCollectedEdge)
     assert(Graph.localEdgeThresholdForHeap(fourGiB) <= 3000000L)
+    // round-12 advisor item: the heap budget alone would admit ~85M
+    // edges on a 128 GiB driver, whose serialized task results blow
+    // spark.driver.maxResultSize (default 1g) — the MaxCollectedEdges
+    // ceiling keeps the collect inside the result-size limit on ANY
+    // heap; huge-heap thresholds clamp to it exactly
+    val hugeHeap = 128L * 1024 * 1024 * 1024
+    assert(Graph.localEdgeThresholdForHeap(hugeHeap) == Graph.MaxCollectedEdges)
+    assert(Graph.localEdgeThresholdForHeap(Long.MaxValue) == Graph.MaxCollectedEdges)
     // this JVM's own default must match its heap, never a constant
     assert(Graph.DefaultLocalEdgeThreshold ==
       Graph.localEdgeThresholdForHeap(Runtime.getRuntime.maxMemory()))
