@@ -296,6 +296,29 @@ object Dedup {
       deltaBuckets.join(verdicts.filter(col("kept")).select("doc"),
         Seq("doc"), "left_semi"))
 
+  /** Compact N append-only band-bucket SEGMENTS into one canonical
+    * store (round-12 north star — the maintenance job the incremental
+    * family needs in production): the store the continuous-ingest
+    * path builds ([[minhashMergeDelta]] screens, [[minhashStoreAppend]]
+    * appends) physically accumulates one segment per ingest batch plus
+    * a tombstone list (retention expiry, takedowns), and every screen
+    * pays a multi-segment scan; the periodic compaction merges
+    * segments, drops tombstoned docs' buckets, and dedupes the
+    * (doc, band, bkey) key — after which a `(band, bkey)` screen
+    * against the compacted store is row-identical to screening the
+    * raw segments minus tombstones (spec-pinned, plus idempotence).
+    * One union + one anti-join + one distinct: shuffle keyed by the
+    * bucket row, linear at any store size, and in production an
+    * overwrite of the store table partition-by-partition.
+    */
+  def minhashStoreCompact(segments: Seq[DataFrame],
+                          tombstones: DataFrame): DataFrame = {
+    require(segments.nonEmpty, "need at least one segment")
+    segments.reduce(_ unionByName _)
+      .join(tombstones.select(col("doc")).distinct(), Seq("doc"), "left_anti")
+      .distinct()
+  }
+
   /** Exact Jaccard verification RESTRICTED to candidate pairs — the
     * LSH→verify composition production dedup runs: candidates come
     * from [[minhashLshPairs]] (or any bucketing), and the exact

@@ -93,6 +93,40 @@ class Round12Spec extends AnyFunSuite with SparkSpec {
     assert(direct == viaSup)
   }
 
+  test("minhashStoreCompact: screen equivalence, tombstone removal, idempotence") {
+    import spark.implicits._
+    import pipeline.Dedup
+    val mk = (ids: Seq[Long]) => Dedup.minhashBuckets(
+      Dedup.minhashSignatures(
+        ids.map(i => (i, s"tok${i % 3} alpha beta gamma delta tok$i common words here"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, numHashes = 12), numHashes = 12, bands = 4)
+    // segments overlap on doc 5 (re-ingest); docs 2 and 7 tombstoned
+    val segs = Seq(mk(Seq(1L, 2L, 5L)), mk(Seq(5L, 6L, 7L)), mk(Seq(8L)))
+    val tomb = Seq(2L, 7L, 99L).toDF("doc") // 99: tombstone for an absent doc
+    val compacted = Dedup.minhashStoreCompact(segs, tomb).localCheckpoint()
+    // tombstoned docs gone, overlap collapsed to one row per (doc, band)
+    val docs = compacted.select("doc").distinct().as[Long].collect().toSet
+    assert(docs == Set(1L, 5L, 6L, 8L))
+    assert(compacted.groupBy("doc", "band").count()
+      .filter(col("count") > 1).isEmpty, "key dedup must collapse re-ingests")
+    // SCREEN EQUIVALENCE: a delta screened against the compacted store
+    // gives the same verdicts as against raw segments minus tombstones
+    val delta = Seq((100L, "tok1 alpha beta gamma delta tok1 common words here"))
+      .toDF("doc_id", "text")
+    val raw = segs.reduce(_ unionByName _)
+      .join(tomb, Seq("doc"), "left_anti")
+    def screen(store: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashMergeDelta(store, delta, "doc_id", "text",
+        n = 3, numHashes = 12, bands = 4)
+        .orderBy("doc").collect().toSeq
+    assert(screen(compacted) == screen(raw))
+    // idempotence: compacting the compacted store is the identity
+    val twice = Dedup.minhashStoreCompact(Seq(compacted), tomb)
+    assert(twice.exceptAll(compacted).isEmpty &&
+      compacted.exceptAll(twice).isEmpty)
+  }
+
   test("ktrussPeelRounds with a precomputed support plane is bit-identical") {
     import spark.implicits._
     // a 5-clique glued to a 4-clique plus scaffolding: several rounds
