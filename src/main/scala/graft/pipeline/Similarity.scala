@@ -745,6 +745,60 @@ object Similarity {
         (col("ds").isNull && col("dd").isNull).as("kept"))
   }
 
+  /** Dedup-at-ingest for EMBEDDINGS — the SemDeDup sibling of
+    * [[Dedup.nearDupScreen]]: screen incoming vectors (batch OR
+    * STREAMING) against a static persisted member plane
+    * ([[semDedupMembers]]' `(id, q, cluster, n2)` on the same trained
+    * centroids) by cluster equi-join + exact integer cosine.
+    *
+    * The incoming side is STATELESS map-only, which is what makes it
+    * streamable with zero state: quantization, squared norm, and the
+    * nearest-centroid argmin are plain PROJECTIONS — the argmin folds
+    * over the (small by design) centroid set passed as collected
+    * literals (`cents`: (cidx, quantized vector)), computing the same
+    * `min(d2·k + cidx)` key as [[semDedupMembers]]' crossJoin, so
+    * batch and stream assignments are value-identical. The store side
+    * is a static table the stream-static inner join probes per
+    * micro-batch — no watermark, no streaming aggregation. Emits one
+    * row per (incoming vector, colliding store vector); route to
+    * whatever dedup verdict consumes it (a batch `distinct` downstream
+    * of the sink, exactly as [[Dedup.nearDupScreen]] consumers do).
+    */
+  def semDedupScreen(incoming: DataFrame, idCol: String, vecCol: String,
+                     storeMembers: DataFrame,
+                     cents: Seq[(Long, Seq[Long])],
+                     tNum: Int = 1, tDen: Int = 4): DataFrame = {
+    require(cents.nonEmpty && tNum > 0 && tDen >= tNum,
+      "need centroids and a cosine threshold in (0, 1]")
+    val k = cents.size
+    val qv = expr(s"transform($vecCol, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
+    def d2Key(cidx: Long, cq: Seq[Long]): String = {
+      val arr = s"array(${cq.mkString(", ")})"
+      s"(aggregate(zip_with(q, $arr, (x, y) -> (x - CAST(y AS BIGINT)) * " +
+        s"(x - CAST(y AS BIGINT))), 0L, (a, e) -> a + e) * $k + $cidx)"
+    }
+    val keyExpr = cents.map { case (cidx, cq) => d2Key(cidx, cq) }
+      .reduce((a, b) => s"least($a, $b)")
+    val in = incoming
+      .select(col(idCol).cast("long").as("id"), qv.as("q"))
+      .withColumn("n2", expr(
+        "aggregate(transform(q, x -> x * x), 0L, (a, e) -> a + e)"))
+      .withColumn("cluster", pmod(expr(keyExpr), lit(k.toLong)))
+    val store = storeMembers.select(col("id").as("store_id"),
+      col("q").as("qs"), col("cluster"), col("n2").as("ns"))
+    val dot = "aggregate(zip_with(q, qs, (x, y) -> x * y), 0L, (a, e) -> a + e)"
+    in.join(store, Seq("cluster"))
+      .filter(col("id") =!= col("store_id"))
+      .withColumn("dot", expr(dot))
+      .filter(col("dot") > 0L &&
+        col("dot").cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") *
+          lit(tDen.toLong * tDen).cast("decimal(38,0)") >=
+          col("n2").cast("decimal(38,0)") * col("ns").cast("decimal(38,0)") *
+            lit(tNum.toLong * tNum).cast("decimal(38,0)"))
+      .select(col("id"), col("store_id"), col("cluster"))
+  }
+
   /** The SemDeDup within-cluster pair stage alone (distinct ids
     * dropped by a lower-id cluster-mate at cos ≥ tNum/tDen) — exposed
     * lazily, mirroring [[Dedup.prefixFilterCandidates]], so PlanCheck

@@ -127,6 +127,42 @@ class Round12Spec extends AnyFunSuite with SparkSpec {
       compacted.exceptAll(twice).isEmpty)
   }
 
+  test("semDedupScreen: batch flags == semDedupDelta dup_of_store; map-only incoming plan") {
+    import spark.implicits._
+    import pipeline.Similarity
+    // two well-separated direction clusters in 4-d; store holds one
+    // member of each, delta holds near-dups of cluster A plus an
+    // orthogonal vector that matches nothing
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val store = Seq((1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val delta = Seq(
+      (4L, v(0.999, 0.01, 0, 0)),  // dup of store 1
+      (8L, v(0.01, 0.999, 0, 0)),  // dup of store 2
+      (12L, v(0, 0, 1, 0)))        // matches nothing
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1000L, 0L, 0L, 0L)), (1L, Seq(0L, 1000L, 0L, 0L)))
+    val centsDf = cents.toDF("cidx", "cq")
+    val storeM = Similarity.semDedupMembers(store, "vec_id", "embedding",
+      nClusters = 2, centroids = Some(centsDf))
+    val deltaM = Similarity.semDedupMembers(delta, "vec_id", "embedding",
+      nClusters = 2, centroids = Some(centsDf))
+    // screen (the streamable stateless path) vs semDedupDelta (the
+    // batch incremental path): dup_of_store flags must agree
+    val screenFlags = Similarity.semDedupScreen(delta, "vec_id", "embedding",
+        storeM, cents, tNum = 3, tDen = 4)
+      .select("id").distinct().as[Long].collect().toSet
+    val deltaFlags = Similarity.semDedupDelta(storeM, deltaM, tNum = 3, tDen = 4)
+      .filter(col("dup_of_store")).select("id").as[Long].collect().toSet
+    assert(screenFlags == deltaFlags && screenFlags == Set(4L, 8L))
+    // the incoming side must stay join-free above the single
+    // stream-static join: no aggregation/window below it (what makes
+    // it run on an unbounded stream with zero state)
+    val plan = Similarity.semDedupScreen(delta, "vec_id", "embedding",
+      storeM, cents).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), "incoming side must be map-only")
+  }
+
   test("ktrussPeelRounds with a precomputed support plane is bit-identical") {
     import spark.implicits._
     // a 5-clique glued to a 4-clique plus scaffolding: several rounds
