@@ -414,6 +414,21 @@ object ScaleRehearsal {
           .select("id").distinct().count())
       emit("q461_semdedup_screen", k, s461, o461, cand461)
 
+      // round-12: the q459 corpus-build composite at scale — the whole
+      // curation DAG (exact → near-dup → quality → contamination) over
+      // the scaled corpus with persisted-stage lineage; wall must grow
+      // ~linearly with the corpus (every stage is hash-keyed aggs +
+      // semi/anti-joins), out_rows = final survivors
+      val input459 = docs.filter(pmod(col("doc_id"), lit(100L)) =!= 0L)
+      val bench459 = docs.filter(pmod(col("doc_id"), lit(100L)) === 0L)
+      val (o459, s459) = time {
+        val s1 = SparkEntry.corpusStageExact(input459).localCheckpoint()
+        val s2 = SparkEntry.corpusStageNearDup(s1).localCheckpoint()
+        val s3 = SparkEntry.corpusStageQuality(s2).localCheckpoint()
+        SparkEntry.corpusStageContamination(s3, bench459).count()
+      }
+      emit("q459_corpus_pipeline", k, s459, o459, nDocs)
+
       // round-11 (judge item 4): q456 DSIR at scale — the only
       // round-10 gate without a rehearsal row. The chain's scale
       // shape: token→bucket explode is map-only (candidates = exploded
