@@ -93,6 +93,33 @@ class Round12Spec extends AnyFunSuite with SparkSpec {
     assert(direct == viaSup)
   }
 
+  test("hashedWordShingles ≡ hash60 over wordShingles (the round-12 GC fix's value identity)") {
+    import spark.implicits._
+    import pipeline.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f g a b c d e"), // repeated shingles → distinct matters
+      (2L, "x y"),                     // shorter than n → empty
+      (3L, "p q r s t"),
+      (4L, "a b c a b c a b c")        // heavy repetition
+    ).toDF("doc_id", "text")
+    for (n <- Seq(3, 5); seed <- Seq(0, 7)) {
+      val viaStrings = docs.select(col("doc_id"),
+          explode(Dedup.wordShingles("text", n)).as("s"))
+        .select(col("doc_id"), Dedup.hash60("s", seed).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hashedInline = docs.select(col("doc_id"),
+          explode(Dedup.hashedWordShingles("text", n, seed)).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaStrings == hashedInline, s"divergence at n=$n seed=$seed")
+      // sizes agree too (the n_sh path)
+      val szS = docs.select(col("doc_id"), size(Dedup.wordShingles("text", n)).as("z"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val szH = docs.select(col("doc_id"), size(Dedup.hashedWordShingles("text", n, seed)).as("z"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(szS == szH)
+    }
+  }
+
   test("minhashStoreCompact: screen equivalence, tombstone removal, idempotence") {
     import spark.implicits._
     import pipeline.Dedup
