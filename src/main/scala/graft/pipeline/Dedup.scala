@@ -122,18 +122,22 @@ object Dedup {
     // array): no second explode+hash pass, and small enough to
     // broadcast — the shingle grouping stays the only real shuffle
     val sizes = df.select(col(idCol).as("doc"), size(hashedWordShingles(textCol, n)).as("n_sh"))
-    // pair generation via group-then-combine, not a self-join: ONE
-    // shingle-hash pass, one shuffle on h. Pairs stream out of two
-    // NESTED explodes (doc_a from posexplode, doc_b from the suffix
-    // slice), so per-row memory is O(bucket) — never the O(bucket²)
-    // a single flattened pair array would materialize on a hot
-    // boilerplate shingle. The sorted array gives doc_a < doc_b free.
-    val inter = sh.groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
-      .select(col("doc_a"),
-        explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("doc_b"))
+    // pair generation via a sort-merge SELF-equi-join on h, forced by
+    // hint("merge") so Catalyst can never pick broadcast or a hash
+    // build. Why not group-then-combine (collect_list per shingle →
+    // nested explodes)? That materializes every co-shingled doc bucket
+    // as an on-heap array — at n=3 the hot boilerplate 3-grams make
+    // those arrays large enough that the transient allocations herd
+    // into full GCs (round-12 driver run: 137 s of task GC on the
+    // q297 truth side alone). SMJ streams the same pairs with BOUNDED
+    // memory: both sides sort-spill to disk, and the buffered side's
+    // current-key group sits in a spillable row array — a hot bucket
+    // costs disk, never a GC storm. The two join inputs canonicalize
+    // identically, so the shuffle on h materializes ONCE
+    // (ReusedExchange); doc_a < doc_b keeps each unordered pair once.
+    val inter = sh.select(col("h"), col("doc").as("doc_a")).hint("merge")
+      .join(sh.select(col("h"), col("doc").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     // no broadcast hint on sizes: one row per doc is NOT broadcastable

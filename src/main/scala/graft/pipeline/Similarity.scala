@@ -773,18 +773,23 @@ object Similarity {
     val k = cents.size
     val qv = expr(s"transform($vecCol, x -> " +
       "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
-    def d2Key(cidx: Long, cq: Seq[Long]): String = {
-      val arr = s"array(${cq.mkString(", ")})"
-      s"(aggregate(zip_with(q, $arr, (x, y) -> (x - CAST(y AS BIGINT)) * " +
-        s"(x - CAST(y AS BIGINT))), 0L, (a, e) -> a + e) * $k + $cidx)"
-    }
-    val keyExpr = cents.map { case (cidx, cq) => d2Key(cidx, cq) }
-      .reduce((a, b) => s"least($a, $b)")
+    // the whole centroid plane as ONE array<struct<cidx, cq>> Literal
+    // (round-13 advisor item): the argmin folds via array_min over a
+    // transform, so expression TREE size and nesting depth are
+    // constant in k — a left-deep least() chain was O(k) deep and
+    // O(k·dim) parser nodes, a codegen/parser failure waiting for the
+    // first large trained plane. Same `min(d2·k + cidx)` key as
+    // [[semDedupMembers]]' crossJoin, value-identical.
+    val centsLit = typedlit(cents)
+    val keyCol = array_min(transform(centsLit, c =>
+      aggregate(zip_with(col("q"), c.getField("_2"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, e) => a + e) * lit(k.toLong) + c.getField("_1")))
     val in = incoming
       .select(col(idCol).cast("long").as("id"), qv.as("q"))
       .withColumn("n2", expr(
         "aggregate(transform(q, x -> x * x), 0L, (a, e) -> a + e)"))
-      .withColumn("cluster", pmod(expr(keyExpr), lit(k.toLong)))
+      .withColumn("cluster", pmod(keyCol, lit(k.toLong)))
     val store = storeMembers.select(col("id").as("store_id"),
       col("q").as("qs"), col("cluster"), col("n2").as("ns"))
     val dot = "aggregate(zip_with(q, qs, (x, y) -> x * y), 0L, (a, e) -> a + e)"

@@ -43,11 +43,23 @@ object EdgePlane {
     val sb = new StringBuilder(canon)
     tables.foreach { t =>
       val d = new java.io.File(canon, t)
-      val fs: Array[java.io.File] =
-        if (d.isDirectory) Option(d.listFiles()).getOrElse(Array.empty)
-        else Array(d)
-      fs.filter(_.isFile).sortBy(_.getName).foreach { f =>
-        sb.append('|').append(f.getName).append(':')
+      // RECURSIVE walk (nested partition dirs contribute too), sorted
+      // by relative path for a stable digest; a missing or file-less
+      // table FAILS LOUDLY (round-13 advisor item) — silently hashing
+      // nothing would mint a stable fingerprint for a typoed table
+      // name or a not-yet-generated fixture, defeating the staleness
+      // protection the fingerprint exists for.
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .toIndexedSeq.flatMap(walk)
+        else if (f.isFile) Seq(f) else Seq.empty
+      val fs = walk(d)
+      require(fs.nonEmpty,
+        s"EdgePlane.fingerprint: no files under $d — missing table " +
+          s"'$t' in $canon (typo, or fixture not generated yet)")
+      fs.sortBy(_.getCanonicalPath.stripPrefix(canon)).foreach { f =>
+        sb.append('|').append(f.getCanonicalPath.stripPrefix(canon)).append(':')
           .append(f.length()).append(':').append(f.lastModified()): Unit
       }
     }

@@ -56,7 +56,16 @@ object TrainedPlane {
       }
       mine
     }
-    val (schema, rows) = fut.join()
+    // join() wraps a build failure in CompletionException — unwrap so
+    // callers see the ORIGINAL exception type, exactly as the
+    // pre-future computeIfAbsent threw it (round-13 advisor item:
+    // callers matching on the original type silently missed).
+    val (schema, rows) =
+      try fut.join()
+      catch {
+        case ce: java.util.concurrent.CompletionException
+            if ce.getCause != null => throw ce.getCause
+      }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
