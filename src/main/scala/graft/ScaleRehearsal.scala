@@ -373,6 +373,87 @@ object ScaleRehearsal {
           emit("q458_evolution", i + 1, sec, kd._1, kd._2,
             s""","store_rows":${store458e.count()}""")
         }
+
+        // round-13 (judge item 8): the STEADY-STATE maintenance loop —
+        // ingest → screen → append segment → compact-after-N — with
+        // tombstones drawn from REAL screen verdicts, not a synthetic
+        // %17 slice (q460's gate proves the compactor's algebra; this
+        // proves the loop it lives in). Policy: freshest-copy-wins —
+        // when a delta doc is dup_of_store (a re-crawl), the matched
+        // STORE docs are tombstoned and the fresh copy appended, so
+        // every tombstone is a doc an actual screen verdict
+        // superseded. Screens run against (segments − tombstones), so
+        // between compactions the anti-join is paid per screen and
+        // compaction makes it free — the emitted `store_rows` must
+        // drop back to ~live size at each compaction, per-batch wall
+        // must stay delta-sized, and `screen_equiv` pins that a probe
+        // screens identically against the compacted store and the raw
+        // segments-minus-tombstones it replaced.
+        {
+          import pipeline.Dedup
+          def buckets(df: DataFrame) = Dedup.minhashBuckets(
+            Dedup.minhashSignatures(df, "doc_id", "text", n = 3, numHashes = 12),
+            numHashes = 12, bands = 4)
+          def slice(m: Long) = docs.filter(pmod(col("doc_id"), lit(8L)) === m)
+          var segments = Seq(buckets(slice(1L)).localCheckpoint())
+          var tomb = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc",
+                org.apache.spark.sql.types.LongType))))
+          for ((m, i) <- Seq(2L, 3L, 4L, 5L, 6L, 7L).zipWithIndex) {
+            val delta = slice(m)
+            val dBuckets = buckets(delta).localCheckpoint()
+            val (res, sec) = time {
+              val live = segments.reduce(_ unionByName _)
+                .join(tomb, Seq("doc"), "left_anti").localCheckpoint()
+              val v = Dedup.minhashMergeDelta(live, delta, "doc_id", "text",
+                n = 3, numHashes = 12, bands = 4).localCheckpoint()
+              // real tombstones: store docs bucket-matched by a
+              // re-crawled (dup_of_store) delta doc
+              val dupB = dBuckets.join(
+                v.filter(col("dup_of_store")).select("doc"), Seq("doc"), "left_semi")
+              val superseded = live.as("s").join(dupB.as("d"),
+                  col("s.band") === col("d.band") && col("s.bkey") === col("d.bkey"))
+                .select(col("s.doc")).distinct().localCheckpoint()
+              // freshest-wins: kept docs AND the re-crawls that
+              // replaced their originals enter the new segment
+              val entering = dBuckets.join(
+                v.filter(col("kept") || col("dup_of_store")).select("doc"),
+                Seq("doc"), "left_semi").localCheckpoint()
+              tomb = tomb.unionByName(superseded).localCheckpoint()
+              segments = segments :+ entering
+              (v.agg(sum(when(col("kept"), 1L).otherwise(0L))).head.getLong(0),
+                superseded.count(), entering.count())
+            }
+            val storeRows = segments.map(_.count()).sum
+            emit("q463_ingest_loop", i + 1, sec, res._1, storeRows,
+              s""","segments":${segments.size},"tombstoned":${res._2},"appended_rows":${res._3}""")
+            // compact after every 3rd batch
+            if ((i + 1) % 3 == 0) {
+              val before = segments.reduce(_ unionByName _)
+                .join(tomb, Seq("doc"), "left_anti").localCheckpoint()
+              val (compacted, csec) = time(
+                Dedup.minhashStoreCompact(segments, tomb).localCheckpoint())
+              val cRows = compacted.count()
+              // screen equivalence: a probe delta (the NEXT slice, or
+              // slice 0 after the last batch) verdicts identically
+              // against compacted and raw-minus-tombstones
+              val probe = slice(if (m == 7L) 0L else (m + 1) % 8L)
+              val va = Dedup.minhashMergeDelta(compacted, probe, "doc_id",
+                "text", n = 3, numHashes = 12, bands = 4)
+                .orderBy("doc").collect().toSeq
+              val vb = Dedup.minhashMergeDelta(before, probe, "doc_id",
+                "text", n = 3, numHashes = 12, bands = 4)
+                .orderBy("doc").collect().toSeq
+              emit("q463_compact", (i + 1) / 3, csec, cRows,
+                segments.map(_.count()).sum,
+                s""","screen_equiv":${va == vb},"tomb_docs":${tomb.count()}""")
+              segments = Seq(compacted)
+              tomb = tomb.limit(0).localCheckpoint()
+            }
+          }
+        }
       }
 
       // round-12: q460 store compaction at scale — wall must track the

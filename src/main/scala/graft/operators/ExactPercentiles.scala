@@ -138,11 +138,16 @@ object ExactPercentiles {
     val gcols = groupCols.map(col)
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
+    // pinned SERIALIZED (round-13): localCheckpoint stores deserialized
+    // row objects — at 40 M rows that is GBs of heap + GC churn;
+    // MEMORY_AND_DISK_SER packs the same rows ~5× smaller and evicts
+    // to disk, never recomputes (so the sampled boundaries stay
+    // consistent across the three consumers, same pin as Prefix's)
     val r = df.filter(col(valueCol).isNotNull)
       .select(gcols :+ col(valueCol): _*)
       .repartitionByRange(p, gcols :+ col(valueCol): _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // per-(pid, group) counts: ≤ G + P rows (partitions hold contiguous
     // group ranges), but only boundary-straddling groups (≤ P−1) are
     // collected — left-semi against the >1-partition groups first

@@ -115,31 +115,56 @@ object Dedup {
     * plus two broadcast-size joins for set sizes.
     */
   def ngramJaccardPairs(df0: DataFrame, idCol: String, textCol: String,
-                        n: Int = 5, minJaccard: Double = 0.8): DataFrame = {
+                        n: Int = 5, minJaccard: Double = 0.8,
+                        streamedPairs: Option[Boolean] = None): DataFrame = {
     val df = Par.spread(df0)
     val sh = hashedShingleTable(df, idCol, textCol, n)
     // set sizes from the un-exploded scan (size of the distinct-shingle
     // array): no second explode+hash pass, and small enough to
     // broadcast — the shingle grouping stays the only real shuffle
     val sizes = df.select(col(idCol).as("doc"), size(hashedWordShingles(textCol, n)).as("n_sh"))
-    // pair generation via a sort-merge SELF-equi-join on h, forced by
-    // hint("merge") so Catalyst can never pick broadcast or a hash
-    // build. Why not group-then-combine (collect_list per shingle →
-    // nested explodes)? That materializes every co-shingled doc bucket
-    // as an on-heap array — at n=3 the hot boilerplate 3-grams make
-    // those arrays large enough that the transient allocations herd
-    // into full GCs (round-12 driver run: 137 s of task GC on the
-    // q297 truth side alone). SMJ streams the same pairs with BOUNDED
-    // memory: both sides sort-spill to disk, and the buffered side's
-    // current-key group sits in a spillable row array — a hot bucket
-    // costs disk, never a GC storm. The two join inputs canonicalize
-    // identically, so the shuffle on h materializes ONCE
-    // (ReusedExchange); doc_a < doc_b keeps each unordered pair once.
-    val inter = sh.select(col("h"), col("doc").as("doc_a")).hint("merge")
-      .join(sh.select(col("h"), col("doc").as("doc_b")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // TWO pair-generation regimes (default STREAMED; override with
+    // `streamedPairs` for corpora where the single-shuffle grouped
+    // shape is known to win):
+    //
+    //  - STREAMED: a sort-merge SELF-equi-join on h, forced by
+    //    hint("merge") so Catalyst can never pick broadcast or a hash
+    //    build. Bounded memory at ANY bucket heat: both sides
+    //    sort-spill to disk and the buffered side's current-key group
+    //    sits in a spillable row array — a hot bucket costs disk,
+    //    never a GC storm. At n=3 the grouped path's hot boilerplate
+    //    3-gram arrays herded into full GCs (round-12 driver run:
+    //    137 s of task GC on the q297 truth side, 25.3 s registered
+    //    vs a 2.1 s band; streamed: 1.8 s). Round-13 measured
+    //    streamed ≤ grouped on warm JVMs at sf0.1 (1.3 vs 1.9 s) and
+    //    at 10× (3.6 vs 4.0 s) — the default on both speed and
+    //    allocation grounds.
+    //  - GROUPED: collect_list per shingle hash → nested explodes
+    //    over the sorted bucket. ONE shuffle, no sort — competitive
+    //    when buckets stay small (long shingles), but per-key arrays
+    //    are O(bucket) on-heap: an allocation bomb on hot shingles.
+    val streamed = streamedPairs.getOrElse(true)
+    val inter =
+      if (streamed)
+        sh.select(col("h"), col("doc").as("doc_a")).hint("merge")
+          .join(sh.select(col("h"), col("doc").as("doc_b")), Seq("h"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+      else
+        // pairs stream out of two NESTED explodes (doc_a from
+        // posexplode, doc_b from the suffix slice), so per-row memory
+        // is O(bucket) — never the O(bucket²) a single flattened pair
+        // array would materialize. The sorted array gives doc_a <
+        // doc_b free.
+        sh.groupBy(col("h"))
+          .agg(sort_array(collect_list(col("doc"))).as("ds"))
+          .filter(size(col("ds")) > 1)
+          .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+          .select(col("doc_a"),
+            explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
     // no broadcast hint on sizes: one row per doc is NOT broadcastable
     // at corpus scale — Catalyst auto-broadcasts when it actually fits
     inter
