@@ -83,7 +83,10 @@ object ExactPercentiles {
     val stats = df.queryExecution.optimizedPlan.stats
     val provablySmall = stats.rowCount match {
       case Some(rc) => rc <= BigInt(bound)
-      case None => stats.sizeInBytes <= bound * 8
+      // BigInt: bound is caller/session-supplied and may be
+      // Long.MaxValue — `bound * 8` in Long overflows negative and
+      // silently forfeits the zero-extra-work shortcut
+      case None => stats.sizeInBytes <= BigInt(bound) * 8
     }
     if (provablySmall) {
       lastPathTL.set("window-small")
@@ -100,10 +103,22 @@ object ExactPercentiles {
         case r => r.getLong(0)
       }
       lastPathTL.set(if (maxN <= bound) "window-probed" else "ranged")
-      val ranked =
-        if (maxN <= bound) rankWindow(df, groupCols, valueCol, counts)
-        else rankRanged(df, groupCols, valueCol)
-      finish(df, counts, ranked, groupCols, valueCol, ps)
+      if (maxN <= bound)
+        finish(df, counts, rankWindow(df, groupCols, valueCol, counts),
+          groupCols, valueCol, ps)
+      else {
+        // the ranged path persists its range-partitioned input; eagerly
+        // materialize the (one-row-per-group) result and release that
+        // cache here, so a long-lived session calling this repeatedly
+        // doesn't accumulate cached blocks until ContextCleaner runs
+        // (round-13 advisor). The extra pass is over the aggregated
+        // output, tiny relative to the hot-group input.
+        val (ranked, cached) = rankRanged(df, groupCols, valueCol)
+        val out = finish(df, counts, ranked, groupCols, valueCol, ps)
+          .localCheckpoint() // eager: materializes before the unpersist
+        cached.unpersist()
+        out
+      }
     }
   }
 
@@ -134,7 +149,7 @@ object ExactPercentiles {
     * differently (the [[graft.pipeline.Prefix]] invariant).
     */
   private def rankRanged(df: DataFrame, groupCols: Seq[String],
-                         valueCol: String): DataFrame = {
+                         valueCol: String): (DataFrame, DataFrame) = {
     val gcols = groupCols.map(col)
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
@@ -181,10 +196,13 @@ object ExactPercentiles {
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offRows, 1), offSchema)
     val w = Window.partitionBy(col("__pid") +: gcols: _*).orderBy(col(valueCol))
-    r.join(broadcast(offDf), "__pid" +: groupCols, "left")
+    val ranked = r.join(broadcast(offDf), "__pid" +: groupCols, "left")
       .withColumn("__rn",
         row_number().over(w).cast("long") + coalesce(col("__off"), lit(0L)))
       .drop("__pid", "__off")
+    // the persisted handle goes back to the caller, which unpersists it
+    // after eagerly materializing the final aggregate
+    (ranked, r)
   }
 
   /** The shared interpolation aggregate over a ranked row set. */

@@ -49,17 +49,32 @@ object EdgePlane {
       // nothing would mint a stable fingerprint for a typoed table
       // name or a not-yet-generated fixture, defeating the staleness
       // protection the fingerprint exists for.
+      // visited-canonical-dir guard (round-13 advisor): a directory
+      // symlink cycle inside a table dir would recurse forever, and a
+      // symlinked subtree whose canonical path escapes `canon` would
+      // embed a machine-absolute path in the digest — each dir is
+      // entered once by canonical identity, and directory SYMLINKS are
+      // skipped outright (parquet writers never create them; one that
+      // appears is foreign to the table, not part of its content)
+      val seen = scala.collection.mutable.HashSet.empty[String]
       def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        if (f.isDirectory) {
+          if (java.nio.file.Files.isSymbolicLink(f.toPath) ||
+              !seen.add(f.getCanonicalPath)) Seq.empty
+          else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
             .toIndexedSeq.flatMap(walk)
+        }
         else if (f.isFile) Seq(f) else Seq.empty
       val fs = walk(d)
       require(fs.nonEmpty,
         s"EdgePlane.fingerprint: no files under $d — missing table " +
           s"'$t' in $canon (typo, or fixture not generated yet)")
-      fs.sortBy(_.getCanonicalPath.stripPrefix(canon)).foreach { f =>
-        sb.append('|').append(f.getCanonicalPath.stripPrefix(canon)).append(':')
+      // getPath, not getCanonicalPath: the walk descends from `canon`,
+      // so getPath is always canon-relative — a FILE symlink's
+      // canonical path would resolve outside and embed an absolute
+      // machine-specific path in the digest
+      fs.sortBy(_.getPath.stripPrefix(canon)).foreach { f =>
+        sb.append('|').append(f.getPath.stripPrefix(canon)).append(':')
           .append(f.length()).append(':').append(f.lastModified()): Unit
       }
     }

@@ -74,10 +74,17 @@ class Round13Spec extends AnyFunSuite with SparkSpec {
     val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, minJaccard = 0.5)
     val plan = pairs.queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"),
-      "pair generation must be a sort-merge join (spills, never hot-bucket arrays)")
-    assert(!plan.contains("BroadcastHashJoin") ||
-      plan.indexOf("SortMergeJoin") >= 0)
+    // the join NODE keyed on the shingle hash must be the sort-merge —
+    // the earlier `contains("SortMergeJoin")` alone could be satisfied
+    // by some other join while the pair join silently broadcast
+    // (round-13 advisor: the old second assert was vacuous)
+    assert(plan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("[h#")),
+      "pair generation must be a sort-merge join on the shingle hash " +
+        "(spills, never hot-bucket arrays)")
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("[h#")),
+      "pair join on the shingle hash must never be a broadcast")
     val got = pairs.orderBy("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     // docs 1/3 identical (J=1.0); 1-2 and 2-3 share 5 of 7 shingles
