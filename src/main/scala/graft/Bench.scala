@@ -200,6 +200,11 @@ object Bench {
 
     // per-query metric rows: name -> (gcMs, spillMb, peakExecMb, heapMb)
     val qMetrics = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long, Long)]()
+    // both raw suite-order runs (registered = min of the two): when a
+    // gate storms, `runs` tells first-pass-only (a≫b: debt paid once)
+    // from ambient (a≈b: the position itself is slow) — round-14, part
+    // of making the q398–q447 window attributable
+    val qRuns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     // suite-evolution snapshots every 50 gates (round-12, judge item 3
     // — chasing the monotonic heap climb): suite position, heap after
     // sweep, scratch bytes, live persistent-RDD count, memoized
@@ -236,6 +241,7 @@ object Bench {
       org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
       qMetrics(n) = (taskMetrics.gcMs.get, taskMetrics.spillBytes.get / (1024 * 1024),
         taskMetrics.peakExecMem.get / (1024 * 1024), heapUsedMb())
+      qRuns(n) = (a, b)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     snapshot(names.size, "end")
@@ -264,12 +270,22 @@ object Bench {
       // per-run COLUMN, not a cross-artifact diff.
       val regMap = results.toMap
       val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20).map(_._1)
-      val banded = (top ++ SparkEntry.streamGates.filter(names.contains))
+      val deep = (top ++ SparkEntry.streamGates.filter(names.contains))
         .distinct
+      // round-13 judge item 1: storms are only visible where bands
+      // exist — the q398–q447 first-pass window hid because just 42
+      // gates carried bands. EVERY gate with registered >1 s now gets
+      // at least one settled re-run (a 1-run band: min=med=max), so
+      // `delta` = registered − re-run is a suite-wide column. The deep
+      // 3-run bands stay on the top-20 + stream gates; the shallow
+      // pass costs ~one extra suite-tail run (~4 min at sf0.1).
+      val shallow = results
+        .filter { case (n, v) => v > 1.0 && !deep.contains(n) }.map(_._1)
+      val banded = deep.map(_ -> 3) ++ shallow.map(_ -> 1)
       val fmtS = (v: Double) =>
         BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-      val entries = banded.map { n =>
-        val runs = (1 to 3).map { _ => settle(); materialize(n) }
+      val entries = banded.map { case (n, reruns) =>
+        val runs = (1 to reruns).map { _ => settle(); materialize(n) }
         val ok = runs.filter(_ >= 0).sorted
         val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
         val reg = regMap.getOrElse(n, -1.0)
@@ -299,12 +315,32 @@ object Bench {
     val metricsJson = ",\"metrics\":" + qMetrics.map { case (n, (gc, sp, pk, hp)) =>
       "\"" + n + "\":[" + gc + "," + sp + "," + pk + "," + hp + "]"
     }.mkString("{", ",", "}") +
-      ",\"suite_snapshots\":" + snapshots.mkString("[", ",", "]")
+      ",\"suite_snapshots\":" + snapshots.mkString("[", ",", "]") +
+      ",\"runs\":" + qRuns.map { case (n, (a, b)) =>
+        "\"" + n + "\":[" + fmt(a) + "," + fmt(b) + "]"
+      }.mkString("{", ",", "}")
+    // host fingerprint (round-13 judge item 7): builder-vs-driver runs
+    // differ by environment, not just code — make cores / load / heap
+    // ceiling / JVM mechanical fields of the artifact so cross-run
+    // comparisons don't rely on hand-kept ledgers. loadavg is the
+    // 1-minute figure AT RUN END (the suite itself dominates it; its
+    // value is detecting a CONTENDED host, where it lands ≫ cores).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val hostJson = ",\"host\":{" +
+      "\"cores\":" + Runtime.getRuntime.availableProcessors() + "," +
+      "\"load_avg_1m\":" + fmt(math.max(osBean.getSystemLoadAverage, 0.0)) + "," +
+      "\"max_heap_mb\":" + (Runtime.getRuntime.maxMemory() / (1024 * 1024)) + "," +
+      "\"spark_cpus\":" + cpus + "," +
+      "\"java\":\"" + System.getProperty("java.version") + "\"," +
+      "\"heap_flags\":\"" +
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+        .toArray.map(_.toString).filter(a => a.startsWith("-Xm") || a.startsWith("-XX:+Use"))
+        .mkString(" ") + "\"}"
     val total = results.map(_._2).filter(_ >= 0).sum
     // numeric sf (parsed from the dir name) + the dir itself
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull$bands$probe$metricsJson,"sf":$sfNum,"sf_dir":"$sfDir","metrics_cols":"gc_ms,spill_mb,peak_exec_mb,heap_mb"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull$bands$probe$metricsJson$hostJson,"sf":$sfNum,"sf_dir":"$sfDir","metrics_cols":"gc_ms,spill_mb,peak_exec_mb,heap_mb"}"""
     // clobber-proofing (round-6 judge item 3): the canonical
     // BENCH_FULL.json is written ONLY by an unfiltered run; a filtered
     // `Bench qA qB` iteration writes a partial-suffixed file instead,

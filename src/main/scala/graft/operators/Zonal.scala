@@ -155,8 +155,8 @@ object Zonal {
     * value-tuple) one row `(shape_id, vals, cnt, sum, mn, mx)` where
     * sum/mn/mx aggregate the (optional) target under the NODATA rules.
     */
-  private def aggPlane(layout: Layout, groupLayers: Seq[Layer], target: Option[Layer],
-                       aois: Seq[MultiPolygon], opts: Rasterizer.Options): DataFrame = {
+  private[graft] def aggPlane(layout: Layout, groupLayers: Seq[Layer], target: Option[Layer],
+                              aois: Seq[MultiPolygon], opts: Rasterizer.Options): DataFrame = {
     val joined = joinLayers(groupLayers ++ target.toSeq)
     val n = groupLayers.size
     val hasTarget = target.isDefined

@@ -81,7 +81,30 @@ object GraftExtensions {
           require(children.size == 1, s"$name takes one string argument")
           UnicodeNormalize(children.head, form)
         })
-    }
+    } ++
+    Seq(
+      (new FunctionIdentifier("graft_shingles"),
+        new ExpressionInfo(classOf[HashedShingles].getName, "graft_shingles"),
+        (children: Seq[Expression]) => {
+          require(children.size == 3,
+            "graft_shingles takes (text, n, seed) with literal n/seed")
+          HashedShingles(children.head, litInt(children(1), "n"),
+            litInt(children(2), "seed"))
+        }),
+      (new FunctionIdentifier("graft_shingle_pairs"),
+        new ExpressionInfo(classOf[HashedShinglePairs].getName, "graft_shingle_pairs"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2,
+            "graft_shingle_pairs takes (text, n) with literal n")
+          HashedShinglePairs(children.head, litInt(children(1), "n"))
+        }))
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"shingle $what must be an integer literal, got $e")
+  }
 
   /** Runtime installation for sessions built WITHOUT
     * `spark.sql.extensions` (a static conf): registers the functions in
