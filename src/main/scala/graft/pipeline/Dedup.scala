@@ -524,9 +524,11 @@ object Dedup {
     // array) matters because Catalyst pushes the filter below the
     // projection — a size(hs) predicate would re-hash every shingle a
     // second time inside the pushed-down Filter
-    val hs =
-      s"""transform(sequence(1, size($toks) - ${k - 1}),
-         |  i -> graft_md5hi60(concat('$seed:', concat_ws(' ', slice($toks, i, $k)))))""".stripMargin
+    // round-14: all-position hashes through the native one-pass scan
+    // (value-identical to the transform chain — same md5 of the same
+    // gram bytes, position order preserved; the ≥ w+k−1 filter below
+    // guarantees a non-degenerate gram count either way)
+    val hs = s"graft_shingles_all(($textCol), $k, $seed)"
     df.filter(expr(s"size($toks) >= ${w + k - 1}"))
       .select(col(idCol).as("doc"), expr(hs).as("hs"))
       .select(col("doc"),

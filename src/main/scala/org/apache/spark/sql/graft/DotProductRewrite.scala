@@ -91,6 +91,14 @@ object GraftExtensions {
           HashedShingles(children.head, litInt(children(1), "n"),
             litInt(children(2), "seed"))
         }),
+      (new FunctionIdentifier("graft_shingles_all"),
+        new ExpressionInfo(classOf[HashedShingles].getName, "graft_shingles_all"),
+        (children: Seq[Expression]) => {
+          require(children.size == 3,
+            "graft_shingles_all takes (text, n, seed) with literal n/seed")
+          HashedShingles(children.head, litInt(children(1), "n"),
+            litInt(children(2), "seed"), all = true)
+        }),
       (new FunctionIdentifier("graft_shingle_pairs"),
         new ExpressionInfo(classOf[HashedShinglePairs].getName, "graft_shingle_pairs"),
         (children: Seq[Expression]) => {

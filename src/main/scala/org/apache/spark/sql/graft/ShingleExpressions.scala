@@ -123,6 +123,35 @@ object ShingleKernel {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(sc.res1, count))
   }
 
+  /** ALL hashed shingles in position order (no dedup) — the variant
+    * positional consumers (winnowing windows, span cuts) need.
+    */
+  def shinglesAll(text: UTF8String, n: Int, prefix: Array[Byte]): ArrayData = {
+    if (text == null) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val sc = scratchTL.get()
+    val b = text.getBytes
+    val len = b.length
+    val t = tokenize(sc, b, 0, len)
+    val nGrams = t - n + 1
+    if (nGrams <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    if (sc.res1.length < nGrams)
+      sc.res1 = new Array[Long](math.max(nGrams, sc.res1.length * 2))
+    val md = digestTL.get()
+    val starts = sc.tokStarts
+    var i = 0
+    while (i < nGrams) {
+      val s = starts(i)
+      val e = starts(i + n) - 1
+      md.reset()
+      md.update(prefix)
+      md.update(b, s, e - s)
+      md.digest(sc.out, 0, 16)
+      sc.res1(i) = hi60(sc.out)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(sc.res1, nGrams))
+  }
+
   /** Distinct (h1, h2) MinHash base pairs — `h1 = md5hi60(gram)`,
     * `h2 = md5lo60(gram) >> 4` — in first-occurrence order, as an
     * array of structs.
@@ -207,32 +236,40 @@ object ShingleKernel {
 
 /** `graft_shingles(text, n, seed)` → array<bigint>: distinct
   * `md5hi60("<seed>:" ++ gram)` per n-token gram. NULL text → empty
-  * array (the SQL CASE's else branch, kept bit-compatible).
+  * array (the SQL CASE's else branch, kept bit-compatible). With
+  * `all = true` (`graft_shingles_all`) dedup is skipped and every
+  * position's hash is emitted in order — the winnowing/span-cut
+  * shape.
   */
-case class HashedShingles(child: Expression, n: Int, seed: Int)
+case class HashedShingles(child: Expression, n: Int, seed: Int,
+                          all: Boolean = false)
   extends UnaryExpression with ImplicitCastInputTypes {
 
   require(n >= 1, "shingle width must be >= 1")
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "graft_shingles"
+  override def prettyName: String =
+    if (all) "graft_shingles_all" else "graft_shingles"
 
   private lazy val prefix = s"$seed:".getBytes("UTF-8")
 
   override def eval(input: InternalRow): Any =
-    ShingleKernel.shingles(
+    if (all) ShingleKernel.shinglesAll(
+      child.eval(input).asInstanceOf[UTF8String], n, prefix)
+    else ShingleKernel.shingles(
       child.eval(input).asInstanceOf[UTF8String], n, prefix)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pref = ctx.addReferenceObj("prefix", prefix, "byte[]")
     val c = child.genCode(ctx)
     val javaType = CodeGenerator.javaType(dataType)
+    val kernel = if (all) "shinglesAll" else "shingles"
     ev.copy(
       code = code"""
         ${c.code}
         $javaType ${ev.value} =
-          ($javaType) org.apache.spark.sql.graft.ShingleKernel.shingles(
+          ($javaType) org.apache.spark.sql.graft.ShingleKernel.$kernel(
             ${c.isNull} ? null : ${c.value}, $n, $pref);
       """,
       isNull = FalseLiteral)

@@ -110,6 +110,19 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
           if (r.isNullAt(1)) null else r.getSeq[Long](1).toSeq).toSeq
       assert(got == want, s"hashedWordShingles mismatch at n=$n seed=$seed")
     }
+    for (n <- Seq(1, 3, 5); seed <- Seq(0, 7)) {
+      // all-positions variant vs the raw transform chain (docs shorter
+      // than n guarded to empty on both sides)
+      val got = df.filter(expr(s"size(split(text, ' ')) >= $n")).select(col("id"),
+        expr(s"graft_shingles_all(text, $n, $seed)").as("v"))
+        .orderBy("id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+      val want = df.filter(expr(s"size(split(text, ' ')) >= $n")).select(col("id"),
+        expr(s"""transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+                |  i -> graft_md5hi60(concat('$seed:', concat_ws(' ', slice(split(text, ' '), i, $n)))))"""
+          .stripMargin).as("v"))
+        .orderBy("id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+      assert(got == want, s"shinglesAll mismatch at n=$n seed=$seed")
+    }
     for (n <- Seq(1, 3, 5)) {
       val got = df.select(col("id"),
         expr(s"graft_shingle_pairs(text, $n)").as("v"))
