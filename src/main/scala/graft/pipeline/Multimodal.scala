@@ -110,9 +110,34 @@ object Multimodal {
     }
   }
 
+  // Round-14 (guide §4.5 — initialise heavyweight state once per task,
+  // not per row): `ImageIO.write`/`getImageWritersByFormatName` re-run
+  // the plugin-registry lookup and construct a fresh writer per CALL;
+  // across per-row encode paths (q71/q132/q133 corpus synth, q178's
+  // per-frame PNG re-encode) that is one writer + lookup iterator per
+  // image. Writers are reusable across images on one thread
+  // (setOutput → write → reset), so each executor thread keeps one.
+  // Same writer class, default params ⇒ byte-identical output.
+  private val pngWriterTL = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("png").next()
+  }
+  private val gifWriterTL = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("gif").next()
+  }
+
   private def pngBytes(img: BufferedImage): Array[Byte] = {
     val baos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", baos)
+    val w = pngWriterTL.get()
+    val ios = ImageIO.createImageOutputStream(baos)
+    try {
+      w.setOutput(ios)
+      w.write(img)
+    } finally {
+      w.reset() // detach the stream; keep the instance for the next row
+      ios.close()
+    }
     baos.toByteArray
   }
 
@@ -140,15 +165,18 @@ object Multimodal {
     */
   def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
     val baos = new ByteArrayOutputStream()
-    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = gifWriterTL.get() // per-thread reuse, see pngWriterTL
     val ios = ImageIO.createImageOutputStream(baos)
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    frames.foreach(f =>
-      writer.writeToSequence(new IIOImage(f, null, null), writer.getDefaultWriteParam))
-    writer.endWriteSequence()
-    ios.close()
-    writer.dispose()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new IIOImage(f, null, null), writer.getDefaultWriteParam))
+      writer.endWriteSequence()
+    } finally {
+      writer.reset()
+      ios.close()
+    }
     baos.toByteArray
   }
 
@@ -177,10 +205,12 @@ object Multimodal {
 
   def grayFrame(w: Int, h: Int, level: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    val g = img.createGraphics()
-    g.setColor(new java.awt.Color(level, level, level))
-    g.fillRect(0, 0, w, h)
-    g.dispose()
+    // identical pixels to a Graphics2D fillRect with Color(level³),
+    // without allocating a Graphics2D + Color per frame (guide §4.5)
+    val px = new Array[Int](w * h)
+    val rgb = (level << 16) | (level << 8) | level
+    java.util.Arrays.fill(px, rgb)
+    img.setRGB(0, 0, w, h, px, 0, w)
     img
   }
 
