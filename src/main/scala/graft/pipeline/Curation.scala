@@ -40,15 +40,53 @@ object Curation {
     * fetching tiles once (CHANGELOG.md:82-91). On a cluster this is
     * `persist(MEMORY_AND_DISK)` semantics; sized like the input corpus.
     */
-  private def scored(df0: DataFrame, idCol: String, textCol: String): DataFrame =
-    Par.spread(df0).select(
+  /** Default stopword list of [[TextAnalysis.keepFlag]], spelled out
+    * here because the fused kernel needs it at expression-build time.
+    */
+  private val keepStopwords = Seq("the", "a", "data", "key", "order")
+
+  /** All word-set scans fused into ONE native byte pass per document
+    * (round 14, [[org.apache.spark.sql.graft.TextStatsKernel.wordSetCounts]]):
+    * the expression form ran `split(text, ' ')` once per language
+    * marker set plus twice for the keep flag — seven token-array
+    * allocations per doc before any hash work. The kernel returns
+    * `[n_tokens, hits(en), hits(de), hits(fr), hits(es), hits(stop)]`
+    * in one scan; language argmax (same strictly-greater fold, same
+    * declaration-order tie-break as [[TextAnalysis.languageId]]) and
+    * the keep rule are then plain arithmetic over those counts —
+    * value-identical, spec-pinned in Round14Spec.
+    */
+  private val wordSetSpec: String =
+    (TextAnalysis.defaultMarkers.map(_._2.mkString(",")) :+
+      keepStopwords.mkString(",")).mkString("|")
+
+  private def scored(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = Par.spread(df0).select(
       col(idCol).as("doc"),
       col(textCol).as("text"),
-      TextAnalysis.languageId(col(textCol)).as("lang_pred"),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("ws_tokens"),
-      md5(col(textCol)).as("__h"),
-      TextAnalysis.keepFlag(col(textCol)).as("__keep"))
+      call_function("graft_wordset_counts", col(textCol), lit(wordSetSpec))
+        .as("__wc"),
+      md5(col(textCol)).as("__h"))
+    val nTokens = element_at(col("__wc"), 1)
+    val scores = TextAnalysis.defaultMarkers.zipWithIndex.map {
+      case ((lang, _), k) => lang -> element_at(col("__wc"), k + 2)
+    }
+    val total = scores.map(_._2).reduce(_ + _)
+    val (bestLang, _) = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (l, s)) =>
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    val stopHits = element_at(col("__wc"), TextAnalysis.defaultMarkers.size + 2)
+    base.select(
+      col("doc"),
+      col("text"),
+      when(total === 0, lit("und")).otherwise(bestLang).as("lang_pred"),
+      nTokens.as("ws_tokens"),
+      col("__h"),
+      (nTokens >= 10 && nTokens <= 100000 &&
+        stopHits.cast("double") / nTokens >= 0.01).cast("int").as("__keep"))
       .localCheckpoint()
+  }
 
   private def eligible(lang: String): Column =
     col("lang_pred") === lang && col("__keep") === 1

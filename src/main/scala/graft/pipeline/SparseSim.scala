@@ -24,11 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object SparseSim {
 
-  /** Postings list `(id, term, tf)` of whitespace-tokenized text. */
+  /** Postings list `(id, term, tf)` of whitespace-tokenized text.
+    *
+    * The per-doc term frequencies come from the native one-pass
+    * counting kernel
+    * ([[org.apache.spark.sql.graft.TextStatsKernel.tokenCounts]],
+    * round 14) instead of `explode(split(...))` + a (id, term)
+    * aggregation: the kernel emits exactly the distinct (term, tf)
+    * pairs per document, so the postings build is MAP-ONLY — the
+    * shuffle that grouped one row per token position disappears, and
+    * so does the per-doc token string array. The trailing filter drops
+    * the empty-string token exactly like the pre-explode filter did
+    * (its per-doc count only ever fed the "" group).
+    */
   def termVectors(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    df.select(col(idCol),
+        explode(call_function("graft_token_counts", col(textCol))).as("tc"))
+      .filter(col("tc.w") =!= "")
+      .select(col(idCol), col("tc.w").as("term"), col("tc.c").as("tf"))
 
   /** Top-`k` cosine-most-similar corpus documents per query document.
     *

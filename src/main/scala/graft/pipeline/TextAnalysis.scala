@@ -101,26 +101,33 @@ object TextAnalysis {
     * score = improbable character sequences (boilerplate, garbage,
     * wrong-language text stand out).
     *
-    * Two aggregations over the exploded bigram table (bigram counts,
-    * first-char counts — both tiny: |alphabet|² rows) broadcast-join
-    * back onto the bigrams; everything else is map-only.
+    * The per-doc bigram counts come from one native byte scan; the
+    * corpus profile (and the first-char profile folded from it — both
+    * tiny: |alphabet|² rows) broadcast-joins back onto them;
+    * everything else is map-only.
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // (doc, bigram, count) — at most |alphabet|² rows per doc, so all
-    // downstream joins/aggregations run on compressed counts instead
-    // of one row per character position
-    // CASE guard: Spark's sequence(1, k) counts DOWN for k < 1, so an
-    // empty/1-char doc must yield no bigrams (not bogus ones that
-    // would pollute the corpus profile and diverge from the oracle)
+    // (doc, bigram, count) — at most |alphabet|² rows per doc, counted
+    // per document by the native one-pass kernel
+    // ([[org.apache.spark.sql.graft.TextStatsKernel.charBigramCounts]],
+    // round 14): the SQL chain (`explode(transform(sequence(1,
+    // length-1), i -> substring(text, i, 2)))` + a (doc, bg) groupBy)
+    // allocated an index array + a substring per character position
+    // and shuffled position-level rows; the kernel emits the distinct
+    // (bg, c) pairs per doc directly, so the (doc, bg) aggregation —
+    // the corpus-sized shuffle — disappears from the plan entirely.
+    // Value-identical (spec-pinned in Round14Spec): same code-point
+    // bigrams, exact byte-compare counting, NULL/<2-char text → no rows
+    // (the CASE's else branch).
     val docBi = Par.spread(df).select(col(idCol).as("doc"),
-      explode(expr(
-        s"CASE WHEN length($textCol) >= 2 THEN " +
-          s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2)) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("bg"))
-      .groupBy(col("doc"), col("bg")).agg(count(lit(1)).as("c"))
+      explode(call_function("graft_char_bigram_counts", col(textCol))).as("kv"))
+      .select(col("doc"), col("kv.bg").as("bg"), col("kv.c").as("c"))
     val prof = docBi.groupBy(col("bg")).agg(sum(col("c")).as("cb"))
-    val prof1 = docBi.groupBy(substring(col("bg"), 1, 1).as("c1"))
-      .agg(sum(col("c")).as("c1n"))
+    // first-char profile folded from the bigram profile (≤|alphabet|²
+    // rows) instead of a third corpus pass: Σ_{bg: bg[0]=c1} cb(bg) is
+    // the same integer sum grouped coarser
+    val prof1 = prof.groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum(col("cb")).as("c1n"))
     docBi.join(broadcast(prof), "bg")
       .join(broadcast(prof1), substring(col("bg"), 1, 1) === col("c1"))
       .groupBy(col("doc"))
@@ -131,33 +138,31 @@ object TextAnalysis {
   /** Repetition metrics per document (the Gopher-rules family):
     * distinct-token ratio and top-bigram fraction — high top-bigram
     * fraction or low distinct ratio marks boilerplate/spam that
-    * length/stopword filters miss. One explode + two aggregations,
-    * all partial-aggregated map-side.
+    * length/stopword filters miss. One native byte scan per document,
+    * map-only at any corpus size.
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Par.spread(df).select(col(idCol).as("doc"),
-      split(col(textCol), " ").as("toks"))
-    // per-doc token stats come straight from the un-exploded scan so
-    // EVERY input doc gets an output row — a <2-token doc has no
-    // bigrams (left join below) and scores top_bigram_frac 0.0
-    val stats = toks.select(col("doc"),
-      size(col("toks")).cast("long").as("n_tokens"),
-      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
-    // toks[i] is 0-based in Spark SQL; sequence guards the <2-token
-    // doc (sequence(1, k) counts DOWN for k < 1)
-    val biAgg = toks.select(col("doc"),
-      explode(expr(
-        "CASE WHEN size(toks) >= 2 THEN " +
-          "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i])) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("bg"))
-      .groupBy(col("doc"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc"))
-      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_c"))
-    stats.join(biAgg, Seq("doc"), "left")
-      .select(col("doc").as(idCol), col("n_tokens"),
-        round(coalesce(col("top_c").cast("double") / col("n_bigrams"), lit(0.0)), 4)
-          .as("top_bigram_frac"),
-        round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"))
+    // the whole operator is ONE native byte scan per document
+    // ([[org.apache.spark.sql.graft.TextStatsKernel.tokenStats]],
+    // round 14): the SQL shape split every doc into a token string
+    // array, built a second array of concat'd bigram strings, exploded
+    // it through a (doc, bg) + (doc) double aggregation, and joined
+    // the result back onto the per-doc stats — two shuffles and a join
+    // for quantities that are all computable per row. The kernel
+    // returns struct(n_tokens, n_distinct, n_bigrams, top_c) with
+    // exact byte-compare distinct/count tables, so the plan is now
+    // map-only (zero shuffle at any corpus size). Value identity is
+    // spec-pinned in Round14Spec: n_bigrams/top_c are NULL for
+    // <2-token docs exactly like the left-join miss, so the
+    // coalesce(…, 0.0) finish is byte-identical.
+    val st = Par.spread(df).select(col(idCol).as("doc"),
+      call_function("graft_token_stats", col(textCol)).as("ts"))
+    st.select(col("doc").as(idCol),
+      col("ts.n_tokens").as("n_tokens"),
+      round(coalesce(col("ts.top_c").cast("double") / col("ts.n_bigrams"), lit(0.0)), 4)
+        .as("top_bigram_frac"),
+      round(col("ts.n_distinct").cast("double") / col("ts.n_tokens"), 4)
+        .as("distinct_ratio"))
   }
 
   /** The `keep` decision of [[qualityMetrics]] as a standalone column
@@ -257,18 +262,25 @@ object TextAnalysis {
     * in practice), one 1-row total.
     */
   def collocations(df: DataFrame, textCol: String, minCount: Long = 5): DataFrame = {
-    val toks = s"split($textCol, ' ')"
-    val bigrams = df.select(explode(expr(
-      s"""CASE WHEN size($toks) >= 2 THEN
-         |  transform(sequence(1, size($toks) - 1),
-         |    i -> named_struct('w1', element_at($toks, i), 'w2', element_at($toks, i + 1)))
-         |ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END""".stripMargin))
-      .as("bg"))
+    // both token streams come from native one-pass kernels (round 14):
+    // the bigram side emitted, per doc, a split array + an index
+    // sequence + a struct per position with two element_at lookups;
+    // [[org.apache.spark.sql.graft.TextStatsKernel.wordBigrams]] emits
+    // the same (w1, w2) structs as zero-copy slices of the source
+    // bytes. The unigram side pre-counts per doc
+    // ([[org.apache.spark.sql.graft.TextStatsKernel.tokenCounts]]), so
+    // the corpus count is sum(c) over per-doc-distinct rows — the same
+    // integers the raw explode + count produced. Spec-pinned in
+    // Round14Spec.
+    val bigrams = df.select(
+      explode(call_function("graft_word_bigrams", col(textCol))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
-    val uni = df.select(explode(split(col(textCol), " ")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
+    val uni = df.select(
+      explode(call_function("graft_token_counts", col(textCol))).as("tc"))
+      .select(col("tc.w").as("w"), col("tc.c").as("c0"))
+      .groupBy("w").agg(sum(col("c0")).as("c"))
     val n = uni.agg(sum(col("c")).as("n_tokens"))
     bc.join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")

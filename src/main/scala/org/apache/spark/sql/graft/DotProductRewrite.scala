@@ -105,6 +105,45 @@ object GraftExtensions {
           require(children.size == 2,
             "graft_shingle_pairs takes (text, n) with literal n")
           HashedShinglePairs(children.head, litInt(children(1), "n"))
+        }),
+      (new FunctionIdentifier("graft_token_stats"),
+        new ExpressionInfo(classOf[TokenStats].getName, "graft_token_stats"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_token_stats takes one string argument")
+          TokenStats(children.head)
+        }),
+      (new FunctionIdentifier("graft_char_bigram_counts"),
+        new ExpressionInfo(classOf[CharBigramCounts].getName, "graft_char_bigram_counts"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1,
+            "graft_char_bigram_counts takes one string argument")
+          CharBigramCounts(children.head)
+        }),
+      (new FunctionIdentifier("graft_word_bigrams"),
+        new ExpressionInfo(classOf[WordBigrams].getName, "graft_word_bigrams"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_word_bigrams takes one string argument")
+          WordBigrams(children.head)
+        }),
+      (new FunctionIdentifier("graft_token_counts"),
+        new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, "graft_token_counts takes one string argument")
+          TokenCounts(children.head)
+        }),
+      (new FunctionIdentifier("graft_wordset_counts"),
+        new ExpressionInfo(classOf[WordSetCounts].getName, "graft_wordset_counts"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2,
+            "graft_wordset_counts takes (text, spec) with a literal spec string")
+          WordSetCounts(children.head, litString(children(1), "spec"))
+        }),
+      (new FunctionIdentifier("graft_maxsim_long"),
+        new ExpressionInfo(classOf[MaxSimLong].getName, "graft_maxsim_long"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2,
+            "graft_maxsim_long takes two array<array<bigint>> arguments")
+          MaxSimLong(children.head, children(1))
         }))
 
   private def litInt(e: Expression, what: String): Int = e match {
@@ -112,6 +151,13 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
     case _ => throw new IllegalArgumentException(
       s"shingle $what must be an integer literal, got $e")
+  }
+
+  private def litString(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $e")
   }
 
   /** Runtime installation for sessions built WITHOUT
