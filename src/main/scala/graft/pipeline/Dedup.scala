@@ -367,6 +367,22 @@ object Dedup {
     val dSigs = minhashSignatures(delta, idCol, textCol, n, numHashes)
     val dBuckets = minhashBuckets(dSigs, numHashes, bands)
       .localCheckpoint() // store screen + within-delta pairs + rollup
+    minhashMergeDeltaFromBuckets(storeBuckets, dBuckets)
+  }
+
+  /** [[minhashMergeDelta]] when the caller ALREADY holds the delta's
+    * materialized bucket table (round 15: the q462/q463 loops build
+    * `dB` for the append/entering step AND screened the same slice via
+    * [[minhashMergeDelta]] — the delta's shingle+minhash pass ran
+    * TWICE per batch). Verdicts are a pure function of the bucket
+    * rows, so feeding the same table yields bit-identical verdicts
+    * (spec-pinned in Round15Spec). `deltaBuckets` must be materialized
+    * (checkpointed/persisted) by the caller — it is consumed three
+    * times below.
+    */
+  def minhashMergeDeltaFromBuckets(storeBuckets: DataFrame,
+                                   deltaBuckets: DataFrame): DataFrame = {
+    val dBuckets = deltaBuckets
     val dupStore = dBuckets
       .join(storeBuckets.select(col("band"), col("bkey")),
         Seq("band", "bkey"), "left_semi")
@@ -659,11 +675,20 @@ object Dedup {
     // is a map-side-combined aggregate, linear at any corpus size.
     val cellRows = 512L
     val keyCount = prefix.groupBy("trank").agg(count(lit(1)).as("kc"))
+    // round 15: materialize the salted prefix table ONCE — it feeds
+    // BOTH sides of the candidate self-join below, and without the
+    // checkpoint the whole prefix derivation (occurrence explode →
+    // rarity join → per-doc rank window → length join → key-count
+    // join) replayed twice per run (plan before: 8 Window nodes /
+    // 16 Exchanges; after: 4 / 9). The table is prefix-sized
+    // (len − ⌈t·len⌉ + 1 tokens per doc — at t = 9/10 about a tenth
+    // of the token occurrences), so pinning it is cheap at any scale.
     val salted = prefix.join(keyCount, "trank")
       .withColumn("g",
         least(expr(s"(kc + ${cellRows - 1}) div $cellRows"), lit(64L)))
       .withColumn("bkt", pmod(hash(col("doc")).cast("long"), col("g")))
       .drop("kc")
+      .localCheckpoint()
     val lhs = salted.withColumn("cc", explode(sequence(lit(0L), col("g") - 1L)))
     val rhs = salted.withColumn("cr", explode(sequence(lit(0L), col("g") - 1L)))
     lhs.as("a").join(rhs.as("b"),

@@ -661,6 +661,15 @@ object Similarity {
           (row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("id"))) - 1).cast("long").as("cidx"))
     }
+    // Round-15 note (measured, then kept the crossJoin): a map-only
+    // argmin over a collected centroid literal (the semDedupScreen
+    // pattern) was tried here and REVERTED — the outer array fold is a
+    // CodegenFallback higher-order expression, so it ran interpreted
+    // per row, and q465 (4 members builds) measured 2.5 → 4.4 s with
+    // 10× task GC. The crossJoin form below is fully codegen'd now
+    // that DotProductRewriteRule compiles the d2 fold to [[L2SqLong]],
+    // and the 8-rows-per-vector aggregate is AQE-coalesced — cheaper
+    // than interpreted map-side evaluation at every tested scale.
     // argmin with deterministic ties: min over d2·k + cidx (cidx < k)
     val d2 = "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), " +
       "0L, (a, e) -> a + e)"
