@@ -141,6 +141,24 @@ object Bench {
       q.processAllAvailable()
       q.stop()
       spark.catalog.dropTempView("graft_warm_stream")
+      // ...and the stream-STREAM join machinery (symmetric-hash join
+      // state manager, watermark tracking) — a separate code family
+      // from the aggregation store, first used by q134/q140/q349
+      val l = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.EventStreams.Event]
+      val r = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.EventStreams.Event]
+      val ts = new java.sql.Timestamp(0L)
+      val jq = graft.streaming.EventStreams.streamStreamLeftJoin(
+          l.toDF(), r.toDF(), "user_id", withinSeconds = 60,
+          watermark = "1 minutes")
+        .writeStream.format("memory").queryName("graft_warm_sjoin")
+        .outputMode("append").start()
+      l.addData(graft.streaming.EventStreams.Event(1L, ts, 1L, "view", 0.0))
+      r.addData(graft.streaming.EventStreams.Event(2L, ts, 1L, "purchase", 0.0))
+      jq.processAllAvailable()
+      jq.stop()
+      spark.catalog.dropTempView("graft_warm_sjoin")
     }
 
     def fmt(v: Double): String =

@@ -679,10 +679,12 @@ object Dedup {
     // BOTH sides of the candidate self-join below, and without the
     // checkpoint the whole prefix derivation (occurrence explode →
     // rarity join → per-doc rank window → length join → key-count
-    // join) replayed twice per run (plan before: 8 Window nodes /
-    // 16 Exchanges; after: 4 / 9). The table is prefix-sized
-    // (len − ⌈t·len⌉ + 1 tokens per doc — at t = 9/10 about a tenth
-    // of the token occurrences), so pinning it is cheap at any scale.
+    // join) replayed twice per run (q181 plan before: 8 Window nodes /
+    // 16 Exchanges; after the derivation runs exactly once and the
+    // join-time plan is 0 Windows / 4 Exchanges over the pinned scan).
+    // The table is prefix-sized (len − ⌈t·len⌉ + 1 tokens per doc — at
+    // t = 9/10 about a tenth of the token occurrences), so pinning it
+    // is cheap at any scale.
     val salted = prefix.join(keyCount, "trank")
       .withColumn("g",
         least(expr(s"(kc + ${cellRows - 1}) div $cellRows"), lit(64L)))
