@@ -117,7 +117,7 @@ object Bench {
     // registered-time semantics are unchanged.
     // (a) parquet write path: committer, codec, writer codegen,
     //     input_file_name scan counters
-    val warmDir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_warm"
+    val warmDir = s"${GraftSession.scratchDir(spark)}/graft_bench_warm"
     spark.range(0, 1000).selectExpr("id", "CAST(id AS STRING) AS s")
       .repartition(2).write.mode("overwrite").parquet(warmDir)
     spark.read.parquet(warmDir)

@@ -138,6 +138,22 @@ object GraftSession {
     }
   }
 
+  /** Gate-internal scratch base (round 15): per-invocation parquet
+    * spills and restart-store round-trips (q233/q316/q462/q464-class)
+    * used `java.io.tmpdir` — the PHYSICAL-disk `/tmp` — while Spark's
+    * own shuffle/state scratch rides the round-9 tmpfs redirect, so
+    * those gates' registered times tracked ambient root-disk fsync
+    * latency (closing-run signature: reg 4–6× the gate's own settled
+    * band with near-zero GC). Use the session's `spark.local.dir`
+    * (tmpfs when the redirect is active) with the tmpdir fallback —
+    * the same "fast local scratch" policy, applied consistently. On a
+    * real cluster this maps to keeping job-local spills on the same
+    * fast local disks as shuffle data.
+    */
+  def scratchDir(spark: SparkSession): String =
+    spark.conf.getOption("spark.local.dir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
   /** Apply graft-required runtime confs to an externally-built session
     * (e.g. the driver's): confs that are settable at runtime, plus the
     * graft function registry + optimizer rule (equivalent to the

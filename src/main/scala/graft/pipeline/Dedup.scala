@@ -284,9 +284,18 @@ object Dedup {
   def minhashBuckets(sigs: DataFrame, numHashes: Int = 12, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // bkey is BINARY(16) (unhex of the md5), not the 32-char hex string
+    // (round 15, guide §2.3 narrower types): the key is only ever an
+    // equality join/distinct key inside the engine — every gate's
+    // OUTPUT is doc ids/counts, and the DuckDB oracles derive their own
+    // hex keys independently — and hex→binary is a bijection, so every
+    // join/distinct result is bit-identical while the bucket rows that
+    // dominate the minhash family's shuffles, stores, and parquet
+    // round-trips (q13/q457/q460/q462/q463-class) carry 16 key bytes
+    // instead of 32 (+ string overhead).
     val bandKeys = (0 until bands).map { b =>
       val parts = (0 until r).map(i => s"CAST(h${b * r + i} AS STRING)").mkString(", ")
-      struct(lit(b).as("band"), md5(expr(s"concat_ws(',', $parts)")).as("bkey"))
+      struct(lit(b).as("band"), unhex(md5(expr(s"concat_ws(',', $parts)"))).as("bkey"))
     }
     sigs.select(col("doc"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
